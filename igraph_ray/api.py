@@ -1,0 +1,71 @@
+"""Convenience API: edge tables in, kernel results out.
+
+These helpers glue the stages together for tests, bench, and the
+driver entry; large pipelines compose the stages directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.stages.partition import GraphMeta, build_graph_partitions
+from igraph_ray.stages.symmetrize import symmetrize_dedup
+from igraph_ray.utils import num_parts_for
+
+
+def edges_dataset(
+    src, dst, weight=None, num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Build an edge Dataset from arrays (test/bench helper)."""
+    src = np.asarray(src, dtype=np.int64)
+    dst = np.asarray(dst, dtype=np.int64)
+    w = (
+        np.asarray(weight, dtype=np.float64)
+        if weight is not None
+        else np.ones(len(src), dtype=np.float64)
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src), "dst": pa.array(dst), "weight": pa.array(w)}
+        )
+    )
+    if num_blocks:
+        ds = ds.repartition(num_blocks=num_blocks)
+    return ds
+
+
+def build_graph(
+    edges: ray.data.Dataset,
+    graph_dir: str,
+    num_parts: int | None = None,
+    vertices: ray.data.Dataset | None = None,
+    symmetrize: bool = False,
+) -> GraphMeta:
+    """Partition an edge table into CSR blocks under ``graph_dir``.
+
+    ``symmetrize=True`` applies E4 first (undirected semantics: both
+    arcs, parallel edges collapsed with summed weight).
+    """
+    if symmetrize:
+        edges = symmetrize_dedup(edges)
+    if num_parts is None:
+        # cheap driver-side estimate: count edges (metadata-only when
+        # the input is a materialized/parquet dataset)
+        n_edges = edges.count()
+        num_parts = num_parts_for(n_edges, max(1, n_edges))
+    return build_graph_partitions(
+        edges, graph_dir, num_parts, vertices=vertices
+    )
+
+
+def state_to_table(state: ray.data.Dataset, columns: list[str]) -> pa.Table:
+    """Collect a (small) final state dataset into one Arrow table,
+    sorted by vid — for tests and oracles only."""
+    tbl = pa.concat_tables(
+        state.select_columns(columns).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return tbl.sort_by("vid")

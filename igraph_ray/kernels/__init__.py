@@ -1,0 +1,15 @@
+from igraph_ray.kernels.base import KernelRun, run_kernel, init_state_dataset  # noqa: F401
+from igraph_ray.kernels.pagerank import (  # noqa: F401
+    PageRankKernel,
+    PowerIterationFailedConvergence,
+    pagerank,
+)
+from igraph_ray.kernels.components import ComponentsKernel, connected_components  # noqa: F401
+from igraph_ray.kernels.lpa import LabelPropagationKernel, label_propagation  # noqa: F401
+from igraph_ray.kernels.triangles import (  # noqa: F401
+    canonical_edges,
+    total_triangles,
+    transitivity,
+    triangle_counts,
+)
+from igraph_ray.kernels.degree import out_degrees, undirected_degrees  # noqa: F401

@@ -1,0 +1,256 @@
+"""Iterative vertex-kernel chassis (SURVEY.md §3.2 Phase D).
+
+Every iterative kernel (PageRank, connected components, label
+propagation) is expressed as the same Ray-Data pipeline per iteration::
+
+    state_t  --map_batches(ScatterStage, actor pool)-->  messages
+    messages --groupby("dst_part").map_groups(apply)-->  state_{t+1}
+    state_{t+1}.materialize();  metrics via ds.sum();  driver decides.
+
+- ``state_t`` is a Dataset of per-vertex rows ``(part, vid, ...)`` —
+  one block per graph partition at init; the scatter stage tolerates
+  arbitrary re-blocking by grouping rows by ``part`` inside the batch.
+- The scatter stage is a **stateful actor pool**: CSR blocks are loaded
+  once per worker process (module-global cache, survives across
+  iterations because Ray reuses workers) — never shipped per batch.
+- Messages carry ``(dst_part, dst, ...)`` and are **pre-combined per
+  (source partition, dst)** inside scatter (``np.add/minimum.reduceat``
+  over precomputed segments), so a hub receiver sees at most P rows per
+  iteration (two-level combine = built-in skew mitigation).
+- The only all-to-all per iteration is the ``groupby("dst_part")``
+  shuffle of the (pre-combined) message table; CSR edge blocks are
+  never re-shuffled.
+- Scalar loop metrics (L1 residual, changed-count) ride along as state
+  columns and are reduced with ``Dataset.sum`` — a tree aggregate over
+  the already-materialized state blocks.
+
+Reference shape being reproduced: the driver-side while-loop of
+``networkx/algorithms/link_analysis/pagerank_alg.py:491-497`` (power
+iteration) — see SURVEY.md §3.1.
+"""
+
+from __future__ import annotations
+
+import collections
+import time
+from dataclasses import dataclass, field
+from typing import Any, Protocol
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from igraph_ray.state.checkpoint import (
+    CheckpointManager,
+    latest_complete_iteration,
+)
+from igraph_ray.stages.partition import GraphMeta, load_csr
+
+# ---------------------------------------------------------------------------
+# Worker-global CSR cache: loaded once per worker process, reused across
+# iterations (Ray reuses worker processes between dataset executions).
+# ---------------------------------------------------------------------------
+_CSR_CACHE: "collections.OrderedDict[tuple[str, int], dict[str, np.ndarray]]" = (
+    collections.OrderedDict()
+)
+_CSR_CACHE_MAX_BYTES = 8 * 1024**3
+
+
+def _cached_csr(graph: GraphMeta, part: int) -> dict[str, np.ndarray]:
+    key = (graph.graph_dir, part)
+    blk = _CSR_CACHE.get(key)
+    if blk is None:
+        blk = load_csr(graph, part)
+        _CSR_CACHE[key] = blk
+        # crude LRU eviction by total bytes
+        total = sum(
+            a.nbytes for b in _CSR_CACHE.values() for a in b.values()
+        )
+        while total > _CSR_CACHE_MAX_BYTES and len(_CSR_CACHE) > 1:
+            _, old = _CSR_CACHE.popitem(last=False)
+            total -= sum(a.nbytes for a in old.values())
+    else:
+        _CSR_CACHE.move_to_end(key)
+    return blk
+
+
+class VertexKernel(Protocol):
+    """One iterative kernel = init + scatter + apply + convergence.
+
+    All three computational hooks are pure numpy over one partition —
+    the chassis owns all distribution concerns.
+    """
+
+    #: state value columns (besides part/vid), e.g. {"rank": np.float64}
+    state_value_cols: dict[str, Any]
+    #: metric state columns summed per iteration for the driver loop
+    metric_cols: tuple[str, ...]
+    #: schema of the message table emitted by scatter
+    message_schema: pa.Schema
+
+    def init_state(self, csr: dict[str, np.ndarray], part: int) -> dict[str, np.ndarray]:
+        """Initial per-vertex value arrays aligned with csr['vids']."""
+        ...
+
+    def scatter(
+        self, csr: dict[str, np.ndarray], state: dict[str, np.ndarray], part: int
+    ) -> pa.Table:
+        """Emit the pre-combined message table for one partition."""
+        ...
+
+    def apply(self, group: pa.Table, part: int) -> pa.Table:
+        """Combine one partition's inbound messages into new state rows
+        ``(part, vid, *state_value_cols, *metric_cols)``."""
+        ...
+
+    def converged(self, metrics: dict[str, float], iteration: int) -> bool:
+        ...
+
+
+def _state_table(
+    part: int, vids: np.ndarray, values: dict[str, np.ndarray]
+) -> pa.Table:
+    cols: dict[str, pa.Array] = {
+        "part": pa.array(np.full(len(vids), part, dtype=np.int32)),
+        "vid": pa.array(vids.astype(np.int64)),
+    }
+    for name, arr in values.items():
+        cols[name] = pa.array(arr)
+    return pa.table(cols)
+
+
+class ScatterStage:
+    """Callable class for ``map_batches`` (actor-pool compute).
+
+    Holds the graph handle; CSR blocks resolve through the
+    worker-global cache so each worker loads a block at most once for
+    the whole run, not once per iteration.
+    """
+
+    def __init__(self, kernel: VertexKernel, graph: GraphMeta):
+        self.kernel = kernel
+        self.graph = graph
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        out: list[pa.Table] = []
+        for part in np.unique(parts):
+            rows = batch.filter(pa.compute.equal(batch.column("part"), int(part)))
+            csr = _cached_csr(self.graph, int(part))
+            vids = csr["vids"]
+            bvids = rows.column("vid").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vids, bvids)
+            state = {}
+            for name in self.kernel.state_value_cols:
+                aligned = np.empty(len(vids), dtype=self.kernel.state_value_cols[name])
+                aligned[pos] = rows.column(name).to_numpy(zero_copy_only=False)
+                state[name] = aligned
+            out.append(self.kernel.scatter(csr, state, int(part)))
+        if not out:
+            return self.kernel.message_schema.empty_table()
+        return pa.concat_tables(out)
+
+
+@dataclass
+class KernelRun:
+    """Result of an iterative kernel run."""
+
+    state: ray.data.Dataset  # final (part, vid, *values)
+    iterations: int
+    converged: bool
+    metrics_history: list[dict[str, float]] = field(default_factory=list)
+    seconds_per_iteration: list[float] = field(default_factory=list)
+
+
+def init_state_dataset(
+    kernel: VertexKernel, graph: GraphMeta
+) -> ray.data.Dataset:
+    """Build iteration-0 state: one task per partition reads its CSR
+    block and emits ``(part, vid, *values)`` rows."""
+
+    def _init(batch: pa.Table) -> pa.Table:
+        tables = []
+        for part in batch.column("part").to_pylist():
+            csr = _cached_csr(graph, int(part))
+            vids = csr.get("vids", np.empty(0, np.int64))
+            values = kernel.init_state(csr, int(part))
+            tables.append(_state_table(int(part), vids, values))
+        return pa.concat_tables(tables)
+
+    parts_ds = ray.data.from_arrow(
+        pa.table({"part": pa.array(graph.parts, pa.int32())})
+    ).repartition(num_blocks=max(1, len(graph.parts)))
+    return parts_ds.map_batches(
+        _init, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def run_kernel(
+    kernel: VertexKernel,
+    graph: GraphMeta,
+    max_iter: int,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    resume: bool = False,
+    scatter_concurrency: int | tuple[int, int] | None = None,
+) -> KernelRun:
+    """Drive the scatter→shuffle→apply loop to convergence.
+
+    With ``checkpoint_dir`` set, every ``checkpoint_every`` iterations
+    the full state plus lineage rows ``(part, iteration, rows,
+    residual)`` are committed atomically; ``resume=True`` restarts from
+    the latest complete checkpoint (BASELINE.json: "a killed job
+    resumes mid-algorithm").
+    """
+    ckpt = CheckpointManager(checkpoint_dir) if checkpoint_dir else None
+    start_iter = 0
+    state: ray.data.Dataset | None = None
+    if ckpt and resume:
+        done = latest_complete_iteration(checkpoint_dir)
+        if done is not None:
+            state = ckpt.load_state(done)
+            start_iter = done + 1
+
+    if state is None:
+        state = init_state_dataset(kernel, graph).materialize()
+
+    num_parts = max(1, len(graph.parts))
+    if scatter_concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        scatter_concurrency = max(1, min(num_parts, cpus))
+
+    run = KernelRun(state=state, iterations=start_iter, converged=False)
+    apply_fn = kernel.apply
+
+    def _apply_group(group: pa.Table) -> pa.Table:
+        part = int(group.column("dst_part")[0].as_py())
+        return apply_fn(group, part)
+
+    for it in range(start_iter, max_iter):
+        t0 = time.perf_counter()
+        msgs = state.map_batches(
+            ScatterStage(kernel, graph),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=None,
+            concurrency=scatter_concurrency,
+        )
+        new_state = (
+            msgs.groupby("dst_part")
+            .map_groups(_apply_group, batch_format="pyarrow")
+            .materialize()
+        )
+        metrics = {c: float(new_state.sum(c) or 0.0) for c in kernel.metric_cols}
+        state = new_state
+        run.iterations = it + 1
+        run.metrics_history.append(metrics)
+        run.seconds_per_iteration.append(time.perf_counter() - t0)
+        if ckpt and (it % checkpoint_every == 0):
+            ckpt.save_state(state, it, metrics)
+        if kernel.converged(metrics, it):
+            run.converged = True
+            break
+
+    run.state = state
+    return run

@@ -1,0 +1,217 @@
+"""K3 — label propagation community detection (synchronous,
+deterministic schedule).
+
+Reference semantics: ``networkx.community.asyn_lpa_communities``
+(``algorithms/community/label_propagation.py:142-233``; igraph's
+``igraph_community_label_propagation`` is the same Raghavan-2007
+algorithm): init every vertex with a unique label, repeatedly adopt the
+most frequent label among neighbors (edge-weighted, default weight 1),
+keeping the current label when it is already among the max-frequency
+labels (``label_propagation.py:229-231``), until no vertex changes.
+
+Deliberate semantic delta (SURVEY.md §2.3(1)): the reference shuffles
+vertices with a seeded RNG and breaks ties randomly — a sequential,
+order-dependent schedule that cannot be replayed distributed.  We run
+**synchronous rounds with a deterministic smallest-label tie-break**
+(precedent: the semi-synchronous variant's deterministic Prec-Max rule,
+``label_propagation.py:326-338``).  Verification uses the fixed-point
+property (every vertex's label is maximal in its neighborhood —
+``label_propagation.py:297-307``) plus exact equality on fixtures with
+unambiguous communities, not bitwise label equality.
+
+Message protocol: histogram rows ``(dst_part, dst, label, wsum,
+self_lbl=-1)`` pre-combined per (source partition, dst, label); self
+rows ``(part(v), v, old_label, 0.0, self_lbl=old_label)`` carry the
+current label (weight 0 adds nothing to the histogram).  Apply merges
+the per-dst label histogram, takes the max-weight label with
+smallest-label tie-break, and keeps the current label when its weight
+equals the max.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from igraph_ray.kernels.base import KernelRun, run_kernel
+from igraph_ray.stages.partition import GraphMeta
+
+MSG_SCHEMA = pa.schema(
+    [
+        ("dst_part", pa.int32()),
+        ("dst", pa.int64()),
+        ("label", pa.int64()),
+        ("wsum", pa.float64()),
+        ("self_lbl", pa.int64()),
+    ]
+)
+
+
+@dataclass
+class LabelPropagationKernel:
+    num_parts: int
+    weighted: bool = True
+    max_iter_soft: int = 100  # sync LPA may oscillate; stop quietly
+
+    state_value_cols: dict = field(
+        default_factory=lambda: {"label": np.int64, "changed": np.int64}
+    )
+    metric_cols: tuple = ("changed",)
+    message_schema: pa.Schema = MSG_SCHEMA
+
+    def init_state(self, csr, part: int) -> dict[str, np.ndarray]:
+        vids = csr.get("vids", np.empty(0, np.int64))
+        return {
+            "label": vids.copy(),
+            "changed": np.ones(len(vids), dtype=np.int64),
+        }
+
+    def scatter(self, csr, state, part: int) -> pa.Table:
+        vids = csr["vids"]
+        label = state["label"]
+
+        if len(csr.get("src_pos", ())):
+            lab_e = label[csr["src_pos"]]
+            w_e = csr["w"] if self.weighted else np.ones(len(lab_e))
+            dst = csr["dst"]
+            dst_part = csr["dst_part"]
+            # labels change every round → combine per (dst_part, dst,
+            # label) with a fresh lexsort (edges are pre-sorted by
+            # (dst_part, dst), but label order is per-iteration)
+            order = np.lexsort((lab_e, dst, dst_part))
+            dst, dst_part, lab_e, w_e = (
+                dst[order],
+                dst_part[order],
+                lab_e[order],
+                w_e[order],
+            )
+            new_seg = np.empty(len(dst), dtype=bool)
+            new_seg[0] = True
+            new_seg[1:] = (dst[1:] != dst[:-1]) | (lab_e[1:] != lab_e[:-1])
+            seg = np.flatnonzero(new_seg)
+            m_part = dst_part[seg]
+            m_dst = dst[seg]
+            m_lbl = lab_e[seg]
+            m_w = np.add.reduceat(w_e, seg)
+        else:
+            m_part = np.empty(0, np.int32)
+            m_dst = np.empty(0, np.int64)
+            m_lbl = np.empty(0, np.int64)
+            m_w = np.empty(0, np.float64)
+
+        n_self = len(vids)
+        n_msg = len(m_dst)
+        return pa.table(
+            {
+                "dst_part": pa.array(
+                    np.concatenate([m_part, np.full(n_self, part, np.int32)])
+                ),
+                "dst": pa.array(np.concatenate([m_dst, vids])),
+                "label": pa.array(np.concatenate([m_lbl, label])),
+                "wsum": pa.array(np.concatenate([m_w, np.zeros(n_self)])),
+                "self_lbl": pa.array(
+                    np.concatenate([np.full(n_msg, -1, np.int64), label])
+                ),
+            }
+        )
+
+    def apply(self, group: pa.Table, part: int) -> pa.Table:
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        lbl = group.column("label").to_numpy(zero_copy_only=False)
+        wsum = group.column("wsum").to_numpy(zero_copy_only=False)
+        slf = group.column("self_lbl").to_numpy(zero_copy_only=False)
+
+        # 1) merge duplicate (dst, label) rows from different source
+        #    partitions; deterministic order via (dst, label, wsum).
+        order = np.lexsort((wsum, lbl, dst))
+        dst, lbl, wsum, slf = dst[order], lbl[order], wsum[order], slf[order]
+        n = len(dst)
+        if n == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], pa.int32()),
+                    "vid": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.int64()),
+                    "changed": pa.array([], pa.int64()),
+                }
+            )
+        pair_new = np.empty(n, dtype=bool)
+        pair_new[0] = True
+        pair_new[1:] = (dst[1:] != dst[:-1]) | (lbl[1:] != lbl[:-1])
+        pseg = np.flatnonzero(pair_new)
+        p_dst = dst[pseg]
+        p_lbl = lbl[pseg]
+        p_w = np.add.reduceat(wsum, pseg)
+        p_slf = np.maximum.reduceat(slf, pseg)  # old label rides max
+
+        # 2) per-dst segments over the merged histogram
+        dseg_new = np.empty(len(p_dst), dtype=bool)
+        dseg_new[0] = True
+        dseg_new[1:] = p_dst[1:] != p_dst[:-1]
+        dseg = np.flatnonzero(dseg_new)
+        vids = p_dst[dseg]
+        seg_id = np.cumsum(dseg_new) - 1  # per-row dst segment index
+
+        maxw = np.maximum.reduceat(p_w, dseg)
+        old = np.maximum.reduceat(p_slf, dseg)  # self row holds the old label
+
+        # smallest label whose weight == segment max (tie-break = min
+        # label, matching the deterministic Prec-Max precedent)
+        is_max = p_w == maxw[seg_id]
+        cand = np.where(is_max, p_lbl, np.iinfo(np.int64).max)
+        best = np.minimum.reduceat(cand, dseg)
+
+        # keep current label when it is already among the max-frequency
+        # labels (label_propagation.py:229-231): find the weight of the
+        # old label per dst by locating (dst, old) among the merged
+        # (p_dst, p_lbl) pairs — both sorted, so a structured-key
+        # searchsorted works.
+        pos = np.searchsorted(_fuse(p_dst, p_lbl), _fuse(vids, old))
+        pos = np.clip(pos, 0, len(p_dst) - 1)
+        old_w = np.where(
+            (p_dst[pos] == vids) & (p_lbl[pos] == old), p_w[pos], -1.0
+        )
+        new = np.where(old_w >= maxw, old, best)
+        changed = (new != old).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(np.full(len(vids), part, np.int32)),
+                "vid": pa.array(vids),
+                "label": pa.array(new),
+                "changed": pa.array(changed),
+            }
+        )
+
+    def converged(self, metrics: dict[str, float], iteration: int) -> bool:
+        return metrics["changed"] == 0.0
+
+
+def _fuse(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Fuse two non-negative int64 arrays into one sortable uint128-ish
+    key via object-free composition: (a << 64 | b) is not representable,
+    so use a structured array view that sorts lexicographically."""
+    out = np.empty(len(a), dtype=[("a", np.int64), ("b", np.int64)])
+    out["a"] = a
+    out["b"] = b
+    return out
+
+
+def label_propagation(
+    graph: GraphMeta,
+    max_iter: int = 100,
+    weighted: bool = True,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> KernelRun:
+    """Run synchronous label propagation; final state rows are
+    ``(part, vid, label, changed)``."""
+    kernel = LabelPropagationKernel(num_parts=graph.num_parts, weighted=weighted)
+    return run_kernel(
+        kernel,
+        graph,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )

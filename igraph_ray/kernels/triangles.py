@@ -1,0 +1,269 @@
+"""K4 — triangle counting by degree-ordered wedge enumeration.
+
+Reference semantics: ``networkx.triangles``
+(``algorithms/cluster.py:22-95``) — per-vertex incident triangle
+counts over a **simple undirected** graph; self-loops ignored
+(``cluster.py:62,82``); total triangles = Σ/3 (``cluster.py:53-58``).
+The reference uses forward/orientation counting (``later_nbrs``,
+``cluster.py:78-93``); we use the equivalent degree-ordered orientation
+(BASELINE.json: "degree-ordered wedge enumeration"), which bounds each
+vertex's oriented out-degree by O(√E) so wedge volume is
+O(E^{3/2}) worst-case instead of Σd².
+
+Pure shuffle pipeline — no iteration, no actor state:
+
+1. canonicalize: ``(a,b) = (min,max)``, drop self-loops, global dedup
+   (``groupby(a,b)``) — the simple-graph requirement
+   (``cluster.py:98`` rejects multigraphs);
+2. degrees via ``groupby`` (K5);
+3. attach degrees to both endpoints — **broadcast** the degree table
+   via ``ray.put`` into a map_batches lookup when it fits (one object
+   read per task, never re-shipped per batch), hash-``join`` otherwise;
+4. orient each edge from lower (degree, vid) to higher;
+5. wedges: group oriented edges by source, emit neighbor pairs
+   (ordered by (degree, vid), so the closing edge is oriented);
+6. close: co-group wedges with oriented edges on the pair key via one
+   ``groupby(x, y).map_groups``; every wedge in a group that contains
+   the edge marker is a triangle — credit all three corners;
+7. per-vertex counts: ``groupby(vid).sum`` unioned with zero rows for
+   triangle-free vertices.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from igraph_ray.kernels.degree import undirected_degrees
+
+# Degree tables smaller than this are broadcast via ray.put instead of
+# a second hash join (SURVEY.md §4: broadcast small sides).
+BROADCAST_MAX_VERTICES = 5_000_000
+
+
+def canonical_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Distinct undirected pairs ``(a < b)``, self-loops dropped."""
+
+    def canon(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = src != dst  # self-loops ignored (cluster.py:62)
+        src, dst = src[keep], dst[keep]
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+
+    canon_ds = edges.map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # global dedup — one shuffle
+    return canon_ds.groupby(["src", "dst"]).aggregate(
+        Count("src", alias_name="_n")
+    ).drop_columns(["_n"])
+
+
+class _DegreeLookup:
+    """Actor-pool stage: holds the broadcast degree table (fetched once
+    per actor from the object store) and attaches (deg_src, deg_dst)."""
+
+    def __init__(self, degrees_ref):
+        tbl: pa.Table = ray.get(degrees_ref)
+        vids = tbl.column("vid").to_numpy(zero_copy_only=False)
+        degs = tbl.column("degree").to_numpy(zero_copy_only=False)
+        order = np.argsort(vids)
+        self.vids = vids[order]
+        self.degs = degs[order]
+
+    def _deg(self, v: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(self.vids, v)
+        return self.degs[pos]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "deg_src": pa.array(self._deg(src).astype(np.int64)),
+                "deg_dst": pa.array(self._deg(dst).astype(np.int64)),
+            }
+        )
+
+
+def _orient(batch: pa.Table) -> pa.Table:
+    """Orient each edge from lower (degree, vid) to higher."""
+    src = batch.column("src").to_numpy(zero_copy_only=False)
+    dst = batch.column("dst").to_numpy(zero_copy_only=False)
+    ds_ = batch.column("deg_src").to_numpy(zero_copy_only=False)
+    dd = batch.column("deg_dst").to_numpy(zero_copy_only=False)
+    fwd = (ds_ < dd) | ((ds_ == dd) & (src < dst))
+    lo = np.where(fwd, src, dst)
+    hi = np.where(fwd, dst, src)
+    lo_deg = np.where(fwd, ds_, dd)
+    hi_deg = np.where(fwd, dd, ds_)
+    return pa.table(
+        {
+            "u": pa.array(lo),
+            "v": pa.array(hi),
+            "u_deg": pa.array(lo_deg),
+            "v_deg": pa.array(hi_deg),
+        }
+    )
+
+
+def _emit_wedges(group: pa.Table) -> pa.Table:
+    """One group = all oriented out-edges of one u.  Emit candidate
+    closing pairs (x, y) ordered by (degree, vid) plus the corner u."""
+    v = group.column("v").to_numpy(zero_copy_only=False)
+    vd = group.column("v_deg").to_numpy(zero_copy_only=False)
+    u = int(group.column("u")[0].as_py())
+    k = len(v)
+    if k < 2:
+        return pa.table(
+            {
+                "x": pa.array([], pa.int64()),
+                "y": pa.array([], pa.int64()),
+                "corner": pa.array([], pa.int64()),
+            }
+        )
+    # sort neighbors by (degree, vid) so pair (i < j) is oriented
+    order = np.lexsort((v, vd))
+    v = v[order]
+    iu, ju = np.triu_indices(k, 1)
+    return pa.table(
+        {
+            "x": pa.array(v[iu]),
+            "y": pa.array(v[ju]),
+            "corner": pa.array(np.full(len(iu), u, np.int64)),
+        }
+    )
+
+
+def _close_group(group: pa.Table) -> pa.Table:
+    """One group = one (x, y) pair key: wedge rows (corner >= 0) and at
+    most one edge-marker row (corner == -1)."""
+    corners = group.column("corner").to_numpy(zero_copy_only=False)
+    has_edge = (corners == -1).any()
+    wedge_corners = corners[corners >= 0]
+    if not has_edge or len(wedge_corners) == 0:
+        return pa.table({"vid": pa.array([], pa.int64()), "tri": pa.array([], pa.int64())})
+    x = int(group.column("x")[0].as_py())
+    y = int(group.column("y")[0].as_py())
+    t = len(wedge_corners)
+    vids = np.concatenate(
+        [wedge_corners, np.array([x, y], dtype=np.int64)]
+    )
+    tri = np.concatenate(
+        [np.ones(t, dtype=np.int64), np.array([t, t], dtype=np.int64)]
+    )
+    return pa.table({"vid": pa.array(vids), "tri": pa.array(tri)})
+
+
+def triangle_counts(
+    edges: ray.data.Dataset,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+) -> ray.data.Dataset:
+    """Per-vertex triangle counts: rows ``(vid, triangles)``.
+
+    ``edges`` may be directed/multi/self-looped — it is canonicalized
+    first (direction ignored, like ``igraph_count_adjacent_triangles``
+    on an undirected view).
+    """
+    simple = canonical_edges(edges).materialize()
+    degrees = undirected_degrees(simple).materialize()
+
+    n_vertices = degrees.count()
+    if n_vertices <= broadcast_max_vertices:
+        deg_table = pa.concat_tables(
+            degrees.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        ref = ray.put(deg_table)
+        with_deg = simple.map_batches(
+            _DegreeLookup,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+    else:  # pragma: no cover - exercised only at cluster scale
+        d1 = degrees.rename_columns({"vid": "src", "degree": "deg_src"})
+        d2 = degrees.rename_columns({"vid": "dst", "degree": "deg_dst"})
+        with_deg = simple.join(d1, "inner", 32, on=("src",)).join(
+            d2, "inner", 32, on=("dst",)
+        )
+
+    oriented = with_deg.map_batches(
+        _orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    wedges = oriented.groupby("u").map_groups(
+        _emit_wedges, batch_format="pyarrow"
+    )
+
+    def edge_markers(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x": batch.column("u"),
+                "y": batch.column("v"),
+                "corner": pa.array(
+                    np.full(len(batch), -1, np.int64)
+                ),
+            }
+        )
+
+    markers = oriented.map_batches(
+        edge_markers, batch_format="pyarrow", zero_copy_batch=True
+    )
+    corners = wedges.union(markers).groupby(["x", "y"]).map_groups(
+        _close_group, batch_format="pyarrow"
+    )
+
+    # union zero rows so triangle-free vertices appear with count 0
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "tri": pa.array(np.zeros(len(batch), np.int64)),
+            }
+        )
+
+    zeros = degrees.map_batches(
+        zero_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = corners.union(zeros).groupby("vid").aggregate(
+        Sum("tri", alias_name="triangles")
+    )
+    return counts
+
+
+def total_triangles(per_vertex: ray.data.Dataset) -> int:
+    """Total triangle count = Σ per-vertex / 3 (cluster.py:53-58)."""
+    s = per_vertex.sum("triangles") or 0
+    return int(s) // 3
+
+
+def transitivity(edges: ray.data.Dataset) -> float:
+    """3·triangles / triads (``cluster.py:500,532-541``)."""
+    simple = canonical_edges(edges).materialize()
+    degrees = undirected_degrees(simple)
+    per_vertex = triangle_counts(simple)
+    tri_sum = float(per_vertex.sum("triangles") or 0.0)
+
+    def triads(batch: pa.Table) -> pa.Table:
+        d = batch.column("degree").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({"triads": pa.array(d * (d - 1) / 2.0)})
+
+    triad_sum = float(
+        degrees.map_batches(
+            triads, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("triads")
+        or 0.0
+    )
+    if triad_sum == 0:
+        return 0.0
+    return tri_sum / triad_sum

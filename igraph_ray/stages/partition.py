@@ -1,0 +1,281 @@
+"""G1 — graph partitioner: per-partition CSR Arrow/numpy blocks.
+
+BASELINE.json north_star: "Edges are groupby-partitioned into
+per-partition CSR Arrow blocks, iterated via map_batches over zero-copy
+Arrow with actor pools holding mutable per-vertex state".
+
+Partitioning
+------------
+``part(v) = splitmix64(v) % P``.  Partition ``p`` *owns*
+
+- the state of every vertex with ``part(vid) == p``;
+- every out-edge whose ``src`` it owns (so out-degree normalization is
+  a purely local computation — all out-edges of a vertex land in one
+  partition).
+
+Each partition's block is prepared for O(E_p) vectorized scatter:
+
+- ``vids``        sorted int64 array of owned vertex ids
+- ``out_weight``  per owned vid, total outgoing edge weight (dangling
+                  detection: ``out_weight == 0``)
+- ``src_pos``     per edge, index of src into ``vids``
+- ``dst``/``dst_part``/``w``/``w_norm`` per edge, sorted by
+  ``(dst_part, dst)``
+- ``seg_start``/``seg_dst``/``seg_dst_part`` — segment boundaries of
+  equal ``(dst_part, dst)`` runs, so per-iteration pre-combine is one
+  ``np.add.reduceat`` (two-level combine: this caps a hub *receiver*'s
+  message count at P rows per iteration — the receive half of skew
+  handling; the send half is the splitmix hash spreading hot sources
+  across partitions).
+
+Blocks are written to ``graph_dir/csr/part_{p}.npz`` (atomic tmp +
+rename, idempotent under task retry) so that scatter actors load each
+block once per actor (``__init__``-style caching) and a resumed run
+reuses them.  On a multi-node cluster this directory lives on shared
+storage; blocks never travel through a per-iteration shuffle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.utils import part_of
+
+
+@dataclass
+class GraphMeta:
+    """Driver-side handle to a partitioned graph."""
+
+    graph_dir: str
+    num_parts: int
+    num_vertices: int
+    num_edges: int
+    parts: list[int]  # partition ids that exist
+
+    @property
+    def csr_dir(self) -> str:
+        return os.path.join(self.graph_dir, "csr")
+
+    def csr_path(self, part: int) -> str:
+        return os.path.join(self.csr_dir, f"part_{part}.npz")
+
+    def save(self) -> None:
+        with open(os.path.join(self.graph_dir, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "num_parts": self.num_parts,
+                    "num_vertices": self.num_vertices,
+                    "num_edges": self.num_edges,
+                    "parts": self.parts,
+                },
+                f,
+            )
+
+    @classmethod
+    def load(cls, graph_dir: str) -> "GraphMeta":
+        with open(os.path.join(graph_dir, "meta.json")) as f:
+            d = json.load(f)
+        return cls(graph_dir=graph_dir, **d)
+
+
+def _atomic_save_npz(path: str, **arrays: np.ndarray) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    os.close(fd)
+    try:
+        with open(tmp, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load_csr(graph_meta: GraphMeta, part: int) -> dict[str, np.ndarray]:
+    """Load one partition's CSR block (empty arrays if absent)."""
+    path = graph_meta.csr_path(part)
+    if not os.path.exists(path):
+        return {}
+    with np.load(path) as z:
+        return {k: z[k] for k in z.files}
+
+
+def _build_part_block(
+    batch: pa.Table, num_parts: int, csr_dir: str
+) -> pa.Table:
+    """map_groups fn: one group = one partition's vertex+edge rows.
+
+    Input rows (union table): ``part, vid, src, dst, weight, is_edge``.
+    Vertex rows carry (part, vid); edge rows carry (part, src, dst,
+    weight).  Writes the npz block; returns a one-row meta table.
+    """
+    part = int(batch.column("part")[0].as_py())
+    is_edge = batch.column("is_edge").to_numpy(zero_copy_only=False)
+    vid_col = batch.column("vid").to_numpy(zero_copy_only=False)
+    src_col = batch.column("src").to_numpy(zero_copy_only=False)
+    dst_col = batch.column("dst").to_numpy(zero_copy_only=False)
+    w_col = batch.column("weight").to_numpy(zero_copy_only=False)
+
+    vids = np.unique(vid_col[~is_edge]).astype(np.int64)
+    src = src_col[is_edge].astype(np.int64)
+    dst = dst_col[is_edge].astype(np.int64)
+    w = w_col[is_edge].astype(np.float64)
+
+    # Map srcs to positions in the sorted owned-vid array.
+    src_pos = np.searchsorted(vids, src)
+    if len(src) and not np.array_equal(vids[src_pos], src):
+        raise AssertionError(
+            f"partition {part}: edge src not owned by partition"
+        )
+
+    # Local out-weight / out-degree (all out-edges of a src are local).
+    out_weight = np.zeros(len(vids), dtype=np.float64)
+    np.add.at(out_weight, src_pos, w)
+    out_degree = np.zeros(len(vids), dtype=np.int64)
+    np.add.at(out_degree, src_pos, 1)
+
+    # Normalized weight for PageRank scatter (0 never divides: srcs by
+    # definition have out_weight > 0).
+    w_norm = np.zeros_like(w)
+    if len(src):
+        w_norm = w / out_weight[src_pos]
+
+    # Sort edges by (dst_part, dst) and precompute combine segments.
+    dst_part = part_of(dst, num_parts)
+    order = np.lexsort((dst, dst_part))
+    src_pos, dst, w, w_norm, dst_part = (
+        src_pos[order],
+        dst[order],
+        w[order],
+        w_norm[order],
+        dst_part[order],
+    )
+    if len(dst):
+        new_seg = np.empty(len(dst), dtype=bool)
+        new_seg[0] = True
+        new_seg[1:] = (dst[1:] != dst[:-1]) | (dst_part[1:] != dst_part[:-1])
+        seg_start = np.flatnonzero(new_seg)
+        seg_dst = dst[seg_start]
+        seg_dst_part = dst_part[seg_start]
+    else:
+        seg_start = np.empty(0, dtype=np.int64)
+        seg_dst = np.empty(0, dtype=np.int64)
+        seg_dst_part = np.empty(0, dtype=np.int32)
+
+    _atomic_save_npz(
+        os.path.join(csr_dir, f"part_{part}.npz"),
+        vids=vids,
+        out_weight=out_weight,
+        out_degree=out_degree,
+        src_pos=src_pos.astype(np.int64),
+        dst=dst,
+        w=w,
+        w_norm=w_norm,
+        dst_part=dst_part,
+        seg_start=seg_start.astype(np.int64),
+        seg_dst=seg_dst,
+        seg_dst_part=seg_dst_part,
+    )
+    return pa.table(
+        {
+            "part": pa.array([part], pa.int32()),
+            "n_vids": pa.array([len(vids)], pa.int64()),
+            "n_edges": pa.array([len(dst)], pa.int64()),
+        }
+    )
+
+
+def build_graph_partitions(
+    edges: ray.data.Dataset,
+    graph_dir: str,
+    num_parts: int,
+    vertices: ray.data.Dataset | None = None,
+) -> GraphMeta:
+    """Partition an edge table into per-partition CSR blocks.
+
+    ``edges`` must have columns ``src:int64, dst:int64, weight:float64``.
+    ``vertices`` (optional, column ``vid``) supplies isolated / dangling
+    vertices; endpoints of edges are always included.  One
+    ``groupby(part)`` shuffle builds everything.
+    """
+    os.makedirs(os.path.join(graph_dir, "csr"), exist_ok=True)
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+        n = len(src)
+        return pa.table(
+            {
+                "part": pa.array(part_of(src, num_parts), pa.int32()),
+                "vid": pa.array(np.full(n, -1, dtype=np.int64)),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "weight": pa.array(w),
+                "is_edge": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    def vertex_rows_from(col: str):
+        def _f(batch: pa.Table) -> pa.Table:
+            v = np.unique(
+                batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            n = len(v)
+            z64 = np.zeros(n, dtype=np.int64)
+            return pa.table(
+                {
+                    "part": pa.array(part_of(v, num_parts), pa.int32()),
+                    "vid": pa.array(v),
+                    "src": pa.array(z64),
+                    "dst": pa.array(z64),
+                    "weight": pa.array(np.zeros(n, dtype=np.float64)),
+                    "is_edge": pa.array(np.zeros(n, dtype=bool)),
+                }
+            )
+
+        return _f
+
+    parts_ds = edges.map_batches(
+        edge_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # Vertex rows from both endpoints (duplicates collapse in the build
+    # fn); isolated vertices come from the optional vertices table.
+    vparts = [
+        edges.map_batches(
+            vertex_rows_from("src"), batch_format="pyarrow", zero_copy_batch=True
+        ),
+        edges.map_batches(
+            vertex_rows_from("dst"), batch_format="pyarrow", zero_copy_batch=True
+        ),
+    ]
+    if vertices is not None:
+        vparts.append(
+            vertices.map_batches(
+                vertex_rows_from("vid"), batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    union = parts_ds.union(*vparts)
+
+    csr_dir = os.path.join(graph_dir, "csr")
+    metas = union.groupby("part").map_groups(
+        lambda b: _build_part_block(b, num_parts, csr_dir),
+        batch_format="pyarrow",
+    )
+    rows = metas.take_all()
+    meta = GraphMeta(
+        graph_dir=graph_dir,
+        num_parts=num_parts,
+        num_vertices=int(sum(r["n_vids"] for r in rows)),
+        num_edges=int(sum(r["n_edges"] for r in rows)),
+        parts=sorted(int(r["part"]) for r in rows),
+    )
+    meta.save()
+    return meta

@@ -1,0 +1,136 @@
+"""V1/V2 — deterministic dense vertex-id assignment and key↔vid joins.
+
+igraph's data model requires contiguous integer vertex ids 0..n-1
+(SURVEY.md §1.1); we assign ``vid = rank of key in global sorted
+order`` so reruns and resumed runs agree byte-for-byte, and so the
+DuckDB oracle can reproduce the assignment with
+``row_number() OVER (ORDER BY key) - 1``.
+
+Distributed two-pass scheme (SURVEY.md §2.2 V1):
+1. global sort of the distinct keys (range shuffle);
+2. per-block row counts → driver-side prefix sums (one tiny list) →
+   per-block offset added in parallel tasks.
+
+V2 translates edge keys to vids.  The vertex table is broadcast once
+via ``ray.put`` and probed with vectorized ``pc.index_in`` inside
+``map_batches`` when it fits (SURVEY.md §4: broadcast small sides
+instead of a shuffle join); beyond the threshold it falls back to a
+hash ``join``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+BROADCAST_MAX_VERTICES = 20_000_000
+
+
+@ray.remote
+def _num_rows(block: pa.Table) -> int:
+    return block.num_rows
+
+
+@ray.remote
+def _add_vid(block: pa.Table, offset: int) -> pa.Table:
+    vid = pa.array(
+        np.arange(offset, offset + block.num_rows, dtype=np.int64)
+    )
+    return block.append_column("vid", vid)
+
+
+def assign_vertex_ids(
+    keys: ray.data.Dataset, key_col: str = "key"
+) -> ray.data.Dataset:
+    """Distinct keys → ``(…, vid)`` with vid = dense sorted rank."""
+    distinct = (
+        keys.groupby(key_col)
+        .aggregate(Count(key_col, alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    sorted_ds = distinct.sort(key_col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+    counts = ray.get([_num_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    out_refs = [
+        _add_vid.remote(r, int(off)) for r, off in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+class _VidLookup:
+    """Actor-pool stage holding the broadcast key→vid table (fetched
+    once per actor, zero-copy from the object store)."""
+
+    def __init__(self, vertices_ref, key_cols: list[str]):
+        tbl: pa.Table = ray.get(vertices_ref)
+        self.keys = tbl.column("key").combine_chunks()
+        self.vids = tbl.column("vid").combine_chunks()
+        self.key_cols = key_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch
+        for col in self.key_cols:
+            idx = pc.index_in(out.column(col), value_set=self.keys)
+            if pc.any(pc.is_null(idx)).as_py():
+                raise KeyError(f"unknown vertex key in column {col}")
+            vids = pc.take(self.vids, idx)
+            out = out.append_column(f"{col}_vid", vids)
+        return out
+
+
+def attach_vids(
+    edges_by_key: ray.data.Dataset,
+    vertices: ray.data.Dataset,
+    key_cols: tuple[str, str] = ("src_key", "dst_key"),
+    num_vertices: int | None = None,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+) -> ray.data.Dataset:
+    """Translate key columns to vid columns ``src``/``dst``.
+
+    Output columns: ``src:int64, dst:int64, weight:float64``.
+    """
+    if num_vertices is None:
+        num_vertices = vertices.count()
+
+    if num_vertices <= broadcast_max_vertices:
+        vtbl = pa.concat_tables(
+            vertices.select_columns(["key", "vid"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        ref = ray.put(vtbl)
+        mapped = edges_by_key.map_batches(
+            _VidLookup,
+            fn_constructor_args=(ref, list(key_cols)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+    else:  # pragma: no cover - cluster-scale path
+        v1 = vertices.select_columns(["key", "vid"]).rename_columns(
+            {"key": key_cols[0], "vid": f"{key_cols[0]}_vid"}
+        )
+        v2 = vertices.select_columns(["key", "vid"]).rename_columns(
+            {"key": key_cols[1], "vid": f"{key_cols[1]}_vid"}
+        )
+        mapped = edges_by_key.join(v1, "inner", 64, on=(key_cols[0],)).join(
+            v2, "inner", 64, on=(key_cols[1],)
+        )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pc.cast(batch.column(f"{key_cols[0]}_vid"), pa.int64()),
+                "dst": pc.cast(batch.column(f"{key_cols[1]}_vid"), pa.int64()),
+                "weight": batch.column("weight"),
+            }
+        )
+
+    return mapped.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )
