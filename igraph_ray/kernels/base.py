@@ -38,6 +38,7 @@ from typing import Any, Protocol
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -93,10 +94,16 @@ class VertexKernel(Protocol):
         """Initial per-vertex value arrays aligned with csr['vids']."""
         ...
 
-    def scatter(
-        self, csr: dict[str, np.ndarray], state: dict[str, np.ndarray], part: int
-    ) -> pa.Table:
-        """Emit the pre-combined message table for one partition."""
+    def scatter(self, csr: dict[str, np.ndarray], sb: "StateBatch") -> pa.Table:
+        """Emit the pre-combined message table for (a slice of) one
+        partition's state rows.
+
+        MUST be correct under partial batches (a partition's rows split
+        across blocks after checkpoint reload or block splitting):
+        message emission has to be additive/idempotent over row subsets
+        — contributions only from present rows, self rows only for
+        ``sb.vids``.
+        """
         ...
 
     def apply(self, group: pa.Table, part: int) -> pa.Table:
@@ -120,6 +127,23 @@ def _state_table(
     return pa.table(cols)
 
 
+@dataclass
+class StateBatch:
+    """One partition's state rows as seen by scatter — possibly only a
+    *slice* of the partition (blocks may split after checkpoint reload).
+
+    ``values[c]``/``vids`` are the rows actually present; ``aligned[c]``
+    is a csr['vids']-aligned array with **neutral fill** (zeros) for
+    absent vids and ``present`` marks which aligned slots are real.
+    """
+
+    part: int
+    vids: np.ndarray  # present vids (batch order)
+    values: dict[str, np.ndarray]  # per present row
+    aligned: dict[str, np.ndarray]  # per csr vid, neutral-filled
+    present: np.ndarray  # bool per csr vid
+
+
 class ScatterStage:
     """Callable class for ``map_batches`` (actor-pool compute).
 
@@ -136,17 +160,29 @@ class ScatterStage:
         parts = batch.column("part").to_numpy(zero_copy_only=False)
         out: list[pa.Table] = []
         for part in np.unique(parts):
-            rows = batch.filter(pa.compute.equal(batch.column("part"), int(part)))
+            rows = batch.filter(pc.equal(batch.column("part"), int(part)))
             csr = _cached_csr(self.graph, int(part))
             vids = csr["vids"]
             bvids = rows.column("vid").to_numpy(zero_copy_only=False)
             pos = np.searchsorted(vids, bvids)
-            state = {}
-            for name in self.kernel.state_value_cols:
-                aligned = np.empty(len(vids), dtype=self.kernel.state_value_cols[name])
-                aligned[pos] = rows.column(name).to_numpy(zero_copy_only=False)
-                state[name] = aligned
-            out.append(self.kernel.scatter(csr, state, int(part)))
+            present = np.zeros(len(vids), dtype=bool)
+            present[pos] = True
+            values: dict[str, np.ndarray] = {}
+            aligned: dict[str, np.ndarray] = {}
+            for name, dtype in self.kernel.state_value_cols.items():
+                vals = rows.column(name).to_numpy(zero_copy_only=False).astype(dtype)
+                arr = np.zeros(len(vids), dtype=dtype)
+                arr[pos] = vals
+                values[name] = vals
+                aligned[name] = arr
+            sb = StateBatch(
+                part=int(part),
+                vids=bvids,
+                values=values,
+                aligned=aligned,
+                present=present,
+            )
+            out.append(self.kernel.scatter(csr, sb))
         if not out:
             return self.kernel.message_schema.empty_table()
         return pa.concat_tables(out)

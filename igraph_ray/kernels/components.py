@@ -62,10 +62,11 @@ class ComponentsKernel:
             "changed": np.ones(len(vids), dtype=np.int64),
         }
 
-    def scatter(self, csr, state, part: int) -> pa.Table:
-        vids = csr["vids"]
-        comp = state["comp"]
-        changed = state["changed"].astype(bool)
+    def scatter(self, csr, sb) -> pa.Table:
+        # absent rows have changed=0 (neutral fill) → emit nothing for
+        # them, so partial batches compose (min is idempotent anyway).
+        comp = sb.aligned["comp"]
+        changed = sb.aligned["changed"].astype(bool) & sb.present
 
         if len(csr.get("src_pos", ())):
             vals = np.where(
@@ -81,17 +82,19 @@ class ComponentsKernel:
             m_dst = np.empty(0, np.int64)
             m_val = np.empty(0, np.int64)
 
-        n_self = len(vids)
+        self_vids = sb.vids
+        self_comp = sb.values["comp"]
+        n_self = len(self_vids)
         return pa.table(
             {
                 "dst_part": pa.array(
-                    np.concatenate([m_part, np.full(n_self, part, np.int32)])
+                    np.concatenate([m_part, np.full(n_self, sb.part, np.int32)])
                 ),
-                "dst": pa.array(np.concatenate([m_dst, vids])),
-                "val": pa.array(np.concatenate([m_val, comp])),
+                "dst": pa.array(np.concatenate([m_dst, self_vids])),
+                "val": pa.array(np.concatenate([m_val, self_comp])),
                 "old": pa.array(
                     np.concatenate(
-                        [np.full(len(m_dst), _INT64_MAX, np.int64), comp]
+                        [np.full(len(m_dst), _INT64_MAX, np.int64), self_comp]
                     )
                 ),
             }

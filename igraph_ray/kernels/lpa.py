@@ -68,51 +68,60 @@ class LabelPropagationKernel:
             "changed": np.ones(len(vids), dtype=np.int64),
         }
 
-    def scatter(self, csr, state, part: int) -> pa.Table:
-        vids = csr["vids"]
-        label = state["label"]
+    def scatter(self, csr, sb) -> pa.Table:
+        label = sb.aligned["label"]
 
-        if len(csr.get("src_pos", ())):
-            lab_e = label[csr["src_pos"]]
-            w_e = csr["w"] if self.weighted else np.ones(len(lab_e))
-            dst = csr["dst"]
-            dst_part = csr["dst_part"]
+        if len(csr.get("src_pos", ())) and sb.present.any():
+            src_present = sb.present[csr["src_pos"]]
+            lab_e = label[csr["src_pos"]][src_present]
+            w_all = csr["w"] if self.weighted else np.ones(len(csr["w"]))
+            w_e = w_all[src_present]
+            dst = csr["dst"][src_present]
+            dst_part = csr["dst_part"][src_present]
             # labels change every round → combine per (dst_part, dst,
             # label) with a fresh lexsort (edges are pre-sorted by
             # (dst_part, dst), but label order is per-iteration)
-            order = np.lexsort((lab_e, dst, dst_part))
+            order = np.lexsort((lab_e, dst, dst_part)) if len(dst) else np.empty(0, np.int64)
             dst, dst_part, lab_e, w_e = (
                 dst[order],
                 dst_part[order],
                 lab_e[order],
                 w_e[order],
             )
-            new_seg = np.empty(len(dst), dtype=bool)
-            new_seg[0] = True
-            new_seg[1:] = (dst[1:] != dst[:-1]) | (lab_e[1:] != lab_e[:-1])
-            seg = np.flatnonzero(new_seg)
-            m_part = dst_part[seg]
-            m_dst = dst[seg]
-            m_lbl = lab_e[seg]
-            m_w = np.add.reduceat(w_e, seg)
+            if len(dst):
+                new_seg = np.empty(len(dst), dtype=bool)
+                new_seg[0] = True
+                new_seg[1:] = (dst[1:] != dst[:-1]) | (lab_e[1:] != lab_e[:-1])
+                seg = np.flatnonzero(new_seg)
+                m_part = dst_part[seg]
+                m_dst = dst[seg]
+                m_lbl = lab_e[seg]
+                m_w = np.add.reduceat(w_e, seg)
+            else:
+                m_part = np.empty(0, np.int32)
+                m_dst = np.empty(0, np.int64)
+                m_lbl = np.empty(0, np.int64)
+                m_w = np.empty(0, np.float64)
         else:
             m_part = np.empty(0, np.int32)
             m_dst = np.empty(0, np.int64)
             m_lbl = np.empty(0, np.int64)
             m_w = np.empty(0, np.float64)
 
-        n_self = len(vids)
+        self_vids = sb.vids
+        self_lbl = sb.values["label"]
+        n_self = len(self_vids)
         n_msg = len(m_dst)
         return pa.table(
             {
                 "dst_part": pa.array(
-                    np.concatenate([m_part, np.full(n_self, part, np.int32)])
+                    np.concatenate([m_part, np.full(n_self, sb.part, np.int32)])
                 ),
-                "dst": pa.array(np.concatenate([m_dst, vids])),
-                "label": pa.array(np.concatenate([m_lbl, label])),
+                "dst": pa.array(np.concatenate([m_dst, self_vids])),
+                "label": pa.array(np.concatenate([m_lbl, self_lbl])),
                 "wsum": pa.array(np.concatenate([m_w, np.zeros(n_self)])),
                 "self_lbl": pa.array(
-                    np.concatenate([np.full(n_msg, -1, np.int64), label])
+                    np.concatenate([np.full(n_msg, -1, np.int64), self_lbl])
                 ),
             }
         )

@@ -105,10 +105,11 @@ class PageRankKernel:
             x0 = np.array([self.nstart.get(int(v), 0.0) / s for v in vids])
         return {"rank": x0, "resid": np.zeros(len(vids))}
 
-    def scatter(self, csr, state, part: int) -> pa.Table:
-        vids = csr["vids"]
-        rank = state["rank"]
-        # contributions, pre-combined per (dst_part, dst)
+    def scatter(self, csr, sb) -> pa.Table:
+        # ranks aligned to csr['vids'], zero-filled for absent rows —
+        # absent srcs then contribute exactly 0 through the reduceat,
+        # so partial batches compose additively.
+        rank = sb.aligned["rank"]
         if len(csr.get("src_pos", ())):
             vals = rank[csr["src_pos"]] * csr["w_norm"]
             contrib = np.add.reduceat(vals, csr["seg_start"])
@@ -119,8 +120,8 @@ class PageRankKernel:
             seg_dst = np.empty(0, np.int64)
             seg_dst_part = np.empty(0, np.int32)
 
-        # local dangling mass, broadcast to every partition (skipped
-        # entirely when this partition holds no dangling mass)
+        # local dangling mass over PRESENT rows only (absent are 0),
+        # broadcast to every partition; skipped when zero
         dangling_mask = csr["out_weight"] == 0.0
         local_dm = float(rank[dangling_mask].sum())
         all_parts = (
@@ -130,16 +131,19 @@ class PageRankKernel:
         )
         n_dm = len(all_parts)
 
-        n_self = len(vids)
+        # self rows only for rows actually in this batch
+        self_vids = sb.vids
+        self_old = sb.values["rank"]
+        n_self = len(self_vids)
         dst_part = np.concatenate(
-            [seg_dst_part, np.full(n_self, part, np.int32), all_parts]
+            [seg_dst_part, np.full(n_self, sb.part, np.int32), all_parts]
         )
-        dst = np.concatenate([seg_dst, vids, np.full(n_dm, -1, np.int64)])
+        dst = np.concatenate([seg_dst, self_vids, np.full(n_dm, -1, np.int64)])
         contrib_col = np.concatenate(
             [contrib, np.zeros(n_self), np.full(n_dm, local_dm)]
         )
         old_col = np.concatenate(
-            [np.zeros(len(contrib)), rank, np.zeros(n_dm)]
+            [np.zeros(len(contrib)), self_old, np.zeros(n_dm)]
         )
         return pa.table(
             {
