@@ -265,6 +265,10 @@ def run_kernel(
 
     for it in range(start_iter, max_iter):
         t0 = time.perf_counter()
+        # kernels with a schedule (e.g. semi-synchronous LPA) read the
+        # iteration number; the per-iteration pipeline pickles the
+        # kernel fresh, so this reaches scatter/apply on workers.
+        kernel.iteration = it  # type: ignore[attr-defined]
         msgs = state.map_batches(
             ScatterStage(kernel, graph),
             batch_format="pyarrow",

@@ -12,12 +12,19 @@ labels (``label_propagation.py:229-231``), until no vertex changes.
 Deliberate semantic delta (SURVEY.md §2.3(1)): the reference shuffles
 vertices with a seeded RNG and breaks ties randomly — a sequential,
 order-dependent schedule that cannot be replayed distributed.  We run
-**synchronous rounds with a deterministic smallest-label tie-break**
-(precedent: the semi-synchronous variant's deterministic Prec-Max rule,
-``label_propagation.py:326-338``).  Verification uses the fixed-point
-property (every vertex's label is maximal in its neighborhood —
-``label_propagation.py:297-307``) plus exact equality on fixtures with
-unambiguous communities, not bitwise label equality.
+a **semi-synchronous schedule**: each round updates only one vid-parity
+class (even rounds update even vids, odd rounds odd vids) with a
+deterministic smallest-label tie-break.  This is the distributed
+analogue of the reference's semi-synchronous variant
+(``label_propagation.py:236-338``), which updates independent color
+classes one at a time with a deterministic Prec-Max rule precisely to
+avoid the fully-synchronous 2-cycle (e.g. a star graph oscillates
+hub↔leaves under lock-step updates; parity classes + keep-if-maximal
+break the cycle).  Convergence = a full parity cycle with zero
+changes.  Verification uses the fixed-point property (every vertex's
+label is maximal in its neighborhood — ``label_propagation.py:297-307``)
+plus exact equality on fixtures with unambiguous communities, not
+bitwise label equality.
 
 Message protocol: histogram rows ``(dst_part, dst, label, wsum,
 self_lbl=-1)`` pre-combined per (source partition, dst, label); self
@@ -53,7 +60,12 @@ MSG_SCHEMA = pa.schema(
 class LabelPropagationKernel:
     num_parts: int
     weighted: bool = True
-    max_iter_soft: int = 100  # sync LPA may oscillate; stop quietly
+    #: number of parity classes in the semi-synchronous schedule
+    phases: int = 2
+    #: set by the driver loop before each iteration's pipeline is built
+    iteration: int = 0
+    #: consecutive zero-change rounds seen (driver-side convergence)
+    _zero_streak: int = 0
 
     state_value_cols: dict = field(
         default_factory=lambda: {"label": np.int64, "changed": np.int64}
@@ -183,6 +195,10 @@ class LabelPropagationKernel:
             (p_dst[pos] == vids) & (p_lbl[pos] == old), p_w[pos], -1.0
         )
         new = np.where(old_w >= maxw, old, best)
+        # semi-synchronous schedule: only the active parity class
+        # updates this round; everyone else keeps their label.
+        active = (vids % self.phases) == (self.iteration % self.phases)
+        new = np.where(active, new, old)
         changed = (new != old).astype(np.int64)
         return pa.table(
             {
@@ -194,7 +210,12 @@ class LabelPropagationKernel:
         )
 
     def converged(self, metrics: dict[str, float], iteration: int) -> bool:
-        return metrics["changed"] == 0.0
+        # converged = one full parity cycle with zero changes
+        if metrics["changed"] == 0.0:
+            self._zero_streak += 1
+        else:
+            self._zero_streak = 0
+        return self._zero_streak >= self.phases
 
 
 def _fuse(a: np.ndarray, b: np.ndarray) -> np.ndarray:

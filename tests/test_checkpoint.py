@@ -1,0 +1,68 @@
+"""C1 tests: resume equivalence (bitwise state), lineage rows, and the
+_SUCCESS commit protocol (FIXTURES.md §4)."""
+
+import os
+
+import networkx as nx
+import pyarrow.parquet as pq
+
+from igraph_ray.kernels import connected_components, pagerank
+from igraph_ray.state.checkpoint import latest_complete_iteration
+from tests.util import graph_from_nx, state_dict
+
+
+def test_pagerank_resume_bitwise(tmp_graph_dir, tmp_path):
+    G = nx.gnm_random_graph(120, 480, seed=1)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    full = pagerank(g, tol=1e-10, max_iter=40, raise_on_nonconvergence=False)
+    ck = str(tmp_path / "ck")
+    pagerank(
+        g, tol=1e-10, max_iter=5, checkpoint_dir=ck,
+        raise_on_nonconvergence=False,
+    )
+    resumed = pagerank(
+        g, tol=1e-10, max_iter=40, checkpoint_dir=ck, resume=True,
+        raise_on_nonconvergence=False,
+    )
+    assert resumed.iterations == full.iterations
+    a = state_dict(full.state, "rank")
+    b = state_dict(resumed.state, "rank")
+    assert a == b  # bitwise: same floats, not approx
+
+
+def test_components_resume_exact(tmp_graph_dir, tmp_path):
+    G = nx.gnm_random_graph(150, 170, seed=4)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    full = connected_components(g)
+    ck = str(tmp_path / "ck")
+    connected_components(g, max_iter=2, checkpoint_dir=ck)
+    resumed = connected_components(g, checkpoint_dir=ck, resume=True)
+    assert state_dict(full.state, "comp") == state_dict(resumed.state, "comp")
+
+
+def test_lineage_rows(tmp_graph_dir, tmp_path):
+    G = nx.gnm_random_graph(60, 200, seed=6)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=2)
+    ck = str(tmp_path / "ck")
+    pagerank(g, tol=1e-10, max_iter=3, checkpoint_dir=ck,
+             raise_on_nonconvergence=False)
+    it = latest_complete_iteration(ck)
+    assert it == 2
+    lineage = pq.read_table(
+        os.path.join(ck, f"iter_{it:05d}", "lineage.parquet")
+    )
+    assert set(lineage.column_names) == {"part", "iteration", "rows", "residual"}
+    assert sum(lineage.column("rows").to_pylist()) == g.num_vertices
+    assert all(i == it for i in lineage.column("iteration").to_pylist())
+
+
+def test_incomplete_checkpoint_ignored(tmp_graph_dir, tmp_path):
+    G = nx.gnm_random_graph(40, 120, seed=8)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=2)
+    ck = str(tmp_path / "ck")
+    pagerank(g, tol=1e-10, max_iter=3, checkpoint_dir=ck,
+             raise_on_nonconvergence=False)
+    # simulate a kill mid-write of iteration 3: state dir without marker
+    broken = os.path.join(ck, "iter_00003")
+    os.makedirs(os.path.join(broken, "state"))
+    assert latest_complete_iteration(ck) == 2

@@ -1,0 +1,149 @@
+"""ETL stage tests: P1 sha invariant, E1-E4 rule semantics, V1
+deterministic dense ids, end-to-end graph build on the synthetic files
+table."""
+
+import hashlib
+
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.sources.synth import generate_files_table
+from igraph_ray.stages.edge_rules import key_edges
+from igraph_ray.stages.sha import with_content_sha
+from igraph_ray.stages.symmetrize import symmetrize_dedup
+from igraph_ray.stages.vertex_ids import assign_vertex_ids, attach_vids
+from igraph_ray.pipelines.graph_build import build_file_graph
+from tests.util import ds_to_table
+
+
+def test_sha_invariant_per_row():
+    tbl = generate_files_table(500, seed=42)
+    ds = ray.data.from_arrow(tbl)
+    out = ds_to_table(with_content_sha(ds))
+    contents = out.column("content").to_pylist()
+    shas = out.column("content_sha").to_pylist()
+    for c, s in zip(contents, shas):
+        assert hashlib.sha256(c.encode()).hexdigest() == s
+
+
+def test_key_edges_clique_and_star():
+    # group g1 has 3 members (clique), g2 has 5 members with cap 3 (star)
+    rows = [("g1", m) for m in ["a", "b", "c"]]
+    rows += [("g2", m) for m in ["p", "q", "r", "s", "t"]]
+    rows += [("g3", m) for m in ["z"]]  # singleton: no edges
+    rows += [("g1", "a")]  # duplicate member: ignored
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([r[0] for r in rows]),
+                "m": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+    edges = ds_to_table(
+        key_edges(ds, "k", "m", clique_cap=3, rule="t")
+    )
+    pairs = sorted(
+        zip(edges.column("src_key").to_pylist(), edges.column("dst_key").to_pylist())
+    )
+    assert pairs == [
+        ("a", "b"), ("a", "c"), ("b", "c"),          # clique
+        ("p", "q"), ("p", "r"), ("p", "s"), ("p", "t"),  # star from min
+    ]
+
+
+def test_key_edges_cross_tag_filter():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["g", "g", "g"]),
+                "m": pa.array(["r1:x", "r1:y", "r2:z"]),
+                "repo": pa.array(["r1", "r1", "r2"]),
+            }
+        )
+    )
+    edges = ds_to_table(
+        key_edges(ds, "k", "m", cross_col="repo", clique_cap=8)
+    )
+    pairs = sorted(
+        zip(edges.column("src_key").to_pylist(), edges.column("dst_key").to_pylist())
+    )
+    # same-repo pair (r1:x, r1:y) is dropped
+    assert pairs == [("r1:x", "r2:z"), ("r1:y", "r2:z")]
+
+
+def test_symmetrize_dedup():
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 0, 2], pa.int64()),
+                "dst": pa.array([1, 0, 1, 2], pa.int64()),
+                "weight": pa.array([1.0, 2.0, 3.0, 5.0]),
+            }
+        )
+    )
+    out = ds_to_table(symmetrize_dedup(ds)).sort_by(
+        [("src", "ascending"), ("dst", "ascending")]
+    )
+    rows = list(
+        zip(
+            out.column("src").to_pylist(),
+            out.column("dst").to_pylist(),
+            out.column("weight").to_pylist(),
+        )
+    )
+    # parallel (0,1),(1,0),(0,1) collapse to weight 6, both arcs; the
+    # self-loop (2,2) stays single
+    assert rows == [(0, 1, 6.0), (1, 0, 6.0), (2, 2, 5.0)]
+
+
+def test_vertex_ids_sorted_dense_deterministic():
+    keys = ["zeta", "alpha", "mu", "alpha", "beta"]
+    ds = ray.data.from_arrow(pa.table({"key": pa.array(keys)}))
+    out1 = ds_to_table(assign_vertex_ids(ds)).sort_by("vid")
+    assert out1.column("key").to_pylist() == ["alpha", "beta", "mu", "zeta"]
+    assert out1.column("vid").to_pylist() == [0, 1, 2, 3]
+    out2 = ds_to_table(assign_vertex_ids(ds)).sort_by("vid")
+    assert out1.equals(out2)
+
+
+def test_attach_vids():
+    vertices = ray.data.from_arrow(
+        pa.table(
+            {"key": pa.array(["a", "b", "c"]), "vid": pa.array([0, 1, 2], pa.int64())}
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_key": pa.array(["a", "c"]),
+                "dst_key": pa.array(["b", "a"]),
+                "weight": pa.array([1.0, 2.0]),
+            }
+        )
+    )
+    out = ds_to_table(attach_vids(edges, vertices)).sort_by("src")
+    assert out.column("src").to_pylist() == [0, 2]
+    assert out.column("dst").to_pylist() == [1, 0]
+
+
+def test_build_file_graph_end_to_end(tmp_path):
+    tbl = generate_files_table(600, seed=42)
+    files = ray.data.from_arrow(tbl)
+    built = build_file_graph(files, str(tmp_path / "g"))
+    n_keys = len(
+        set(
+            f"{r}:{p}"
+            for r, p in zip(
+                tbl.column("repo").to_pylist(), tbl.column("path").to_pylist()
+            )
+        )
+    )
+    assert built.graph.num_vertices == n_keys
+    assert built.graph.num_edges > 0
+    # symmetric: every arc has its reverse
+    et = ds_to_table(built.edges)
+    arcs = set(
+        zip(et.column("src").to_pylist(), et.column("dst").to_pylist())
+    )
+    assert all((b, a) in arcs for a, b in arcs)

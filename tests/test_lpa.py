@@ -1,0 +1,79 @@
+"""K3 tests: exact communities on unambiguous fixtures, plus the
+reference's fixed-point property (label_propagation.py:297-307) on
+ambiguous ones — SURVEY.md §2.3(1) documents why bitwise equality with
+the seeded async reference is not the contract."""
+
+import collections
+
+import networkx as nx
+
+from igraph_ray.kernels import label_propagation
+from tests.util import graph_from_nx, state_dict
+
+
+def _communities(labels: dict[int, int]) -> list[set[int]]:
+    groups = collections.defaultdict(set)
+    for v, l in labels.items():
+        groups[l].add(v)
+    return sorted(groups.values(), key=lambda s: min(s))
+
+
+def test_disjoint_cliques_exact(tmp_graph_dir):
+    G = nx.Graph()
+    cliques = []
+    for c in range(4):
+        nodes = list(range(c * 5, c * 5 + 5))
+        cliques.append(set(nodes))
+        for i in nodes:
+            for j in nodes:
+                if i < j:
+                    G.add_edge(i, j)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    run = label_propagation(g, max_iter=50)
+    assert run.converged
+    assert _communities(state_dict(run.state, "label")) == cliques
+
+
+def test_fixed_point_property(tmp_graph_dir):
+    # ring of 8 cliques of 5 joined by single edges
+    G = nx.ring_of_cliques(8, 5)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    run = label_propagation(g, max_iter=100)
+    labels = state_dict(run.state, "label")
+    if run.converged:
+        # reference termination predicate: every vertex's label is one
+        # of the max-frequency labels among its neighbors
+        for v in G.nodes():
+            freq = collections.Counter(labels[u] for u in G[v])
+            assert freq[labels[v]] == max(freq.values())
+    # structure: communities should roughly match the cliques
+    ncomm = len(set(labels.values()))
+    assert 4 <= ncomm <= 12
+
+
+def test_star_absorbs(tmp_graph_dir):
+    G = nx.star_graph(20)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=2)
+    run = label_propagation(g, max_iter=50)
+    labels = state_dict(run.state, "label")
+    assert len(set(labels.values())) == 1
+
+
+def test_isolated_keeps_own_label(tmp_graph_dir):
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.api import build_graph, edges_dataset
+
+    vds = ray.data.from_arrow(pa.table({"vid": pa.array([0, 1, 7], pa.int64())}))
+    g = build_graph(
+        edges_dataset([0], [1]),
+        tmp_graph_dir,
+        num_parts=2,
+        vertices=vds,
+        symmetrize=True,
+    )
+    run = label_propagation(g, max_iter=20)
+    labels = state_dict(run.state, "label")
+    assert labels[7] == 7
+    assert labels[0] == labels[1]

@@ -1,0 +1,60 @@
+"""K4 tests: exact per-vertex counts vs networkx.triangles, self-loop
+and multi-edge handling, transitivity (cluster.py:22-95,500-541)."""
+
+import networkx as nx
+import pytest
+
+from igraph_ray.api import edges_dataset
+from igraph_ray.kernels import (
+    total_triangles,
+    transitivity,
+    triangle_counts,
+)
+from tests.util import ds_to_table, nx_edge_arrays
+
+
+def _counts(ds) -> dict[int, int]:
+    t = ds_to_table(ds)
+    return dict(
+        zip(t.column("vid").to_pylist(), t.column("triangles").to_pylist())
+    )
+
+
+def test_k5_complete():
+    G = nx.complete_graph(5)
+    src, dst = nx_edge_arrays(G)
+    tc = triangle_counts(edges_dataset(src, dst))
+    counts = _counts(tc)
+    assert counts == {v: 6 for v in range(5)}
+    assert total_triangles(tc) == 10
+
+
+def test_gnm_exact():
+    G = nx.gnm_random_graph(120, 700, seed=13)
+    src, dst = nx_edge_arrays(G)
+    tc = triangle_counts(edges_dataset(src, dst))
+    assert _counts(tc) == nx.triangles(G)
+
+
+def test_self_loops_and_multi_edges_ignored():
+    # triangle 0-1-2 plus a self-loop and duplicated/reversed edges
+    src = [0, 1, 2, 0, 0, 1, 2]
+    dst = [1, 2, 0, 0, 1, 0, 1]
+    tc = triangle_counts(edges_dataset(src, dst))
+    assert _counts(tc) == {0: 1, 1: 1, 2: 1}
+    assert total_triangles(tc) == 1
+
+
+def test_triangle_free():
+    G = nx.cycle_graph(6)
+    src, dst = nx_edge_arrays(G)
+    tc = triangle_counts(edges_dataset(src, dst))
+    assert _counts(tc) == {v: 0 for v in range(6)}
+
+
+def test_transitivity():
+    G = nx.gnm_random_graph(80, 400, seed=21)
+    src, dst = nx_edge_arrays(G)
+    assert transitivity(edges_dataset(src, dst)) == pytest.approx(
+        nx.transitivity(G), abs=1e-12
+    )
