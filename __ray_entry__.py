@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (files → link graph → PageRank)
+on sf0.001; ``queries()`` exposes one callable per implemented
+operator/pipeline from SURVEY.md §2; ``oracle_sql()`` gives the exact
+DuckDB twin for every SQL-expressible query (same column names, same
+deterministic derivations).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()``/``ray.shutdown()`` here or in the library.
 """
 
 from __future__ import annotations
@@ -20,25 +17,296 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: documents-derived
+    files table → E1/E2/E3 link graph → PageRank → (key, vid, rank)."""
+    import tempfile
+
+    from igraph_ray.pipelines.driver_queries import files_from_documents
+    from igraph_ray.pipelines.flagship import flagship
+
+    files = files_from_documents("/root/testdata/sf0.001")
+    return flagship(
+        files, graph_dir=tempfile.mkdtemp(prefix="igr_entry_"), max_iter=50
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from igraph_ray.pipelines import driver_queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # P1/P2/A2 — projections, filters, grouped aggregates
+        "sha256_projection": q.q_sha256,
+        "lang_counts": q.q_lang_counts,
+        "exact_dedup": q.q_exact_dedup,
+        "token_count": q.q_token_count,
+        "char_classes": q.q_char_classes,
+        # E1/E2/E3/E4/V1 — edge rules and graph build
+        "edges_shared_path": q.q_edges_shared_path,
+        "edges_commit": q.q_edges_commit,
+        "edges_sha_cross_repo": q.q_edges_sha_cross_repo,
+        "vertex_ids": q.q_vertex_ids,
+        "symmetrize_shared_path": q.q_symmetrize_shared_path,
+        # K5/T1 — degrees / top-k
+        "degrees": q.q_degrees,
+        "topk_degree": q.q_topk_degree,
+        # K1-K4 — graph kernels over the E1∪E2 key graph
+        "pagerank": q.q_pagerank,  # rows-only (float fixed point)
+        "components": q.q_components,  # SQL oracle: recursive CTE
+        "triangles": q.q_triangles,  # SQL oracle: 3-way self-join
+        "label_propagation": q.q_lpa,  # rows-only (§2.3(1))
+        # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
+        "lineitem_agg": q.q_lineitem_agg,
+        "orders_per_nation": q.q_orders_per_nation,
+        "events_users_per_type": q.q_events_users_per_type,
+        "top_orders": q.q_top_orders,
+        # training-data ops
+        "language_id": q.q_language_id,  # rows-only (heuristic)
+        "quality_score": q.q_quality,  # rows-only (float heuristic)
+        "fingerprints": q.q_fingerprints,  # rows-only
+        "minhash_pairs": q.q_minhash_pairs,  # rows-only
+        "simhash_pairs": q.q_simhash_pairs,  # rows-only
+        "ann_brute_topk": q.q_ann_brute,  # SQL oracle: list_cosine_similarity
+        "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)
+    }
+
+
+# ---------------------------------------------------------------------------
+# SQL building blocks (kept in lockstep with driver_queries.py)
+# ---------------------------------------------------------------------------
+_FILES = (
+    "SELECT 'r' || CAST(doc_id % 20 AS VARCHAR) AS repo, "
+    "'p' || CAST(doc_id % 50 AS VARCHAR) AS path, "
+    "'c' || CAST(doc_id % 30 AS VARCHAR) AS commit, "
+    "lang, CASE WHEN doc_id % 10 = 0 "
+    "THEN 'DUP-' || CAST(doc_id % 7 AS VARCHAR) ELSE text END AS content "
+    "FROM documents"
+)
+
+
+def _rule_pairs_sql(key_expr: str, cross_repo: bool = False) -> str:
+    """Clique(≤8)/star(>8) pair rule over one grouping key — the SQL
+    twin of igraph_ray.stages.edge_rules.key_edges."""
+    cross_clique = " AND a.repo <> b.repo" if cross_repo else ""
+    cross_star = " AND repo <> repo0" if cross_repo else ""
+    return f"""
+members AS (
+  SELECT DISTINCT {key_expr} AS k, repo || ':' || path AS m, repo
+  FROM files
+),
+sized AS (
+  SELECT k, m, repo,
+         COUNT(*) OVER (PARTITION BY k) AS g,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY m) AS rn,
+         MIN(m) OVER (PARTITION BY k) AS m0,
+         FIRST_VALUE(repo) OVER (PARTITION BY k ORDER BY m) AS repo0
+  FROM members
+),
+rule_pairs AS (
+  SELECT a.m AS src_key, b.m AS dst_key
+  FROM sized a JOIN sized b ON a.k = b.k AND a.rn < b.rn
+  WHERE a.g <= 8{cross_clique}
+  UNION ALL
+  SELECT m0 AS src_key, m AS dst_key
+  FROM sized WHERE g > 8 AND rn > 1{cross_star}
+)"""
+
+
+def _rule_agg_sql(key_expr: str, cross_repo: bool = False) -> str:
+    return f"""
+WITH files AS ({_FILES}),
+{_rule_pairs_sql(key_expr, cross_repo)}
+SELECT src_key, dst_key, CAST(COUNT(*) AS DOUBLE) AS weight
+FROM rule_pairs GROUP BY src_key, dst_key
+"""
+
+
+# E1 ∪ E2 aggregated pair edges (the kernel-check graph)
+_LINK_PAIRS = f"""
+WITH files AS ({_FILES}),
+m1 AS (
+  SELECT DISTINCT path AS k, repo || ':' || path AS m FROM files
+),
+s1 AS (
+  SELECT k, m, COUNT(*) OVER (PARTITION BY k) AS g,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY m) AS rn,
+         MIN(m) OVER (PARTITION BY k) AS m0
+  FROM m1
+),
+m2 AS (
+  SELECT DISTINCT commit AS k, repo || ':' || path AS m FROM files
+),
+s2 AS (
+  SELECT k, m, COUNT(*) OVER (PARTITION BY k) AS g,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY m) AS rn,
+         MIN(m) OVER (PARTITION BY k) AS m0
+  FROM m2
+),
+rule_pairs AS (
+  SELECT a.m AS src_key, b.m AS dst_key
+  FROM s1 a JOIN s1 b ON a.k = b.k AND a.rn < b.rn WHERE a.g <= 8
+  UNION ALL
+  SELECT m0, m FROM s1 WHERE g > 8 AND rn > 1
+  UNION ALL
+  SELECT a.m, b.m
+  FROM s2 a JOIN s2 b ON a.k = b.k AND a.rn < b.rn WHERE a.g <= 8
+  UNION ALL
+  SELECT m0, m FROM s2 WHERE g > 8 AND rn > 1
+),
+link_pairs AS (
+  SELECT src_key, dst_key, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM rule_pairs GROUP BY src_key, dst_key
+),
+keys AS (
+  SELECT DISTINCT repo || ':' || path AS key FROM files
+)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sha256_projection": (
+            "SELECT doc_id, sha256(text) AS content_sha FROM documents"
+        ),
+        "lang_counts": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY lang"
+        ),
+        "exact_dedup": (
+            "SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id "
+            "FROM documents GROUP BY sha256(text)"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) "
+            "AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "char_classes": (
+            "SELECT doc_id, "
+            "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS punct_n, "
+            "CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_n, "
+            "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_n "
+            "FROM documents"
+        ),
+        "edges_shared_path": _rule_agg_sql("path"),
+        "edges_commit": _rule_agg_sql("commit"),
+        "edges_sha_cross_repo": _rule_agg_sql(
+            "sha256(content)", cross_repo=True
+        ),
+        "vertex_ids": (
+            f"WITH files AS ({_FILES}), "
+            "k AS (SELECT DISTINCT repo || ':' || path AS key FROM files) "
+            "SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM k"
+        ),
+        "symmetrize_shared_path": f"""
+WITH files AS ({_FILES}),
+{_rule_pairs_sql("path")},
+agg AS (
+  SELECT src_key, dst_key, CAST(COUNT(*) AS DOUBLE) AS weight
+  FROM rule_pairs GROUP BY src_key, dst_key
+),
+canon AS (
+  SELECT LEAST(src_key, dst_key) AS a, GREATEST(src_key, dst_key) AS b,
+         SUM(weight) AS w
+  FROM agg GROUP BY 1, 2
+)
+SELECT a AS src_key, b AS dst_key, w AS weight FROM canon
+UNION ALL
+SELECT b, a, w FROM canon WHERE a <> b
+""",
+        "degrees": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key, weight FROM link_pairs
+  UNION ALL
+  SELECT dst_key, weight FROM link_pairs
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS degree,
+       SUM(weight) AS weighted_degree
+FROM endpoints GROUP BY key
+""",
+        "topk_degree": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key, weight FROM link_pairs
+  UNION ALL
+  SELECT dst_key, weight FROM link_pairs
+)
+SELECT key, CAST(COUNT(*) AS BIGINT) AS degree,
+       SUM(weight) AS weighted_degree
+FROM endpoints GROUP BY key
+ORDER BY degree DESC, key LIMIT 10
+""",
+        "components": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+cc AS (
+  WITH RECURSIVE reach(k, comp) AS (
+    SELECT key, key FROM keys
+    UNION
+    SELECT a.d, reach.comp FROM reach JOIN arcs a ON reach.k = a.s
+  )
+  SELECT k, MIN(comp) AS component FROM reach GROUP BY k
+)
+SELECT k AS key, component FROM cc
+""",
+        "triangles": f"""
+{_LINK_PAIRS},
+ce AS (
+  SELECT DISTINCT LEAST(src_key, dst_key) AS a,
+                  GREATEST(src_key, dst_key) AS b
+  FROM link_pairs WHERE src_key <> dst_key
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS key FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT key, COUNT(*) AS n FROM corners GROUP BY key)
+SELECT k.key, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
+FROM keys k LEFT JOIN cnt ON k.key = cnt.key
+""",
+        "lineitem_agg": (
+            "SELECT l_returnflag, l_linestatus, "
+            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_per_nation": (
+            "SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY c.c_nationkey"
+        ),
+        "events_users_per_type": (
+            "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+            "AS n_users FROM events GROUP BY event_type"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "ann_brute_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS s
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id FROM ranked WHERE rn <= 5
+""",
+    }

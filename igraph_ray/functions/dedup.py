@@ -1,0 +1,351 @@
+"""Deduplication: exact (hash-partition + per-group first), MinHash+LSH,
+SimHash, and n-gram Jaccard verification.
+
+Duplicate *clusters* are just connected components over the candidate
+pair graph — so near-dedup reuses the K2 kernel (min-label propagation)
+to pick a canonical representative (min id) per cluster, the same
+"hash-partition + per-group first" shape at every stage.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Min
+
+from igraph_ray.stages.sha import with_content_sha
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(
+    ds: ray.data.Dataset, id_col: str = "doc_id", text_col: str = "text"
+) -> ray.data.Dataset:
+    """Keep one row id per distinct text: sha256-hash-partition, min id
+    per group.  Returns ``(content_sha, keep_id)``."""
+    hashed = with_content_sha(ds.select_columns([id_col, text_col]), column=text_col)
+    return (
+        hashed.select_columns(["content_sha", id_col])
+        .groupby("content_sha")
+        .aggregate(Min(id_col, alias_name="keep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash
+# ---------------------------------------------------------------------------
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """crc32 of each character k-gram (deterministic, C-speed)."""
+    data = text.encode("utf-8", "surrogatepass")
+    if len(data) <= k:
+        return np.array([zlib.crc32(data)], dtype=np.uint64)
+    return np.unique(
+        np.array(
+            [zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)],
+            dtype=np.uint64,
+        )
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _minhash_sig(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        m = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+    return m.min(axis=1)
+
+
+class _MinHashStage:
+    """Actor-pool stage: permutation parameters built once per actor."""
+
+    def __init__(self, id_col, text_col, k, num_perm, bands):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.k = k
+        self.num_perm = num_perm
+        self.bands = bands
+        self.rows_per_band = num_perm // bands
+        self.a, self.b = _perm_params(num_perm)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_band, out_bucket = [], [], []
+        for i, t in zip(ids, texts):
+            if not t:
+                continue
+            sig = _minhash_sig(_shingle_hashes(t, self.k), self.a, self.b)
+            for band in range(self.bands):
+                chunk = sig[
+                    band * self.rows_per_band : (band + 1) * self.rows_per_band
+                ]
+                bucket = zlib.crc32(chunk.tobytes())
+                out_id.append(i)
+                out_band.append(band)
+                out_bucket.append(bucket)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.int64()),
+                "band": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+            }
+        )
+
+
+def _emit_bucket_pairs(group: pa.Table, cap: int = 64) -> pa.Table:
+    """Candidate pairs inside one (band, bucket) group; star fallback
+    over ``cap`` members (skew guard, same rule as edge_rules)."""
+    ids = np.unique(group.column("id").to_numpy(zero_copy_only=False))
+    k = len(ids)
+    if k < 2:
+        return pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+    if k <= cap:
+        iu, ju = np.triu_indices(k, 1)
+        return pa.table({"a": pa.array(ids[iu]), "b": pa.array(ids[ju])})
+    return pa.table(
+        {
+            "a": pa.array(np.repeat(ids[:1], k - 1)),
+            "b": pa.array(ids[1:]),
+        }
+    )
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Character k-gram Jaccard similarity (exact verification)."""
+    ha = _shingle_hashes(text_a or "", k)
+    hb = _shingle_hashes(text_b or "", k)
+    inter = len(np.intersect1d(ha, hb, assume_unique=True))
+    union = len(ha) + len(hb) - inter
+    return inter / union if union else 1.0
+
+
+def minhash_near_dup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.7,
+) -> ray.data.Dataset:
+    """MinHash+LSH near-duplicate candidate pairs ``(a, b)`` with
+    ``jaccard`` column.  shingle → minhash → band → bucket groupby —
+    one shuffle on (band, bucket), one dedup shuffle on (a, b).
+
+    ``verify_threshold`` rescored with exact k-gram Jaccard via a
+    broadcast id→text lookup (small-side pattern); pass None to skip.
+    """
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        _MinHashStage,
+        fn_constructor_args=(id_col, text_col, k, num_perm, bands),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    pairs = sigs.groupby(["band", "bucket"]).map_groups(
+        _emit_bucket_pairs, batch_format="pyarrow"
+    )
+    # dedup pairs found in multiple bands
+    pairs = pairs.groupby(["a", "b"]).aggregate(Min("a", alias_name="_"))
+    pairs = pairs.drop_columns(["_"])
+    if verify_threshold is None:
+        return pairs
+
+    import ray as _ray
+
+    texts_tbl = pa.concat_tables(
+        ds.select_columns([id_col, text_col]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    ref = _ray.put(texts_tbl)
+
+    class Verify:
+        def __init__(self):
+            t = _ray.get(ref)
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            order = np.argsort(ids)
+            self.ids = ids[order]
+            self.texts = np.asarray(t.column(text_col).to_pylist(), dtype=object)[order]
+
+        def _text(self, v: np.ndarray) -> np.ndarray:
+            return self.texts[np.searchsorted(self.ids, v)]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            a = batch.column("a").to_numpy(zero_copy_only=False)
+            b = batch.column("b").to_numpy(zero_copy_only=False)
+            ta, tb = self._text(a), self._text(b)
+            j = np.array(
+                [jaccard(x, y, k) for x, y in zip(ta, tb)], dtype=np.float64
+            )
+            keep = j >= verify_threshold
+            return pa.table(
+                {
+                    "a": pa.array(a[keep]),
+                    "b": pa.array(b[keep]),
+                    "jaccard": pa.array(j[keep]),
+                }
+            )
+
+    return pairs.map_batches(
+        Verify,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def near_dedup(
+    ds: ray.data.Dataset,
+    graph_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **minhash_kwargs,
+) -> ray.data.Dataset:
+    """Full near-dedup: LSH pairs → duplicate clusters via the K2
+    connected-components kernel → ``(vid, keep_id)`` mapping every doc
+    id to its cluster representative (min id)."""
+    from igraph_ray.api import build_graph
+    from igraph_ray.kernels.components import connected_components
+
+    pairs = minhash_near_dup_pairs(ds, id_col, text_col, **minhash_kwargs)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("a"),
+                "dst": batch.column("b"),
+                "weight": pa.array(np.ones(len(batch), np.float64)),
+            }
+        )
+
+    edges = pairs.map_batches(
+        as_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vertices = ds.select_columns([id_col]).rename_columns({id_col: "vid"})
+    graph = build_graph(
+        edges, graph_dir, vertices=vertices, symmetrize=True
+    )
+    run = connected_components(graph)
+    return run.state.select_columns(["vid", "comp"]).rename_columns(
+        {"comp": "keep_id"}
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash
+# ---------------------------------------------------------------------------
+class _SimHashStage:
+    """64-bit SimHash over token crc32s + 4×16-bit band buckets."""
+
+    def __init__(self, id_col, text_col):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        tokens = text.split()
+        if not tokens:
+            return 0
+        h = np.array(
+            [zlib.crc32(t.encode()) for t in tokens], dtype=np.uint64
+        )
+        # extend to 64 bits deterministically: crc32 of token || "x"
+        h2 = np.array(
+            [zlib.crc32((t + "x").encode()) for t in tokens], dtype=np.uint64
+        )
+        h = (h << np.uint64(32)) | h2
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        v = (2 * bits - 1).sum(axis=0)
+        return int(
+            np.bitwise_or.reduce(
+                (v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+            )
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_pylist()
+        texts = batch.column(self.text_col).to_pylist()
+        out_id, out_sim, out_band, out_bucket = [], [], [], []
+        for i, t in zip(ids, texts):
+            s = self.simhash64(t or "")
+            for band in range(4):
+                out_id.append(i)
+                out_sim.append(s)
+                out_band.append(band)
+                out_bucket.append((s >> (band * 16)) & 0xFFFF)
+        return pa.table(
+            {
+                "id": pa.array(out_id, pa.int64()),
+                "simhash": pa.array(out_sim, pa.uint64()),
+                "band": pa.array(out_band, pa.int32()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+            }
+        )
+
+
+def simhash_near_dup_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> ray.data.Dataset:
+    """SimHash near-dup pairs: band-bucket LSH (a pair within hamming
+    distance 3 of 64 bits shares at least one of 4 16-bit bands), then
+    exact hamming verification inside the bucket group."""
+    sigs = ds.select_columns([id_col, text_col]).map_batches(
+        _SimHashStage,
+        fn_constructor_args=(id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        sims = group.column("simhash").to_numpy(zero_copy_only=False)
+        ids, idx = np.unique(ids, return_index=True)
+        sims = sims[idx]
+        k = len(ids)
+        if k < 2 or k > 512:  # skew guard on degenerate buckets
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
+        iu, ju = np.triu_indices(k, 1)
+        x = sims[iu] ^ sims[ju]
+        ham = np.array([int(v).bit_count() for v in x], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "a": pa.array(ids[iu][keep]),
+                "b": pa.array(ids[ju][keep]),
+                "hamming": pa.array(ham[keep]),
+            }
+        )
+
+    pairs = sigs.groupby(["band", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return pairs.groupby(["a", "b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )

@@ -1,0 +1,199 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`brute_force_topk` — exact cosine top-k: the query matrix is
+  broadcast once (``ray.put``), each batch does one numpy matmul and
+  emits its *local* top-k per query, and a final tiny per-query
+  ``map_groups`` merges the partial top-ks (never materializes all
+  scores).
+- :func:`lsh_topk` — the scale path: random-hyperplane signatures
+  bucket the vectors; only bucket-mates are rescored exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+
+def _batch_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col)
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BruteScore:
+    """Actor-pool stage: normalized query matrix fetched once per
+    actor; per batch one matmul + local top-k."""
+
+    def __init__(self, queries_ref, id_col, vec_col, k):
+        self.q = _normalize(np.asarray(ray.get(queries_ref), dtype=np.float64))
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        e = _normalize(_batch_matrix(batch, self.vec_col).astype(np.float64))
+        scores = e @ self.q.T  # (n, nq)
+        n, nq = scores.shape
+        k = min(self.k, n)
+        top = np.argpartition(-scores, k - 1, axis=0)[:k]  # (k, nq)
+        qid = np.repeat(np.arange(nq, dtype=np.int64), k)
+        vid = ids[top.T.reshape(-1)]
+        sc = np.take_along_axis(scores, top, axis=0).T.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                "vec_id": pa.array(vid),
+                "score": pa.array(sc),
+            }
+        )
+
+
+def _final_topk(k: int):
+    def _f(group: pa.Table) -> pa.Table:
+        scores = group.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort(
+            (group.column("vec_id").to_numpy(zero_copy_only=False), -scores)
+        )[:k]
+        return group.take(order)
+
+    return _f
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Exact cosine top-k per query row of ``queries`` (nq × dim).
+    Returns ``(query_id, vec_id, score)``, k rows per query."""
+    ref = ray.put(np.asarray(queries, dtype=np.float64))
+    partial = ds.select_columns([id_col, vec_col]).map_batches(
+        _BruteScore,
+        fn_constructor_args=(ref, id_col, vec_col, k),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow"
+    )
+
+
+class _LshBucket:
+    """Random-hyperplane signature stage (plane matrix built once per
+    actor from a fixed seed — identical on every actor)."""
+
+    def __init__(self, dim, nbits, seed, id_col, vec_col):
+        rng = np.random.Generator(np.random.PCG64(seed))
+        self.planes = rng.standard_normal((dim, nbits))
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.nbits = nbits
+
+    def signature(self, m: np.ndarray) -> np.ndarray:
+        bits = (m @ self.planes) > 0
+        weights = (1 << np.arange(self.nbits, dtype=np.int64))
+        return bits.astype(np.int64) @ weights
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        e = _batch_matrix(batch, self.vec_col).astype(np.float64)
+        sig = self.signature(e)
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                self.vec_col: batch.column(self.vec_col),
+                "bucket": pa.array(sig),
+            }
+        )
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    nbits: int = 8,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """Approximate cosine top-k: vectors and queries are bucketed by
+    random-hyperplane signature; exact rescoring happens only against
+    bucket-mates.  Recall < 1 by construction; nbits trades recall for
+    candidate volume."""
+    queries = np.asarray(queries, dtype=np.float64)
+    dim = queries.shape[1]
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        _LshBucket,
+        fn_constructor_args=(dim, nbits, seed, id_col, vec_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    # query buckets (driver-side tiny computation, same planes)
+    rng = np.random.Generator(np.random.PCG64(seed))
+    planes = rng.standard_normal((dim, nbits))
+    qsig = ((queries @ planes) > 0).astype(np.int64) @ (
+        1 << np.arange(nbits, dtype=np.int64)
+    )
+    qref = ray.put(_normalize(queries))
+    qsig_ref = ray.put(qsig)
+
+    class BucketScore:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.qsig = ray.get(qsig_ref)
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            bucket = group.column("bucket")[0].as_py()
+            q_idx = np.flatnonzero(self.qsig == bucket)
+            if len(q_idx) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            ids = group.column(id_col).to_numpy(zero_copy_only=False)
+            e = _normalize(_batch_matrix(group, vec_col).astype(np.float64))
+            scores = e @ self.q[q_idx].T
+            n = len(ids)
+            kk = min(k, n)
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            qid = np.repeat(q_idx, kk)
+            vid = ids[top.T.reshape(-1)]
+            sc = np.take_along_axis(scores, top, axis=0).T.reshape(-1)
+            return pa.table(
+                {
+                    "query_id": pa.array(qid),
+                    "vec_id": pa.array(vid),
+                    "score": pa.array(sc),
+                }
+            )
+
+    scorer = BucketScore()
+
+    def _score_group(group: pa.Table) -> pa.Table:
+        return scorer(group)
+
+    scored = bucketed.groupby("bucket").map_groups(
+        _score_group, batch_format="pyarrow"
+    )
+    return scored.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow"
+    )

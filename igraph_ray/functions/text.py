@@ -1,0 +1,187 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+All per-row hot paths are vectorized ``pyarrow.compute`` regex/string
+kernels; the only Python-level loop is the winnowing fingerprint
+(numpy inner loop per row, C-speed rolling hash).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# A tiny deterministic marker-word table for the n-gram/stopword
+# language heuristic (top function words per language).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of ", " to ", " in ", " is ", " that "],
+    "de": [" der ", " die ", " und ", " das ", " ist ", " nicht ", " ein "],
+    "fr": [" le ", " la ", " les ", " et ", " est ", " une ", " que "],
+    "es": [" el ", " la ", " los ", " que ", " es ", " una ", " para "],
+    "it": [" il ", " la ", " che ", " di ", " è ", " una ", " per "],
+}
+
+_STOPWORDS = [
+    " the ", " and ", " of ", " to ", " in ", " a ", " is ", " it ",
+    " for ", " on ", " with ", " as ", " was ", " at ", " by ",
+]
+
+# BPE-ish tokenizer: words, numbers, or single non-space symbols —
+# the standard pre-tokenization regex shape used by byte-pair encoders.
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_WS_RE = r"\S+"
+
+
+def token_count(
+    ds: ray.data.Dataset, text_col: str = "text", mode: str = "whitespace"
+) -> ray.data.Dataset:
+    """Append ``n_tokens`` = whitespace- or BPE-regex token count."""
+    pattern = _WS_RE if mode == "whitespace" else _BPE_RE
+
+    def _f(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column(text_col), pattern)
+        return batch.append_column("n_tokens", pc.cast(n, pa.int64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_score(
+    ds: ray.data.Dataset, text_col: str = "text"
+) -> ray.data.Dataset:
+    """Append heuristic quality features + a composite ``quality``:
+
+    - ``n_chars``, ``n_tokens`` (whitespace)
+    - ``punct_ratio``   punctuation chars / chars
+    - ``digit_ratio``   digit chars / chars
+    - ``upper_ratio``   uppercase chars / chars
+    - ``stopword_ratio`` stopword hits / tokens (fluency proxy)
+    - ``mean_token_len`` chars / tokens
+    - ``quality``       ∈ [0,1], down-weighting punct/digit/upper
+      extremes, up-weighting stopword presence and sane token lengths
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        lower = pc.utf8_lower(text)
+        n_chars = pc.cast(pc.utf8_length(text), pa.float64())
+        n_tokens = pc.cast(
+            pc.count_substring_regex(text, _WS_RE), pa.float64()
+        )
+        punct = pc.cast(
+            pc.count_substring_regex(text, r"[^\w\s]"), pa.float64()
+        )
+        digit = pc.cast(pc.count_substring_regex(text, r"[0-9]"), pa.float64())
+        upper = pc.cast(pc.count_substring_regex(text, r"[A-Z]"), pa.float64())
+        stop = pc.cast(
+            pc.count_substring_regex(
+                lower, "|".join(s.strip() for s in _STOPWORDS)
+            ),
+            pa.float64(),
+        )
+        nc = np.maximum(n_chars.to_numpy(zero_copy_only=False), 1.0)
+        nt = np.maximum(n_tokens.to_numpy(zero_copy_only=False), 1.0)
+        pr = punct.to_numpy(zero_copy_only=False) / nc
+        dr = digit.to_numpy(zero_copy_only=False) / nc
+        ur = upper.to_numpy(zero_copy_only=False) / nc
+        sr = stop.to_numpy(zero_copy_only=False) / nt
+        mtl = nc / nt
+        quality = (
+            np.clip(1.0 - 2.0 * pr, 0, 1)
+            * np.clip(1.0 - 2.0 * dr, 0, 1)
+            * np.clip(1.0 - ur, 0, 1)
+            * np.clip(0.25 + sr, 0, 1)
+            * np.clip(mtl / 4.0, 0.25, 1.0)
+        )
+        out = batch
+        for name, arr in [
+            ("n_chars_q", nc.astype(np.int64)),
+            ("n_tokens", nt.astype(np.int64)),
+            ("punct_ratio", pr),
+            ("digit_ratio", dr),
+            ("upper_ratio", ur),
+            ("stopword_ratio", sr),
+            ("mean_token_len", mtl),
+            ("quality", quality),
+        ]:
+            out = out.append_column(name, pa.array(arr))
+        return out
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def language_id(
+    ds: ray.data.Dataset, text_col: str = "text", out: str = "lang_pred"
+) -> ray.data.Dataset:
+    """Append a marker-word language guess (``und`` when no marker
+    matches).  One vectorized regex count per language per batch."""
+    langs = sorted(_LANG_MARKERS)
+    patterns = {
+        lang: "|".join(m.strip() for m in _LANG_MARKERS[lang])
+        for lang in langs
+    }
+
+    def _f(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch.column(text_col))
+        scores = np.stack(
+            [
+                pc.count_substring_regex(lower, patterns[lang])
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+                for lang in langs
+            ]
+        )
+        best = np.argmax(scores, axis=0)
+        hit = scores.max(axis=0) > 0
+        pred = np.where(hit, np.array(langs, dtype=object)[best], "und")
+        return batch.append_column(out, pa.array(pred, pa.string()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _winnow_row(data: bytes, k: int, window: int) -> np.ndarray:
+    """Winnowing fingerprint (Schleimer et al. 2003): rolling polynomial
+    hash of k-grams, keep the minimum hash per window, dedup."""
+    n = len(data)
+    if n < k:
+        return np.array([zlib.crc32(data)], dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    base = np.uint64(257)
+    # rolling hash via cumulative polynomial (mod 2^64 wraparound)
+    with np.errstate(over="ignore"):
+        pows = np.empty(k, dtype=np.uint64)
+        pows[0] = 1
+        for i in range(1, k):
+            pows[i] = pows[i - 1] * base
+        # hash of each k-gram: sum b[i+j] * base^(k-1-j)
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h += b[j : n - k + 1 + j] * pows[k - 1 - j]
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    # sliding-window min via stride trick
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(sw.min(axis=1))
+
+
+def winnow_fingerprints(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    out: str = "fingerprints",
+) -> ray.data.Dataset:
+    """Append ``out`` = list<uint64> winnowed k-gram fingerprints."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        fps = [
+            _winnow_row(t.encode("utf-8", "surrogatepass"), k, window).tolist()
+            if t is not None
+            else []
+            for t in batch.column(text_col).to_pylist()
+        ]
+        return batch.append_column(out, pa.array(fps, pa.list_(pa.uint64())))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,538 @@
+"""Driver-facing query implementations (the ``queries()`` side of
+``__ray_entry__.py``), each with an exact DuckDB-SQL twin.
+
+The testdata has no native ``files`` table, so SQL-checked graph
+queries derive one deterministically from ``documents``::
+
+    repo   = 'r' || (doc_id % 20)
+    path   = 'p' || (doc_id % 50)
+    commit = 'c' || (doc_id % 30)
+    lang, content = lang, text
+
+Both engines perform the identical derivation, so every ETL/graph
+operator can be checked value-for-value.  Columns in SQL-checked
+queries are integers/strings (or exact float sums of integer weights)
+so the driver's value hash is stable across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from igraph_ray.api import build_graph, edges_dataset
+from igraph_ray.functions.dedup import (
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from igraph_ray.functions.similarity import brute_force_topk
+from igraph_ray.functions.text import (
+    language_id,
+    quality_score,
+    token_count,
+    winnow_fingerprints,
+)
+from igraph_ray.kernels.components import connected_components
+from igraph_ray.kernels.pagerank import pagerank
+from igraph_ray.kernels.lpa import label_propagation
+from igraph_ray.kernels.triangles import triangle_counts
+from igraph_ray.pipelines.graph_build import file_edges_by_key
+from igraph_ray.stages.edge_rules import (
+    commit_cooccurrence_edges,
+    content_sha_edges,
+    shared_path_edges,
+    with_file_key,
+)
+from igraph_ray.stages.sha import with_content_sha
+from igraph_ray.stages.symmetrize import symmetrize_dedup
+from igraph_ray.stages.vertex_ids import assign_vertex_ids, attach_vids
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+def documents(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def files_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """The deterministic files-table derivation (see module docstring)."""
+
+    def _derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text").to_pylist()
+        # every 10th doc gets one of 7 shared "vendored" contents so the
+        # cross-repo sha rule (E3) has real matches to find
+        content = [
+            f"DUP-{i % 7}" if i % 10 == 0 else t
+            for i, t in zip(doc_id, text)
+        ]
+        return pa.table(
+            {
+                "repo": pa.array([f"r{i % 20}" for i in doc_id], pa.string()),
+                "path": pa.array([f"p{i % 50}" for i in doc_id], pa.string()),
+                "commit": pa.array([f"c{i % 30}" for i in doc_id], pa.string()),
+                "lang": batch.column("lang"),
+                "content": pa.array(content, pa.string()),
+            }
+        )
+
+    return documents(sf_dir).map_batches(
+        _derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+FILES_SQL = (
+    "SELECT 'r' || CAST(doc_id % 20 AS VARCHAR) AS repo, "
+    "'p' || CAST(doc_id % 50 AS VARCHAR) AS path, "
+    "'c' || CAST(doc_id % 30 AS VARCHAR) AS commit, "
+    "lang, CASE WHEN doc_id % 10 = 0 "
+    "THEN 'DUP-' || CAST(doc_id % 7 AS VARCHAR) ELSE text END AS content "
+    "FROM documents"
+)
+
+
+def _agg_pairs(rule_ds: ray.data.Dataset) -> ray.data.Dataset:
+    """(src_key, dst_key, weight=#groups) — matches the SQL GROUP BY."""
+    return (
+        rule_ds.select_columns(["src_key", "dst_key", "weight"])
+        .groupby(["src_key", "dst_key"])
+        .aggregate(Sum("weight", alias_name="weight"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P2/A2-style queries
+# ---------------------------------------------------------------------------
+def q_sha256(sf_dir: str):
+    ds = with_content_sha(
+        documents(sf_dir).select_columns(["doc_id", "text"]), column="text"
+    )
+    return ds.select_columns(["doc_id", "content_sha"])
+
+
+def q_lang_counts(sf_dir: str):
+    return (
+        documents(sf_dir)
+        .groupby("lang")
+        .aggregate(Count("lang", alias_name="n"))
+    )
+
+
+def q_exact_dedup(sf_dir: str):
+    ds = with_content_sha(
+        documents(sf_dir).select_columns(["doc_id", "text"]), column="text"
+    )
+    return (
+        ds.select_columns(["content_sha", "doc_id"])
+        .groupby("content_sha")
+        .aggregate(Min("doc_id", alias_name="keep_id"))
+    )
+
+
+def q_token_count(sf_dir: str):
+    return token_count(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    ).select_columns(["doc_id", "n_tokens"])
+
+
+def q_char_classes(sf_dir: str):
+    def _f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "punct_n": pc.cast(
+                    pc.count_substring_regex(text, r"[^\w\s]"), pa.int64()
+                ),
+                "digit_n": pc.cast(
+                    pc.count_substring_regex(text, r"[0-9]"), pa.int64()
+                ),
+                "upper_n": pc.cast(
+                    pc.count_substring_regex(text, r"[A-Z]"), pa.int64()
+                ),
+            }
+        )
+
+    return documents(sf_dir).map_batches(
+        _f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# edge rules / graph build
+# ---------------------------------------------------------------------------
+def q_edges_shared_path(sf_dir: str):
+    return _agg_pairs(shared_path_edges(files_from_documents(sf_dir)))
+
+
+def q_edges_commit(sf_dir: str):
+    return _agg_pairs(
+        commit_cooccurrence_edges(files_from_documents(sf_dir))
+    )
+
+
+def q_edges_sha_cross_repo(sf_dir: str):
+    files = with_content_sha(files_from_documents(sf_dir))
+    return _agg_pairs(content_sha_edges(files))
+
+
+def q_vertex_ids(sf_dir: str):
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    return assign_vertex_ids(keys, key_col="key")
+
+
+def q_symmetrize_shared_path(sf_dir: str):
+    pairs = _agg_pairs(shared_path_edges(files_from_documents(sf_dir)))
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src_key"),
+                "dst": batch.column("dst_key"),
+                "weight": batch.column("weight"),
+            }
+        )
+
+    as_edges = pairs.map_batches(
+        rename, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = symmetrize_dedup(as_edges)
+    return out.rename_columns({"src": "src_key", "dst": "dst_key"})
+
+
+def _link_graph_edges(sf_dir: str) -> ray.data.Dataset:
+    """E1 ∪ E2 pair edges over string keys (the SQL-checked graph)."""
+    files = files_from_documents(sf_dir)
+    e1 = shared_path_edges(files)
+    e2 = commit_cooccurrence_edges(files)
+    return _agg_pairs(e1.union(e2))
+
+
+def q_degrees(sf_dir: str):
+    """Undirected degree per key over the E1∪E2 graph (symmetrized):
+    (key, degree, weighted_degree)."""
+    pairs = _link_graph_edges(sf_dir)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        batch.column("src_key").combine_chunks(),
+                        batch.column("dst_key").combine_chunks(),
+                    ]
+                ),
+                "w": pa.concat_arrays(
+                    [
+                        batch.column("weight").combine_chunks(),
+                        batch.column("weight").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    both = pairs.map_batches(
+        endpoints, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return both.groupby("key").aggregate(
+        Count("key", alias_name="degree"),
+        Sum("w", alias_name="weighted_degree"),
+    )
+
+
+def q_topk_degree(sf_dir: str):
+    return q_degrees(sf_dir).sort(
+        ["degree", "key"], descending=[True, False]
+    ).limit(10)
+
+
+def _build_key_graph(sf_dir: str, graph_dir: str):
+    """vids + partitioned CSR for the E1∪E2 key graph (all file keys
+    as vertices, including isolated ones)."""
+    pairs = _link_graph_edges(sf_dir).materialize()
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(
+        pairs.rename_columns(
+            {"src_key": "src_key", "dst_key": "dst_key"}
+        ),
+        vertices,
+    )
+    edges = symmetrize_dedup(edges)
+    graph = build_graph(
+        edges,
+        graph_dir,
+        vertices=vertices.select_columns(["vid"]),
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return graph, vtbl
+
+
+def _vid_to_key(tbl: pa.Table, vtbl: pa.Table, vid_cols: dict[str, str]) -> pa.Table:
+    keys = vtbl.column("key").combine_chunks()
+    out = {}
+    for col in tbl.column_names:
+        if col in vid_cols:
+            out[vid_cols[col]] = pc.take(keys, tbl.column(col))
+        else:
+            out[col] = tbl.column(col)
+    return pa.table(out)
+
+
+def q_components(sf_dir: str, graph_dir: str | None = None):
+    """(key, component) — component = lexicographically smallest key in
+    the connected component of the E1∪E2 graph."""
+    import tempfile
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_cc_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = connected_components(graph)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "comp"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return _vid_to_key(state, vtbl, {"vid": "key", "comp": "component"})
+
+
+def q_triangles(sf_dir: str, graph_dir: str | None = None):
+    """(key, triangles) per vertex of the E1∪E2 graph (0 for
+    triangle-free keys)."""
+    import tempfile
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_tri_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    # reuse the simple symmetric edge table persisted in the CSR build
+    # by re-deriving it from pairs (cheap at check scale)
+    pairs = _link_graph_edges(sf_dir)
+    vertices_ds = ray.data.from_arrow(vtbl)
+    edges = attach_vids(pairs, vertices_ds)
+    tc = triangle_counts(edges)
+    # include isolated vertices with 0 triangles
+    zeros = vertices_ds.map_batches(
+        lambda b: pa.table(
+            {
+                "vid": b.column("vid"),
+                "triangles": pa.array(
+                    np.zeros(len(b), np.int64)
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    full = tc.union(zeros).groupby("vid").aggregate(
+        Sum("triangles", alias_name="triangles")
+    )
+    tbl = pa.concat_tables(
+        full.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_pagerank(sf_dir: str, graph_dir: str | None = None):
+    """(key, rank) over the E1∪E2 graph — no SQL oracle (float fixed
+    point); verified by the pytest networkx suite instead."""
+    import tempfile
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_pr_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = pagerank(graph, tol=1e-8, max_iter=200, raise_on_nonconvergence=False)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "rank"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return _vid_to_key(state, vtbl, {"vid": "key"})
+
+
+def q_lpa(sf_dir: str, graph_dir: str | None = None):
+    """(key, label_key) communities over the E1∪E2 graph — rows-only
+    check (seeded-async reference semantics are not distributable,
+    SURVEY.md §2.3(1))."""
+    import tempfile
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_lpa_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = label_propagation(graph, max_iter=60)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "label"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return _vid_to_key(state, vtbl, {"vid": "key", "label": "label_key"})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style relational checks (A1/A2/V2/T1)
+# ---------------------------------------------------------------------------
+def q_lineitem_agg(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def cast_qty(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pc.cast(batch.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(cast_qty, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty", alias_name="sum_qty"), Count("qty", alias_name="n"))
+    )
+
+
+def q_orders_per_nation(sf_dir: str):
+    """Broadcast-join demo: orders joined to customers (small side via
+    ray.put), counted per nation."""
+    import ray as _ray
+
+    cust = pa.concat_tables(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    ref = _ray.put(cust.sort_by("c_custkey"))
+
+    class NationLookup:
+        def __init__(self):
+            t = _ray.get(ref)
+            self.keys = t.column("c_custkey").to_numpy(zero_copy_only=False)
+            self.nation = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(self.keys, ck)
+            nk = self.nation[np.clip(pos, 0, len(self.keys) - 1)]
+            nk = np.where(self.keys[np.clip(pos, 0, len(self.keys) - 1)] == ck, nk, -1)
+            return pa.table(
+                {"c_nationkey": pa.array(nk.astype(np.int64))}
+            )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    mapped = orders.map_batches(
+        NationLookup,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 4),
+    )
+    return mapped.groupby("c_nationkey").aggregate(
+        Count("c_nationkey", alias_name="n_orders")
+    )
+
+
+def q_events_users_per_type(sf_dir: str):
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    distinct = ev.groupby(["event_type", "user_id"]).aggregate(
+        Count("user_id", alias_name="_n")
+    )
+    return distinct.groupby("event_type").aggregate(
+        Count("user_id", alias_name="n_users")
+    )
+
+
+def q_top_orders(sf_dir: str):
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    top = ds.sort(
+        ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).limit(10)
+    return top.select_columns(["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# rows-only checked ops (non-SQL-expressible)
+# ---------------------------------------------------------------------------
+def q_language_id(sf_dir: str):
+    return language_id(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+def q_quality(sf_dir: str):
+    return quality_score(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    ).select_columns(["doc_id", "quality"])
+
+
+def q_fingerprints(sf_dir: str):
+    out = winnow_fingerprints(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+    def count_fp(batch: pa.Table) -> pa.Table:
+        n = pc.list_value_length(batch.column("fingerprints"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_fingerprints": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return out.map_batches(
+        count_fp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    return minhash_near_dup_pairs(
+        documents(sf_dir), verify_threshold=0.6
+    ).select_columns(["a", "b"])
+
+
+def q_simhash_pairs(sf_dir: str):
+    return simhash_near_dup_pairs(documents(sf_dir), max_hamming=3)
+
+
+def q_ann_brute(sf_dir: str):
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtbl = pa.concat_tables(
+        emb.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("vec_id")
+    queries = np.stack(
+        [
+            np.asarray(qtbl.column("embedding")[i].as_py(), dtype=np.float64)
+            for i in range(2)
+        ]
+    )
+    out = brute_force_topk(emb, queries, k=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+def q_multimodal_decode(sf_dir: str):
+    from igraph_ray.functions.multimodal import (
+        decode_images,
+        synth_multimodal_table,
+    )
+
+    ds = ray.data.from_arrow(synth_multimodal_table(200)).repartition(
+        num_blocks=4
+    )
+    return decode_images(ds).select_columns(["item_id", "mean_intensity"])

@@ -1,0 +1,194 @@
+"""Training-data ops: text analysis, dedup (exact/minhash/simhash),
+similarity search (brute-force + LSH), multimodal plumbing."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from igraph_ray.functions.dedup import (
+    exact_dedup,
+    jaccard,
+    minhash_near_dup_pairs,
+    simhash_near_dup_pairs,
+)
+from igraph_ray.functions.multimodal import (
+    decode_images,
+    sample_frames,
+    synth_multimodal_table,
+)
+from igraph_ray.functions.similarity import brute_force_topk, lsh_topk
+from igraph_ray.functions.text import (
+    language_id,
+    quality_score,
+    token_count,
+    winnow_fingerprints,
+)
+from tests.util import ds_to_table
+
+
+def _docs():
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs away",
+        "the quick brown fox jumps over the lazy dog and runs home",
+        "der schnelle braune fuchs springt und das ist nicht ein hund",
+        "le renard brun rapide saute et la maison est une belle chose",
+        "the quick brown fox jumps over the lazy dog and runs away",  # dup of 0
+        "completely different text about graph engines and ray data",
+    ]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+
+
+def test_token_count():
+    out = ds_to_table(token_count(_docs())).sort_by("doc_id")
+    texts = out.column("text").to_pylist()
+    counts = out.column("n_tokens").to_pylist()
+    assert counts == [len(t.split()) for t in texts]
+
+
+def test_quality_score_ranges():
+    out = ds_to_table(quality_score(_docs()))
+    q = out.column("quality").to_pylist()
+    assert all(0.0 <= v <= 1.0 for v in q)
+    assert out.column("punct_ratio").to_pylist()[0] == 0.0
+
+
+def test_language_id():
+    out = ds_to_table(language_id(_docs())).sort_by("doc_id")
+    pred = out.column("lang_pred").to_pylist()
+    assert pred[0] == "en" and pred[2] == "de" and pred[3] == "fr"
+
+
+def test_winnow_fingerprints_detect_overlap():
+    out = ds_to_table(winnow_fingerprints(_docs())).sort_by("doc_id")
+    fps = [set(x) for x in out.column("fingerprints").to_pylist()]
+    assert fps[0] == fps[4]  # identical docs → identical fingerprints
+    # near-identical docs share most fingerprints
+    inter = len(fps[0] & fps[1]) / len(fps[0] | fps[1])
+    assert inter > 0.5
+    assert len(fps[0] & fps[5]) / len(fps[0] | fps[5]) < 0.2
+
+
+def test_exact_dedup():
+    out = ds_to_table(exact_dedup(_docs()))
+    # 6 docs, one exact duplicate pair → 5 distinct texts
+    assert out.num_rows == 5
+    keep = dict(
+        zip(
+            out.column("content_sha").to_pylist(),
+            out.column("keep_id").to_pylist(),
+        )
+    )
+    assert 0 in keep.values() and 4 not in keep.values()
+
+
+def test_minhash_near_dup():
+    pairs = ds_to_table(
+        minhash_near_dup_pairs(_docs(), verify_threshold=0.5)
+    )
+    got = set(zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()))
+    assert (0, 4) in got  # exact dup
+    assert (0, 1) in got or (1, 4) in got  # near dup
+    assert all(j >= 0.5 for j in pairs.column("jaccard").to_pylist())
+
+
+def test_jaccard_symmetric_bounds():
+    assert jaccard("abcdefgh", "abcdefgh") == 1.0
+    assert jaccard("abcdefgh", "zzzzzzzz") == 0.0
+
+
+def test_simhash_near_dup():
+    pairs = ds_to_table(simhash_near_dup_pairs(_docs(), max_hamming=8))
+    got = set(zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()))
+    assert (0, 4) in got
+    ham = dict(zip(got, pairs.column("hamming").to_pylist()))
+
+
+def test_brute_force_topk():
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((200, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(200), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(num_blocks=4)
+    queries = vecs[[5, 17]]  # exact members → top-1 must be themselves
+    out = ds_to_table(brute_force_topk(ds, queries, k=3)).sort_by(
+        [("query_id", "ascending"), ("score", "descending")]
+    )
+    by_q = {}
+    for q, v, s in zip(
+        out.column("query_id").to_pylist(),
+        out.column("vec_id").to_pylist(),
+        out.column("score").to_pylist(),
+    ):
+        by_q.setdefault(q, []).append((v, s))
+    assert by_q[0][0][0] == 5 and by_q[0][0][1] == pytest.approx(1.0)
+    assert by_q[1][0][0] == 17
+    # oracle: exact numpy top-3 matches
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    scores = norm @ norm[[5, 17]].T
+    for qi in (0, 1):
+        expect = set(np.argsort(-scores[:, qi])[:3].tolist())
+        assert {v for v, _ in by_q[qi]} == expect
+
+
+def test_lsh_topk_self_recall():
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((300, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(300), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(num_blocks=4)
+    out = ds_to_table(lsh_topk(ds, vecs[[9]], k=5, nbits=4))
+    rows = dict(
+        zip(out.column("vec_id").to_pylist(), out.column("score").to_pylist())
+    )
+    assert rows.get(9) == pytest.approx(1.0)  # its own bucket contains it
+
+
+def test_multimodal_plumbing():
+    tbl = synth_multimodal_table(50)
+    ds = ray.data.from_arrow(tbl).repartition(num_blocks=2)
+    out = ds_to_table(decode_images(ds, out_h=4, out_w=4, batch_size=16))
+    assert out.num_rows == 50
+    assert all(len(p) == 4 * 4 * 3 for p in out.column("pixels").to_pylist())
+    # deterministic: same payload → same pixels
+    out2 = ds_to_table(decode_images(ds, out_h=4, out_w=4, batch_size=16))
+    assert out.sort_by("item_id").equals(out2.sort_by("item_id"))
+
+    frames = ds_to_table(sample_frames(ds, every_nth=7))
+    nf = dict(
+        zip(tbl.column("item_id").to_pylist(), tbl.column("n_frames").to_pylist())
+    )
+    got = {}
+    for i in frames.column("item_id").to_pylist():
+        got[i] = got.get(i, 0) + 1
+    for i, n in nf.items():
+        expect = len(range(0, max(n, 0), 7))
+        assert got.get(i, 0) == expect
+
+
+def test_decode_image_stub_raises():
+    from igraph_ray.functions.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
