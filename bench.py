@@ -1,0 +1,237 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "e2e_seconds", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": ..., "num_cpus": N, ...}
+
+The headline graph is built from ``lineitem``: each row (orderkey,
+partkey, suppkey) contributes the directed triangle order→part→supp→
+order over namespaced integer vids (vid = 4*key + type), giving a
+~3×|lineitem| edge table with realistic skew (suppliers are hubs).
+
+Modes:
+  python bench.py                 full suite at $RAY_GRAFT_CPUS (def 32)
+  python bench.py --headline-only graph build + pagerank only
+  python bench.py --scaling       run the headline in fresh processes at
+                                  8 and 32 CPUs, report throughputs +
+                                  per-cpu-normalized scaling efficiency
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _sf_label(path: str) -> str:
+    base = os.path.basename(path.rstrip("/"))
+    return base.replace("sf", "") if base.startswith("sf") else base
+
+
+def build_lineitem_graph(graph_dir: str):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.api import build_graph
+
+    ds = ray.data.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey"],
+    )
+
+    def triple_edges(batch: pa.Table) -> pa.Table:
+        o = batch.column("l_orderkey").to_numpy(zero_copy_only=False) * 4 + 0
+        p = batch.column("l_partkey").to_numpy(zero_copy_only=False) * 4 + 1
+        s = batch.column("l_suppkey").to_numpy(zero_copy_only=False) * 4 + 2
+        src = np.concatenate([o, p, s])
+        dst = np.concatenate([p, s, o])
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.int64)),
+                "dst": pa.array(dst.astype(np.int64)),
+                "weight": pa.array(np.ones(len(src), np.float64)),
+            }
+        )
+
+    edges = ds.map_batches(
+        triple_edges, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return build_graph(edges, graph_dir, symmetrize=True)
+
+
+def run_suite(headline_only: bool = False) -> dict:
+    import numpy as np
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level=logging.ERROR,
+    )
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+
+    from igraph_ray.kernels.components import connected_components
+    from igraph_ray.kernels.lpa import label_propagation
+    from igraph_ray.kernels.pagerank import pagerank
+    from igraph_ray.kernels.triangles import total_triangles, triangle_counts
+
+    queries: dict[str, float] = {}
+    detail: dict[str, object] = {}
+    graph_dir = tempfile.mkdtemp(prefix="igr_bench_")
+    t_total = time.perf_counter()
+
+    t0 = time.perf_counter()
+    graph = build_lineitem_graph(os.path.join(graph_dir, "g"))
+    queries["graph_build"] = round(time.perf_counter() - t0, 3)
+    detail["num_vertices"] = graph.num_vertices
+    detail["num_edges"] = graph.num_edges
+
+    # convergence run (the reference semantics: L1 < N*tol at 1e-6)
+    t0 = time.perf_counter()
+    run = pagerank(graph, tol=1e-6, max_iter=60, raise_on_nonconvergence=False)
+    queries["pagerank"] = round(time.perf_counter() - t0, 3)
+    detail["pagerank_iterations_to_1e6"] = run.iterations
+
+    # throughput run: fixed 15 iterations for a stable per-iter number
+    run = pagerank(graph, tol=0.0, max_iter=15, raise_on_nonconvergence=False)
+    per_iter = (
+        float(np.mean(run.seconds_per_iteration[2:]))  # skip warmup iters
+        if len(run.seconds_per_iteration) > 2
+        else float("nan")
+    )
+    detail["pagerank_sec_per_iter"] = round(per_iter, 3)
+    detail["pagerank_edges_per_sec_per_iter"] = (
+        round(graph.num_edges / per_iter) if per_iter else None
+    )
+
+    if not headline_only:
+        t0 = time.perf_counter()
+        crun = connected_components(graph)
+        queries["components"] = round(time.perf_counter() - t0, 3)
+        detail["components_iterations"] = crun.iterations
+
+        t0 = time.perf_counter()
+        lrun = label_propagation(graph, max_iter=10)
+        queries["label_propagation"] = round(time.perf_counter() - t0, 3)
+        detail["lpa_iterations"] = lrun.iterations
+
+        t0 = time.perf_counter()
+        import ray.data as rd
+
+        edges_ds = rd.read_parquet(
+            f"{SF_DIR}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_suppkey"],
+        )
+
+        import pyarrow as pa
+
+        def triple_edges(batch: pa.Table) -> pa.Table:
+            o = batch.column("l_orderkey").to_numpy(zero_copy_only=False) * 4
+            p = batch.column("l_partkey").to_numpy(zero_copy_only=False) * 4 + 1
+            s = batch.column("l_suppkey").to_numpy(zero_copy_only=False) * 4 + 2
+            src = np.concatenate([o, p, s]).astype(np.int64)
+            dst = np.concatenate([p, s, o]).astype(np.int64)
+            return pa.table(
+                {
+                    "src": pa.array(src),
+                    "dst": pa.array(dst),
+                    "weight": pa.array(np.ones(len(src), np.float64)),
+                }
+            )
+
+        tri_edges = edges_ds.map_batches(
+            triple_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+        tc = triangle_counts(tri_edges)
+        detail["total_triangles"] = total_triangles(tc)
+        queries["triangles"] = round(time.perf_counter() - t0, 3)
+
+        # training-data ops over documents
+        from igraph_ray.functions.dedup import minhash_near_dup_pairs
+        from igraph_ray.functions.similarity import brute_force_topk
+        from igraph_ray.functions.text import quality_score, token_count
+
+        docs = rd.read_parquet(f"{SF_DIR}/documents.parquet")
+        t0 = time.perf_counter()
+        n_pairs = minhash_near_dup_pairs(docs, verify_threshold=0.6).count()
+        queries["minhash_near_dup"] = round(time.perf_counter() - t0, 3)
+        detail["minhash_pairs"] = n_pairs
+
+        t0 = time.perf_counter()
+        token_count(docs).count()
+        quality_score(docs).count()
+        queries["text_analysis"] = round(time.perf_counter() - t0, 3)
+
+        emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        first = emb.take(2)
+        q = np.stack([np.asarray(r["embedding"]) for r in first])
+        t0 = time.perf_counter()
+        brute_force_topk(emb, q, k=10).count()
+        queries["ann_brute_topk"] = round(time.perf_counter() - t0, 3)
+
+    total = round(time.perf_counter() - t_total, 3)
+    shutil.rmtree(graph_dir, ignore_errors=True)
+    ray.shutdown()
+    return {
+        "metric": "e2e_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": NUM_CPUS,
+        **detail,
+    }
+
+
+def run_scaling() -> dict:
+    """Fresh-process runs of the headline at 8 and 32 CPUs on the same
+    input (sandbox proxy for N vs 4N cluster nodes, BASELINE.md)."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        results[cpus] = json.loads(line)
+    tput8 = results[8]["pagerank_edges_per_sec_per_iter"]
+    tput32 = results[32]["pagerank_edges_per_sec_per_iter"]
+    eff = (tput32 / tput8) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            "pagerank_tput_8cpu": tput8,
+            "pagerank_tput_32cpu": tput32,
+        },
+        "sf": _sf_label(SF_DIR),
+        "num_cpus": [8, 32],
+        "pagerank_sec_per_iter_8": results[8]["pagerank_sec_per_iter"],
+        "pagerank_sec_per_iter_32": results[32]["pagerank_sec_per_iter"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_suite("--headline-only" in sys.argv)))

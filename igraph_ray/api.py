@@ -50,10 +50,12 @@ def build_graph(
     """
     if symmetrize:
         edges = symmetrize_dedup(edges)
+    # The partitioner fans the edge table into four branches (edge rows
+    # + both endpoint vertex branches + count); materialize once so the
+    # upstream pipeline executes once, not per branch.
+    edges = edges.materialize()
     if num_parts is None:
-        # cheap driver-side estimate: count edges (metadata-only when
-        # the input is a materialized/parquet dataset)
-        n_edges = edges.count()
+        n_edges = edges.count()  # metadata-only on a materialized ds
         num_parts = num_parts_for(n_edges, max(1, n_edges))
     return build_graph_partitions(
         edges, graph_dir, num_parts, vertices=vertices

@@ -20,11 +20,13 @@ Pure shuffle pipeline — no iteration, no actor state:
    via ``ray.put`` into a map_batches lookup when it fits (one object
    read per task, never re-shipped per batch), hash-``join`` otherwise;
 4. orient each edge from lower (degree, vid) to higher;
-5. wedges: group oriented edges by source, emit neighbor pairs
-   (ordered by (degree, vid), so the closing edge is oriented);
-6. close: co-group wedges with oriented edges on the pair key via one
-   ``groupby(x, y).map_groups``; every wedge in a group that contains
-   the edge marker is a triangle — credit all three corners;
+5. wedges: partition oriented edges by hash(u) (one ``groupby(part)``
+   shuffle, a handful of Python calls), then emit neighbor pairs with
+   fully vectorized size-class triu expansion — no per-vertex Python;
+   pairs are ordered by (degree, vid) so the closing edge is oriented;
+6. close: hash-``join`` wedges against the oriented edge set on the
+   pair key — every matched wedge is a triangle; credit all three
+   corners;
 7. per-vertex counts: ``groupby(vid).sum`` unioned with zero rows for
    triangle-free vertices.
 """
@@ -116,52 +118,56 @@ def _orient(batch: pa.Table) -> pa.Table:
     )
 
 
-def _emit_wedges(group: pa.Table) -> pa.Table:
-    """One group = all oriented out-edges of one u.  Emit candidate
-    closing pairs (x, y) ordered by (degree, vid) plus the corner u."""
-    v = group.column("v").to_numpy(zero_copy_only=False)
-    vd = group.column("v_deg").to_numpy(zero_copy_only=False)
-    u = int(group.column("u")[0].as_py())
-    k = len(v)
-    if k < 2:
-        return pa.table(
-            {
-                "x": pa.array([], pa.int64()),
-                "y": pa.array([], pa.int64()),
-                "corner": pa.array([], pa.int64()),
-            }
-        )
-    # sort neighbors by (degree, vid) so pair (i < j) is oriented
-    order = np.lexsort((v, vd))
-    v = v[order]
-    iu, ju = np.triu_indices(k, 1)
-    return pa.table(
+def _emit_wedges_block(group: pa.Table) -> pa.Table:
+    """One group = all oriented out-edges of one hash partition of u's.
+
+    Emits every candidate closing pair (x, y) (ordered by (degree,
+    vid)) with the wedge corner u.  Fully vectorized: segments per u,
+    then per out-degree size class a cached ``triu_indices`` expansion
+    over all segments of that size at once.
+    """
+    empty = pa.table(
         {
-            "x": pa.array(v[iu]),
-            "y": pa.array(v[ju]),
-            "corner": pa.array(np.full(len(iu), u, np.int64)),
+            "x": pa.array([], pa.int64()),
+            "y": pa.array([], pa.int64()),
+            "corner": pa.array([], pa.int64()),
         }
     )
-
-
-def _close_group(group: pa.Table) -> pa.Table:
-    """One group = one (x, y) pair key: wedge rows (corner >= 0) and at
-    most one edge-marker row (corner == -1)."""
-    corners = group.column("corner").to_numpy(zero_copy_only=False)
-    has_edge = (corners == -1).any()
-    wedge_corners = corners[corners >= 0]
-    if not has_edge or len(wedge_corners) == 0:
-        return pa.table({"vid": pa.array([], pa.int64()), "tri": pa.array([], pa.int64())})
-    x = int(group.column("x")[0].as_py())
-    y = int(group.column("y")[0].as_py())
-    t = len(wedge_corners)
-    vids = np.concatenate(
-        [wedge_corners, np.array([x, y], dtype=np.int64)]
+    if group.num_rows == 0:
+        return empty
+    u = group.column("u").to_numpy(zero_copy_only=False)
+    v = group.column("v").to_numpy(zero_copy_only=False)
+    vd = group.column("v_deg").to_numpy(zero_copy_only=False)
+    # sort by (u, (deg, vid) of v) so each u-segment's neighbors are in
+    # orientation order
+    order = np.lexsort((v, vd, u))
+    u, v = u[order], v[order]
+    boundary = np.empty(len(u), dtype=bool)
+    boundary[0] = True
+    boundary[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(boundary)
+    sizes = np.diff(np.append(starts, len(u)))
+    keep = sizes >= 2
+    starts, sizes = starts[keep], sizes[keep]
+    if len(starts) == 0:
+        return empty
+    xs, ys, cs = [], [], []
+    for k in np.unique(sizes):
+        iu, ju = np.triu_indices(int(k), 1)
+        seg = starts[sizes == k]  # (s,)
+        # (s, k(k-1)/2) index matrices, flattened
+        xi = (seg[:, None] + iu[None, :]).reshape(-1)
+        yi = (seg[:, None] + ju[None, :]).reshape(-1)
+        xs.append(v[xi])
+        ys.append(v[yi])
+        cs.append(np.repeat(u[seg], len(iu)))
+    return pa.table(
+        {
+            "x": pa.array(np.concatenate(xs)),
+            "y": pa.array(np.concatenate(ys)),
+            "corner": pa.array(np.concatenate(cs)),
+        }
     )
-    tri = np.concatenate(
-        [np.ones(t, dtype=np.int64), np.array([t, t], dtype=np.int64)]
-    )
-    return pa.table({"vid": pa.array(vids), "tri": pa.array(tri)})
 
 
 def triangle_counts(
@@ -200,27 +206,50 @@ def triangle_counts(
     oriented = with_deg.map_batches(
         _orient, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    n_edges = oriented.count()
+    num_partitions = int(max(2, min(64, n_edges // 250_000 + 2)))
 
-    wedges = oriented.groupby("u").map_groups(
-        _emit_wedges, batch_format="pyarrow"
+    def add_upart(batch: pa.Table) -> pa.Table:
+        from igraph_ray.utils import part_of
+
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "upart", pa.array(part_of(u, num_partitions))
+        )
+
+    wedges = (
+        oriented.map_batches(
+            add_upart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("upart")
+        .map_groups(_emit_wedges_block, batch_format="pyarrow")
     )
 
-    def edge_markers(batch: pa.Table) -> pa.Table:
+    # close: a wedge (x, y, u) is a triangle iff oriented edge (x, y)
+    # exists — one hash join on the pair key
+    pair_keys = oriented.select_columns(["u", "v"]).rename_columns(
+        {"u": "x", "v": "y"}
+    )
+    matched = wedges.join(
+        pair_keys, "inner", num_partitions, on=("x", "y")
+    )
+
+    def corner_rows(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "x": batch.column("u"),
-                "y": batch.column("v"),
-                "corner": pa.array(
-                    np.full(len(batch), -1, np.int64)
+                "vid": pa.concat_arrays(
+                    [
+                        batch.column("corner").combine_chunks(),
+                        batch.column("x").combine_chunks(),
+                        batch.column("y").combine_chunks(),
+                    ]
                 ),
+                "tri": pa.array(np.ones(3 * len(batch), np.int64)),
             }
         )
 
-    markers = oriented.map_batches(
-        edge_markers, batch_format="pyarrow", zero_copy_batch=True
-    )
-    corners = wedges.union(markers).groupby(["x", "y"]).map_groups(
-        _close_group, batch_format="pyarrow"
+    corners = matched.map_batches(
+        corner_rows, batch_format="pyarrow", zero_copy_batch=True
     )
 
     # union zero rows so triangle-free vertices appear with count 0
