@@ -49,14 +49,47 @@ def build_graph(
     arcs, parallel edges collapsed with summed weight).
     """
     if symmetrize:
-        edges = symmetrize_dedup(edges)
-    # The partitioner fans the edge table into four branches (edge rows
-    # + both endpoint vertex branches + count); materialize once so the
-    # upstream pipeline executes once, not per branch.
+        # Cheap map-only symmetrization: emit both arcs; parallel-arc
+        # collapse (weight = sum, the multigraph rule) happens inside
+        # the per-partition CSR build, so no extra all-to-all shuffle.
+        def both_arcs(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            rev = src != dst
+            return pa.table(
+                {
+                    "src": pa.array(
+                        np.concatenate([src, dst[rev]]).astype(np.int64)
+                    ),
+                    "dst": pa.array(
+                        np.concatenate([dst, src[rev]]).astype(np.int64)
+                    ),
+                    "weight": pa.array(
+                        np.concatenate([w, w[rev]]).astype(np.float64)
+                    ),
+                }
+            )
+
+        edges = edges.map_batches(
+            both_arcs, batch_format="pyarrow", zero_copy_batch=True
+        )
+    # Materialize so the partitioner's consumers execute the upstream
+    # pipeline once, not per branch.
     edges = edges.materialize()
     if num_parts is None:
         n_edges = edges.count()  # metadata-only on a materialized ds
         num_parts = num_parts_for(n_edges, max(1, n_edges))
+        # parallelism floor: enough partitions to keep the node busy,
+        # but not so many that per-(source-part, dst) pre-combining
+        # stops shrinking the message shuffle (messages grow ~P·V)
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        num_parts = max(
+            num_parts,
+            min(max(2, cpus // 4), max(1, n_edges // 50_000)),
+        )
     return build_graph_partitions(
         edges, graph_dir, num_parts, vertices=vertices
     )

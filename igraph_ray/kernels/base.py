@@ -145,11 +145,16 @@ class StateBatch:
 
 
 class ScatterStage:
-    """Callable class for ``map_batches`` (actor-pool compute).
+    """The scatter stage, run as map_batches *tasks* with worker-global
+    CSR state.
 
-    Holds the graph handle; CSR blocks resolve through the
-    worker-global cache so each worker loads a block at most once for
-    the whole run, not once per iteration.
+    The stateful part of this stage (the CSR index) is cached once per
+    worker process (``_cached_csr``), which survives across the
+    per-iteration dataset executions because Ray reuses workers.  An
+    actor pool would carry the same state but is torn down and
+    re-created at every iteration's execution — measured at ~1s/iter of
+    pure spin-up — so tasks + worker-global cache is the faster
+    realization of "stateful stage" for an iterative loop.
     """
 
     def __init__(self, kernel: VertexKernel, graph: GraphMeta):
@@ -251,11 +256,6 @@ def run_kernel(
     if state is None:
         state = init_state_dataset(kernel, graph).materialize()
 
-    num_parts = max(1, len(graph.parts))
-    if scatter_concurrency is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        scatter_concurrency = max(1, min(num_parts, cpus))
-
     run = KernelRun(state=state, iterations=start_iter, converged=False)
     apply_fn = kernel.apply
 
@@ -269,8 +269,13 @@ def run_kernel(
         # iteration number; the per-iteration pipeline pickles the
         # kernel fresh, so this reaches scatter/apply on workers.
         kernel.iteration = it  # type: ignore[attr-defined]
+        stage = ScatterStage(kernel, graph)
+
+        def _scatter(batch: pa.Table, _stage=stage) -> pa.Table:
+            return _stage(batch)
+
         msgs = state.map_batches(
-            ScatterStage(kernel, graph),
+            _scatter,
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=None,

@@ -135,6 +135,22 @@ def _build_part_block(
             f"partition {part}: edge src not owned by partition"
         )
 
+    # Collapse parallel (src, dst) arcs locally: weight = sum (the
+    # reference's multigraph-collapse rule, pagerank_alg.py:228-229).
+    # This lets callers symmetrize with a cheap map (emit both arcs)
+    # instead of a global groupby — the partition shuffle does the
+    # dedup for free.
+    if len(src):
+        order = np.lexsort((dst, src_pos))
+        src_pos, dst, w = src_pos[order], dst[order], w[order]
+        first = np.empty(len(dst), dtype=bool)
+        first[0] = True
+        first[1:] = (dst[1:] != dst[:-1]) | (src_pos[1:] != src_pos[:-1])
+        starts = np.flatnonzero(first)
+        src_pos = src_pos[starts]
+        dst = dst[starts]
+        w = np.add.reduceat(w, starts)
+
     # Local out-weight / out-degree (all out-edges of a src are local).
     out_weight = np.zeros(len(vids), dtype=np.float64)
     np.add.at(out_weight, src_pos, w)
@@ -207,62 +223,70 @@ def build_graph_partitions(
     """
     os.makedirs(os.path.join(graph_dir, "csr"), exist_ok=True)
 
-    def edge_rows(batch: pa.Table) -> pa.Table:
+    def edge_and_endpoint_rows(batch: pa.Table) -> pa.Table:
+        """One pass over an edge block: the edge rows plus vertex rows
+        for both endpoints (deduplicated within the block)."""
         src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
         dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
         w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
         n = len(src)
+        v = np.unique(np.concatenate([src, dst]))
+        m = len(v)
         return pa.table(
             {
-                "part": pa.array(part_of(src, num_parts), pa.int32()),
-                "vid": pa.array(np.full(n, -1, dtype=np.int64)),
-                "src": pa.array(src),
-                "dst": pa.array(dst),
-                "weight": pa.array(w),
-                "is_edge": pa.array(np.ones(n, dtype=bool)),
+                "part": pa.array(
+                    np.concatenate(
+                        [part_of(src, num_parts), part_of(v, num_parts)]
+                    ),
+                    pa.int32(),
+                ),
+                "vid": pa.array(
+                    np.concatenate([np.full(n, -1, dtype=np.int64), v])
+                ),
+                "src": pa.array(
+                    np.concatenate([src, np.zeros(m, dtype=np.int64)])
+                ),
+                "dst": pa.array(
+                    np.concatenate([dst, np.zeros(m, dtype=np.int64)])
+                ),
+                "weight": pa.array(
+                    np.concatenate([w, np.zeros(m, dtype=np.float64)])
+                ),
+                "is_edge": pa.array(
+                    np.concatenate(
+                        [np.ones(n, dtype=bool), np.zeros(m, dtype=bool)]
+                    )
+                ),
             }
         )
 
-    def vertex_rows_from(col: str):
-        def _f(batch: pa.Table) -> pa.Table:
+    union = edges.map_batches(
+        edge_and_endpoint_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if vertices is not None:
+
+        def vertex_rows(batch: pa.Table) -> pa.Table:
             v = np.unique(
-                batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+                batch.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
             )
-            n = len(v)
-            z64 = np.zeros(n, dtype=np.int64)
+            m = len(v)
+            z64 = np.zeros(m, dtype=np.int64)
             return pa.table(
                 {
                     "part": pa.array(part_of(v, num_parts), pa.int32()),
                     "vid": pa.array(v),
                     "src": pa.array(z64),
                     "dst": pa.array(z64),
-                    "weight": pa.array(np.zeros(n, dtype=np.float64)),
-                    "is_edge": pa.array(np.zeros(n, dtype=bool)),
+                    "weight": pa.array(np.zeros(m, dtype=np.float64)),
+                    "is_edge": pa.array(np.zeros(m, dtype=bool)),
                 }
             )
 
-        return _f
-
-    parts_ds = edges.map_batches(
-        edge_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
-    # Vertex rows from both endpoints (duplicates collapse in the build
-    # fn); isolated vertices come from the optional vertices table.
-    vparts = [
-        edges.map_batches(
-            vertex_rows_from("src"), batch_format="pyarrow", zero_copy_batch=True
-        ),
-        edges.map_batches(
-            vertex_rows_from("dst"), batch_format="pyarrow", zero_copy_batch=True
-        ),
-    ]
-    if vertices is not None:
-        vparts.append(
+        union = union.union(
             vertices.map_batches(
-                vertex_rows_from("vid"), batch_format="pyarrow", zero_copy_batch=True
+                vertex_rows, batch_format="pyarrow", zero_copy_batch=True
             )
         )
-    union = parts_ds.union(*vparts)
 
     csr_dir = os.path.join(graph_dir, "csr")
     metas = union.groupby("part").map_groups(
