@@ -114,3 +114,51 @@ def write_files_parquet(path: str, n_files: int, seed: int = 42, **kw) -> str:
     """Generate and write a files table; returns ``path``."""
     pq.write_table(generate_files_table(n_files, seed=seed, **kw), path)
     return path
+
+
+def synthetic_edge_dataset(
+    num_edges: int,
+    num_vertices: int | None = None,
+    seed: int = 42,
+    hub_frac: float = 0.1,
+    edges_per_block: int = 1_000_000,
+):
+    """Deterministic large synthetic edge table as a Ray Dataset
+    (FIXTURES.md §3 bench input).
+
+    Each block is generated independently from (seed, block_index), so
+    generation parallelizes and the table is identical across runs and
+    CPU counts.  ``hub_frac`` of edges target a small hub set (V/1000
+    vertices) for realistic skew.
+    """
+    import ray.data
+
+    num_vertices = num_vertices or max(2, num_edges // 32)
+    n_hubs = max(1, num_vertices // 1000)
+    n_blocks = max(1, num_edges // edges_per_block)
+    per_block = num_edges // n_blocks
+
+    def gen(batch: pa.Table) -> pa.Table:
+        out = []
+        for b in batch.column("id").to_pylist():
+            rng = np.random.Generator(np.random.PCG64([seed, int(b)]))
+            src = rng.integers(0, num_vertices, per_block, dtype=np.int64)
+            dst = rng.integers(0, num_vertices, per_block, dtype=np.int64)
+            hub = rng.random(per_block) < hub_frac
+            dst[hub] = rng.integers(0, n_hubs, int(hub.sum()), dtype=np.int64)
+            out.append(
+                pa.table(
+                    {
+                        "src": pa.array(src),
+                        "dst": pa.array(dst),
+                        "weight": pa.array(np.ones(per_block, np.float64)),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    return (
+        ray.data.range(n_blocks)
+        .repartition(num_blocks=n_blocks)
+        .map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -28,17 +28,21 @@ Each partition's block is prepared for O(E_p) vectorized scatter:
   handling; the send half is the splitmix hash spreading hot sources
   across partitions).
 
-Blocks are written to ``graph_dir/csr/part_{p}.npz`` (atomic tmp +
-rename, idempotent under task retry) so that scatter actors load each
-block once per actor (``__init__``-style caching) and a resumed run
-reuses them.  On a multi-node cluster this directory lives on shared
-storage; blocks never travel through a per-iteration shuffle.
+Blocks are written to ``graph_dir/csr/part_{p}/<array>.npy`` (atomic
+tmp-dir + rename, idempotent under task retry) and loaded with
+``np.load(mmap_mode='r')``: every worker process on a node maps the
+same page-cache pages, so there is exactly ONE in-memory copy of the
+CSR per node regardless of worker count, and a "cache miss" costs a
+mmap call, not a 30MB deserialization.  On a multi-node cluster this
+directory lives on shared storage; blocks never travel through a
+per-iteration shuffle.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import tempfile
 from dataclasses import dataclass
 
@@ -64,7 +68,7 @@ class GraphMeta:
         return os.path.join(self.graph_dir, "csr")
 
     def csr_path(self, part: int) -> str:
-        return os.path.join(self.csr_dir, f"part_{part}.npz")
+        return os.path.join(self.csr_dir, f"part_{part}")
 
     def save(self) -> None:
         with open(os.path.join(self.graph_dir, "meta.json"), "w") as f:
@@ -85,26 +89,37 @@ class GraphMeta:
         return cls(graph_dir=graph_dir, **d)
 
 
-def _atomic_save_npz(path: str, **arrays: np.ndarray) -> None:
+def _atomic_save_arrays(path: str, **arrays: np.ndarray) -> None:
+    """Write one .npy per array into a directory, atomically (tmp dir +
+    rename) so task retries are idempotent."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
-    os.close(fd)
+    tmp = tempfile.mkdtemp(dir=os.path.dirname(path), suffix=".tmp")
     try:
-        with open(tmp, "wb") as f:
-            np.savez(f, **arrays)
+        for name, arr in arrays.items():
+            np.save(os.path.join(tmp, f"{name}.npy"), arr)
+        if os.path.exists(path):
+            shutil.rmtree(path)
         os.replace(tmp, path)
     finally:
         if os.path.exists(tmp):
-            os.unlink(tmp)
+            shutil.rmtree(tmp, ignore_errors=True)
 
 
 def load_csr(graph_meta: GraphMeta, part: int) -> dict[str, np.ndarray]:
-    """Load one partition's CSR block (empty arrays if absent)."""
+    """Memory-map one partition's CSR block (empty dict if absent).
+
+    ``mmap_mode='r'`` means all worker processes on a node share the
+    same page-cache copy — loading is O(1), not O(bytes)."""
     path = graph_meta.csr_path(part)
-    if not os.path.exists(path):
+    if not os.path.isdir(path):
         return {}
-    with np.load(path) as z:
-        return {k: z[k] for k in z.files}
+    out: dict[str, np.ndarray] = {}
+    for fname in os.listdir(path):
+        if fname.endswith(".npy"):
+            out[fname[:-4]] = np.load(
+                os.path.join(path, fname), mmap_mode="r"
+            )
+    return out
 
 
 def _build_part_block(
@@ -185,8 +200,8 @@ def _build_part_block(
         seg_dst = np.empty(0, dtype=np.int64)
         seg_dst_part = np.empty(0, dtype=np.int32)
 
-    _atomic_save_npz(
-        os.path.join(csr_dir, f"part_{part}.npz"),
+    _atomic_save_arrays(
+        os.path.join(csr_dir, f"part_{part}"),
         vids=vids,
         out_weight=out_weight,
         out_degree=out_degree,

@@ -124,3 +124,21 @@ def test_weighted_edges(tmp_graph_dir):
     ours = state_dict(run.state, "rank")
     ref = _pagerank_python(G, tol=1e-12, max_iter=1000, weight="weight")
     assert max(abs(ours[v] - ref[v]) for v in ref) < 1e-6
+
+
+def test_google_matrix_oracle(tmp_graph_dir):
+    import numpy as np
+
+    from igraph_ray.kernels.google import google_matrix, pagerank_dense
+
+    src = np.array([u for u, v in LANGVILLE_EDGES])
+    dst = np.array([v for u, v in LANGVILLE_EDGES])
+    g = google_matrix(src, dst, num_vertices=7, alpha=0.9)
+    assert np.allclose(g.sum(axis=1), 1.0)
+    x = pagerank_dense(src, dst, num_vertices=7, alpha=0.9)
+    # vertex 0 is isolated in the 1-indexed Langville graph; renormalize
+    # over 1..6 to compare with the published vector
+    ranks = {v: x[v] for v in range(1, 7)}
+    s = sum(ranks.values())
+    for v, expect in LANGVILLE_RANKS.items():
+        assert abs(ranks[v] / s - expect) < 1e-3
