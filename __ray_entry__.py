@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": q.q_components,  # SQL oracle: recursive CTE
         "triangles": q.q_triangles,  # SQL oracle: 3-way self-join
         "label_propagation": q.q_lpa,  # rows-only (§2.3(1))
+        "strongly_connected_components": q.q_scc,  # rows-only (IGRAPH_STRONG)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
         "lineitem_agg": q.q_lineitem_agg,
         "orders_per_nation": q.q_orders_per_nation,

@@ -13,3 +13,4 @@ from igraph_ray.kernels.triangles import (  # noqa: F401
     triangle_counts,
 )
 from igraph_ray.kernels.degree import out_degrees, undirected_degrees  # noqa: F401
+from igraph_ray.kernels.scc import scc, strongly_connected_components  # noqa: F401

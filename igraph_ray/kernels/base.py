@@ -233,6 +233,7 @@ def run_kernel(
     checkpoint_every: int = 1,
     resume: bool = False,
     scatter_concurrency: int | tuple[int, int] | None = None,
+    initial_state: ray.data.Dataset | None = None,
 ) -> KernelRun:
     """Drive the scatter→shuffle→apply loop to convergence.
 
@@ -251,6 +252,8 @@ def run_kernel(
             state = ckpt.load_state(done)
             start_iter = done + 1
 
+    if state is None and initial_state is not None:
+        state = initial_state.materialize()
     if state is None:
         state = init_state_dataset(kernel, graph).materialize()
 

@@ -526,6 +526,39 @@ def q_ann_brute(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def q_scc(sf_dir: str, graph_dir: str | None = None):
+    """(key, scc_key) — strongly connected components over a directed
+    graph of per-commit member rings (igraph IGRAPH_STRONG mode
+    parity); rows-only check, pytest networkx oracle in tests/test_scc.py."""
+    import tempfile
+
+    from igraph_ray.kernels.scc import scc as run_scc
+    from igraph_ray.stages.edge_rules import ring_edges
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_scc_")
+    files = with_file_key(files_from_documents(sf_dir))
+    rings = ring_edges(files, "commit", "file_key")
+    keys = (
+        files.select_columns(["file_key"]).rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(rings, vertices)
+    state = run_scc(
+        edges, graph_dir, vertices=vertices.select_columns(["vid"])
+    )
+    tbl = pa.concat_tables(
+        state.select_columns(["vid", "scc"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"vid": "key", "scc": "scc_key"})
+
+
 def q_multimodal_decode(sf_dir: str):
     from igraph_ray.functions.multimodal import (
         decode_images,

@@ -156,6 +156,46 @@ def content_sha_edges(
     )
 
 
+def _emit_ring(group: pa.Table, member_col: str, rule: str) -> pa.Table:
+    """Directed ring over the sorted distinct members of a group:
+    m0→m1→…→mk-1→m0 (k≥2).  Gives every key group one strongly
+    connected cycle — the directed-rule counterpart of ``key_edges``."""
+    members = np.asarray(group.column(member_col).to_pylist(), dtype=object)
+    uniq = np.unique(members)
+    k = len(uniq)
+    if k < 2:
+        return pa.table(
+            {
+                "src_key": pa.array([], pa.string()),
+                "dst_key": pa.array([], pa.string()),
+                "weight": pa.array([], pa.float64()),
+                "rule": pa.array([], pa.string()),
+            }
+        )
+    return pa.table(
+        {
+            "src_key": pa.array(uniq, pa.string()),
+            "dst_key": pa.array(np.roll(uniq, -1), pa.string()),
+            "weight": pa.array(np.ones(k)),
+            "rule": pa.array([rule] * k, pa.string()),
+        }
+    )
+
+
+def ring_edges(
+    files: ray.data.Dataset,
+    group_col: str,
+    member_col: str,
+    rule: str = "ring",
+) -> ray.data.Dataset:
+    """Directed cycle per key group (used for SCC pipelines)."""
+    projected = files.select_columns([group_col, member_col])
+    return projected.groupby(group_col).map_groups(
+        lambda g: _emit_ring(g, member_col, rule),
+        batch_format="pyarrow",
+    )
+
+
 def repo_rollup_edges(
     files: ray.data.Dataset, clique_cap: int = CLIQUE_CAP
 ) -> ray.data.Dataset:
