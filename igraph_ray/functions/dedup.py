@@ -42,16 +42,21 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """crc32 of each character k-gram (deterministic, C-speed)."""
+    """Rolling polynomial hash of each character k-gram — fully
+    vectorized (k vector ops per document), deterministic."""
     data = text.encode("utf-8", "surrogatepass")
     if len(data) <= k:
         return np.array([zlib.crc32(data)], dtype=np.uint64)
-    return np.unique(
-        np.array(
-            [zlib.crc32(data[i : i + k]) for i in range(len(data) - k + 1)],
-            dtype=np.uint64,
-        )
-    )
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b)
+    with np.errstate(over="ignore"):
+        h = np.zeros(n - k + 1, dtype=np.uint64)
+        base = np.uint64(1099511628211)  # FNV prime as polynomial base
+        p = np.uint64(1)
+        for j in range(k - 1, -1, -1):
+            h += b[j : n - k + 1 + j] * p
+            p *= base
+    return np.unique(h)
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -82,7 +87,7 @@ class _MinHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_band, out_bucket = [], [], []
+        out_id, out_bucket = [], []
         for i, t in zip(ids, texts):
             if not t:
                 continue
@@ -91,17 +96,67 @@ class _MinHashStage:
                 chunk = sig[
                     band * self.rows_per_band : (band + 1) * self.rows_per_band
                 ]
-                bucket = zlib.crc32(chunk.tobytes())
+                # fused (band, bucket) key → single-int64 shuffle key
+                bucket = (band << 32) | zlib.crc32(chunk.tobytes())
                 out_id.append(i)
-                out_band.append(band)
                 out_bucket.append(bucket)
         return pa.table(
             {
                 "id": pa.array(out_id, pa.int64()),
-                "band": pa.array(out_band, pa.int32()),
                 "bucket": pa.array(out_bucket, pa.int64()),
             }
         )
+
+
+def _dedup_pairs(
+    pairs: "ray.data.Dataset", num_parts: int = 32, extra_col: str | None = None
+) -> "ray.data.Dataset":
+    """Distinct (a, b) rows via one int32 hash-partition shuffle plus a
+    vectorized per-partition dedup (optionally min-reducing an extra
+    numeric column, e.g. hamming distance)."""
+    from igraph_ray.utils import hash_int64
+
+    def add_hpart(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hp = (
+                (hash_int64(a) * np.uint64(0x9E3779B97F4A7C15) + hash_int64(b))
+                % np.uint64(num_parts)
+            ).astype(np.int32)
+        return batch.append_column("hpart", pa.array(hp))
+
+    def dedup(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        extra = (
+            group.column(extra_col).to_numpy(zero_copy_only=False)
+            if extra_col
+            else None
+        )
+        cols = {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        if extra_col:
+            cols[extra_col] = pa.array([], pa.int64())
+        if len(a) == 0:
+            return pa.table(cols)
+        keys = (extra, b, a) if extra is not None else (b, a)
+        order = np.lexsort(keys)
+        a, b = a[order], b[order]
+        if extra is not None:
+            extra = extra[order]
+        first = np.empty(len(a), dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        out = {"a": pa.array(a[first]), "b": pa.array(b[first])}
+        if extra is not None:
+            out[extra_col] = pa.array(extra[first])  # min per pair (sorted)
+        return pa.table(out)
+
+    return (
+        pairs.map_batches(add_hpart, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hpart")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
 
 
 def _emit_bucket_pairs(group: pa.Table, cap: int = 64) -> pa.Table:
@@ -149,19 +204,22 @@ def minhash_near_dup_pairs(
     ``verify_threshold`` rescored with exact k-gram Jaccard via a
     broadcast id→text lookup (small-side pattern); pass None to skip.
     """
+    # task-based: permutation-parameter setup is trivial (128 ints), so
+    # per-task construction beats paying an actor pool's spin-up
+    stage = _MinHashStage(id_col, text_col, k, num_perm, bands)
+
+    def _sig(batch: pa.Table, _s=stage) -> pa.Table:
+        return _s(batch)
+
     sigs = ds.select_columns([id_col, text_col]).map_batches(
-        _MinHashStage,
-        fn_constructor_args=(id_col, text_col, k, num_perm, bands),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        _sig, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(
+    pairs = sigs.groupby("bucket").map_groups(
         _emit_bucket_pairs, batch_format="pyarrow"
     )
-    # dedup pairs found in multiple bands
-    pairs = pairs.groupby(["a", "b"]).aggregate(Min("a", alias_name="_"))
-    pairs = pairs.drop_columns(["_"])
+    # dedup pairs found in multiple bands: one int32 hash-partition
+    # shuffle + vectorized per-partition dedup
+    pairs = _dedup_pairs(pairs)
     if verify_threshold is None:
         return pairs
 
@@ -174,38 +232,30 @@ def minhash_near_dup_pairs(
     )
     ref = _ray.put(texts_tbl)
 
-    class Verify:
-        def __init__(self):
-            t = _ray.get(ref)
-            ids = t.column(id_col).to_numpy(zero_copy_only=False)
-            order = np.argsort(ids)
-            self.ids = ids[order]
-            self.texts = np.asarray(t.column(text_col).to_pylist(), dtype=object)[order]
-
-        def _text(self, v: np.ndarray) -> np.ndarray:
-            return self.texts[np.searchsorted(self.ids, v)]
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            a = batch.column("a").to_numpy(zero_copy_only=False)
-            b = batch.column("b").to_numpy(zero_copy_only=False)
-            ta, tb = self._text(a), self._text(b)
-            j = np.array(
-                [jaccard(x, y, k) for x, y in zip(ta, tb)], dtype=np.float64
-            )
-            keep = j >= verify_threshold
-            return pa.table(
-                {
-                    "a": pa.array(a[keep]),
-                    "b": pa.array(b[keep]),
-                    "jaccard": pa.array(j[keep]),
-                }
-            )
+    def _verify(batch: pa.Table) -> pa.Table:
+        t = _ray.get(ref)  # zero-copy plasma read, cached per node
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids)
+        ids_s = ids[order]
+        texts = np.asarray(t.column(text_col).to_pylist(), dtype=object)[order]
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        ta = texts[np.searchsorted(ids_s, a)]
+        tb = texts[np.searchsorted(ids_s, b)]
+        j = np.array(
+            [jaccard(x, y, k) for x, y in zip(ta, tb)], dtype=np.float64
+        )
+        keep = j >= verify_threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "jaccard": pa.array(j[keep]),
+            }
+        )
 
     return pairs.map_batches(
-        Verify,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        _verify, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
@@ -282,19 +332,18 @@ class _SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
-        out_id, out_sim, out_band, out_bucket = [], [], [], []
+        out_id, out_sim, out_bucket = [], [], []
         for i, t in zip(ids, texts):
             s = self.simhash64(t or "")
             for band in range(4):
                 out_id.append(i)
                 out_sim.append(s)
-                out_band.append(band)
-                out_bucket.append((s >> (band * 16)) & 0xFFFF)
+                # fused (band, 16-bit bucket) single-int64 shuffle key
+                out_bucket.append((band << 16) | ((s >> (band * 16)) & 0xFFFF))
         return pa.table(
             {
                 "id": pa.array(out_id, pa.int64()),
                 "simhash": pa.array(out_sim, pa.uint64()),
-                "band": pa.array(out_band, pa.int32()),
                 "bucket": pa.array(out_bucket, pa.int64()),
             }
         )
@@ -309,12 +358,13 @@ def simhash_near_dup_pairs(
     """SimHash near-dup pairs: band-bucket LSH (a pair within hamming
     distance 3 of 64 bits shares at least one of 4 16-bit bands), then
     exact hamming verification inside the bucket group."""
+    stage = _SimHashStage(id_col, text_col)
+
+    def _sig(batch: pa.Table, _s=stage) -> pa.Table:
+        return _s(batch)
+
     sigs = ds.select_columns([id_col, text_col]).map_batches(
-        _SimHashStage,
-        fn_constructor_args=(id_col, text_col),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 8),
+        _sig, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
@@ -343,9 +393,7 @@ def simhash_near_dup_pairs(
             }
         )
 
-    pairs = sigs.groupby(["band", "bucket"]).map_groups(
+    pairs = sigs.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
-    return pairs.groupby(["a", "b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    return _dedup_pairs(pairs, extra_col="hamming")

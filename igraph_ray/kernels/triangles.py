@@ -47,8 +47,16 @@ from igraph_ray.kernels.degree import undirected_degrees
 BROADCAST_MAX_VERTICES = 5_000_000
 
 
-def canonical_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
-    """Distinct undirected pairs ``(a < b)``, self-loops dropped."""
+def canonical_edges(
+    edges: ray.data.Dataset, num_parts: int = 32
+) -> ray.data.Dataset:
+    """Distinct undirected pairs ``(a < b)``, self-loops dropped.
+
+    Dedup = hash-partition on the pair (one int32 shuffle key — ~10×
+    cheaper than a two-int64-column sort shuffle) + vectorized
+    per-partition ``lexsort`` dedup, with a per-block partial dedup
+    before the shuffle (pre-aggregation, SURVEY.md §4)."""
+    from igraph_ray.utils import hash_int64
 
     def canon(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -57,15 +65,43 @@ def canonical_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
         src, dst = src[keep], dst[keep]
         a = np.minimum(src, dst)
         b = np.maximum(src, dst)
-        return pa.table({"src": pa.array(a), "dst": pa.array(b)})
+        # partial dedup within the block before shuffling
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a):
+            first = np.empty(len(a), dtype=bool)
+            first[0] = True
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+            a, b = a[first], b[first]
+        with np.errstate(over="ignore"):
+            hp = (
+                (hash_int64(a) * np.uint64(0x9E3779B97F4A7C15) + hash_int64(b))
+                % np.uint64(num_parts)
+            ).astype(np.int32)
+        return pa.table(
+            {"src": pa.array(a), "dst": pa.array(b), "hpart": pa.array(hp)}
+        )
+
+    def dedup_group(group: pa.Table) -> pa.Table:
+        a = group.column("src").to_numpy(zero_copy_only=False)
+        b = group.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        if len(a) == 0:
+            return pa.table(
+                {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+            )
+        first = np.empty(len(a), dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"src": pa.array(a[first]), "dst": pa.array(b[first])})
 
     canon_ds = edges.map_batches(
         canon, batch_format="pyarrow", zero_copy_batch=True
     )
-    # global dedup — one shuffle
-    return canon_ds.groupby(["src", "dst"]).aggregate(
-        Count("src", alias_name="_n")
-    ).drop_columns(["_n"])
+    return canon_ds.groupby("hpart").map_groups(
+        dedup_group, batch_format="pyarrow"
+    )
 
 
 class _DegreeLookup:
@@ -170,6 +206,13 @@ def _emit_wedges_block(group: pa.Table) -> pa.Table:
     )
 
 
+def _fits_int32(oriented: ray.data.Dataset) -> bool:
+    """True if all vids fit in 31 bits (fused-key broadcast path)."""
+    mx = oriented.max(["u", "v"])
+    top = max(mx["max(u)"], mx["max(v)"])
+    return top < 2**31
+
+
 def triangle_counts(
     edges: ray.data.Dataset,
     broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
@@ -217,40 +260,114 @@ def triangle_counts(
             "upart", pa.array(part_of(u, num_partitions))
         )
 
-    wedges = (
-        oriented.map_batches(
-            add_upart, batch_format="pyarrow", zero_copy_batch=True
+    by_u = oriented.map_batches(
+        add_upart, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    # Close strategy.  Candidate wedges outnumber edges by the average
+    # oriented degree (often 10-30×); shipping them through a join is
+    # the scale fallback.  When the oriented edge set fits a broadcast
+    # (fused (x<<32|y) int64 keys, 8B/edge), each wedge-emitting task
+    # instead probes the broadcast set with searchsorted and emits
+    # per-task pre-aggregated (vid, tri) partials — candidate wedges
+    # never leave the task.
+    can_broadcast = n_edges <= broadcast_max_vertices and _fits_int32(
+        oriented
+    )
+    if can_broadcast:
+        pair_tbl = pa.concat_tables(
+            oriented.select_columns(["u", "v"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
         )
-        .groupby("upart")
-        .map_groups(_emit_wedges_block, batch_format="pyarrow")
-    )
+        fused = (
+            pair_tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            << 32
+        ) | pair_tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        fused.sort()
+        pairs_ref = ray.put(fused)
 
-    # close: a wedge (x, y, u) is a triangle iff oriented edge (x, y)
-    # exists — one hash join on the pair key
-    pair_keys = oriented.select_columns(["u", "v"]).rename_columns(
-        {"u": "x", "v": "y"}
-    )
-    matched = wedges.join(
-        pair_keys, "inner", num_partitions, on=("x", "y")
-    )
+        def close_block(group: pa.Table) -> pa.Table:
+            empty = pa.table(
+                {
+                    "vid": pa.array([], pa.int64()),
+                    "tri": pa.array([], pa.int64()),
+                }
+            )
+            if group.num_rows == 0:
+                return empty
+            pairs = ray.get(pairs_ref)
+            u = group.column("u").to_numpy(zero_copy_only=False)
+            v = group.column("v").to_numpy(zero_copy_only=False)
+            vd = group.column("v_deg").to_numpy(zero_copy_only=False)
+            order = np.lexsort((v, vd, u))
+            u, v = u[order], v[order]
+            boundary = np.empty(len(u), dtype=bool)
+            boundary[0] = True
+            boundary[1:] = u[1:] != u[:-1]
+            starts = np.flatnonzero(boundary)
+            sizes = np.diff(np.append(starts, len(u)))
+            keep = sizes >= 2
+            starts, sizes = starts[keep], sizes[keep]
+            if len(starts) == 0:
+                return empty
+            hits: list[np.ndarray] = []
+            for k in np.unique(sizes):
+                iu, ju = np.triu_indices(int(k), 1)
+                seg = starts[sizes == k]
+                xi = (seg[:, None] + iu[None, :]).reshape(-1)
+                yi = (seg[:, None] + ju[None, :]).reshape(-1)
+                x, y = v[xi], v[yi]
+                key = (x << 32) | y
+                pos = np.searchsorted(pairs, key)
+                pos[pos >= len(pairs)] = len(pairs) - 1
+                hit = pairs[pos] == key
+                if hit.any():
+                    c = np.repeat(u[seg], len(iu))[hit]
+                    hits.append(
+                        np.concatenate([c, x[hit], y[hit]])
+                    )
+            if not hits:
+                return empty
+            uv, counts = np.unique(np.concatenate(hits), return_counts=True)
+            return pa.table(
+                {
+                    "vid": pa.array(uv),
+                    "tri": pa.array(counts.astype(np.int64)),
+                }
+            )
 
-    def corner_rows(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "vid": pa.concat_arrays(
-                    [
-                        batch.column("corner").combine_chunks(),
-                        batch.column("x").combine_chunks(),
-                        batch.column("y").combine_chunks(),
-                    ]
-                ),
-                "tri": pa.array(np.ones(3 * len(batch), np.int64)),
-            }
+        corners = by_u.groupby("upart").map_groups(
+            close_block, batch_format="pyarrow"
+        )
+    else:  # pragma: no cover - cluster-scale path
+        wedges = by_u.groupby("upart").map_groups(
+            _emit_wedges_block, batch_format="pyarrow"
+        )
+        pair_keys = oriented.select_columns(["u", "v"]).rename_columns(
+            {"u": "x", "v": "y"}
+        )
+        matched = wedges.join(
+            pair_keys, "inner", num_partitions, on=("x", "y")
         )
 
-    corners = matched.map_batches(
-        corner_rows, batch_format="pyarrow", zero_copy_batch=True
-    )
+        def corner_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vid": pa.concat_arrays(
+                        [
+                            batch.column("corner").combine_chunks(),
+                            batch.column("x").combine_chunks(),
+                            batch.column("y").combine_chunks(),
+                        ]
+                    ),
+                    "tri": pa.array(np.ones(3 * len(batch), np.int64)),
+                }
+            )
+
+        corners = matched.map_batches(
+            corner_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
 
     # union zero rows so triangle-free vertices appear with count 0
     def zero_rows(batch: pa.Table) -> pa.Table:

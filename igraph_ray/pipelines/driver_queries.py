@@ -254,9 +254,16 @@ def q_topk_degree(sf_dir: str):
     ).limit(10)
 
 
+_KEY_GRAPH_CACHE: dict[str, tuple] = {}
+
+
 def _build_key_graph(sf_dir: str, graph_dir: str):
     """vids + partitioned CSR for the E1∪E2 key graph (all file keys
-    as vertices, including isolated ones)."""
+    as vertices, including isolated ones).  Cached per sf_dir — four
+    kernel queries share one build."""
+    hit = _KEY_GRAPH_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
     pairs = _link_graph_edges(sf_dir).materialize()
     keys = (
         with_file_key(files_from_documents(sf_dir))
@@ -281,6 +288,7 @@ def _build_key_graph(sf_dir: str, graph_dir: str):
             batch_format="pyarrow", batch_size=None
         )
     ).sort_by("vid")
+    _KEY_GRAPH_CACHE[sf_dir] = (graph, vtbl)
     return graph, vtbl
 
 

