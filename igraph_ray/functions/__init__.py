@@ -12,5 +12,6 @@ from igraph_ray.functions.dedup import (  # noqa: F401
 )
 from igraph_ray.functions.similarity import (  # noqa: F401
     brute_force_topk,
+    embedding_near_dup_pairs,
     lsh_topk,
 )

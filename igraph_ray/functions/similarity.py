@@ -94,6 +94,79 @@ def brute_force_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    nbits: int = 6,
+    seed: int = 17,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int = 4096,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs ``(a, b, cosine)``.
+
+    LSH-bucket the vectors by random-hyperplane signature, then compute
+    exact pairwise cosine inside each bucket (one numpy gram matrix per
+    group) and keep pairs ≥ ``threshold``.  Recall is bounded by the
+    LSH (a near-dup pair colliding in no bucket is missed) — the
+    standard trade; lower ``nbits`` for higher recall.
+    """
+    # signatures must match across tasks → fixed seed
+    sample = ds.take(1)
+    dim = len(sample[0][vec_col])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        rng = np.random.Generator(np.random.PCG64(seed))
+        planes = rng.standard_normal((dim, nbits))
+        e = _batch_matrix(batch, vec_col).astype(np.float64)
+        sig = ((e @ planes) > 0).astype(np.int64) @ (
+            1 << np.arange(nbits, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                vec_col: batch.column(vec_col),
+                "bucket": pa.array(sig),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        n = group.num_rows
+        if n < 2 or n > bucket_cap:  # skew guard on degenerate buckets
+            return empty
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        e = _normalize(_batch_matrix(group, vec_col).astype(np.float64))
+        gram = e @ e.T
+        iu, ju = np.triu_indices(n, 1)
+        cos = gram[iu, ju]
+        keep = cos >= threshold
+        if not keep.any():
+            return empty
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {
+                "a": pa.array(lo),
+                "b": pa.array(hi),
+                "cosine": pa.array(cos[keep]),
+            }
+        )
+
+    bucketed = ds.select_columns([id_col, vec_col]).map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucketed.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+
+
 class _LshBucket:
     """Random-hyperplane signature stage (plane matrix built once per
     actor from a fixed seed — identical on every actor)."""

@@ -567,6 +567,17 @@ def q_scc(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "key", "scc": "scc_key"})
 
 
+def q_embedding_near_dup(sf_dir: str):
+    from igraph_ray.functions.similarity import embedding_near_dup_pairs
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # random testdata embeddings have no true near-dups, so use a low
+    # threshold to exercise the pipeline with non-empty output
+    return embedding_near_dup_pairs(
+        emb, threshold=0.3, nbits=3
+    ).select_columns(["a", "b"])
+
+
 def q_multimodal_decode(sf_dir: str):
     from igraph_ray.functions.multimodal import (
         decode_images,

@@ -44,14 +44,27 @@ def symmetrize_dedup(
     def add_hpart(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
         dst = batch.column("dst").to_numpy(zero_copy_only=False)
-        with np.errstate(over="ignore"):
-            hp = (
+        if src.dtype.kind in "iu":
+            with np.errstate(over="ignore"):
+                hp = (
+                    (
+                        hash_int64(src) * np.uint64(0x9E3779B97F4A7C15)
+                        + hash_int64(dst)
+                    )
+                    % np.uint64(num_parts)
+                ).astype(np.int32)
+        else:
+            # string keys (pre-vid pipelines): cheap deterministic hash
+            import zlib
+
+            hp = np.fromiter(
                 (
-                    hash_int64(src) * np.uint64(0x9E3779B97F4A7C15)
-                    + hash_int64(dst)
-                )
-                % np.uint64(num_parts)
-            ).astype(np.int32)
+                    zlib.crc32(f"{a}\x00{b}".encode()) % num_parts
+                    for a, b in zip(src, dst)
+                ),
+                dtype=np.int32,
+                count=len(src),
+            )
         return batch.append_column("hpart", pa.array(hp))
 
     def collapse(group: pa.Table) -> pa.Table:

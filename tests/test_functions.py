@@ -192,3 +192,26 @@ def test_decode_image_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_embedding_near_dup_pairs():
+    from igraph_ray.functions.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(8)
+    base = rng.standard_normal((100, 16))
+    # make 3 near-duplicate pairs: tiny perturbations of rows 0, 5, 9
+    vecs = np.vstack([base, base[[0, 5, 9]] + 0.001 * rng.standard_normal((3, 16))])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(num_blocks=3)
+    out = ds_to_table(embedding_near_dup_pairs(ds, threshold=0.99, nbits=4))
+    got = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
+    assert {(0, 100), (5, 101), (9, 102)}.issubset(got)
+    assert all(c >= 0.99 for c in out.column("cosine").to_pylist())
