@@ -42,6 +42,8 @@ def build_graph(
     num_parts: int | None = None,
     vertices: ray.data.Dataset | None = None,
     symmetrize: bool = False,
+    balance_hot: bool = True,
+    part_overrides: dict[int, int] | None = None,
 ) -> GraphMeta:
     """Partition an edge table into CSR blocks under ``graph_dir``.
 
@@ -91,7 +93,12 @@ def build_graph(
             min(max(2, cpus // 4), max(1, n_edges // 50_000)),
         )
     return build_graph_partitions(
-        edges, graph_dir, num_parts, vertices=vertices
+        edges,
+        graph_dir,
+        num_parts,
+        vertices=vertices,
+        balance_hot=balance_hot,
+        part_overrides=part_overrides,
     )
 
 

@@ -360,8 +360,13 @@ def scc(
         )
 
     rev = edges.map_batches(reverse, batch_format="pyarrow", zero_copy_batch=True)
+    # identical vid→part assignment as the forward build (the per-part
+    # fwd/bwd merge requires vid-aligned state blocks)
     bwd = build_graph(
-        rev, os.path.join(graph_dir, "bwd"), num_parts=fwd.num_parts,
+        rev,
+        os.path.join(graph_dir, "bwd"),
+        num_parts=fwd.num_parts,
         vertices=vertices,
+        part_overrides=fwd.overrides,
     )
     return strongly_connected_components(fwd, bwd, max_rounds=max_rounds)

@@ -62,6 +62,18 @@ class GraphMeta:
     num_vertices: int
     num_edges: int
     parts: list[int]  # partition ids that exist
+    #: hub-vertex partition overrides (skew rebalancing): parallel
+    #: lists [vids...], [parts...]; empty when no hot vertices found
+    hot_vids: list[int] = None  # type: ignore[assignment]
+    hot_parts: list[int] = None  # type: ignore[assignment]
+
+    def __post_init__(self):
+        self.hot_vids = self.hot_vids or []
+        self.hot_parts = self.hot_parts or []
+
+    @property
+    def overrides(self) -> dict[int, int]:
+        return dict(zip(self.hot_vids, self.hot_parts))
 
     @property
     def csr_dir(self) -> str:
@@ -78,6 +90,8 @@ class GraphMeta:
                     "num_vertices": self.num_vertices,
                     "num_edges": self.num_edges,
                     "parts": self.parts,
+                    "hot_vids": self.hot_vids,
+                    "hot_parts": self.hot_parts,
                 },
                 f,
             )
@@ -87,6 +101,104 @@ class GraphMeta:
         with open(os.path.join(graph_dir, "meta.json")) as f:
             d = json.load(f)
         return cls(graph_dir=graph_dir, **d)
+
+
+def _part_with_overrides(
+    vids: np.ndarray,
+    num_parts: int,
+    hot_vids: np.ndarray,
+    hot_parts: np.ndarray,
+) -> np.ndarray:
+    """splitmix hash partition with explicit overrides for hub vids
+    (``hot_vids`` must be sorted)."""
+    p = part_of(vids, num_parts)
+    if len(hot_vids):
+        pos = np.searchsorted(hot_vids, vids)
+        pos_c = np.clip(pos, 0, len(hot_vids) - 1)
+        hit = hot_vids[pos_c] == vids
+        p[hit] = hot_parts[pos_c[hit]]
+    return p
+
+
+def find_hot_sources(
+    edges: ray.data.Dataset,
+    num_parts: int,
+    top_k_per_block: int = 64,
+    hot_factor: float = 0.25,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Sample heavy-hitter sources (SURVEY.md §4 hub salting):
+    per-block top sources by out-edge count → driver-side combine →
+    vertices holding more than ``hot_factor × E/P`` edges are assigned
+    to partitions greedily by load so hub clumping cannot overload one
+    partition.  Returns (sorted hot vids, their parts, total edges)."""
+
+    def block_tops(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        uv, counts = np.unique(src, return_counts=True)
+        k = min(top_k_per_block, len(uv))
+        if k == 0:
+            return pa.table(
+                {
+                    "vid": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                }
+            )
+        top = np.argpartition(-counts, k - 1)[:k]
+        # sentinel row (vid=-1) carries the block's total edge count
+        return pa.table(
+            {
+                "vid": pa.array(
+                    np.concatenate(
+                        [uv[top].astype(np.int64), [-1]]
+                    )
+                ),
+                "n": pa.array(
+                    np.concatenate(
+                        [counts[top].astype(np.int64), [0]]
+                    )
+                ),
+                "total": pa.array(
+                    np.concatenate(
+                        [np.zeros(k, np.int64), [len(src)]]
+                    )
+                ),
+            }
+        )
+
+    tops = edges.map_batches(
+        block_tops, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not tops:
+        return np.empty(0, np.int64), np.empty(0, np.int32), 0
+    counts: dict[int, int] = {}
+    total_edges = 0
+    for r in tops:
+        if r["vid"] == -1:
+            total_edges += int(r["total"])
+        else:
+            counts[r["vid"]] = counts.get(r["vid"], 0) + int(r["n"])
+    threshold = max(1000, int(hot_factor * total_edges / max(1, num_parts)))
+    hot = sorted(
+        ((v, c) for v, c in counts.items() if c > threshold),
+        key=lambda x: -x[1],
+    )
+    if not hot:
+        return np.empty(0, np.int64), np.empty(0, np.int32), total_edges
+    # greedy balance: heaviest hub to the lightest partition
+    load = np.zeros(num_parts, dtype=np.int64)
+    vids, parts = [], []
+    for v, c in hot:
+        p = int(np.argmin(load))
+        load[p] += c
+        vids.append(v)
+        parts.append(p)
+    order = np.argsort(vids)
+    return (
+        np.asarray(vids, np.int64)[order],
+        np.asarray(parts, np.int32)[order],
+        total_edges,
+    )
 
 
 def _atomic_save_arrays(path: str, **arrays: np.ndarray) -> None:
@@ -123,7 +235,11 @@ def load_csr(graph_meta: GraphMeta, part: int) -> dict[str, np.ndarray]:
 
 
 def _build_part_block(
-    batch: pa.Table, num_parts: int, csr_dir: str
+    batch: pa.Table,
+    num_parts: int,
+    csr_dir: str,
+    hot_vids: np.ndarray,
+    hot_parts: np.ndarray,
 ) -> pa.Table:
     """map_groups fn: one group = one partition's vertex+edge rows.
 
@@ -179,7 +295,7 @@ def _build_part_block(
         w_norm = w / out_weight[src_pos]
 
     # Sort edges by (dst_part, dst) and precompute combine segments.
-    dst_part = part_of(dst, num_parts)
+    dst_part = _part_with_overrides(dst, num_parts, hot_vids, hot_parts)
     order = np.lexsort((dst, dst_part))
     src_pos, dst, w, w_norm, dst_part = (
         src_pos[order],
@@ -228,6 +344,8 @@ def build_graph_partitions(
     graph_dir: str,
     num_parts: int,
     vertices: ray.data.Dataset | None = None,
+    balance_hot: bool = True,
+    part_overrides: dict[int, int] | None = None,
 ) -> GraphMeta:
     """Partition an edge table into per-partition CSR blocks.
 
@@ -235,8 +353,24 @@ def build_graph_partitions(
     ``vertices`` (optional, column ``vid``) supplies isolated / dangling
     vertices; endpoints of edges are always included.  One
     ``groupby(part)`` shuffle builds everything.
+
+    ``balance_hot`` runs a cheap heavy-hitter sampling pass and pins
+    hub sources to load-balanced partitions (SURVEY.md §4 skew
+    handling); ``part_overrides`` forces a specific hub assignment
+    (used to keep two builds — e.g. forward/reversed SCC graphs —
+    vid-aligned).
     """
     os.makedirs(os.path.join(graph_dir, "csr"), exist_ok=True)
+
+    if part_overrides is not None:
+        items = sorted(part_overrides.items())
+        hot_vids = np.array([v for v, _ in items], np.int64)
+        hot_parts = np.array([p for _, p in items], np.int32)
+    elif balance_hot:
+        hot_vids, hot_parts, _ = find_hot_sources(edges, num_parts)
+    else:
+        hot_vids = np.empty(0, np.int64)
+        hot_parts = np.empty(0, np.int32)
 
     def edge_and_endpoint_rows(batch: pa.Table) -> pa.Table:
         """One pass over an edge block: the edge rows plus vertex rows
@@ -251,7 +385,10 @@ def build_graph_partitions(
             {
                 "part": pa.array(
                     np.concatenate(
-                        [part_of(src, num_parts), part_of(v, num_parts)]
+                        [
+                            _part_with_overrides(src, num_parts, hot_vids, hot_parts),
+                            _part_with_overrides(v, num_parts, hot_vids, hot_parts),
+                        ]
                     ),
                     pa.int32(),
                 ),
@@ -288,7 +425,10 @@ def build_graph_partitions(
             z64 = np.zeros(m, dtype=np.int64)
             return pa.table(
                 {
-                    "part": pa.array(part_of(v, num_parts), pa.int32()),
+                    "part": pa.array(
+                        _part_with_overrides(v, num_parts, hot_vids, hot_parts),
+                        pa.int32(),
+                    ),
                     "vid": pa.array(v),
                     "src": pa.array(z64),
                     "dst": pa.array(z64),
@@ -305,7 +445,7 @@ def build_graph_partitions(
 
     csr_dir = os.path.join(graph_dir, "csr")
     metas = union.groupby("part").map_groups(
-        lambda b: _build_part_block(b, num_parts, csr_dir),
+        lambda b: _build_part_block(b, num_parts, csr_dir, hot_vids, hot_parts),
         batch_format="pyarrow",
     )
     rows = metas.take_all()
@@ -315,6 +455,8 @@ def build_graph_partitions(
         num_vertices=int(sum(r["n_vids"] for r in rows)),
         num_edges=int(sum(r["n_edges"] for r in rows)),
         parts=sorted(int(r["part"]) for r in rows),
+        hot_vids=[int(v) for v in hot_vids],
+        hot_parts=[int(x) for x in hot_parts],
     )
     meta.save()
     return meta
