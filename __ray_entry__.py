@@ -51,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_degree": q.q_topk_degree,
         # K1-K4 — graph kernels over the E1∪E2 key graph
         "pagerank": q.q_pagerank,  # rows-only (float fixed point)
+        "pagerank_personalized": q.q_pagerank_personalized,  # rows-only
+        "transitivity": q.q_transitivity,  # SQL oracle (exact int sums)
+        "total_triangles": q.q_total_triangles,  # SQL oracle
         "components": q.q_components,  # SQL oracle: recursive CTE
         "triangles": q.q_triangles,  # SQL oracle: 3-way self-join
         "label_propagation": q.q_lpa,  # rows-only (§2.3(1))
@@ -274,6 +277,42 @@ corners AS (
 cnt AS (SELECT key, COUNT(*) AS n FROM corners GROUP BY key)
 SELECT k.key, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
 FROM keys k LEFT JOIN cnt ON k.key = cnt.key
+""",
+        "transitivity": f"""
+{_LINK_PAIRS},
+ce AS (
+  SELECT DISTINCT LEAST(src_key, dst_key) AS a,
+                  GREATEST(src_key, dst_key) AS b
+  FROM link_pairs WHERE src_key <> dst_key
+),
+deg AS (
+  SELECT key, COUNT(*) AS d FROM (
+    SELECT a AS key FROM ce UNION ALL SELECT b FROM ce
+  ) GROUP BY key
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT (SELECT 3.0 * COUNT(*) FROM tri)
+     / (SELECT SUM(d * (d - 1) / 2.0) FROM deg) AS transitivity
+""",
+        "total_triangles": f"""
+{_LINK_PAIRS},
+ce AS (
+  SELECT DISTINCT LEAST(src_key, dst_key) AS a,
+                  GREATEST(src_key, dst_key) AS b
+  FROM link_pairs WHERE src_key <> dst_key
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
 """,
         "lineitem_agg": (
             "SELECT l_returnflag, l_linestatus, "

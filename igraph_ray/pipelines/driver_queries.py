@@ -354,6 +354,65 @@ def q_triangles(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
 
 
+def q_transitivity(sf_dir: str):
+    """Global transitivity of the E1∪E2 graph as one row — both
+    engines compute Σtriangles / Σtriads over exactly-representable
+    integer sums, so the IEEE division matches bitwise."""
+    from igraph_ray.kernels.triangles import transitivity
+
+    pairs = _link_graph_edges(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    t = transitivity(edges)
+    return pa.table({"transitivity": pa.array([t], pa.float64())})
+
+
+def q_total_triangles(sf_dir: str):
+    """Total triangle count of the E1∪E2 graph (one int row)."""
+    from igraph_ray.kernels.triangles import total_triangles, triangle_counts
+
+    pairs = _link_graph_edges(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    n = total_triangles(triangle_counts(edges))
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
+def q_pagerank_personalized(sf_dir: str, graph_dir: str | None = None):
+    """(key, rank) with personalization concentrated on the smallest
+    key — exercises the K1 personalization/dangling surface; rows-only
+    (float fixed point), semantics verified by the pytest oracle."""
+    import tempfile
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_ppr_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    seed_vid = 0  # dense sorted ids: vid 0 = lexicographically min key
+    pers = {seed_vid: 1.0}
+    run = pagerank(
+        graph,
+        tol=1e-8,
+        max_iter=200,
+        personalization=pers,
+        raise_on_nonconvergence=False,
+    )
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "rank"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return _vid_to_key(state, vtbl, {"vid": "key"})
+
+
 def q_pagerank(sf_dir: str, graph_dir: str | None = None):
     """(key, rank) over the E1∪E2 graph — no SQL oracle (float fixed
     point); verified by the pytest networkx suite instead."""
