@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q.q_fingerprints,  # rows-only
         "minhash_pairs": q.q_minhash_pairs,  # rows-only
         "simhash_pairs": q.q_simhash_pairs,  # rows-only
+        "near_dedup_clusters": q.q_near_dedup_clusters,  # rows-only
         "ann_brute_topk": q.q_ann_brute,  # SQL oracle: list_cosine_similarity
         "embedding_near_dup": q.q_embedding_near_dup,  # rows-only (LSH recall)
         "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)

@@ -626,6 +626,20 @@ def q_scc(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "key", "scc": "scc_key"})
 
 
+def q_near_dedup_clusters(sf_dir: str):
+    """(vid, keep_id) — near-dup clusters: LSH pairs → connected
+    components (K2 kernel) → min-id representative per cluster."""
+    import tempfile
+
+    from igraph_ray.functions.dedup import near_dedup
+
+    return near_dedup(
+        documents(sf_dir),
+        tempfile.mkdtemp(prefix="igr_nd_"),
+        verify_threshold=0.6,
+    )
+
+
 def q_embedding_near_dup(sf_dir: str):
     from igraph_ray.functions.similarity import embedding_near_dup_pairs
 

@@ -215,3 +215,19 @@ def test_embedding_near_dup_pairs():
     got = set(zip(out.column("a").to_pylist(), out.column("b").to_pylist()))
     assert {(0, 100), (5, 101), (9, 102)}.issubset(got)
     assert all(c >= 0.99 for c in out.column("cosine").to_pylist())
+
+
+def test_near_dedup_clusters(tmp_path):
+    from igraph_ray.functions.dedup import near_dedup
+
+    out = ds_to_table(
+        near_dedup(_docs(), str(tmp_path / "g"), verify_threshold=0.5)
+    )
+    keep = dict(
+        zip(out.column("vid").to_pylist(), out.column("keep_id").to_pylist())
+    )
+    # doc 4 is an exact duplicate of doc 0; doc 1 is a near-duplicate
+    assert keep[4] == 0
+    assert keep[1] == 0
+    # the unrelated doc keeps itself
+    assert keep[5] == 5

@@ -77,3 +77,36 @@ def test_isolated_keeps_own_label(tmp_graph_dir):
     labels = state_dict(run.state, "label")
     assert labels[7] == 7
     assert labels[0] == labels[1]
+
+
+def test_weighted_lpa_heavy_bridge(tmp_graph_dir):
+    """Edge weights steer adoption: a vertex tied to two communities
+    follows the heavier edges (weighted frequency, label_propagation.py
+    :215-217 data=weight)."""
+    import networkx as nx
+
+    G = nx.Graph()
+    # community A: clique 0-3; community B: clique 10-13; vertex 20
+    # connects to both, but with 10x weight toward A
+    for c in ([0, 1, 2, 3], [10, 11, 12, 13]):
+        for i in c:
+            for j in c:
+                if i < j:
+                    G.add_edge(i, j, weight=1.0)
+    for a in (0, 1):
+        G.add_edge(20, a, weight=10.0)
+    for b in (10, 11):
+        G.add_edge(20, b, weight=1.0)
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    w = [G[u][v]["weight"] for u, v in G.edges()]
+    from igraph_ray.api import build_graph, edges_dataset
+
+    g = build_graph(
+        edges_dataset(src, dst, w), tmp_graph_dir, num_parts=2,
+        symmetrize=True,
+    )
+    run = label_propagation(g, max_iter=60)
+    labels = state_dict(run.state, "label")
+    assert labels[20] == labels[0]  # heavy edges win
+    assert labels[0] != labels[10]
