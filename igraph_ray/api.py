@@ -11,7 +11,6 @@ import pyarrow as pa
 import ray.data
 
 from igraph_ray.stages.partition import GraphMeta, build_graph_partitions
-from igraph_ray.stages.symmetrize import symmetrize_dedup
 from igraph_ray.utils import num_parts_for
 
 

@@ -32,7 +32,7 @@ import pyarrow as pa
 import ray.data
 
 from igraph_ray.kernels.base import run_kernel
-from igraph_ray.stages.partition import GraphMeta, build_graph_partitions
+from igraph_ray.stages.partition import GraphMeta
 
 _INT64_MAX = np.iinfo(np.int64).max
 

@@ -24,9 +24,12 @@ Pure shuffle pipeline — no iteration, no actor state:
    shuffle, a handful of Python calls), then emit neighbor pairs with
    fully vectorized size-class triu expansion — no per-vertex Python;
    pairs are ordered by (degree, vid) so the closing edge is oriented;
-6. close: hash-``join`` wedges against the oriented edge set on the
-   pair key — every matched wedge is a triangle; credit all three
-   corners;
+6. close: when the oriented edge set fits a broadcast, each
+   wedge-emitting task probes a fused-key (x<<32|y) sorted array with
+   ``searchsorted`` and emits per-task pre-aggregated (vid, count)
+   partials — candidate wedges never leave the task; beyond the
+   broadcast threshold, a hash-``join`` of wedges against the edge set
+   on the pair key is the scale fallback;
 7. per-vertex counts: ``groupby(vid).sum`` unioned with zero rows for
    triangle-free vertices.
 """
@@ -35,10 +38,9 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Sum
 
 from igraph_ray.kernels.degree import undirected_degrees
 

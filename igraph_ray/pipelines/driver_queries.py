@@ -21,9 +21,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum
+from ray.data.aggregate import Count, Min, Sum
 
-from igraph_ray.api import build_graph, edges_dataset
+from igraph_ray.api import build_graph
 from igraph_ray.functions.dedup import (
     minhash_near_dup_pairs,
     simhash_near_dup_pairs,
@@ -39,7 +39,6 @@ from igraph_ray.kernels.components import connected_components
 from igraph_ray.kernels.pagerank import pagerank
 from igraph_ray.kernels.lpa import label_propagation
 from igraph_ray.kernels.triangles import triangle_counts
-from igraph_ray.pipelines.graph_build import file_edges_by_key
 from igraph_ray.stages.edge_rules import (
     commit_cooccurrence_edges,
     content_sha_edges,
