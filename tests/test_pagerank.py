@@ -142,3 +142,14 @@ def test_google_matrix_oracle(tmp_graph_dir):
     s = sum(ranks.values())
     for v, expect in LANGVILLE_RANKS.items():
         assert abs(ranks[v] / s - expect) < 1e-3
+
+
+def test_self_loops_match_reference(tmp_graph_dir):
+    G = nx.DiGraph([(0, 1), (1, 2), (2, 0), (1, 1), (2, 2)])
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    g = build_graph(edges_dataset(src, dst), tmp_graph_dir, num_parts=2)
+    run = pagerank(g, tol=1e-10, max_iter=300)
+    ours = state_dict(run.state, "rank")
+    ref = _pagerank_python(G, tol=1e-12, max_iter=1000)
+    assert max(abs(ours[v] - ref[v]) for v in ref) < 1e-6
