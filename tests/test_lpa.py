@@ -110,3 +110,75 @@ def test_weighted_lpa_heavy_bridge(tmp_graph_dir):
     labels = state_dict(run.state, "label")
     assert labels[20] == labels[0]  # heavy edges win
     assert labels[0] != labels[10]
+
+
+def test_modularity_matches_networkx(tmp_graph_dir):
+    import networkx as nx
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.api import edges_dataset
+    from igraph_ray.kernels.modularity import modularity
+
+    G = nx.ring_of_cliques(6, 4)
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    # labeling = the true cliques
+    labels = {v: v // 4 for v in G.nodes()}
+    lds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(sorted(labels), pa.int64()),
+                "label": pa.array(
+                    [labels[v] for v in sorted(labels)], pa.int64()
+                ),
+            }
+        )
+    )
+    q = modularity(edges_dataset(src, dst), lds)
+    import collections
+
+    comms = collections.defaultdict(set)
+    for v, l in labels.items():
+        comms[l].add(v)
+    ref = nx.algorithms.community.modularity(G, comms.values())
+    assert abs(q - ref) < 1e-12
+
+
+def test_lpa_modularity_beats_trivial(tmp_graph_dir):
+    """LPA communities on a ring of cliques score far better than the
+    all-one-community labeling (quality check, SURVEY.md §5.2)."""
+    import networkx as nx
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.api import edges_dataset
+    from igraph_ray.kernels.modularity import modularity
+    from tests.util import nx_edge_arrays
+
+    G = nx.ring_of_cliques(8, 5)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    run = label_propagation(g, max_iter=100)
+    labels = state_dict(run.state, "label")
+    src, dst = nx_edge_arrays(G)
+    lds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(sorted(labels), pa.int64()),
+                "label": pa.array(
+                    [labels[v] for v in sorted(labels)], pa.int64()
+                ),
+            }
+        )
+    )
+    q = modularity(edges_dataset(src, dst), lds)
+    trivial = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(sorted(labels), pa.int64()),
+                "label": pa.array([0] * len(labels), pa.int64()),
+            }
+        )
+    )
+    q0 = modularity(edges_dataset(src, dst), trivial)
+    assert q > 0.5 and q > q0 + 0.3
