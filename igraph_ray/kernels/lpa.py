@@ -52,6 +52,7 @@ MSG_SCHEMA = pa.schema(
         ("label", pa.int64()),
         ("wsum", pa.float64()),
         ("self_lbl", pa.int64()),
+        ("self_prev", pa.int64()),
     ]
 )
 
@@ -68,7 +69,11 @@ class LabelPropagationKernel:
     _zero_streak: int = 0
 
     state_value_cols: dict = field(
-        default_factory=lambda: {"label": np.int64, "changed": np.int64}
+        default_factory=lambda: {
+            "label": np.int64,
+            "changed": np.int64,
+            "prev": np.int64,
+        }
     )
     metric_cols: tuple = ("changed",)
     message_schema: pa.Schema = MSG_SCHEMA
@@ -78,6 +83,8 @@ class LabelPropagationKernel:
         return {
             "label": vids.copy(),
             "changed": np.ones(len(vids), dtype=np.int64),
+            # label two rounds ago, for 2-cycle detection (-1 = none)
+            "prev": np.full(len(vids), -1, dtype=np.int64),
         }
 
     def scatter(self, csr, sb) -> pa.Table:
@@ -122,6 +129,7 @@ class LabelPropagationKernel:
 
         self_vids = sb.vids
         self_lbl = sb.values["label"]
+        self_prev = sb.values["prev"]
         n_self = len(self_vids)
         n_msg = len(m_dst)
         return pa.table(
@@ -135,6 +143,9 @@ class LabelPropagationKernel:
                 "self_lbl": pa.array(
                     np.concatenate([np.full(n_msg, -1, np.int64), self_lbl])
                 ),
+                "self_prev": pa.array(
+                    np.concatenate([np.full(n_msg, -1, np.int64), self_prev])
+                ),
             }
         )
 
@@ -143,11 +154,18 @@ class LabelPropagationKernel:
         lbl = group.column("label").to_numpy(zero_copy_only=False)
         wsum = group.column("wsum").to_numpy(zero_copy_only=False)
         slf = group.column("self_lbl").to_numpy(zero_copy_only=False)
+        sprev = group.column("self_prev").to_numpy(zero_copy_only=False)
 
         # 1) merge duplicate (dst, label) rows from different source
         #    partitions; deterministic order via (dst, label, wsum).
         order = np.lexsort((wsum, lbl, dst))
-        dst, lbl, wsum, slf = dst[order], lbl[order], wsum[order], slf[order]
+        dst, lbl, wsum, slf, sprev = (
+            dst[order],
+            lbl[order],
+            wsum[order],
+            slf[order],
+            sprev[order],
+        )
         n = len(dst)
         if n == 0:
             return pa.table(
@@ -156,6 +174,7 @@ class LabelPropagationKernel:
                     "vid": pa.array([], pa.int64()),
                     "label": pa.array([], pa.int64()),
                     "changed": pa.array([], pa.int64()),
+                    "prev": pa.array([], pa.int64()),
                 }
             )
         pair_new = np.empty(n, dtype=bool)
@@ -166,6 +185,7 @@ class LabelPropagationKernel:
         p_lbl = lbl[pseg]
         p_w = np.add.reduceat(wsum, pseg)
         p_slf = np.maximum.reduceat(slf, pseg)  # old label rides max
+        p_sprev = np.maximum.reduceat(sprev, pseg)
 
         # 2) per-dst segments over the merged histogram
         dseg_new = np.empty(len(p_dst), dtype=bool)
@@ -177,6 +197,7 @@ class LabelPropagationKernel:
 
         maxw = np.maximum.reduceat(p_w, dseg)
         old = np.maximum.reduceat(p_slf, dseg)  # self row holds the old label
+        prev = np.maximum.reduceat(p_sprev, dseg)  # label two rounds ago
 
         # smallest label whose weight == segment max (tie-break = min
         # label, matching the deterministic Prec-Max precedent)
@@ -196,16 +217,38 @@ class LabelPropagationKernel:
         )
         new = np.where(old_w >= maxw, old, best)
         # semi-synchronous schedule: only the active parity class
-        # updates this round; everyone else keeps their label.
-        active = (vids % self.phases) == (self.iteration % self.phases)
+        # updates this round; everyone else keeps their label.  Parity
+        # comes from the hashed vid so id-namespacing schemes (e.g. all
+        # vids even) cannot starve alternate rounds.
+        from igraph_ray.utils import hash_int64
+
+        active = (hash_int64(vids) % np.uint64(self.phases)).astype(
+            np.int64
+        ) == (self.iteration % self.phases)
         new = np.where(active, new, old)
+        # 2-cycle break: if a vertex is about to return to its label of
+        # two rounds ago (label swap with a neighbor — possible when
+        # adjacent vertices share a parity class), both sides adopt the
+        # smaller label deterministically, which is a stable fixed point.
+        cycle = (new == prev) & (new != old)
+        new = np.where(cycle, np.minimum(old, new), new)
         changed = (new != old).astype(np.int64)
+        # prev = the last label this vertex HELD before its latest
+        # change (inactive/unchanged rounds must not clobber it, or the
+        # 2-cycle test would never see the alternation); once a break
+        # fires, prev resets so the vertex can still adopt the true
+        # neighborhood-maximal label on the next round instead of being
+        # trapped at the minimum
+        prev_out = np.where(
+            cycle, np.int64(-1), np.where(changed.astype(bool), old, prev)
+        )
         return pa.table(
             {
                 "part": pa.array(np.full(len(vids), part, np.int32)),
                 "vid": pa.array(vids),
                 "label": pa.array(new),
                 "changed": pa.array(changed),
+                "prev": pa.array(prev_out),
             }
         )
 

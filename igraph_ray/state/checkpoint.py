@@ -56,6 +56,14 @@ class CheckpointManager:
         self, state: ray.data.Dataset, iteration: int, metrics: dict[str, float]
     ) -> None:
         d = _iter_dir(self.root, iteration)
+        # a previous attempt may have died mid-write (no _SUCCESS):
+        # clear the partial files so a retry cannot duplicate rows
+        if os.path.isdir(d) and not os.path.exists(
+            os.path.join(d, "_SUCCESS")
+        ):
+            import shutil
+
+            shutil.rmtree(d)
         state_dir = os.path.join(d, "state")
         os.makedirs(state_dir, exist_ok=True)
         state.write_parquet(state_dir)

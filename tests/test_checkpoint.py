@@ -66,3 +66,27 @@ def test_incomplete_checkpoint_ignored(tmp_graph_dir, tmp_path):
     broken = os.path.join(ck, "iter_00003")
     os.makedirs(os.path.join(broken, "state"))
     assert latest_complete_iteration(ck) == 2
+
+
+def test_partial_checkpoint_overwritten(tmp_graph_dir, tmp_path):
+    """A retry of an iteration whose previous write died mid-flight
+    (state files present, no _SUCCESS) must not duplicate rows."""
+    import shutil
+
+    import networkx as nx
+    import pyarrow as pa
+
+    from igraph_ray.state.checkpoint import CheckpointManager
+
+    G = nx.gnm_random_graph(50, 150, seed=12)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=2)
+    ck = str(tmp_path / "ck")
+    run = pagerank(g, tol=1e-10, max_iter=3, checkpoint_dir=ck,
+                   raise_on_nonconvergence=False)
+    # simulate a partial write of iteration 2: drop the marker, keep files
+    d = os.path.join(ck, "iter_00002")
+    os.remove(os.path.join(d, "_SUCCESS"))
+    mgr = CheckpointManager(ck)
+    mgr.save_state(run.state, 2, {})
+    reloaded = mgr.load_state(2)
+    assert reloaded.count() == g.num_vertices  # no duplicated rows
