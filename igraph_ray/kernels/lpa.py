@@ -12,16 +12,19 @@ labels (``label_propagation.py:229-231``), until no vertex changes.
 Deliberate semantic delta (SURVEY.md §2.3(1)): the reference shuffles
 vertices with a seeded RNG and breaks ties randomly — a sequential,
 order-dependent schedule that cannot be replayed distributed.  We run
-a **semi-synchronous schedule**: each round updates only one vid-parity
-class (even rounds update even vids, odd rounds odd vids) with a
-deterministic smallest-label tie-break.  This is the distributed
-analogue of the reference's semi-synchronous variant
-(``label_propagation.py:236-338``), which updates independent color
-classes one at a time with a deterministic Prec-Max rule precisely to
-avoid the fully-synchronous 2-cycle (e.g. a star graph oscillates
-hub↔leaves under lock-step updates; parity classes + keep-if-maximal
-break the cycle).  Convergence = a full parity cycle with zero
-changes.  Verification uses the fixed-point property (every vertex's
+a **semi-synchronous schedule**: each round updates only one
+hashed-vid-parity class with a deterministic smallest-label tie-break.
+This is the distributed analogue of the reference's semi-synchronous
+variant (``label_propagation.py:236-338``), which updates independent
+color classes one at a time with a deterministic Prec-Max rule
+precisely to avoid the fully-synchronous 2-cycle (a star graph
+oscillates hub↔leaves under lock-step updates).  Hash parity is not a
+proper coloring, so adjacent same-class vertices can still swap labels;
+a per-vertex ``prev`` column detects the period-2 alternation and
+breaks it deterministically to the smaller label (a stable fixed
+point), resetting afterwards so no vertex is trapped below its
+neighborhood-maximal label.  Convergence = a full parity cycle with
+zero changes.  Verification uses the fixed-point property (every vertex's
 label is maximal in its neighborhood — ``label_propagation.py:297-307``)
 plus exact equality on fixtures with unambiguous communities, not
 bitwise label equality.
