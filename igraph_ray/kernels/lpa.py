@@ -94,12 +94,20 @@ class LabelPropagationKernel:
         label = sb.aligned["label"]
 
         if len(csr.get("src_pos", ())) and sb.present.any():
-            src_present = sb.present[csr["src_pos"]]
-            lab_e = label[csr["src_pos"]][src_present]
+            from igraph_ray.utils import hash_int64
+
+            # only the active parity class updates this round — drop
+            # messages to inactive destinations (≈ halves the shuffle)
+            active_parity = np.uint64(self.iteration % self.phases)
+            dst_active = (
+                hash_int64(csr["dst"]) % np.uint64(self.phases)
+            ) == active_parity
+            keep = sb.present[csr["src_pos"]] & dst_active
+            lab_e = label[csr["src_pos"]][keep]
             w_all = csr["w"] if self.weighted else np.ones(len(csr["w"]))
-            w_e = w_all[src_present]
-            dst = csr["dst"][src_present]
-            dst_part = csr["dst_part"][src_present]
+            w_e = w_all[keep]
+            dst = csr["dst"][keep]
+            dst_part = csr["dst_part"][keep]
             # labels change every round → combine per (dst_part, dst,
             # label) with a fresh lexsort (edges are pre-sorted by
             # (dst_part, dst), but label order is per-iteration)
