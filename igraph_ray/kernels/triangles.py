@@ -389,6 +389,98 @@ def triangle_counts(
     return counts
 
 
+def triangle_list(
+    edges: ray.data.Dataset,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+) -> ray.data.Dataset:
+    """Enumerate triangles as rows ``(a < b < c)`` — the
+    ``igraph_list_triangles`` surface.  Same wedge pipeline as
+    :func:`triangle_counts`, emitting the matched triples instead of
+    per-corner counts."""
+    simple = canonical_edges(edges).materialize()
+    degrees = undirected_degrees(simple).materialize()
+    n_vertices = degrees.count()
+    if n_vertices > broadcast_max_vertices:  # pragma: no cover
+        raise NotImplementedError(
+            "triangle_list currently requires the broadcast close path"
+        )
+    deg_table = pa.concat_tables(
+        degrees.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    ref = ray.put(deg_table)
+    with_deg = simple.map_batches(
+        _DegreeLookup,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    oriented = with_deg.map_batches(
+        _orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_edges = oriented.count()
+    num_partitions = int(max(2, min(64, n_edges // 250_000 + 2)))
+
+    pair_tbl = pa.concat_tables(
+        oriented.select_columns(["u", "v"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    fused = (
+        pair_tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        << 32
+    ) | pair_tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    fused.sort()
+    pairs_ref = ray.put(fused)
+
+    def add_upart(batch: pa.Table) -> pa.Table:
+        from igraph_ray.utils import part_of
+
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "upart", pa.array(part_of(u, num_partitions))
+        )
+
+    def list_block(group: pa.Table) -> pa.Table:
+        w = _emit_wedges_block(group)
+        empty = pa.table(
+            {
+                "a": pa.array([], pa.int64()),
+                "b": pa.array([], pa.int64()),
+                "c": pa.array([], pa.int64()),
+            }
+        )
+        if w.num_rows == 0:
+            return empty
+        pairs = ray.get(pairs_ref)
+        x = w.column("x").to_numpy(zero_copy_only=False)
+        y = w.column("y").to_numpy(zero_copy_only=False)
+        corner = w.column("corner").to_numpy(zero_copy_only=False)
+        key = (x << 32) | y
+        pos = np.searchsorted(pairs, key)
+        pos[pos >= len(pairs)] = len(pairs) - 1
+        hit = pairs[pos] == key
+        if not hit.any():
+            return empty
+        tri = np.stack([corner[hit], x[hit], y[hit]])
+        tri.sort(axis=0)  # canonical a < b < c
+        return pa.table(
+            {
+                "a": pa.array(tri[0]),
+                "b": pa.array(tri[1]),
+                "c": pa.array(tri[2]),
+            }
+        )
+
+    return (
+        oriented.map_batches(
+            add_upart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("upart")
+        .map_groups(list_block, batch_format="pyarrow")
+    )
+
+
 def total_triangles(per_vertex: ray.data.Dataset) -> int:
     """Total triangle count = Σ per-vertex / 3 (cluster.py:53-58)."""
     s = per_vertex.sum("triangles") or 0

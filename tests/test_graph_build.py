@@ -147,3 +147,30 @@ def test_build_file_graph_end_to_end(tmp_path):
         zip(et.column("src").to_pylist(), et.column("dst").to_pylist())
     )
     assert all((b, a) in arcs for a, b in arcs)
+
+
+def test_library_never_calls_ray_init():
+    """Driver contract: no ray.init/ray.shutdown inside the library or
+    __ray_entry__ (only bench.py, the CLI, and the test fixture own a
+    session)."""
+    import ast
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    offenders = []
+    for p in list((root / "igraph_ray").rglob("*.py")) + [
+        root / "__ray_entry__.py"
+    ]:
+        if p.name == "__main__.py":  # the CLI owns its session (guarded)
+            continue
+        tree = ast.parse(p.read_text())
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr in ("init", "shutdown")
+                and isinstance(node.func.value, ast.Name)
+                and node.func.value.id == "ray"
+            ):
+                offenders.append(f"{p}:{node.lineno}")
+    assert not offenders, offenders

@@ -58,3 +58,25 @@ def test_transitivity():
     assert transitivity(edges_dataset(src, dst)) == pytest.approx(
         nx.transitivity(G), abs=1e-12
     )
+
+
+def test_triangle_list_matches_enumeration():
+    from igraph_ray.kernels.triangles import triangle_list
+
+    G = nx.gnm_random_graph(60, 250, seed=31)
+    src, dst = nx_edge_arrays(G)
+    out = ds_to_table(triangle_list(edges_dataset(src, dst)))
+    got = set(
+        zip(
+            out.column("a").to_pylist(),
+            out.column("b").to_pylist(),
+            out.column("c").to_pylist(),
+        )
+    )
+    ref = set()
+    for u in G:
+        for v in G[u]:
+            for w in G[v]:
+                if w in G[u]:
+                    ref.add(tuple(sorted((u, v, w))))
+    assert got == ref
