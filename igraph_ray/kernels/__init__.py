@@ -8,9 +8,12 @@ from igraph_ray.kernels.components import ComponentsKernel, connected_components
 from igraph_ray.kernels.lpa import LabelPropagationKernel, label_propagation  # noqa: F401
 from igraph_ray.kernels.triangles import (  # noqa: F401
     canonical_edges,
+    local_clustering,
     total_triangles,
     transitivity,
     triangle_counts,
+    triangle_list,
 )
+from igraph_ray.kernels.modularity import modularity  # noqa: F401
 from igraph_ray.kernels.degree import out_degrees, undirected_degrees  # noqa: F401
 from igraph_ray.kernels.scc import scc, strongly_connected_components  # noqa: F401

@@ -487,6 +487,64 @@ def total_triangles(per_vertex: ray.data.Dataset) -> int:
     return int(s) // 3
 
 
+def local_clustering(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-vertex local clustering coefficient
+    ``c(v) = triangles(v) / (d(v)·(d(v)−1)/2)`` (0 when d < 2) —
+    igraph's ``transitivity_local_undirected`` / ``nx.clustering``."""
+    simple = canonical_edges(edges).materialize()
+    counts = triangle_counts(simple).materialize()
+    degrees = undirected_degrees(simple)
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "triangles": pa.array(np.zeros(len(batch), np.int64)),
+                "degree": batch.column("degree"),
+            }
+        )
+
+    def tag_tri(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "triangles": batch.column("triangles"),
+                "degree": pa.array(np.zeros(len(batch), np.int64)),
+            }
+        )
+
+    merged = (
+        counts.map_batches(tag_tri, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            degrees.map_batches(
+                tag_deg, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        .groupby("vid")
+        .aggregate(
+            Sum("triangles", alias_name="triangles"),
+            Sum("degree", alias_name="degree"),
+        )
+    )
+
+    def coeff(batch: pa.Table) -> pa.Table:
+        t = batch.column("triangles").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        d = batch.column("degree").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        denom = d * (d - 1) / 2.0
+        c = np.where(denom > 0, t / np.maximum(denom, 1.0), 0.0)
+        return pa.table(
+            {"vid": batch.column("vid"), "clustering": pa.array(c)}
+        )
+
+    return merged.map_batches(
+        coeff, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def transitivity(edges: ray.data.Dataset) -> float:
     """3·triangles / triads (``cluster.py:500,532-541``)."""
     simple = canonical_edges(edges).materialize()

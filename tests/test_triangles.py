@@ -80,3 +80,16 @@ def test_triangle_list_matches_enumeration():
                 if w in G[u]:
                     ref.add(tuple(sorted((u, v, w))))
     assert got == ref
+
+
+def test_local_clustering_matches_networkx():
+    from igraph_ray.kernels.triangles import local_clustering
+
+    G = nx.gnm_random_graph(70, 300, seed=37)
+    src, dst = nx_edge_arrays(G)
+    out = ds_to_table(local_clustering(edges_dataset(src, dst)))
+    got = dict(
+        zip(out.column("vid").to_pylist(), out.column("clustering").to_pylist())
+    )
+    ref = nx.clustering(G)
+    assert all(abs(got[v] - ref[v]) < 1e-12 for v in got)
