@@ -399,8 +399,8 @@ def q_pagerank_personalized(sf_dir: str, graph_dir: str | None = None):
     pers = {seed_vid: 1.0}
     run = pagerank(
         graph,
-        tol=1e-8,
-        max_iter=200,
+        tol=1e-7,
+        max_iter=100,
         personalization=pers,
         raise_on_nonconvergence=False,
     )
