@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q.q_triangles,  # SQL oracle: 3-way self-join
         "label_propagation": q.q_lpa,  # rows-only (§2.3(1))
         "strongly_connected_components": q.q_scc,  # rows-only (IGRAPH_STRONG)
+        "core_numbers": q.q_core_numbers,  # rows-only (igraph_coreness)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
         "lineitem_agg": q.q_lineitem_agg,
         "orders_per_nation": q.q_orders_per_nation,

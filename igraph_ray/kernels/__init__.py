@@ -15,5 +15,6 @@ from igraph_ray.kernels.triangles import (  # noqa: F401
     triangle_list,
 )
 from igraph_ray.kernels.modularity import modularity  # noqa: F401
+from igraph_ray.kernels.kcore import KCoreKernel, core_numbers  # noqa: F401
 from igraph_ray.kernels.degree import out_degrees, undirected_degrees  # noqa: F401
 from igraph_ray.kernels.scc import scc, strongly_connected_components  # noqa: F401

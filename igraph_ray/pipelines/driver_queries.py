@@ -625,6 +625,24 @@ def q_scc(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "key", "scc": "scc_key"})
 
 
+def q_core_numbers(sf_dir: str, graph_dir: str | None = None):
+    """(key, core) — k-core decomposition of the E1∪E2 graph
+    (igraph_coreness parity); rows-only, pytest nx.core_number oracle."""
+    import tempfile
+
+    from igraph_ray.kernels.kcore import core_numbers
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_core_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = core_numbers(graph)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "core"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return _vid_to_key(state, vtbl, {"vid": "key"})
+
+
 def q_near_dedup_clusters(sf_dir: str):
     """(vid, keep_id) — near-dup clusters: LSH pairs → connected
     components (K2 kernel) → min-id representative per cluster."""
