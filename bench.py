@@ -146,6 +146,13 @@ def run_suite(headline_only: bool = False) -> dict:
         queries["label_propagation"] = round(time.perf_counter() - t0, 3)
         detail["lpa_iterations"] = lrun.iterations
 
+        from igraph_ray.kernels.kcore import core_numbers
+
+        t0 = time.perf_counter()
+        krun = core_numbers(graph)
+        queries["core_numbers"] = round(time.perf_counter() - t0, 3)
+        detail["kcore_iterations"] = krun.iterations
+
         t0 = time.perf_counter()
         import ray.data as rd
 
