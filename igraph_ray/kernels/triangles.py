@@ -241,11 +241,37 @@ def triangle_counts(
             zero_copy_batch=True,
             concurrency=(1, 8),
         )
-    else:  # pragma: no cover - exercised only at cluster scale
-        d1 = degrees.rename_columns({"vid": "src", "degree": "deg_src"})
-        d2 = degrees.rename_columns({"vid": "dst", "degree": "deg_dst"})
-        with_deg = simple.join(d1, "inner", 32, on=("src",)).join(
-            d2, "inner", 32, on=("dst",)
+    else:
+        # join partition count must not exceed what the cluster can
+        # schedule as aggregator actors, or the join deadlocks
+        join_parts = int(
+            max(2, min(32, ray.cluster_resources().get("CPU", 4) // 2))
+        )
+
+        def as_src(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch.column("vid"),
+                    "deg_src": batch.column("degree"),
+                }
+            )
+
+        def as_dst(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "dst": batch.column("vid"),
+                    "deg_dst": batch.column("degree"),
+                }
+            )
+
+        d1 = degrees.map_batches(
+            as_src, batch_format="pyarrow", zero_copy_batch=True
+        )
+        d2 = degrees.map_batches(
+            as_dst, batch_format="pyarrow", zero_copy_batch=True
+        )
+        with_deg = simple.join(d1, "inner", join_parts, on=("src",)).join(
+            d2, "inner", join_parts, on=("dst",)
         )
 
     oriented = with_deg.map_batches(
@@ -342,15 +368,24 @@ def triangle_counts(
         corners = by_u.groupby("upart").map_groups(
             close_block, batch_format="pyarrow"
         )
-    else:  # pragma: no cover - cluster-scale path
+    else:
         wedges = by_u.groupby("upart").map_groups(
             _emit_wedges_block, batch_format="pyarrow"
         )
-        pair_keys = oriented.select_columns(["u", "v"]).rename_columns(
-            {"u": "x", "v": "y"}
+
+        def as_pair(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"x": batch.column("u"), "y": batch.column("v")}
+            )
+
+        pair_keys = oriented.map_batches(
+            as_pair, batch_format="pyarrow", zero_copy_batch=True
+        )
+        join_parts = int(
+            max(2, min(num_partitions, ray.cluster_resources().get("CPU", 4) // 2))
         )
         matched = wedges.join(
-            pair_keys, "inner", num_partitions, on=("x", "y")
+            pair_keys, "inner", join_parts, on=("x", "y")
         )
 
         def corner_rows(batch: pa.Table) -> pa.Table:

@@ -93,3 +93,17 @@ def test_local_clustering_matches_networkx():
     )
     ref = nx.clustering(G)
     assert all(abs(got[v] - ref[v]) < 1e-12 for v in got)
+
+
+def test_join_fallback_path_exact():
+    """The beyond-broadcast close path (hash joins) must agree with the
+    broadcast path."""
+    G = nx.gnm_random_graph(60, 250, seed=3)
+    src, dst = nx_edge_arrays(G)
+    tc = ds_to_table(
+        triangle_counts(edges_dataset(src, dst), broadcast_max_vertices=0)
+    )
+    got = dict(
+        zip(tc.column("vid").to_pylist(), tc.column("triangles").to_pylist())
+    )
+    assert got == nx.triangles(G)
