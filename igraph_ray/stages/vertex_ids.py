@@ -111,16 +111,37 @@ def attach_vids(
             zero_copy_batch=True,
             concurrency=(1, 8),
         )
-    else:  # pragma: no cover - cluster-scale path
-        v1 = vertices.select_columns(["key", "vid"]).rename_columns(
-            {"key": key_cols[0], "vid": f"{key_cols[0]}_vid"}
+    else:
+        # join partition count must stay schedulable as aggregator
+        # actors on the current cluster or the join deadlocks
+        join_parts = int(
+            max(2, min(64, ray.cluster_resources().get("CPU", 4) // 2))
         )
-        v2 = vertices.select_columns(["key", "vid"]).rename_columns(
-            {"key": key_cols[1], "vid": f"{key_cols[1]}_vid"}
+
+        def _as(key_name: str, vid_name: str):
+            def _f(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        key_name: batch.column("key"),
+                        vid_name: batch.column("vid"),
+                    }
+                )
+
+            return _f
+
+        v1 = vertices.map_batches(
+            _as(key_cols[0], f"{key_cols[0]}_vid"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        mapped = edges_by_key.join(v1, "inner", 64, on=(key_cols[0],)).join(
-            v2, "inner", 64, on=(key_cols[1],)
+        v2 = vertices.map_batches(
+            _as(key_cols[1], f"{key_cols[1]}_vid"),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
+        mapped = edges_by_key.join(
+            v1, "inner", join_parts, on=(key_cols[0],)
+        ).join(v2, "inner", join_parts, on=(key_cols[1],))
 
     def project(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -174,3 +174,30 @@ def test_library_never_calls_ray_init():
             ):
                 offenders.append(f"{p}:{node.lineno}")
     assert not offenders, offenders
+
+
+def test_attach_vids_join_fallback():
+    """The beyond-broadcast vid-mapping path (hash joins) must agree
+    with the broadcast path."""
+    vertices = ray.data.from_arrow(
+        pa.table(
+            {
+                "key": pa.array([f"k{i}" for i in range(50)]),
+                "vid": pa.array(list(range(50)), pa.int64()),
+            }
+        )
+    )
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src_key": pa.array([f"k{i}" for i in range(0, 40, 2)]),
+                "dst_key": pa.array([f"k{i}" for i in range(1, 41, 2)]),
+                "weight": pa.array([1.0] * 20),
+            }
+        )
+    )
+    out = ds_to_table(
+        attach_vids(edges, vertices, broadcast_max_vertices=0)
+    ).sort_by("src")
+    assert out.column("src").to_pylist() == list(range(0, 40, 2))
+    assert out.column("dst").to_pylist() == list(range(1, 41, 2))
