@@ -65,9 +65,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_per_type": q.q_events_users_per_type,
         "top_orders": q.q_top_orders,
         # training-data ops
-        "language_id": q.q_language_id,  # rows-only (heuristic)
-        "quality_score": q.q_quality,  # rows-only (float heuristic)
-        "fingerprints": q.q_fingerprints,  # rows-only
+        "language_id": q.q_language_id,  # SQL oracle (regex twins)
+        "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
+        "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
         "minhash_pairs": q.q_minhash_pairs,  # rows-only
         "simhash_pairs": q.q_simhash_pairs,  # rows-only
         "near_dedup_clusters": q.q_near_dedup_clusters,  # rows-only
@@ -166,6 +166,89 @@ link_pairs AS (
 keys AS (
   SELECT DISTINCT repo || ':' || path AS key FROM files
 )"""
+
+
+# Marker patterns mirror igraph_ray.functions.text._LANG_MARKERS
+# (stripped + '|'-joined, langs in sorted order so the CASE tie-break
+# matches np.argmax's first-max rule).
+_LANG_PATS = {
+    "de": "der|die|und|das|ist|nicht|ein",
+    "en": "the|and|of|to|in|is|that",
+    "es": "el|la|los|que|es|una|para",
+    "fr": "le|la|les|et|est|une|que",
+    "it": "il|la|che|di|è|una|per",
+}
+_LANG_MAX = "greatest(s_de, s_en, s_es, s_fr, s_it)"
+_LANG_ID_SQL = f"""
+WITH s AS (
+  SELECT doc_id, {", ".join(
+      f"len(regexp_extract_all(lower(text), '{p}')) AS s_{l}"
+      for l, p in _LANG_PATS.items())}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN {_LANG_MAX} = 0 THEN 'und'
+       WHEN s_de = {_LANG_MAX} THEN 'de'
+       WHEN s_en = {_LANG_MAX} THEN 'en'
+       WHEN s_es = {_LANG_MAX} THEN 'es'
+       WHEN s_fr = {_LANG_MAX} THEN 'fr'
+       ELSE 'it' END AS lang_pred
+FROM s"""
+
+# Stopword pattern mirrors functions/text._STOPWORDS; the arithmetic
+# below replays quality_score's numpy expression in identical IEEE
+# operation order (clip = least(greatest(...))), so doubles match
+# bitwise.
+_STOP_PAT = "the|and|of|to|in|a|is|it|for|on|with|as|was|at|by"
+_QUALITY_SQL = f"""
+WITH f AS (
+  SELECT doc_id,
+    greatest(CAST(length(text) AS DOUBLE), 1.0) AS nc,
+    greatest(CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE), 1.0) AS nt,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digit,
+    CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper,
+    CAST(len(regexp_extract_all(lower(text), '{_STOP_PAT}')) AS DOUBLE) AS stop
+  FROM documents
+)
+SELECT doc_id,
+  least(greatest(1.0 - 2.0*(punct/nc), 0.0), 1.0)
+  * least(greatest(1.0 - 2.0*(digit/nc), 0.0), 1.0)
+  * least(greatest(1.0 - (upper/nc), 0.0), 1.0)
+  * least(greatest(0.25 + (stop/nt), 0.0), 1.0)
+  * least(greatest((nc/nt)/4.0, 0.25), 1.0) AS quality
+FROM f"""
+
+# Winnowing fingerprint COUNT (functions/text._winnow_row: k=8 rolling
+# polynomial base-257 hash mod 2^64, window-16 sliding min, distinct).
+# HUGEINT arithmetic + explicit % 2^64 replays numpy's uint64
+# wraparound exactly; powers are 257^j literals.
+_FINGERPRINTS_SQL = """
+WITH b AS (
+  SELECT doc_id, length(text) AS n,
+    list_transform(range(1, length(text)+1),
+                   c -> CAST(unicode(text[c]) AS HUGEINT)) AS bytes
+  FROM documents
+),
+h AS (
+  SELECT doc_id, n,
+    CASE WHEN n >= 8 THEN
+      list_transform(range(0, n-7), i ->
+        (bytes[i+1]*74051159531521793 + bytes[i+2]*288136807515649
+         + bytes[i+3]*1121154893057 + bytes[i+4]*4362470401
+         + bytes[i+5]*16974593 + bytes[i+6]*66049
+         + bytes[i+7]*257 + bytes[i+8]) % 18446744073709551616
+      ) ELSE NULL END AS hh
+  FROM b
+)
+SELECT doc_id,
+  CAST(CASE
+    WHEN n < 8 THEN 1
+    WHEN n - 7 <= 16 THEN 1
+    ELSE len(list_distinct(
+      list_transform(range(0, n - 22), p -> list_min(hh[p+1 : p+16]))))
+  END AS BIGINT) AS n_fingerprints
+FROM h"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -317,8 +400,10 @@ tri AS (
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
 """,
         "lineitem_agg": (
+            # CAST the SUM itself: DuckDB SUM(BIGINT) returns HUGEINT
+            # (surfaces as float) while the engine emits int64
             "SELECT l_returnflag, l_linestatus, "
-            "SUM(CAST(l_quantity AS BIGINT)) AS sum_qty, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
             "CAST(COUNT(*) AS BIGINT) AS n "
             "FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
@@ -336,6 +421,14 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
             "SELECT o_orderkey FROM orders "
             "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
         ),
+        # language_id / quality_score / fingerprints: exact SQL twins of
+        # the vectorized regex/arithmetic kernels in functions/text.py.
+        # Validated bitwise (identical IEEE op order; both engines use
+        # RE2 with leftmost-first alternation; testdata text is ASCII so
+        # character ops == byte ops for the rolling hash).
+        "language_id": _LANG_ID_SQL,
+        "quality_score": _QUALITY_SQL,
+        "fingerprints": _FINGERPRINTS_SQL,
         "ann_brute_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1)

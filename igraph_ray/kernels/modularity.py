@@ -29,11 +29,47 @@ def modularity(
     labels: ray.data.Dataset,
     vid_col: str = "vid",
     label_col: str = "label",
+    weighted: bool = False,
 ) -> float:
     """Modularity of ``labels`` over the undirected simple view of
-    ``edges`` (direction ignored, parallel arcs collapsed, unweighted —
-    the shape LPA runs on)."""
-    simple = canonical_edges(edges).materialize()
+    ``edges`` (direction ignored, parallel arcs collapsed, self-loops
+    dropped).
+
+    ``weighted=False`` counts collapsed edges with weight 1 —
+    ``nx.community.modularity(G, comms)`` on the unweighted simple
+    graph.  ``weighted=True`` sums collapsed edge weights (parallel
+    arcs add, the multigraph-collapse rule), matching
+    ``nx.community.modularity(..., weight="weight")`` — use this when
+    scoring weighted LPA/Louvain output.  Self-loops are dropped in
+    both modes (delta vs networkx, which counts them; LPA/Louvain run
+    on symmetrized self-loop-free graphs where the two agree)."""
+    if weighted:
+        from igraph_ray.stages.symmetrize import symmetrize_dedup
+
+        # both-arcs output → keep each undirected pair once (src < dst)
+        both = symmetrize_dedup(edges, keep_self_loops=False)
+
+        def one_arc(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            keep = src < dst
+            return pa.table(
+                {
+                    "src": pa.array(src[keep]),
+                    "dst": pa.array(dst[keep]),
+                    "weight": pa.array(
+                        batch.column("weight").to_numpy(
+                            zero_copy_only=False
+                        )[keep]
+                    ),
+                }
+            )
+
+        simple = both.map_batches(
+            one_arc, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    else:
+        simple = canonical_edges(edges).materialize()
 
     ltbl = pa.concat_tables(
         labels.select_columns([vid_col, label_col]).iter_batches(
@@ -49,13 +85,22 @@ def modularity(
         v_sorted, l_sorted = ray.get(ref)
         a = batch.column("src").to_numpy(zero_copy_only=False)
         b = batch.column("dst").to_numpy(zero_copy_only=False)
+        if weighted:
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+        else:
+            w = np.ones(len(a), np.float64)
         la = l_sorted[np.searchsorted(v_sorted, a)]
         lb = l_sorted[np.searchsorted(v_sorted, b)]
-        # internal edges per community
+        # internal edge weight per community
         same = la == lb
-        ic, in_cnt = np.unique(la[same], return_counts=True)
-        # degree contribution per community (each endpoint counts once)
-        dc, deg_cnt = np.unique(np.concatenate([la, lb]), return_counts=True)
+        ic = np.unique(la[same])
+        in_cnt = np.zeros(len(ic), np.float64)
+        np.add.at(in_cnt, np.searchsorted(ic, la[same]), w[same])
+        # weighted-degree contribution per community (each endpoint once)
+        dc = np.unique(np.concatenate([la, lb]))
+        deg_cnt = np.zeros(len(dc), np.float64)
+        np.add.at(deg_cnt, np.searchsorted(dc, la), w)
+        np.add.at(deg_cnt, np.searchsorted(dc, lb), w)
         return pa.table(
             {
                 "community": pa.array(

@@ -160,7 +160,11 @@ class PageRankKernel:
         old = group.column("old").to_numpy(zero_copy_only=False)
 
         dm_mask = dst == -1
-        dangling_mass = float(contrib[dm_mask].sum())
+        # dm rows arrive in shuffle order, which is outside the lexsort
+        # below — sort before summing so the float reduction order (and
+        # hence bitwise resume equivalence) is deterministic on graphs
+        # with dangling mass
+        dangling_mass = float(np.sort(contrib[dm_mask]).sum())
         dst, contrib, old = dst[~dm_mask], contrib[~dm_mask], old[~dm_mask]
 
         # deterministic reduction order: sort by (dst, contrib, old)

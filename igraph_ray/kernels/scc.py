@@ -330,6 +330,15 @@ def strongly_connected_components(
         scc_state = merged.select_columns(["part", "vid", "scc"])
         if remaining == 0:
             break
+    else:
+        # rounds scale with the condensation-DAG chain length (O(n)
+        # worst case on a directed path) — returning partially-assigned
+        # labels (scc = -1) would be silently wrong
+        raise RuntimeError(
+            f"SCC did not assign all vertices within {max_rounds} "
+            f"rounds ({int(remaining)} unassigned); raise max_rounds "
+            "for long condensation chains"
+        )
     return scc_state
 
 

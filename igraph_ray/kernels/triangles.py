@@ -50,15 +50,22 @@ BROADCAST_MAX_VERTICES = 5_000_000
 
 
 def canonical_edges(
-    edges: ray.data.Dataset, num_parts: int = 32
+    edges: ray.data.Dataset, num_parts: int | None = None
 ) -> ray.data.Dataset:
     """Distinct undirected pairs ``(a < b)``, self-loops dropped.
 
     Dedup = hash-partition on the pair (one int32 shuffle key — ~10×
     cheaper than a two-int64-column sort shuffle) + vectorized
     per-partition ``lexsort`` dedup, with a per-block partial dedup
-    before the shuffle (pre-aggregation, SURVEY.md §4)."""
+    before the shuffle (pre-aggregation, SURVEY.md §4).
+
+    ``num_parts`` defaults to ``n_edges / 250k`` (group ≈ block) — a
+    fixed key-space count would make per-group size O(E) at scale."""
     from igraph_ray.utils import hash_int64
+
+    if num_parts is None:
+        edges = edges.materialize()
+        num_parts = int(max(2, min(65536, edges.count() // 250_000 + 2)))
 
     def canon(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -218,12 +225,18 @@ def _fits_int32(oriented: ray.data.Dataset) -> bool:
 def triangle_counts(
     edges: ray.data.Dataset,
     broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+    vertices: ray.data.Dataset | None = None,
 ) -> ray.data.Dataset:
     """Per-vertex triangle counts: rows ``(vid, triangles)``.
 
     ``edges`` may be directed/multi/self-looped — it is canonicalized
     first (direction ignored, like ``igraph_count_adjacent_triangles``
     on an undirected view).
+
+    ``vertices`` (optional, column ``vid``) supplies the full vertex
+    set so isolated / self-loop-only vertices appear with count 0,
+    matching ``nx.triangles`` returning 0 for every node; without it
+    only edge endpoints are emitted.
     """
     simple = canonical_edges(edges).materialize()
     degrees = undirected_degrees(simple).materialize()
@@ -418,6 +431,14 @@ def triangle_counts(
     zeros = degrees.map_batches(
         zero_rows, batch_format="pyarrow", zero_copy_batch=True
     )
+    if vertices is not None:
+        # extra zero rows are harmless under Sum (0 contribution), so
+        # no dedup against the endpoint-derived zeros is needed
+        zeros = zeros.union(
+            vertices.select_columns(["vid"]).map_batches(
+                zero_rows, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
     counts = corners.union(zeros).groupby("vid").aggregate(
         Sum("tri", alias_name="triangles")
     )
@@ -453,6 +474,13 @@ def triangle_list(
     oriented = with_deg.map_batches(
         _orient, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
+    if not _fits_int32(oriented):  # pragma: no cover
+        # the fused (x<<32)|y key collides for vids >= 2^31; the counts
+        # path falls back to the join close, this listing path has no
+        # fallback yet
+        raise NotImplementedError(
+            "triangle_list requires vertex ids < 2^31 (fused-key close)"
+        )
     n_edges = oriented.count()
     num_partitions = int(max(2, min(64, n_edges // 250_000 + 2)))
 

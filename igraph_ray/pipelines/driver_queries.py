@@ -330,25 +330,10 @@ def q_triangles(sf_dir: str, graph_dir: str | None = None):
     pairs = _link_graph_edges(sf_dir)
     vertices_ds = ray.data.from_arrow(vtbl)
     edges = attach_vids(pairs, vertices_ds)
-    tc = triangle_counts(edges)
-    # include isolated vertices with 0 triangles
-    zeros = vertices_ds.map_batches(
-        lambda b: pa.table(
-            {
-                "vid": b.column("vid"),
-                "triangles": pa.array(
-                    np.zeros(len(b), np.int64)
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    full = tc.union(zeros).groupby("vid").aggregate(
-        Sum("triangles", alias_name="triangles")
-    )
+    # vertices= unions zero rows for isolated keys inside the kernel
+    tc = triangle_counts(edges, vertices=vertices_ds)
     tbl = pa.concat_tables(
-        full.iter_batches(batch_format="pyarrow", batch_size=None)
+        tc.iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
 

@@ -17,10 +17,18 @@ import ray.data
 
 
 def symmetrize_dedup(
-    edges: ray.data.Dataset, keep_self_loops: bool = True
+    edges: ray.data.Dataset,
+    keep_self_loops: bool = True,
+    num_parts: int | None = None,
 ) -> ray.data.Dataset:
     """Return a simple symmetric edge table: for every undirected pair
-    one arc in each direction, weight = sum of all parallel arcs."""
+    one arc in each direction, weight = sum of all parallel arcs.
+
+    ``num_parts`` (the hash-partition key space for the collapse
+    shuffle) defaults to ``n_edges / 250k`` so one group ≈ one block —
+    a fixed count would make per-group size O(E) and blow a worker
+    heap at scale (``map_groups`` materializes one group at a time).
+    """
 
     def canon(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -39,7 +47,14 @@ def symmetrize_dedup(
 
     from igraph_ray.utils import hash_int64
 
-    num_parts = 32
+    canonical = edges.map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if num_parts is None:
+        # one cheap map-only pass; materialized so the collapse groupby
+        # reads these blocks instead of recomputing the lineage
+        canonical = canonical.materialize()
+        num_parts = int(max(2, min(65536, canonical.count() // 250_000 + 2)))
 
     def add_hpart(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -93,13 +108,14 @@ def symmetrize_dedup(
             }
         )
 
-    canonical = edges.map_batches(
-        canon, batch_format="pyarrow", zero_copy_batch=True
-    ).map_batches(add_hpart, batch_format="pyarrow", zero_copy_batch=True)
     # hash-partition on one int32 key + vectorized per-partition
     # collapse — ~10× cheaper than a two-column sort-shuffle groupby
-    collapsed = canonical.groupby("hpart").map_groups(
-        collapse, batch_format="pyarrow"
+    collapsed = (
+        canonical.map_batches(
+            add_hpart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("hpart")
+        .map_groups(collapse, batch_format="pyarrow")
     )
 
     def both_arcs(batch: pa.Table) -> pa.Table:
