@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": q.q_components,  # SQL oracle: recursive CTE
         "triangles": q.q_triangles,  # SQL oracle: 3-way self-join
         "label_propagation": q.q_lpa,  # rows-only (§2.3(1))
+        "distances": q.q_distances,  # SQL oracle: recursive-CTE BFS
+        "distances_weighted": q.q_distances_weighted,  # rows-only (float)
         "strongly_connected_components": q.q_scc,  # rows-only (IGRAPH_STRONG)
         "core_numbers": q.q_core_numbers,  # rows-only (igraph_coreness)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
@@ -340,6 +342,26 @@ cc AS (
   SELECT k, MIN(comp) AS component FROM reach GROUP BY k
 )
 SELECT k AS key, component FROM cc
+""",
+        "distances": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(k, dist) AS (
+    SELECT key, 0 FROM (
+      SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+    ) WHERE vid % 5 = 0
+    UNION
+    SELECT a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT k, MIN(dist) AS dist FROM r GROUP BY k
+)
+SELECT k AS key, CAST(dist AS BIGINT) AS dist FROM walk
 """,
         "triangles": f"""
 {_LINK_PAIRS},

@@ -1,0 +1,186 @@
+"""Shortest paths: BFS hop counts and weighted SSSP (min-plus).
+
+Covers igraph's ``igraph_distances`` / ``Graph.distances`` surface for
+one or more source vertices (multi-source = min over sources), matching
+``networkx.single_source_shortest_path_length`` (unweighted hops) and
+``networkx.single_source_dijkstra_path_length`` (weighted) at the
+converged fixed point.
+
+Same chassis as connected components (``kernels/base.py``): per
+iteration every *changed* vertex relaxes its out-edges —
+``candidate(dst) = dist(src) + w`` — messages are pre-combined per
+(source partition, dst) with one ``np.minimum.reduceat`` over the CSR
+combine segments, and apply takes the min per destination.  This is
+distributed Bellman-Ford with a frontier: iteration count is
+O(shortest-path hop depth); on non-negative weights it converges to
+Dijkstra's distances.  Negative cycles do not converge — guarded by
+``max_iter`` (negative edge weights are allowed but unusual for this
+engine's link graphs).
+
+Unreachable vertices keep ``dist = +inf`` (networkx omits them from
+its result dict; callers filter ``isfinite`` for that view).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from igraph_ray.kernels.base import KernelRun, run_kernel
+from igraph_ray.stages.partition import GraphMeta
+
+MSG_SCHEMA = pa.schema(
+    [
+        ("dst_part", pa.int32()),
+        ("dst", pa.int64()),
+        ("val", pa.float64()),
+        ("old", pa.float64()),
+    ]
+)
+
+_INF = np.inf
+
+
+@dataclass
+class SSSPKernel:
+    num_parts: int
+    #: sorted source vids (multi-source: dist = min over sources)
+    sources: np.ndarray
+    #: True → every edge counts 1 hop (BFS); False → CSR edge weights
+    unit_weights: bool = False
+
+    state_value_cols: dict = field(
+        default_factory=lambda: {"dist": np.float64, "changed": np.int64}
+    )
+    metric_cols: tuple = ("changed",)
+    message_schema: pa.Schema = MSG_SCHEMA
+
+    def init_state(self, csr, part: int) -> dict[str, np.ndarray]:
+        vids = csr.get("vids", np.empty(0, np.int64))
+        dist = np.full(len(vids), _INF, np.float64)
+        pos = np.searchsorted(vids, self.sources)
+        pos_c = np.clip(pos, 0, max(0, len(vids) - 1))
+        hit = (len(vids) > 0) & (vids[pos_c] == self.sources)
+        dist[pos_c[hit]] = 0.0
+        return {
+            "dist": dist,
+            "changed": (dist == 0.0).astype(np.int64),
+        }
+
+    def scatter(self, csr, sb) -> pa.Table:
+        # absent rows have changed=0 (neutral fill) → contribute nothing;
+        # min is idempotent so partial batches compose.
+        dist = sb.aligned["dist"]
+        changed = sb.aligned["changed"].astype(bool) & sb.present
+
+        if len(csr.get("src_pos", ())):
+            w = (
+                np.ones(len(csr["src_pos"]), np.float64)
+                if self.unit_weights
+                else np.asarray(csr["w"], np.float64)
+            )
+            vals = np.where(
+                changed[csr["src_pos"]], dist[csr["src_pos"]] + w, _INF
+            )
+            seg_min = np.minimum.reduceat(vals, csr["seg_start"])
+            live = np.isfinite(seg_min)
+            m_part = csr["seg_dst_part"][live]
+            m_dst = csr["seg_dst"][live]
+            m_val = seg_min[live]
+        else:
+            m_part = np.empty(0, np.int32)
+            m_dst = np.empty(0, np.int64)
+            m_val = np.empty(0, np.float64)
+
+        self_vids = sb.vids
+        self_dist = sb.values["dist"]
+        n_self = len(self_vids)
+        return pa.table(
+            {
+                "dst_part": pa.array(
+                    np.concatenate(
+                        [m_part, np.full(n_self, sb.part, np.int32)]
+                    )
+                ),
+                "dst": pa.array(np.concatenate([m_dst, self_vids])),
+                "val": pa.array(np.concatenate([m_val, self_dist])),
+                "old": pa.array(
+                    np.concatenate(
+                        [np.full(len(m_dst), _INF, np.float64), self_dist]
+                    )
+                ),
+            }
+        )
+
+    def apply(self, group: pa.Table, part: int) -> pa.Table:
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        old = group.column("old").to_numpy(zero_copy_only=False)
+
+        order = np.argsort(dst, kind="stable")
+        dst, val, old = dst[order], val[order], old[order]
+        if len(dst):
+            boundary = np.empty(len(dst), dtype=bool)
+            boundary[0] = True
+            boundary[1:] = dst[1:] != dst[:-1]
+            seg = np.flatnonzero(boundary)
+            vids = dst[seg]
+            new = np.minimum.reduceat(val, seg)
+            old_min = np.minimum.reduceat(old, seg)
+        else:
+            vids = np.empty(0, np.int64)
+            new = np.empty(0, np.float64)
+            old_min = np.empty(0, np.float64)
+
+        changed = (new < old_min).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(np.full(len(vids), part, np.int32)),
+                "vid": pa.array(vids),
+                "dist": pa.array(new),
+                "changed": pa.array(changed),
+            }
+        )
+
+    def converged(self, metrics: dict[str, float], iteration: int) -> bool:
+        return metrics["changed"] == 0.0
+
+
+def shortest_paths(
+    graph: GraphMeta,
+    sources: list[int] | np.ndarray,
+    weighted: bool = True,
+    max_iter: int = 10_000,
+    checkpoint_dir: str | None = None,
+    resume: bool = False,
+) -> KernelRun:
+    """Distances from ``sources`` (min over sources when several);
+    final state rows are ``(part, vid, dist, changed)`` with
+    ``dist = +inf`` for unreachable vertices.
+
+    ``weighted=False`` = BFS hop counts
+    (``nx.single_source_shortest_path_length``); ``weighted=True`` uses
+    the graph's edge weights
+    (``nx.single_source_dijkstra_path_length`` on non-negative
+    weights)."""
+    src = np.unique(np.asarray(sources, np.int64))
+    if len(src) == 0:
+        raise ValueError("shortest_paths requires at least one source")
+    kernel = SSSPKernel(
+        num_parts=graph.num_parts, sources=src, unit_weights=not weighted
+    )
+    run = run_kernel(
+        kernel,
+        graph,
+        max_iter=max_iter,
+        checkpoint_dir=checkpoint_dir,
+        resume=resume,
+    )
+    if not run.converged:
+        raise RuntimeError(
+            f"shortest_paths did not converge in {max_iter} iterations "
+            "(negative cycle, or raise max_iter)"
+        )
+    return run

@@ -413,6 +413,63 @@ def q_pagerank(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(state, vtbl, {"vid": "key"})
 
 
+def q_distances(sf_dir: str, graph_dir: str | None = None):
+    """(key, dist) — BFS hop distances from the lexicographically
+    smallest key over the E1∪E2 graph; reachable vertices only (the
+    SQL twin is a recursive CTE, unreachable = absent both sides)."""
+    import tempfile
+
+    from igraph_ray.kernels.sssp import shortest_paths
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_sp_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    # multi-source: every 5th key in sorted order (dist = min over
+    # sources) — spreads seeds across components for real coverage
+    sources = np.arange(0, vtbl.num_rows, 5, dtype=np.int64)
+    run = shortest_paths(graph, sources, weighted=False)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "dist"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    d = state.column("dist").to_numpy(zero_copy_only=False)
+    finite = np.isfinite(d)
+    out = pa.table(
+        {
+            "vid": pc.take(state.column("vid"), pa.array(np.flatnonzero(finite))),
+            "dist": pa.array(d[finite].astype(np.int64)),
+        }
+    )
+    return _vid_to_key(out, vtbl, {"vid": "key"})
+
+
+def q_distances_weighted(sf_dir: str, graph_dir: str | None = None):
+    """(key, dist) — weighted shortest-path distances from the smallest
+    key over the E1∪E2 graph (edge weight = co-occurrence count);
+    rows-only check (float path sums), pytest Dijkstra oracle."""
+    import tempfile
+
+    from igraph_ray.kernels.sssp import shortest_paths
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_spw_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = shortest_paths(graph, [0], weighted=True)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "dist"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    d = state.column("dist").to_numpy(zero_copy_only=False)
+    finite = np.isfinite(d)
+    out = pa.table(
+        {
+            "vid": pc.take(state.column("vid"), pa.array(np.flatnonzero(finite))),
+            "dist": pa.array(d[finite]),
+        }
+    )
+    return _vid_to_key(out, vtbl, {"vid": "key"})
+
+
 def q_lpa(sf_dir: str, graph_dir: str | None = None):
     """(key, label_key) communities over the E1∪E2 graph — rows-only
     check (seeded-async reference semantics are not distributable,
