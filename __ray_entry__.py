@@ -40,6 +40,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.q_exact_dedup,
         "token_count": q.q_token_count,
         "char_classes": q.q_char_classes,
+        "lang_filtered_counts": q.q_lang_filtered_counts,  # P2 normalizers
+        "sample_hash": q.q_sample_hash,  # T2 deterministic sampling
         # E1/E2/E3/E4/V1 — edge rules and graph build
         "edges_shared_path": q.q_edges_shared_path,
         "edges_commit": q.q_edges_commit,
@@ -170,6 +172,16 @@ keys AS (
 )"""
 
 
+def _mul64_sql(a: str, b: str) -> str:
+    """64-bit wraparound multiply in HUGEINT SQL: split ``a`` into
+    32-bit halves so no intermediate exceeds INT128."""
+    return (
+        f"((({a}) % 4294967296) * {b}"
+        f" + ((({a}) // 4294967296) * {b} % 4294967296) * 4294967296)"
+        " % 18446744073709551616"
+    )
+
+
 # Marker patterns mirror igraph_ray.functions.text._LANG_MARKERS
 # (stripped + '|'-joined, langs in sorted order so the CASE tie-break
 # matches np.argmax's first-max rule).
@@ -277,6 +289,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_n "
             "FROM documents"
         ),
+        "lang_filtered_counts": """
+WITH f AS (
+  SELECT 'Dir' || CAST(doc_id % 3 AS VARCHAR) || '/File'
+         || CAST(doc_id % 50 AS VARCHAR) || '.TXT ' AS path, lang
+  FROM documents
+),
+n AS (SELECT lower(trim(path)) AS path, lang FROM f
+      WHERE lang IN ('en', 'de'))
+SELECT regexp_extract(path, '[^/]*$') AS basename, lang,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM n GROUP BY basename, lang
+""",
+        # splitmix64 replayed in SQL: HUGEINT add/mod, split 32-bit
+        # multiply to stay under INT128, xor/shift on UBIGINT
+        "sample_hash": f"""
+WITH s1 AS (
+  SELECT doc_id, lang,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+),
+s2 AS (SELECT doc_id, lang,
+  CAST({_mul64_sql("CAST(xor(z, z >> 30) AS HUGEINT)", "13787848793156543929")}
+       AS UBIGINT) AS z FROM s1),
+s3 AS (SELECT doc_id, lang,
+  CAST({_mul64_sql("CAST(xor(z, z >> 27) AS HUGEINT)", "10723151780598845931")}
+       AS UBIGINT) AS z FROM s2),
+s4 AS (SELECT doc_id, lang, xor(z, z >> 31) AS z FROM s3)
+SELECT doc_id, lang FROM s4 WHERE z % 10 < 1
+""",
         "edges_shared_path": _rule_agg_sql("path"),
         "edges_commit": _rule_agg_sql("commit"),
         "edges_sha_cross_repo": _rule_agg_sql(

@@ -161,6 +161,47 @@ def q_char_classes(sf_dir: str):
     )
 
 
+def q_lang_filtered_counts(sf_dir: str):
+    """P2 exercise: derive a messy path (mixed case, trailing space,
+    directory prefix), ``normalize_files`` (trim+lower+basename),
+    ``filter_lang`` to en/de, then count per (basename, lang)."""
+    from igraph_ray.stages.normalize import filter_lang, normalize_files
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "path": pa.array(
+                    [f"Dir{i % 3}/File{i % 50}.TXT " for i in doc_id],
+                    pa.string(),
+                ),
+                "lang": batch.column("lang"),
+            }
+        )
+
+    files = documents(sf_dir).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    kept = filter_lang(normalize_files(files), ["en", "de"])
+    return kept.groupby(["basename", "lang"]).aggregate(
+        Count("basename", alias_name="n")
+    )
+
+
+def q_sample_hash(sf_dir: str):
+    """T2 exercise: deterministic splitmix64 1/10 sample of documents —
+    exactly reproducible by the SQL twin (and across resumes/cluster
+    sizes, unlike seeded per-block random sampling)."""
+    from igraph_ray.stages.sample import hash_sample
+
+    return hash_sample(
+        documents(sf_dir).select_columns(["doc_id", "lang"]),
+        col="doc_id",
+        num=1,
+        denom=10,
+    )
+
+
 # ---------------------------------------------------------------------------
 # edge rules / graph build
 # ---------------------------------------------------------------------------

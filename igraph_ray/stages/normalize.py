@@ -14,9 +14,10 @@ import ray.data
 def _normalize_batch(batch: pa.Table) -> pa.Table:
     path = pc.utf8_lower(pc.utf8_trim_whitespace(batch.column("path")))
     out = batch.set_column(batch.schema.get_field_index("path"), "path", path)
-    # basename = text after the last '/': split into list and take -1.
-    parts = pc.split_pattern(path, "/")
-    basename = pc.list_element(parts, -1)
+    # basename = text after the last '/' (greedy ^.*/ strips all
+    # leading directories; equals regexp_extract('[^/]*$') in the
+    # DuckDB twin)
+    basename = pc.replace_substring_regex(path, r"^.*/", "")
     return out.append_column("basename", basename)
 
 

@@ -1,0 +1,50 @@
+"""T2 — sampling (SURVEY.md §2.2 T2).
+
+Two flavors:
+
+- :func:`hash_sample` — **deterministic** splitmix64 hash sampling on a
+  key column: the same row set is kept on every run, across resumes,
+  and on any cluster size, and the DuckDB oracle can reproduce it
+  exactly (the SQL twin replays splitmix64 with HUGEINT arithmetic).
+  This is the sampling you want in a reproducible data pipeline.
+- :func:`random_sample` — thin wrapper over
+  ``Dataset.random_sample`` (seeded pseudo-random, per-block) for
+  quick debug/bench subsets where determinism across block layouts
+  does not matter.
+
+Both are map-only (no shuffle) and vectorized per batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.utils import hash_int64
+
+
+def hash_sample(
+    ds: ray.data.Dataset,
+    col: str,
+    num: int = 1,
+    denom: int = 10,
+) -> ray.data.Dataset:
+    """Keep rows where ``splitmix64(col) % denom < num`` — an exact,
+    deterministic ``num/denom`` sample keyed on an int64 column."""
+    if not (0 < num <= denom):
+        raise ValueError("need 0 < num <= denom")
+
+    def _f(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (hash_int64(v) % np.uint64(denom)) < np.uint64(num)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def random_sample(
+    ds: ray.data.Dataset, fraction: float, seed: int | None = None
+) -> ray.data.Dataset:
+    """Seeded pseudo-random sample (``Dataset.random_sample``)."""
+    return ds.random_sample(fraction, seed=seed)
