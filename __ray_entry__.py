@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": q.q_components,  # SQL oracle: recursive CTE
         "triangles": q.q_triangles,  # SQL oracle: 3-way self-join
         "label_propagation": q.q_lpa,  # rows-only (§2.3(1))
+        "louvain": q.q_louvain,  # rows-only (§2.3(1); quality-tested)
         "distances": q.q_distances,  # SQL oracle: recursive-CTE BFS
         "distances_weighted": q.q_distances_weighted,  # rows-only (float)
         "strongly_connected_components": q.q_scc,  # rows-only (IGRAPH_STRONG)

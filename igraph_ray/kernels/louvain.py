@@ -1,0 +1,462 @@
+"""Louvain modularity optimization (Graphina community parity;
+reference semantics: ``networkx.algorithms.community.louvain``).
+
+Two phases per level, exactly as the reference
+(``NX/algorithms/community/louvain.py:227`` ``_one_level``,
+``:352`` ``_gen_graph``):
+
+1. **local moves** — every vertex may move to the neighbor community
+   with the largest modularity gain
+   ``ΔQ = w2c/m − γ·Σtot·k_u/(2m²)`` (undirected form, Stot of the
+   current community taken without u itself, ``louvain.py:283-312``);
+2. **coarsen** — communities become vertices, edge weights sum, the
+   internal weight becomes a self-loop (``_gen_graph``), and phase 1
+   repeats until the per-level modularity gain is ≤ ``threshold``.
+
+Deliberate deviation (documented like LPA, SURVEY.md §2.3(1)): the
+reference shuffles vertices with a seeded RNG and applies moves
+*asynchronously* — not distributable.  We run **synchronous rounds
+with parity scheduling** (iteration ``t`` only lets vertices with
+``(vid + t) % 2 == 0`` move, the same 2-cycle break the LPA kernel
+uses) plus the singleton-swap guard (two singleton communities may
+only merge downward, towards the smaller id) so synchronous
+label-swaps cannot oscillate.  Output labels therefore differ from any
+particular seeded networkx run; §5-style validation compares
+*modularity quality* against ``nx.louvain_communities`` instead.
+
+Distributed shape: one hash shuffle per local-move round (arc rows +
+node rows co-partitioned on ``hash(vid)``; message combine and argmax
+are vectorized ``reduceat`` segments).  The per-community totals table
+(Σtot, size — one row per community) and the vid→community map are
+broadcast via ``ray.put`` and refreshed per round; the map broadcast
+bounds this implementation to ``broadcast_max_vertices`` (default
+20M) vertices per level — beyond that the map attach needs the
+co-partition-join fallback (see ``stages/vertex_ids.attach_vids`` for
+the idiom), which is raised as ``NotImplementedError`` rather than
+silently shipped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from igraph_ray.stages.symmetrize import symmetrize_dedup
+from igraph_ray.utils import hash_int64
+
+BROADCAST_MAX_VERTICES = 20_000_000
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    return pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _node_table(arcs: ray.data.Dataset) -> pa.Table:
+    """(vid, k) — weighted degree, self-loops counted twice (the
+    ``G.degree(weight=...)`` convention, ``louvain.py:264``)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        # arcs carry non-self edges twice (both directions) and
+        # self-loops once → double the self rows to get G.degree
+        kw = np.where(src == dst, 2.0 * w, w)
+        uv = np.unique(src)
+        acc = np.zeros(len(uv), np.float64)
+        np.add.at(acc, np.searchsorted(uv, src), kw)
+        return pa.table({"vid": pa.array(uv), "k": pa.array(acc)})
+
+    from ray.data.aggregate import Sum
+
+    return _collect(
+        arcs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vid")
+        .aggregate(Sum("k", alias_name="k"))
+    ).sort_by("vid")
+
+
+def _graph_size_m(arcs: ray.data.Dataset) -> float:
+    """m = Σ edge weights, each undirected edge once, self-loops once
+    (``G.size(weight=...)``)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        keep = src <= dst
+        return pa.table({"w": pa.array(w[keep])})
+
+    return float(
+        arcs.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("w")
+        or 0.0
+    )
+
+
+def _internal_weight(arcs: ray.data.Dataset, comm_ref) -> float:
+    """Σ intra-community weight (each undirected edge once)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vids, comm = ray.get(comm_ref)
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        keep = src <= dst
+        src, dst, w = src[keep], dst[keep], w[keep]
+        cs = comm[np.searchsorted(vids, src)]
+        cd = comm[np.searchsorted(vids, dst)]
+        return pa.table({"w": pa.array(w[cs == cd])})
+
+    return float(
+        arcs.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).sum("w")
+        or 0.0
+    )
+
+
+class _MoveRound:
+    """One synchronous local-move round over co-partitioned
+    (arc ∪ node) rows.  Broadcast state fetched once per task."""
+
+    def __init__(self, node_ref, stot_ref, m, resolution, iteration):
+        self.node_ref = node_ref
+        self.stot_ref = stot_ref
+        self.m = m
+        self.resolution = resolution
+        self.iteration = iteration
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "vid": pa.array([], pa.int64()),
+                "comm": pa.array([], pa.int64()),
+                "k": pa.array([], pa.float64()),
+                "moved": pa.array([], pa.int64()),
+            }
+        )
+        if group.num_rows == 0:
+            return empty
+        vids_all, comm_all, _k_all = ray.get(self.node_ref)
+        sc_ids, stot, ssize = ray.get(self.stot_ref)
+
+        is_node = group.column("is_node").to_numpy(zero_copy_only=False) == 1
+        vid = group.column("vid").to_numpy(zero_copy_only=False)
+        c = group.column("c").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False)
+        kcol = group.column("k").to_numpy(zero_copy_only=False)
+
+        n_vid = vid[is_node]
+        n_comm = c[is_node]
+        n_k = kcol[is_node]
+        order_n = np.argsort(n_vid)
+        n_vid, n_comm, n_k = n_vid[order_n], n_comm[order_n], n_k[order_n]
+        if len(n_vid) == 0:
+            return empty
+
+        m = self.m
+        gamma = self.resolution
+        new_comm = n_comm.copy()
+        moved = np.zeros(len(n_vid), np.int64)
+
+        a_vid = vid[~is_node]
+        a_c = c[~is_node]
+        a_w = w[~is_node]
+        eligible_nodes = (n_vid + self.iteration) % 2 == 0
+        if len(a_vid) and eligible_nodes.any():
+            # combine (u, neighbor-comm) → w2c
+            order = np.lexsort((a_c, a_vid))
+            a_vid, a_c, a_w = a_vid[order], a_c[order], a_w[order]
+            first = np.empty(len(a_vid), dtype=bool)
+            first[0] = True
+            first[1:] = (a_vid[1:] != a_vid[:-1]) | (a_c[1:] != a_c[:-1])
+            seg = np.flatnonzero(first)
+            u = a_vid[seg]
+            cand = a_c[seg]
+            w2c = np.add.reduceat(a_w, seg)
+
+            upos = np.searchsorted(n_vid, u)
+            u_comm = n_comm[upos]
+            u_k = n_k[upos]
+            u_elig = (u + self.iteration) % 2 == 0
+
+            s_cand = stot[np.searchsorted(sc_ids, cand)]
+            s_cur = stot[np.searchsorted(sc_ids, u_comm)]
+            # Σtot of u's own community without u (louvain.py:292);
+            # candidate comms don't contain u
+            s_cur_wo = s_cur - u_k
+            same = cand == u_comm
+            s_eff = np.where(same, s_cur_wo, s_cand)
+            # gain relative to staying: w2c(c)/m − γ·Σtot'(c)·k_u/(2m²),
+            # minus the same expression for the current community —
+            # fold the current-community term in as the "remove cost"
+            gain = w2c / m - gamma * s_eff * u_k / (2.0 * m * m)
+            # "staying" value per u = the gain expression at u's own
+            # community: its row carries it if u has intra-community
+            # neighbor edges, else w2c(cur)=0 and only the Σtot term
+            # remains (rc_base)
+            ufirst = np.empty(len(u), dtype=bool)
+            ufirst[0] = True
+            ufirst[1:] = u[1:] != u[:-1]
+            useg_id = np.cumsum(ufirst) - 1
+            rc_base = -gamma * s_cur_wo * u_k / (2.0 * m * m)
+            rc_per_u = rc_base[np.flatnonzero(ufirst)].copy()
+            rc_per_u[useg_id[same]] = gain[same]
+            rc = rc_per_u[useg_id]
+
+            net = gain - rc  # strictly > 0 required to move
+            # drop same-community candidates (net == 0 by construction)
+            net = np.where(same, 0.0, net)
+
+            # singleton-swap guard: two singleton communities may only
+            # merge towards the smaller community id
+            u_single = ssize[np.searchsorted(sc_ids, u_comm)] == 1
+            c_single = ssize[np.searchsorted(sc_ids, cand)] == 1
+            blocked = u_single & c_single & (cand > u_comm)
+            net = np.where(blocked | ~u_elig, 0.0, net)
+
+            # best candidate per u: max net gain, ties → smallest comm
+            border = np.lexsort((cand, -net, u))
+            bfirst = np.empty(len(u), dtype=bool)
+            bfirst[0] = True
+            bfirst[1:] = u[border][1:] != u[border][:-1]
+            best_rows = border[bfirst]
+            bu = u[best_rows]
+            bc = cand[best_rows]
+            bnet = net[best_rows]
+            do_move = bnet > 1e-15
+            bu, bc = bu[do_move], bc[do_move]
+            if len(bu):
+                bpos = np.searchsorted(n_vid, bu)
+                new_comm[bpos] = bc
+                moved[bpos] = 1
+
+        return pa.table(
+            {
+                "vid": pa.array(n_vid),
+                "comm": pa.array(new_comm),
+                "k": pa.array(n_k),
+                "moved": pa.array(moved),
+            }
+        )
+
+
+def _stot_arrays(
+    vids: np.ndarray, comm: np.ndarray, k: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    order = np.argsort(comm, kind="stable")
+    cs, ks = comm[order], k[order]
+    first = np.empty(len(cs), dtype=bool)
+    if len(cs) == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.float64),
+            np.empty(0, np.int64),
+        )
+    first[0] = True
+    first[1:] = cs[1:] != cs[:-1]
+    seg = np.flatnonzero(first)
+    ids = cs[seg]
+    stot = np.add.reduceat(ks, seg)
+    size = np.diff(np.append(seg, len(cs)))
+    return ids, stot, size.astype(np.int64)
+
+
+def _one_level(
+    arcs: ray.data.Dataset,
+    m: float,
+    resolution: float,
+    max_rounds: int,
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Local-move phase on one level; returns (vids, comm, improved)."""
+    ntbl = _node_table(arcs)
+    vids = ntbl.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    k = ntbl.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
+    comm = vids.copy()
+    if len(vids) > BROADCAST_MAX_VERTICES:  # pragma: no cover
+        raise NotImplementedError(
+            "louvain level exceeds the broadcast vid→comm map bound; "
+            "the co-partition join fallback is not implemented yet"
+        )
+
+    n_arcs = arcs.count()
+    num_parts = int(max(2, min(4096, n_arcs // 250_000 + 2)))
+
+    improved = False
+    zero_streak = 0
+    for it in range(max_rounds):
+        node_ref = ray.put((vids, comm, k))
+        ids, stot, size = _stot_arrays(vids, comm, k)
+        stot_ref = ray.put((ids, stot, size))
+
+        def tag_arcs(batch: pa.Table, _nr=node_ref) -> pa.Table:
+            v_all, c_all, _ = ray.get(_nr)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            keep = src != dst  # nbr weights exclude self (louvain.py:266)
+            src, dst, w = src[keep], dst[keep], w[keep]
+            cdst = c_all[np.searchsorted(v_all, dst)]
+            # pre-combine (src, comm_dst) within the block
+            order = np.lexsort((cdst, src))
+            src, cdst, w = src[order], cdst[order], w[order]
+            if len(src):
+                first = np.empty(len(src), dtype=bool)
+                first[0] = True
+                first[1:] = (src[1:] != src[:-1]) | (cdst[1:] != cdst[:-1])
+                seg = np.flatnonzero(first)
+                src, cdst = src[seg], cdst[seg]
+                w = np.add.reduceat(w, seg)
+            return pa.table(
+                {
+                    "hpart": pa.array(
+                        (hash_int64(src) % np.uint64(num_parts)).astype(
+                            np.int32
+                        )
+                    ),
+                    "vid": pa.array(src),
+                    "c": pa.array(cdst),
+                    "w": pa.array(w),
+                    "k": pa.array(np.zeros(len(src), np.float64)),
+                    "is_node": pa.array(np.zeros(len(src), np.int8)),
+                }
+            )
+
+        node_rows = pa.table(
+            {
+                "hpart": pa.array(
+                    (hash_int64(vids) % np.uint64(num_parts)).astype(np.int32)
+                ),
+                "vid": pa.array(vids),
+                "c": pa.array(comm),
+                "w": pa.array(np.zeros(len(vids), np.float64)),
+                "k": pa.array(k),
+                "is_node": pa.array(np.ones(len(vids), np.int8)),
+            }
+        )
+        tagged = arcs.map_batches(
+            tag_arcs, batch_format="pyarrow", zero_copy_batch=True
+        ).union(ray.data.from_arrow(node_rows))
+        mover = _MoveRound(node_ref, stot_ref, m, resolution, it)
+
+        def apply_group(group: pa.Table, _mv=mover) -> pa.Table:
+            return _mv(group)
+
+        out = _collect(
+            tagged.groupby("hpart").map_groups(
+                apply_group, batch_format="pyarrow"
+            )
+        )
+        o_vid = out.column("vid").to_numpy(zero_copy_only=False)
+        o_comm = out.column("comm").to_numpy(zero_copy_only=False)
+        moves = int(out.column("moved").to_numpy(zero_copy_only=False).sum())
+        pos = np.searchsorted(vids, o_vid)
+        comm = comm.copy()
+        comm[pos] = o_comm
+        if moves > 0:
+            improved = True
+            zero_streak = 0
+        else:
+            zero_streak += 1
+            if zero_streak >= 2:  # a full even+odd round without moves
+                break
+    return vids, comm, improved
+
+
+def louvain(
+    edges: ray.data.Dataset,
+    resolution: float = 1.0,
+    threshold: float = 1e-7,
+    max_levels: int = 10,
+    max_rounds_per_level: int = 50,
+) -> tuple[ray.data.Dataset, list[float]]:
+    """Louvain communities over the undirected weighted view of
+    ``edges`` (parallel arcs collapse with summed weight; self-loops
+    kept, treated as pre-reduced communities like the reference).
+
+    Returns ``(assignment, level_modularities)`` where ``assignment``
+    has rows ``(vid, community)`` (community = a member vid of the
+    community at the coarsest level) and ``level_modularities`` is the
+    modularity after each level (matching
+    ``nx.community.modularity(..., weight='weight')`` up to the local
+    optimum found)."""
+    arcs = symmetrize_dedup(edges, keep_self_loops=True).materialize()
+    m = _graph_size_m(arcs)
+    if m <= 0:
+        raise ValueError("louvain requires a non-empty weighted graph")
+
+    # assignment starts as identity over level-0 vertices
+    assign_vids: np.ndarray | None = None
+    assign_comm: np.ndarray | None = None
+    mods: list[float] = []
+    prev_q = -np.inf
+
+    for _level in range(max_levels):
+        vids, comm, improved = _one_level(
+            arcs, m, resolution, max_rounds_per_level
+        )
+        # level modularity
+        comm_ref = ray.put((vids, comm))
+        internal = _internal_weight(arcs, comm_ref)
+        ntbl = _node_table(arcs)
+        k = ntbl.column("k").to_numpy(zero_copy_only=False)
+        _ids, stot, _size = _stot_arrays(vids, comm, k)
+        q = internal / m - resolution * float((stot**2).sum()) / (
+            4.0 * m * m
+        )
+        mods.append(q)
+
+        # fold level mapping into the flat assignment
+        if assign_vids is None:
+            assign_vids, assign_comm = vids.copy(), comm.copy()
+        else:
+            pos = np.searchsorted(vids, assign_comm)
+            assign_comm = comm[pos]
+
+        if not improved or q - prev_q <= threshold:
+            break
+        prev_q = q
+
+        # coarsen: communities become vertices, weights sum, internal
+        # weight becomes a self-loop (_gen_graph)
+        lvl_ref = ray.put((vids, comm))
+
+        def coarse(batch: pa.Table, _r=lvl_ref) -> pa.Table:
+            v_all, c_all = ray.get(_r)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            keep = src <= dst  # one-arc view of the level graph
+            src, dst, w = src[keep], dst[keep], w[keep]
+            cs = c_all[np.searchsorted(v_all, src)]
+            cd = c_all[np.searchsorted(v_all, dst)]
+            return pa.table(
+                {
+                    "src": pa.array(np.minimum(cs, cd)),
+                    "dst": pa.array(np.maximum(cs, cd)),
+                    "weight": pa.array(w),
+                }
+            )
+
+        coarse_onearc = arcs.map_batches(
+            coarse, batch_format="pyarrow", zero_copy_batch=True
+        )
+        arcs = symmetrize_dedup(
+            coarse_onearc, keep_self_loops=True
+        ).materialize()
+
+    assignment = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(assign_vids),
+                "community": pa.array(assign_comm),
+            }
+        )
+    )
+    return assignment, mods
