@@ -153,6 +153,13 @@ def run_suite(headline_only: bool = False) -> dict:
         queries["core_numbers"] = round(time.perf_counter() - t0, 3)
         detail["kcore_iterations"] = krun.iterations
 
+        from igraph_ray.kernels.sssp import shortest_paths
+
+        t0 = time.perf_counter()
+        srun = shortest_paths(graph, [4], weighted=False)  # vid of order 1
+        queries["sssp_bfs"] = round(time.perf_counter() - t0, 3)
+        detail["sssp_iterations"] = srun.iterations
+
         t0 = time.perf_counter()
         import ray.data as rd
 
@@ -184,6 +191,14 @@ def run_suite(headline_only: bool = False) -> dict:
         detail["total_triangles"] = total_triangles(tc)
         queries["triangles"] = round(time.perf_counter() - t0, 3)
 
+        from igraph_ray.kernels.louvain import louvain
+
+        t0 = time.perf_counter()
+        _assign, mods = louvain(tri_edges, max_rounds_per_level=20)
+        queries["louvain"] = round(time.perf_counter() - t0, 3)
+        detail["louvain_modularity"] = round(mods[-1], 4)
+        detail["louvain_levels"] = len(mods)
+
         # training-data ops over documents
         from igraph_ray.functions.dedup import minhash_near_dup_pairs
         from igraph_ray.functions.similarity import brute_force_topk
@@ -194,6 +209,12 @@ def run_suite(headline_only: bool = False) -> dict:
         n_pairs = minhash_near_dup_pairs(docs, verify_threshold=0.6).count()
         queries["minhash_near_dup"] = round(time.perf_counter() - t0, 3)
         detail["minhash_pairs"] = n_pairs
+
+        from igraph_ray.functions.dedup import simhash_near_dup_pairs
+
+        t0 = time.perf_counter()
+        detail["simhash_pairs"] = simhash_near_dup_pairs(docs).count()
+        queries["simhash_near_dup"] = round(time.perf_counter() - t0, 3)
 
         t0 = time.perf_counter()
         token_count(docs).count()
