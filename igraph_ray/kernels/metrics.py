@@ -1,0 +1,367 @@
+"""Whole-graph scalar metrics and per-edge vertex similarity.
+
+Covers the igraph surface ``igraph_reciprocity``, ``igraph_density``,
+``igraph_assortativity_degree`` and ``igraph_similarity_jaccard``
+(networkx twins: ``nx.reciprocity``, ``nx.density``,
+``nx.degree_assortativity_coefficient``, ``nx.jaccard_coefficient``).
+
+All four are one-or-two-shuffle Ray Data pipelines:
+
+- reciprocity: distinct arcs → canonical-pair groupby (one shuffle),
+  partial sums per batch, scalar division on the driver.
+- density: two scalar counts, no shuffle beyond the input aggregates.
+- assortativity: degrees (one endpoint groupby) broadcast back onto
+  the arc table; the Pearson sufficient statistics (Σx, Σy, Σxy, Σx²,
+  Σy², m) are exact int64 partial sums combined with ``Dataset.sum`` —
+  the final coefficient is a handful of driver-side IEEE ops on exact
+  integers, so a SQL twin replaying the same expression matches
+  bitwise.
+- jaccard: common-neighbour counts by wedge emission per centre
+  vertex (hash-partitioned segments, numpy pair generation), then one
+  groupby joining wedge counts onto the edge set, degrees broadcast.
+  Wedge volume is Σ deg(w)² — the same bound as triangle counting;
+  ``max_degree`` caps hub centres for the estimate-at-scale mode
+  (default exact, matching the SQL twin).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Sum
+
+from igraph_ray.utils import hash_int64
+
+
+def _sum_cols(ds: ray.data.Dataset, cols: list[str]) -> dict[str, float]:
+    """One pass over ``ds`` summing several columns (tree aggregate)."""
+    out = {}
+    for c in cols:
+        out[c] = ds.sum(c) or 0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reciprocity
+# ---------------------------------------------------------------------------
+def reciprocity(
+    arcs: ray.data.Dataset, src: str = "src", dst: str = "dst"
+) -> tuple[float, int, int]:
+    """(ratio, n_arcs, n_reciprocated) over a directed edge table.
+
+    igraph ``igraph_reciprocity(ignore_loops=True)`` / networkx
+    ``nx.overall_reciprocity`` semantics: the fraction of distinct
+    non-loop arcs (u, v) whose reverse (v, u) is also present.
+    """
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False)
+        d = batch.column(dst).to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        fwd = (s < d).astype(np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "fwd": pa.array(fwd),
+                "bwd": pa.array(1 - fwd),
+            }
+        )
+
+    pairs = (
+        arcs.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Max("fwd", alias_name="fwd"), Max("bwd", alias_name="bwd"))
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        f = batch.column("fwd").to_numpy(zero_copy_only=False)
+        b = batch.column("bwd").to_numpy(zero_copy_only=False)
+        both = (f > 0) & (b > 0)
+        return pa.table(
+            {
+                "arcs": pa.array([int(f.sum() + b.sum())], pa.int64()),
+                "recip": pa.array([int(2 * both.sum())], pa.int64()),
+            }
+        )
+
+    sums = _sum_cols(
+        pairs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["arcs", "recip"],
+    )
+    m = int(sums["arcs"])
+    r = int(sums["recip"])
+    return (r / m if m else 0.0), m, r
+
+
+# ---------------------------------------------------------------------------
+# density
+# ---------------------------------------------------------------------------
+def density(n_vertices: int, n_edges: int, directed: bool = False) -> float:
+    """``nx.density`` / ``igraph_density``: m / (n·(n-1)) for directed,
+    2m / (n·(n-1)) for undirected simple graphs."""
+    if n_vertices <= 1:
+        return 0.0
+    d = n_edges / (n_vertices * (n_vertices - 1))
+    return d if directed else 2.0 * d
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+def _degree_map(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """(key, degree) from an unordered-pair edge table (src/dst)."""
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        batch.column("src").combine_chunks(),
+                        batch.column("dst").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    return (
+        pairs.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Count("key", alias_name="degree"))
+    )
+
+
+class _DegreeLookup:
+    """Actor holding the broadcast key→degree table (fetched once per
+    worker in ``__init__``, not per batch)."""
+
+    def __init__(self, ref, cols: list[str]):
+        tbl = ray.get(ref)
+        keys = tbl.column("key").combine_chunks()
+        order = pc.sort_indices(keys)
+        self._keys = pc.take(keys, order)
+        self._deg = pc.take(tbl.column("degree"), order).to_numpy(
+            zero_copy_only=False
+        )
+        self._cols = cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = dict(zip(batch.column_names, batch.columns))
+        karr = self._keys.to_numpy(zero_copy_only=False)
+        for c in self._cols:
+            v = batch.column(c).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(karr, v)
+            out[f"deg_{c}"] = pa.array(self._deg[pos].astype(np.int64))
+        return pa.table(out)
+
+
+def attach_degrees(
+    pairs: ray.data.Dataset,
+    degrees: ray.data.Dataset,
+    cols: tuple[str, ...] = ("src", "dst"),
+) -> ray.data.Dataset:
+    """Add ``deg_src``/``deg_dst`` columns.  Degrees are O(V) rows —
+    broadcast once via ``ray.put`` (the engine's small-side rule); for
+    vertex sets beyond broadcast reach, swap in ``Dataset.join`` keyed
+    on each endpoint (same fallback shape as ``attach_vids``)."""
+    dtbl = pa.concat_tables(
+        degrees.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    ref = ray.put(dtbl)
+    return pairs.map_batches(
+        _DegreeLookup,
+        fn_constructor_args=(ref, list(cols)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
+def degree_assortativity(
+    pairs: ray.data.Dataset,
+) -> tuple[float, dict[str, int]]:
+    """Pearson degree assortativity over an unordered-pair edge table
+    (each edge counted from both endpoints, the undirected convention
+    of ``nx.degree_assortativity_coefficient``).
+
+    Returns ``(r, stats)`` where stats holds the exact int64 sufficient
+    statistics (m, sx, sy, sxy, sxx, syy) — sx == sy for undirected
+    input but both are carried so the directed form reuses this code.
+    """
+    degs = _degree_map(pairs)
+    with_deg = attach_degrees(pairs, degs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("deg_src").to_numpy(zero_copy_only=False)
+        y = batch.column("deg_dst").to_numpy(zero_copy_only=False)
+        # both directions of each unordered pair
+        xs = np.concatenate([x, y]).astype(np.int64)
+        ys = np.concatenate([y, x]).astype(np.int64)
+        return pa.table(
+            {
+                "m": pa.array([len(xs)], pa.int64()),
+                "sx": pa.array([int(xs.sum())], pa.int64()),
+                "sy": pa.array([int(ys.sum())], pa.int64()),
+                "sxy": pa.array([int((xs * ys).sum())], pa.int64()),
+                "sxx": pa.array([int((xs * xs).sum())], pa.int64()),
+                "syy": pa.array([int((ys * ys).sum())], pa.int64()),
+            }
+        )
+
+    sums = _sum_cols(
+        with_deg.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["m", "sx", "sy", "sxy", "sxx", "syy"],
+    )
+    stats = {k: int(v) for k, v in sums.items()}
+    m, sx, sy = stats["m"], stats["sx"], stats["sy"]
+    cov = float(m * stats["sxy"] - sx * sy)
+    vx = float(m * stats["sxx"] - sx * sx)
+    vy = float(m * stats["syy"] - sy * sy)
+    denom = math.sqrt(vx * vy)
+    r = cov / denom if denom > 0 else float("nan")
+    return r, stats
+
+
+# ---------------------------------------------------------------------------
+# Jaccard vertex similarity (per edge)
+# ---------------------------------------------------------------------------
+def jaccard_edge_similarity(
+    pairs: ray.data.Dataset,
+    num_parts: int | None = None,
+    max_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Per-edge Jaccard similarity of the endpoints' neighbourhoods:
+    ``|N(u)∩N(v)| / |N(u)∪N(v)|`` for every unordered pair in
+    ``pairs`` (columns src/dst, one row per pair).
+
+    ``nx.jaccard_coefficient(G, ebunch=G.edges())`` semantics
+    (neighbour sets exclude the endpoints themselves unless they are
+    adjacent to each other — pure set algebra on adjacency).
+
+    ``max_degree`` skips wedge centres above the cap (hub guard): the
+    common counts become lower bounds, for the at-scale estimate mode;
+    leave ``None`` for exact results.
+    """
+    n_edges = pairs.count()
+    if num_parts is None:
+        num_parts = int(
+            max(2, min(256, math.ceil(max(1, n_edges) / 250_000)))
+        )
+
+    def arcs_with_part(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
+        part = (hash_int64(u) % np.uint64(num_parts)).astype(np.int32)
+        return pa.table(
+            {"hpart": pa.array(part), "u": pa.array(u), "v": pa.array(v)}
+        )
+
+    arcs = pairs.map_batches(
+        arcs_with_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        boundary = np.empty(len(u), dtype=bool)
+        if len(u):
+            boundary[0] = True
+            boundary[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(u))
+        out_a, out_b = [], []
+        for s0, e0 in zip(starts, ends):
+            d = e0 - s0
+            if d < 2 or (max_degree is not None and d > max_degree):
+                continue
+            nb = np.sort(v[s0:e0])
+            ii, jj = np.triu_indices(d, k=1)
+            out_a.append(nb[ii])
+            out_b.append(nb[jj])
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+        else:
+            a = np.empty(0, np.int64)
+            b = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "common": pa.array(np.ones(len(a), np.int64)),
+                "is_edge": pa.array(np.zeros(len(a), np.int64)),
+            }
+        )
+
+    wedge_pairs = arcs.groupby("hpart").map_groups(
+        wedges, batch_format="pyarrow"
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        a = np.minimum(s, d)
+        b = np.maximum(s, d)
+        return pa.table(
+            {
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "common": pa.array(np.zeros(len(a), np.int64)),
+                "is_edge": pa.array(np.ones(len(a), np.int64)),
+            }
+        )
+
+    tagged = wedge_pairs.union(
+        pairs.map_batches(
+            edge_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    merged = tagged.groupby(["a", "b"]).aggregate(
+        Sum("common", alias_name="common"),
+        Sum("is_edge", alias_name="is_edge"),
+    )
+    def keep_edges(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("is_edge"), 0))
+
+    only_edges = merged.map_batches(
+        keep_edges, batch_format="pyarrow", zero_copy_batch=True
+    ).rename_columns({"a": "src", "b": "dst"})
+
+    degs = _degree_map(pairs)
+    with_deg = attach_degrees(
+        only_edges.select_columns(["src", "dst", "common"]), degs
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("common").to_numpy(zero_copy_only=False)
+        du = batch.column("deg_src").to_numpy(zero_copy_only=False)
+        dv = batch.column("deg_dst").to_numpy(zero_copy_only=False)
+        union = du + dv - c
+        with np.errstate(divide="ignore", invalid="ignore"):
+            j = np.where(union > 0, c / union, 0.0)
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "common": pa.array(c),
+                "jaccard": pa.array(j.astype(np.float64)),
+            }
+        )
+
+    return with_deg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

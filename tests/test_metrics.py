@@ -1,0 +1,114 @@
+"""Oracle tests for whole-graph metrics and Jaccard similarity
+(igraph ``reciprocity`` / ``density`` / ``assortativity_degree`` /
+``similarity_jaccard`` parity via the networkx twins)."""
+
+import math
+
+import networkx as nx
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from igraph_ray.kernels.metrics import (
+    degree_assortativity,
+    density,
+    jaccard_edge_similarity,
+    reciprocity,
+)
+from tests.util import ds_to_table, nx_edge_arrays
+
+
+def _pairs_ds(G) -> ray.data.Dataset:
+    src, dst = nx_edge_arrays(G)
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+
+
+def test_reciprocity_gnp():
+    G = nx.gnp_random_graph(60, 0.08, seed=4, directed=True)
+    arcs = _pairs_ds(G)
+    r, m, rec = reciprocity(arcs)
+    assert m == G.number_of_edges()
+    assert r == pytest.approx(nx.overall_reciprocity(G))
+
+
+def test_reciprocity_ignores_loops_and_dups():
+    arcs = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 0, 0, 2, 2], pa.int64()),
+                "dst": pa.array([1, 0, 1, 0, 3, 3], pa.int64()),
+            }
+        )
+    )
+    # distinct non-loop arcs: 0→1, 1→0, 2→3 → 2 of 3 reciprocated
+    r, m, rec = reciprocity(arcs)
+    assert (m, rec) == (3, 2)
+    assert r == pytest.approx(2 / 3)
+
+
+def test_density_matches_nx():
+    G = nx.gnm_random_graph(40, 111, seed=9)
+    assert density(
+        G.number_of_nodes(), G.number_of_edges()
+    ) == pytest.approx(nx.density(G))
+    D = nx.gnp_random_graph(30, 0.1, seed=2, directed=True)
+    assert density(
+        D.number_of_nodes(), D.number_of_edges(), directed=True
+    ) == pytest.approx(nx.density(D))
+
+
+def test_degree_assortativity_gnm():
+    G = nx.gnm_random_graph(80, 200, seed=13)
+    r, stats = degree_assortativity(_pairs_ds(G))
+    assert r == pytest.approx(
+        nx.degree_assortativity_coefficient(G), abs=1e-9
+    )
+    assert stats["m"] == 2 * G.number_of_edges()
+    assert stats["sx"] == stats["sy"]
+
+
+def test_degree_assortativity_star_is_negative_one():
+    G = nx.star_graph(6)
+    r, _ = degree_assortativity(_pairs_ds(G))
+    assert r == pytest.approx(-1.0)
+
+
+def test_jaccard_edges_gnm():
+    G = nx.gnm_random_graph(70, 180, seed=21)
+    out = ds_to_table(jaccard_edge_similarity(_pairs_ds(G)))
+    got = {
+        (min(a, b), max(a, b)): j
+        for a, b, j in zip(
+            out.column("src").to_pylist(),
+            out.column("dst").to_pylist(),
+            out.column("jaccard").to_pylist(),
+        )
+    }
+    ref = {
+        (min(u, v), max(u, v)): j
+        for u, v, j in nx.jaccard_coefficient(G, ebunch=list(G.edges()))
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-12), k
+
+
+def test_jaccard_common_counts_triangle_plus_tail():
+    # 0-1-2 triangle with a tail 2-3: edge (0,1) shares neighbour 2
+    G = nx.Graph([(0, 1), (1, 2), (0, 2), (2, 3)])
+    out = ds_to_table(jaccard_edge_similarity(_pairs_ds(G)))
+    rows = {
+        (a, b): (c, j)
+        for a, b, c, j in zip(
+            out.column("src").to_pylist(),
+            out.column("dst").to_pylist(),
+            out.column("common").to_pylist(),
+            out.column("jaccard").to_pylist(),
+        )
+    }
+    assert rows[(0, 1)] == (1, pytest.approx(1 / 3))
+    assert rows[(2, 3)][0] == 0
+    assert rows[(2, 3)][1] == 0.0

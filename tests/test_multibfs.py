@@ -1,0 +1,78 @@
+"""Multi-pivot BFS + closeness/harmonic centrality oracle tests
+(igraph ``closeness`` / ``harmonic_centrality`` parity via networkx)."""
+
+import math
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from igraph_ray.kernels.multibfs import (
+    closeness_centrality,
+    harmonic_centrality,
+    pivot_distances,
+    sample_pivots,
+)
+from tests.util import ds_to_table, graph_from_nx
+
+
+def _col_dict(ds, col):
+    tbl = ds_to_table(ds)
+    return dict(
+        zip(tbl.column("vid").to_pylist(), tbl.column(col).to_pylist())
+    )
+
+
+def test_pivot_distances_match_per_source_bfs(tmp_graph_dir):
+    G = nx.gnm_random_graph(120, 260, seed=31)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=4)
+    pivots = np.array([0, 17, 55, 119], np.int64)
+    run = pivot_distances(g, pivots)
+    tbl = ds_to_table(run.state)
+    vids = tbl.column("vid").to_pylist()
+    for i, p in enumerate(pivots):
+        ref = nx.single_source_shortest_path_length(G, int(p))
+        got = dict(zip(vids, tbl.column(f"d{i}").to_pylist()))
+        for v in G.nodes():
+            if v in ref:
+                assert got[v] == ref[v], (p, v)
+            else:
+                assert math.isinf(got[v]), (p, v)
+
+
+def test_harmonic_exact_all_pivots(tmp_graph_dir):
+    G = nx.gnm_random_graph(60, 110, seed=5)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    got = _col_dict(
+        harmonic_centrality(g, G.number_of_nodes()), "harmonic"
+    )
+    ref = nx.harmonic_centrality(G)
+    for v in G.nodes():
+        assert got[v] == pytest.approx(ref[v], abs=1e-9), v
+
+
+def test_closeness_exact_all_pivots_disconnected(tmp_graph_dir):
+    # two components — exercises the wf_improved component scaling
+    G = nx.gnm_random_graph(40, 70, seed=8)
+    G.add_edges_from([(100, 101), (101, 102)])
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    got = _col_dict(
+        closeness_centrality(g, G.number_of_nodes()), "closeness"
+    )
+    ref = nx.closeness_centrality(G)
+    for v in G.nodes():
+        assert got[v] == pytest.approx(ref[v], abs=1e-9), v
+
+
+def test_sampled_estimates_track_exact(tmp_graph_dir):
+    G = nx.connected_watts_strogatz_graph(200, 6, 0.2, seed=17)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=4)
+    n = G.number_of_nodes()
+    pivots = sample_pivots(np.arange(n, dtype=np.int64), 64)
+    assert len(pivots) == 64
+    est = _col_dict(harmonic_centrality(g, n, pivots=pivots), "harmonic")
+    ref = nx.harmonic_centrality(G)
+    rel = [abs(est[v] - ref[v]) / ref[v] for v in G.nodes()]
+    # 64/200 pivots: estimates within 35% per vertex, ~5% in the mean
+    assert max(rel) < 0.35
+    assert np.mean(rel) < 0.10
