@@ -62,6 +62,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": q.q_louvain,  # rows-only (§2.3(1); quality-tested)
         "distances": q.q_distances,  # SQL oracle: recursive-CTE BFS
         "distances_weighted": q.q_distances_weighted,  # rows-only (float)
+        "betweenness": q.q_betweenness,  # rows-only (sampled Brandes)
+        "closeness": q.q_closeness,  # rows-only (sampled pivots)
+        "harmonic": q.q_harmonic,  # rows-only (sampled pivots)
+        # graph metrics (exact-int stats + replayed IEEE expressions)
+        "reciprocity": q.q_reciprocity,  # SQL oracle
+        "density": q.q_density,  # SQL oracle
+        "jaccard_similarity": q.q_jaccard_similarity,  # SQL oracle
+        "assortativity": q.q_assortativity,  # SQL oracle
         "strongly_connected_components": q.q_scc,  # rows-only (IGRAPH_STRONG)
         "core_numbers": q.q_core_numbers,  # rows-only (igraph_coreness)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
@@ -405,6 +413,94 @@ walk AS (
   SELECT k, MIN(dist) AS dist FROM r GROUP BY k
 )
 SELECT k AS key, CAST(dist AS BIGINT) AS dist FROM walk
+""",
+        # directed doc-derived graph; counts are exact ints and the
+        # final ratio is one IEEE division of those ints on both sides
+        "reciprocity": """
+WITH arcs AS (
+  SELECT DISTINCT 'v' || CAST(doc_id % 101 AS VARCHAR) AS src,
+                  'v' || CAST((doc_id * 37 + 11) % 101 AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 101 <> (doc_id * 37 + 11) % 101
+),
+p AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+         MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS bwd
+  FROM arcs GROUP BY 1, 2
+),
+st AS (
+  SELECT CAST(SUM(fwd + bwd) AS BIGINT) AS m,
+         CAST(SUM(CASE WHEN fwd = 1 AND bwd = 1 THEN 2 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM p
+)
+SELECT m AS n_arcs, r AS n_reciprocated, r / m AS reciprocity FROM st
+""",
+        "density": f"""
+{_LINK_PAIRS},
+st AS (
+  SELECT (SELECT COUNT(*) FROM keys) AS n,
+         (SELECT COUNT(*) FROM link_pairs) AS m
+)
+SELECT n AS n_vertices, m AS n_edges,
+       2.0 * (m / (n * (n - 1))) AS density
+FROM st
+""",
+        "jaccard_similarity": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS u, dst_key AS v FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key FROM link_pairs
+),
+deg AS (SELECT u AS key, COUNT(*) AS degree FROM arcs GROUP BY u),
+common AS (
+  SELECT e.src_key, e.dst_key, COUNT(*) AS c
+  FROM link_pairs e
+  JOIN arcs a1 ON a1.u = e.src_key
+  JOIN arcs a2 ON a2.u = e.dst_key AND a2.v = a1.v
+  GROUP BY e.src_key, e.dst_key
+)
+SELECT e.src_key, e.dst_key,
+       CAST(COALESCE(c.c, 0) AS BIGINT) AS common,
+       CASE WHEN d1.degree + d2.degree - COALESCE(c.c, 0) > 0
+            THEN CAST(COALESCE(c.c, 0) AS DOUBLE)
+                 / CAST(d1.degree + d2.degree - COALESCE(c.c, 0) AS DOUBLE)
+            ELSE 0.0 END AS jaccard
+FROM link_pairs e
+JOIN deg d1 ON d1.key = e.src_key
+JOIN deg d2 ON d2.key = e.dst_key
+LEFT JOIN common c ON c.src_key = e.src_key AND c.dst_key = e.dst_key
+""",
+        # HUGEINT-exact sufficient statistics; the coefficient replays
+        # the engine's float(cov) / sqrt(float(vx) * float(vy))
+        "assortativity": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS u, dst_key AS v FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key FROM link_pairs
+),
+deg AS (SELECT u AS key, COUNT(*) AS degree FROM arcs GROUP BY u),
+xy AS (
+  SELECT d1.degree AS x, d2.degree AS y
+  FROM arcs a
+  JOIN deg d1 ON d1.key = a.u
+  JOIN deg d2 ON d2.key = a.v
+),
+st AS (
+  SELECT COUNT(*) AS m, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM xy
+)
+SELECT CAST(m AS BIGINT) AS n_arcs, CAST(sx AS BIGINT) AS sum_x,
+       CAST(sy AS BIGINT) AS sum_y, CAST(sxy AS BIGINT) AS sum_xy,
+       CAST(sxx AS BIGINT) AS sum_xx, CAST(syy AS BIGINT) AS sum_yy,
+       CAST(m * sxy - sx * sy AS DOUBLE)
+       / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+              * CAST(m * syy - sy * sy AS DOUBLE)) AS assortativity
+FROM st
 """,
         "triangles": f"""
 {_LINK_PAIRS},

@@ -39,11 +39,11 @@ from igraph_ray.utils import hash_int64
 
 
 def _sum_cols(ds: ray.data.Dataset, cols: list[str]) -> dict[str, float]:
-    """One pass over ``ds`` summing several columns (tree aggregate)."""
-    out = {}
-    for c in cols:
-        out[c] = ds.sum(c) or 0
-    return out
+    """ONE pass over ``ds`` summing several columns (a single tree
+    aggregate — per-column ``ds.sum`` would re-execute the upstream
+    pipeline once per column)."""
+    res = ds.aggregate(*[Sum(c, alias_name=c) for c in cols]) or {}
+    return {c: res.get(c) or 0 for c in cols}
 
 
 # ---------------------------------------------------------------------------

@@ -790,3 +790,187 @@ def q_multimodal_decode(sf_dir: str):
         num_blocks=4
     )
     return decode_images(ds).select_columns(["item_id", "mean_intensity"])
+
+
+# ---------------------------------------------------------------------------
+# graph metrics + centralities (igraph reciprocity / density /
+# assortativity_degree / similarity_jaccard / closeness / harmonic /
+# betweenness parity — kernels/metrics.py, kernels/multibfs.py)
+# ---------------------------------------------------------------------------
+_PAIRS_CACHE: dict[str, ray.data.Dataset] = {}
+
+
+def _link_graph_edges_cached(sf_dir: str) -> ray.data.Dataset:
+    """Materialized E1∪E2 pair table, shared by the metric queries
+    (each would otherwise re-run the rule pipeline several times —
+    degree map, wedge pass, stat pass all consume it)."""
+    ds = _PAIRS_CACHE.get(sf_dir)
+    if ds is None:
+        ds = _link_graph_edges(sf_dir).materialize()
+        _PAIRS_CACHE[sf_dir] = ds
+    return ds
+
+
+def directed_doc_arcs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic directed key graph derived from documents:
+    arc 'v{doc_id % 101}' → 'v{(doc_id*37+11) % 101}', loops dropped
+    (dedup happens inside reciprocity's canonical-pair groupby)."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = doc_id % 101
+        d = (doc_id * 37 + 11) % 101
+        return pa.table(
+            {
+                "src": pa.array([f"v{i}" for i in s], pa.string()),
+                "dst": pa.array([f"v{i}" for i in d], pa.string()),
+            }
+        )
+
+    return documents(sf_dir).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_reciprocity(sf_dir: str):
+    """One row (n_arcs, n_reciprocated, reciprocity) over the directed
+    doc-derived key graph — exact-int counts + one IEEE division, so
+    the SQL twin matches bitwise."""
+    from igraph_ray.kernels.metrics import reciprocity
+
+    r, m, rec = reciprocity(directed_doc_arcs(sf_dir))
+    return pa.table(
+        {
+            "n_arcs": pa.array([m], pa.int64()),
+            "n_reciprocated": pa.array([rec], pa.int64()),
+            "reciprocity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+def q_density(sf_dir: str):
+    """One row (n_vertices, n_edges, density) of the E1∪E2 key graph
+    (vertices = all file keys, including isolated ones)."""
+    from igraph_ray.kernels.metrics import density
+
+    m = _link_graph_edges_cached(sf_dir).count()
+    n = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .unique("file_key")
+    )
+    n = len(n) if isinstance(n, list) else int(n)
+    return pa.table(
+        {
+            "n_vertices": pa.array([n], pa.int64()),
+            "n_edges": pa.array([m], pa.int64()),
+            "density": pa.array([density(n, m)], pa.float64()),
+        }
+    )
+
+
+def q_jaccard_similarity(sf_dir: str):
+    """(src_key, dst_key, common, jaccard) per E1∪E2 edge — Jaccard
+    similarity of the endpoint neighbourhoods
+    (igraph similarity_jaccard / nx.jaccard_coefficient semantics);
+    exact-int common/degree counts + one IEEE division per row."""
+    from igraph_ray.kernels.metrics import jaccard_edge_similarity
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = jaccard_edge_similarity(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+
+
+def q_assortativity(sf_dir: str):
+    """One row of exact int64 Pearson sufficient statistics over the
+    E1∪E2 degree pairs plus the assortativity coefficient — the SQL
+    twin replays the identical HUGEINT→DOUBLE expression."""
+    from igraph_ray.kernels.metrics import degree_assortativity
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    r, s = degree_assortativity(edges)
+    return pa.table(
+        {
+            "n_arcs": pa.array([s["m"]], pa.int64()),
+            "sum_x": pa.array([s["sx"]], pa.int64()),
+            "sum_y": pa.array([s["sy"]], pa.int64()),
+            "sum_xy": pa.array([s["sxy"]], pa.int64()),
+            "sum_xx": pa.array([s["sxx"]], pa.int64()),
+            "sum_yy": pa.array([s["syy"]], pa.int64()),
+            "assortativity": pa.array([r], pa.float64()),
+        }
+    )
+
+
+def q_betweenness(sf_dir: str, graph_dir: str | None = None):
+    """(key, betweenness) — pivot-sampled Brandes (k=12, the
+    nx.betweenness_centrality(G, k=...) estimator) over the E1∪E2
+    graph; rows-only (float sums over sampled pivots), exact-mode
+    semantics verified by the pytest networkx oracle."""
+    import tempfile
+
+    from igraph_ray.kernels.betweenness import betweenness_centrality
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_bc_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = betweenness_centrality(graph, k=min(12, vtbl.num_rows))
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_harmonic(sf_dir: str, graph_dir: str | None = None):
+    """(key, harmonic) — pivot-sampled harmonic centrality (k=64 BFS
+    lanes in ONE multi-pivot chassis run); rows-only, exact-mode
+    semantics verified by the pytest networkx oracle."""
+    import tempfile
+
+    from igraph_ray.kernels.multibfs import harmonic_centrality
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_hc_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = harmonic_centrality(graph, vtbl.num_rows, k=64)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_closeness(sf_dir: str, graph_dir: str | None = None):
+    """(key, closeness) — pivot-sampled closeness (wf_improved,
+    nx.closeness_centrality semantics in exact mode); shares the
+    multi-pivot BFS chassis run shape with q_harmonic."""
+    import tempfile
+
+    from igraph_ray.kernels.multibfs import closeness_centrality
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_cl_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = closeness_centrality(graph, vtbl.num_rows, k=64)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
