@@ -65,6 +65,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness": q.q_betweenness,  # rows-only (sampled Brandes)
         "closeness": q.q_closeness,  # rows-only (sampled pivots)
         "harmonic": q.q_harmonic,  # rows-only (sampled pivots)
+        "eigenvector": q.q_eigenvector,  # rows-only (power iteration)
+        "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
         "density": q.q_density,  # SQL oracle

@@ -974,3 +974,42 @@ def q_closeness(sf_dir: str, graph_dir: str | None = None):
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_eigenvector(sf_dir: str, graph_dir: str | None = None):
+    """(key, centrality) — eigenvector centrality over the E1∪E2
+    graph; rows-only (float fixed point), nx parity via pytest."""
+    import tempfile
+
+    from igraph_ray.kernels.eigenvector import eigenvector_centrality
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_ev_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = eigenvector_centrality(
+        graph, vtbl.num_rows, tol=1e-7, max_iter=500
+    )
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_hits(sf_dir: str):
+    """(vid, authority, hub) — HITS over the directed doc-derived
+    graph (vid = doc_id % 101 numeric keys); rows-only (float fixed
+    point), dense-eig parity via pytest."""
+    import tempfile
+
+    from igraph_ray.kernels.hits import hits
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = (doc_id % 101).astype(np.int64)
+        d = ((doc_id * 37 + 11) % 101).astype(np.int64)
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep]), "dst": pa.array(d[keep])})
+
+    arcs = documents(sf_dir).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return hits(arcs, tempfile.mkdtemp(prefix="igr_hits_"), 101, tol=1e-8)
