@@ -67,6 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic": q.q_harmonic,  # rows-only (sampled pivots)
         "eigenvector": q.q_eigenvector,  # rows-only (power iteration)
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
+        "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
+        "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
         "density": q.q_density,  # SQL oracle

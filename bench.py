@@ -274,11 +274,15 @@ def run_scaling() -> dict:
     """
     scale_edges = os.environ.get("GRAFT_SCALE_EDGES", "12000000")
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+    cpu_configs = tuple(
+        int(c)
+        for c in os.environ.get("GRAFT_SCALING_CPUS", "2,8,32").split(",")
+    )
     results = {}
     # interleave repetitions so time-varying host load (shared VM)
     # hits every config evenly; keep the best run per config
     for rep in range(repeats):
-        for cpus in (2, 8, 32):
+        for cpus in cpu_configs:
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(cpus),
@@ -301,22 +305,25 @@ def run_scaling() -> dict:
     tput = {
         c: results[c]["pagerank_edges_per_sec_per_iter"] for c in results
     }
-    eff_2_8 = (tput[8] / tput[2]) / 4
-    eff_8_32 = (tput[32] / tput[8]) / 4
+    effs = {}
+    for lo, hi in zip(cpu_configs, cpu_configs[1:]):
+        effs[f"scaling_efficiency_{lo}_to_{hi}"] = round(
+            (tput[hi] / tput[lo]) / (hi / lo), 3
+        )
+    first_eff = next(iter(effs.values()))
     return {
         "metric": "scaling_efficiency_n_to_4n",
-        "value": round(eff_2_8, 3),
+        "value": first_eff,
         "unit": "ratio",
         "queries": {f"pagerank_tput_{c}cpu": tput[c] for c in tput},
         "sf": _sf_label(SF_DIR),
-        "num_cpus": [2, 8, 32],
-        "scaling_efficiency_2_to_8": round(eff_2_8, 3),
-        "scaling_efficiency_8_to_32": round(eff_8_32, 3),
+        "num_cpus": list(cpu_configs),
+        **effs,
         "host_compute_ceiling_8_to_32": _host_compute_ceiling(8, 32),
         "sec_per_iter": {
             c: results[c]["pagerank_sec_per_iter"] for c in results
         },
-        "num_edges": results[32]["num_edges"],
+        "num_edges": results[cpu_configs[-1]]["num_edges"],
     }
 
 

@@ -1013,3 +1013,68 @@ def q_hits(sf_dir: str):
         derive, batch_format="pyarrow", zero_copy_batch=True
     )
     return hits(arcs, tempfile.mkdtemp(prefix="igr_hits_"), 101, tol=1e-8)
+
+
+def q_ktruss(sf_dir: str):
+    """(src_key, dst_key) — edges of the 3-truss of the E1∪E2 graph
+    (nx.k_truss parity); rows-only, pytest oracle (peeling is not
+    SQL-expressible)."""
+    from igraph_ray.kernels.ktruss import k_truss
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = k_truss(edges, k=3)
+    batches = list(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if not batches:
+        return pa.table(
+            {
+                "src_key": pa.array([], pa.string()),
+                "dst_key": pa.array([], pa.string()),
+            }
+        )
+    tbl = pa.concat_tables(batches)
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+
+
+def q_mst(sf_dir: str):
+    """(src_key, dst_key, weight) — minimum spanning forest of the
+    E1∪E2 graph (weight = co-occurrence count, deterministic
+    lexicographic tie-break); rows-only, pytest oracle (Borůvka is
+    not SQL-expressible)."""
+    import tempfile
+
+    from igraph_ray.kernels.mst import minimum_spanning_forest
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    out = minimum_spanning_forest(
+        edges, tempfile.mkdtemp(prefix="igr_msf_")
+    )
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})

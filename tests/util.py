@@ -40,9 +40,11 @@ def state_dict(state, value_col):
 
 
 def ds_to_table(ds) -> pa.Table:
-    return pa.concat_tables(
-        ds.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        s = ds.schema()
+        return pa.schema(zip(s.names, s.types)).empty_table()
+    return pa.concat_tables(batches)
 
 
 def min_vid_components(G) -> dict[int, int]:
