@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
         "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)
+        "adamic_adar": q.q_adamic_adar,  # rows-only (float ln-sums)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
         "density": q.q_density,  # SQL oracle
@@ -471,7 +472,11 @@ SELECT e.src_key, e.dst_key,
        CASE WHEN d1.degree + d2.degree - COALESCE(c.c, 0) > 0
             THEN CAST(COALESCE(c.c, 0) AS DOUBLE)
                  / CAST(d1.degree + d2.degree - COALESCE(c.c, 0) AS DOUBLE)
-            ELSE 0.0 END AS jaccard
+            ELSE 0.0 END AS jaccard,
+       CASE WHEN d1.degree + d2.degree > 0
+            THEN CAST(2 * COALESCE(c.c, 0) AS DOUBLE)
+                 / CAST(d1.degree + d2.degree AS DOUBLE)
+            ELSE 0.0 END AS dice
 FROM link_pairs e
 JOIN deg d1 ON d1.key = e.src_key
 JOIN deg d2 ON d2.key = e.dst_key

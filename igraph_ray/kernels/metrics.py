@@ -235,22 +235,18 @@ def degree_assortativity(
 # ---------------------------------------------------------------------------
 # Jaccard vertex similarity (per edge)
 # ---------------------------------------------------------------------------
-def jaccard_edge_similarity(
+def _wedge_pair_weights(
     pairs: ray.data.Dataset,
-    num_parts: int | None = None,
-    max_degree: int | None = None,
+    num_parts: int | None,
+    max_degree: int | None,
+    log_weighted: bool,
 ) -> ray.data.Dataset:
-    """Per-edge Jaccard similarity of the endpoints' neighbourhoods:
-    ``|N(u)∩N(v)| / |N(u)∪N(v)|`` for every unordered pair in
-    ``pairs`` (columns src/dst, one row per pair).
+    """Rows (a, b, common, is_edge=0) — for every unordered vertex
+    pair with ≥1 common neighbour, the sum over common neighbours w of
+    1 (``log_weighted=False``) or 1/ln(deg(w)) (Adamic–Adar).
 
-    ``nx.jaccard_coefficient(G, ebunch=G.edges())`` semantics
-    (neighbour sets exclude the endpoints themselves unless they are
-    adjacent to each other — pure set algebra on adjacency).
-
-    ``max_degree`` skips wedge centres above the cap (hub guard): the
-    common counts become lower bounds, for the at-scale estimate mode;
-    leave ``None`` for exact results.
+    Wedge volume is Σ deg(w)² — the triangle-counting bound;
+    ``max_degree`` caps hub centres for the estimate-at-scale mode.
     """
     n_edges = pairs.count()
     if num_parts is None:
@@ -283,7 +279,7 @@ def jaccard_edge_similarity(
             boundary[1:] = u[1:] != u[:-1]
         starts = np.flatnonzero(boundary)
         ends = np.append(starts[1:], len(u))
-        out_a, out_b = [], []
+        out_a, out_b, out_w = [], [], []
         for s0, e0 in zip(starts, ends):
             d = e0 - s0
             if d < 2 or (max_degree is not None and d > max_degree):
@@ -292,36 +288,43 @@ def jaccard_edge_similarity(
             ii, jj = np.triu_indices(d, k=1)
             out_a.append(nb[ii])
             out_b.append(nb[jj])
+            w = 1.0 / math.log(d) if log_weighted else 1.0
+            out_w.append(np.full(len(ii), w))
         if out_a:
             a = np.concatenate(out_a)
             b = np.concatenate(out_b)
+            w = np.concatenate(out_w)
         else:
             a = np.empty(0, np.int64)
             b = np.empty(0, np.int64)
+            w = np.empty(0, np.float64)
         return pa.table(
             {
                 "a": pa.array(a),
                 "b": pa.array(b),
-                "common": pa.array(np.ones(len(a), np.int64)),
+                "common": pa.array(w),
                 "is_edge": pa.array(np.zeros(len(a), np.int64)),
             }
         )
 
-    wedge_pairs = arcs.groupby("hpart").map_groups(
-        wedges, batch_format="pyarrow"
-    )
+    return arcs.groupby("hpart").map_groups(wedges, batch_format="pyarrow")
+
+
+def _merge_onto_edges(
+    pairs: ray.data.Dataset, wedge_pairs: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Keep (src, dst, common) for pairs that are edges — one tagged
+    groupby instead of a join."""
 
     def edge_rows(batch: pa.Table) -> pa.Table:
         s = batch.column("src").to_numpy(zero_copy_only=False)
         d = batch.column("dst").to_numpy(zero_copy_only=False)
-        a = np.minimum(s, d)
-        b = np.maximum(s, d)
         return pa.table(
             {
-                "a": pa.array(a),
-                "b": pa.array(b),
-                "common": pa.array(np.zeros(len(a), np.int64)),
-                "is_edge": pa.array(np.ones(len(a), np.int64)),
+                "a": pa.array(np.minimum(s, d)),
+                "b": pa.array(np.maximum(s, d)),
+                "common": pa.array(np.zeros(len(s), np.float64)),
+                "is_edge": pa.array(np.ones(len(s), np.int64)),
             }
         )
 
@@ -334,13 +337,34 @@ def jaccard_edge_similarity(
         Sum("common", alias_name="common"),
         Sum("is_edge", alias_name="is_edge"),
     )
+
     def keep_edges(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch.column("is_edge"), 0))
 
-    only_edges = merged.map_batches(
+    return merged.map_batches(
         keep_edges, batch_format="pyarrow", zero_copy_batch=True
     ).rename_columns({"a": "src", "b": "dst"})
 
+
+def jaccard_edge_similarity(
+    pairs: ray.data.Dataset,
+    num_parts: int | None = None,
+    max_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Per-edge Jaccard AND Dice similarity of the endpoints'
+    neighbourhoods for every unordered pair in ``pairs`` (columns
+    src/dst, one row per pair): ``jaccard = |N(u)∩N(v)| / |N(u)∪N(v)|``
+    (``nx.jaccard_coefficient(G, ebunch=G.edges())`` /
+    igraph ``similarity_jaccard``), ``dice = 2|N(u)∩N(v)| /
+    (deg(u)+deg(v))`` (igraph ``similarity_dice``).
+
+    ``max_degree`` caps hub wedge-centres (estimate-at-scale mode);
+    leave ``None`` for exact results.
+    """
+    wedge_pairs = _wedge_pair_weights(
+        pairs, num_parts, max_degree, log_weighted=False
+    )
+    only_edges = _merge_onto_edges(pairs, wedge_pairs)
     degs = _degree_map(pairs)
     with_deg = attach_degrees(
         only_edges.select_columns(["src", "dst", "common"]), degs
@@ -348,20 +372,53 @@ def jaccard_edge_similarity(
 
     def finish(batch: pa.Table) -> pa.Table:
         c = batch.column("common").to_numpy(zero_copy_only=False)
+        c = c.astype(np.int64)
         du = batch.column("deg_src").to_numpy(zero_copy_only=False)
         dv = batch.column("deg_dst").to_numpy(zero_copy_only=False)
         union = du + dv - c
         with np.errstate(divide="ignore", invalid="ignore"):
             j = np.where(union > 0, c / union, 0.0)
+            dice = np.where(du + dv > 0, (2 * c) / (du + dv), 0.0)
         return pa.table(
             {
                 "src": batch.column("src"),
                 "dst": batch.column("dst"),
                 "common": pa.array(c),
                 "jaccard": pa.array(j.astype(np.float64)),
+                "dice": pa.array(dice.astype(np.float64)),
             }
         )
 
     return with_deg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def adamic_adar_edges(
+    pairs: ray.data.Dataset,
+    num_parts: int | None = None,
+    max_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Per-edge Adamic–Adar index ``Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)``
+    (``nx.adamic_adar_index(G, ebunch=G.edges())`` / igraph
+    ``similarity_inverse_log_weighted`` flavour) — the same wedge
+    pipeline as Jaccard with 1/ln(deg) centre weights.  Rows
+    ``(src, dst, adamic_adar)``; float sums, so oracle checks are
+    tolerance-based rather than bitwise."""
+    wedge_pairs = _wedge_pair_weights(
+        pairs, num_parts, max_degree, log_weighted=True
+    )
+    only_edges = _merge_onto_edges(pairs, wedge_pairs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "adamic_adar": batch.column("common"),
+            }
+        )
+
+    return only_edges.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -1078,3 +1078,30 @@ def q_mst(sf_dir: str):
         )
     ).sort_by("vid")
     return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+
+
+def q_adamic_adar(sf_dir: str):
+    """(src_key, dst_key, adamic_adar) per E1∪E2 edge — Adamic–Adar
+    index (igraph similarity_inverse_log_weighted flavour /
+    nx.adamic_adar_index); rows-only (float ln-sums are summation-
+    order-dependent), pytest oracle."""
+    from igraph_ray.kernels.metrics import adamic_adar_edges
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = adamic_adar_edges(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})

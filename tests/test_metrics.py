@@ -112,3 +112,37 @@ def test_jaccard_common_counts_triangle_plus_tail():
     assert rows[(0, 1)] == (1, pytest.approx(1 / 3))
     assert rows[(2, 3)][0] == 0
     assert rows[(2, 3)][1] == 0.0
+
+
+def test_dice_matches_definition():
+    G = nx.gnm_random_graph(50, 120, seed=6)
+    out = ds_to_table(jaccard_edge_similarity(_pairs_ds(G)))
+    for a, b, c, d in zip(
+        out.column("src").to_pylist(),
+        out.column("dst").to_pylist(),
+        out.column("common").to_pylist(),
+        out.column("dice").to_pylist(),
+    ):
+        assert d == pytest.approx(2 * c / (G.degree(a) + G.degree(b)))
+
+
+def test_adamic_adar_matches_nx():
+    from igraph_ray.kernels.metrics import adamic_adar_edges
+
+    G = nx.gnm_random_graph(60, 170, seed=12)
+    out = ds_to_table(adamic_adar_edges(_pairs_ds(G)))
+    got = {
+        (min(a, b), max(a, b)): v
+        for a, b, v in zip(
+            out.column("src").to_pylist(),
+            out.column("dst").to_pylist(),
+            out.column("adamic_adar").to_pylist(),
+        )
+    }
+    ref = {
+        (min(u, v), max(u, v)): p
+        for u, v, p in nx.adamic_adar_index(G, ebunch=list(G.edges()))
+    }
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k], abs=1e-9), k
