@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
         "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)
         "adamic_adar": q.q_adamic_adar,  # rows-only (float ln-sums)
+        "eccentricity": q.q_eccentricity,  # SQL oracle (all-pairs CTE)
+        "diameter": q.q_diameter,  # SQL oracle (max/min eccentricity)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
         "density": q.q_density,  # SQL oracle
@@ -418,6 +420,52 @@ walk AS (
   SELECT k, MIN(dist) AS dist FROM r GROUP BY k
 )
 SELECT k AS key, CAST(dist AS BIGINT) AS dist FROM walk
+""",
+        "eccentricity": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, 0 FROM keys
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+),
+ecc AS (
+  SELECT s AS key, CAST(MAX(dist) AS BIGINT) AS eccentricity
+  FROM walk GROUP BY s
+)
+SELECT key, eccentricity FROM ecc
+""",
+        "diameter": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, 0 FROM keys
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+),
+ecc AS (
+  SELECT s AS key, CAST(MAX(dist) AS BIGINT) AS eccentricity
+  FROM walk GROUP BY s
+)
+SELECT CAST(MAX(eccentricity) AS BIGINT) AS diameter,
+       CAST(MIN(eccentricity) AS BIGINT) AS radius
+FROM ecc
 """,
         # directed doc-derived graph; counts are exact ints and the
         # final ratio is one IEEE division of those ints on both sides

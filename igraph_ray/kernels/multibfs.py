@@ -284,3 +284,49 @@ def closeness_centrality(
         "closeness",
         wf_improved=wf_improved,
     )
+
+
+def eccentricity(
+    graph: GraphMeta,
+    pivots: np.ndarray | list[int],
+) -> ray.data.Dataset:
+    """Rows ``(vid, eccentricity)`` — max finite hop distance from any
+    pivot (undirected symmetry: d(p,v) = d(v,p), so with pivots = all
+    vertices this is exact ``igraph_eccentricity`` / nx.eccentricity
+    within each component; with sampled pivots it is the standard
+    lower-bound estimate).  Isolated vertices get 0."""
+    run = pivot_distances(graph, np.asarray(pivots, np.int64))
+    k = len(np.unique(np.asarray(pivots, np.int64)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        dmat = np.stack(
+            [
+                batch.column(f"d{i}").to_numpy(zero_copy_only=False)
+                for i in range(k)
+            ],
+            axis=1,
+        )
+        ecc = np.where(np.isfinite(dmat), dmat, -np.inf).max(axis=1)
+        ecc = np.where(np.isfinite(ecc), ecc, 0.0)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "eccentricity": pa.array(ecc.astype(np.int64)),
+            }
+        )
+
+    return run.state.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def diameter_radius(ecc: ray.data.Dataset) -> tuple[int, int]:
+    """(diameter, radius) = (max, min) of an eccentricity table —
+    per-component semantics when the graph is disconnected."""
+    from ray.data.aggregate import Max, Min
+
+    res = ecc.aggregate(
+        Max("eccentricity", alias_name="d"),
+        Min("eccentricity", alias_name="r"),
+    )
+    return int(res["d"] or 0), int(res["r"] or 0)

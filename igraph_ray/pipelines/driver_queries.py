@@ -1105,3 +1105,45 @@ def q_adamic_adar(sf_dir: str):
         )
     ).sort_by("vid")
     return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+
+
+def _ecc_table(sf_dir: str, graph_dir: str | None = None) -> pa.Table:
+    """(key, eccentricity) with ALL vertices as BFS pivots when the
+    key graph is small (≤128 keys — always true for the modular
+    files derivation), else a 128-pivot lower-bound estimate."""
+    import tempfile
+
+    from igraph_ray.kernels.multibfs import eccentricity, sample_pivots
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_ecc_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vids = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    pivots = sample_pivots(vids, 128 if len(vids) > 128 else None)
+    out = eccentricity(graph, pivots)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_eccentricity(sf_dir: str):
+    """(key, eccentricity) over the E1∪E2 graph — exact hop
+    eccentricities (all-pivot multi-BFS); integer output, SQL twin is
+    the all-pairs recursive-CTE closure."""
+    return _ecc_table(sf_dir)
+
+
+def q_diameter(sf_dir: str):
+    """One row (diameter, radius) of the E1∪E2 graph (per-component
+    max/min eccentricity — igraph_diameter/igraph_radius unconn
+    semantics)."""
+    tbl = _ecc_table(sf_dir)
+    ecc = tbl.column("eccentricity").to_numpy(zero_copy_only=False)
+    d = int(ecc.max()) if len(ecc) else 0
+    r = int(ecc.min()) if len(ecc) else 0
+    return pa.table(
+        {
+            "diameter": pa.array([d], pa.int64()),
+            "radius": pa.array([r], pa.int64()),
+        }
+    )

@@ -76,3 +76,32 @@ def test_sampled_estimates_track_exact(tmp_graph_dir):
     # 64/200 pivots: estimates within 35% per vertex, ~5% in the mean
     assert max(rel) < 0.35
     assert np.mean(rel) < 0.10
+
+
+def test_eccentricity_diameter_radius_exact(tmp_graph_dir):
+    from igraph_ray.kernels.multibfs import diameter_radius, eccentricity
+
+    G = nx.connected_watts_strogatz_graph(80, 4, 0.1, seed=3)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    ecc_ds = eccentricity(g, np.arange(80, dtype=np.int64))
+    got = _col_dict(ecc_ds, "eccentricity")
+    ref = nx.eccentricity(G)
+    for v in G.nodes():
+        assert got[v] == ref[v], v
+    d, r = diameter_radius(ecc_ds.materialize())
+    assert d == nx.diameter(G)
+    assert r == nx.radius(G)
+
+
+def test_eccentricity_isolated_vertex(tmp_graph_dir):
+    G = nx.path_graph(5)
+    G.add_node(10)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=2)
+    from igraph_ray.kernels.multibfs import eccentricity
+
+    got = _col_dict(
+        eccentricity(g, np.array(sorted(G.nodes()), np.int64)),
+        "eccentricity",
+    )
+    assert got[10] == 0
+    assert got[0] == 4 and got[2] == 2
