@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": q.q_adamic_adar,  # rows-only (float ln-sums)
         "eccentricity": q.q_eccentricity,  # SQL oracle (all-pairs CTE)
         "diameter": q.q_diameter,  # SQL oracle (max/min eccentricity)
+        "random_walks": q.q_random_walks,  # rows-only (deterministic corpus)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
         "density": q.q_density,  # SQL oracle

@@ -160,6 +160,27 @@ def run_suite(headline_only: bool = False) -> dict:
         queries["sssp_bfs"] = round(time.perf_counter() - t0, 3)
         detail["sssp_iterations"] = srun.iterations
 
+        # 16 BFS lanes in one chassis run (multi-pivot kernel)
+        from igraph_ray.kernels.multibfs import harmonic_centrality
+
+        t0 = time.perf_counter()
+        harmonic_centrality(graph, graph.num_vertices, k=16).count()
+        queries["harmonic_k16"] = round(time.perf_counter() - t0, 3)
+
+        from igraph_ray.kernels.eigenvector import eigenvector_centrality
+        from igraph_ray.kernels.pagerank import (
+            PowerIterationFailedConvergence,
+        )
+
+        t0 = time.perf_counter()
+        try:
+            eigenvector_centrality(
+                graph, graph.num_vertices, tol=1e-6, max_iter=200
+            ).count()
+        except PowerIterationFailedConvergence:
+            detail["eigenvector_converged"] = False
+        queries["eigenvector"] = round(time.perf_counter() - t0, 3)
+
         t0 = time.perf_counter()
         import ray.data as rd
 
@@ -250,6 +271,45 @@ def _burn(_):
     return x
 
 
+def _stream(_):
+    import numpy as np
+
+    # memory-bound kernel shaped like the pagerank scatter inner loop:
+    # gather + multiply + segmented reduce over arrays >> L3
+    n = 8_000_000
+    idx = np.random.default_rng(0).integers(0, n, n)
+    x = np.random.default_rng(1).random(n)
+    w = np.random.default_rng(2).random(n)
+    seg = np.arange(0, n, 16)
+    v = x[idx] * w
+    np.add.reduceat(v, seg)  # warmup
+    t0 = time.perf_counter()
+    iters = 0
+    while time.perf_counter() - t0 < 4.0:
+        v = x[idx] * w
+        np.add.reduceat(v, seg)
+        iters += 1
+    return iters
+
+
+def _host_memory_bw_ceiling(n_lo: int, n_hi: int, repeats: int = 2) -> float:
+    """Measured aggregate MEMORY throughput ratio at n_hi-way vs
+    n_lo-way (normalized by n_hi/n_lo), using a gather+reduceat kernel
+    shaped like the engine's hot loop.  Co-located workers share one
+    memory system, so this — not core count — is the hard ceiling for
+    memory-bound kernels on a single host; a real n_hi/n_lo-×-node
+    cluster multiplies memory channels instead.  Best-of-N to damp
+    shared-VM scheduling noise."""
+    import multiprocessing as mp
+
+    best = {n_lo: 0, n_hi: 0}
+    for _ in range(repeats):
+        for n in (n_lo, n_hi):
+            with mp.Pool(n) as p:
+                best[n] = max(best[n], sum(p.map(_stream, range(n))))
+    return round((best[n_hi] / best[n_lo]) / (n_hi / n_lo), 3)
+
+
 def _host_compute_ceiling(n_lo: int, n_hi: int) -> float:
     """Measured aggregate-compute ratio of this host at n_hi-way vs
     n_lo-way concurrency, normalized by n_hi/n_lo.  A virtualized host
@@ -320,6 +380,7 @@ def run_scaling() -> dict:
         "num_cpus": list(cpu_configs),
         **effs,
         "host_compute_ceiling_8_to_32": _host_compute_ceiling(8, 32),
+        "host_memory_bw_ceiling_8_to_32": _host_memory_bw_ceiling(8, 32),
         "sec_per_iter": {
             c: results[c]["pagerank_sec_per_iter"] for c in results
         },

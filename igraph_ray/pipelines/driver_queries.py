@@ -1147,3 +1147,21 @@ def q_diameter(sf_dir: str):
             "radius": pa.array([r], pa.int64()),
         }
     )
+
+
+def q_random_walks(sf_dir: str, graph_dir: str | None = None):
+    """(walk_id, p0..p8) — deterministic 8-step walk corpus from every
+    key of the E1∪E2 graph (DeepWalk-style corpus generation);
+    rows-only (bitwise-reproducible by construction, pytest oracle
+    replays the reference walk)."""
+    import tempfile
+
+    from igraph_ray.kernels.walks import random_walks
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_rw_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    starts = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    out = random_walks(graph, starts, length=8, seed=42)
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
