@@ -65,15 +65,15 @@ def test_closeness_exact_all_pivots_disconnected(tmp_graph_dir):
 
 
 def test_sampled_estimates_track_exact(tmp_graph_dir):
-    G = nx.connected_watts_strogatz_graph(200, 6, 0.2, seed=17)
+    G = nx.connected_watts_strogatz_graph(120, 6, 0.2, seed=17)
     g = graph_from_nx(G, tmp_graph_dir, num_parts=4)
     n = G.number_of_nodes()
-    pivots = sample_pivots(np.arange(n, dtype=np.int64), 64)
-    assert len(pivots) == 64
+    pivots = sample_pivots(np.arange(n, dtype=np.int64), 48)
+    assert len(pivots) == 48
     est = _col_dict(harmonic_centrality(g, n, pivots=pivots), "harmonic")
     ref = nx.harmonic_centrality(G)
     rel = [abs(est[v] - ref[v]) / ref[v] for v in G.nodes()]
-    # 64/200 pivots: estimates within 35% per vertex, ~5% in the mean
+    # 48/120 pivots: estimates within 35% per vertex, ~10% in the mean
     assert max(rel) < 0.35
     assert np.mean(rel) < 0.10
 
