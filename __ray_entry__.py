@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eccentricity": q.q_eccentricity,  # SQL oracle (all-pairs CTE)
         "diameter": q.q_diameter,  # SQL oracle (max/min eccentricity)
         "random_walks": q.q_random_walks,  # rows-only (deterministic corpus)
+        "maximal_independent_set": q.q_mis,  # rows-only (Luby; property oracle)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
         "density": q.q_density,  # SQL oracle

@@ -1165,3 +1165,20 @@ def q_random_walks(sf_dir: str, graph_dir: str | None = None):
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
+
+
+def q_mis(sf_dir: str, graph_dir: str | None = None):
+    """(key, in_mis) — deterministic Luby maximal independent set over
+    the E1∪E2 graph; rows-only (which MIS depends on priorities),
+    independence+maximality pytest oracle."""
+    import tempfile
+
+    from igraph_ray.kernels.mis import maximal_independent_set
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_mis_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = maximal_independent_set(graph)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
