@@ -218,7 +218,7 @@ def run_suite(headline_only: bool = False) -> dict:
         from igraph_ray.kernels.louvain import louvain
 
         t0 = time.perf_counter()
-        _assign, mods = louvain(tri_edges, max_rounds_per_level=20)
+        _assign, mods = louvain(tri_edges, max_rounds_per_level=8)
         queries["louvain"] = round(time.perf_counter() - t0, 3)
         detail["louvain_modularity"] = round(mods[-1], 4)
         detail["louvain_levels"] = len(mods)

@@ -323,7 +323,24 @@ def minhash_near_dup_pairs(
     if verify_threshold is None:
         return pairs
 
-    texts = ds.select_columns([id_col, text_col])
+    # the candidate set is sparse — pin it so the two attach passes
+    # don't re-execute the shingle→bucket lineage; share ONE
+    # materialized text table between both joins (they would otherwise
+    # each re-read and re-materialize the corpus)
+    pairs = pairs.materialize()
+    texts = ds.select_columns([id_col, text_col]).materialize()
+    # key-space sizing: the downstream verify work scales with PAIRS
+    # (per-pair set intersection), not texts — partition so each join
+    # group carries a few thousand pairs and every core gets work
+    text_parts = int(
+        max(
+            16,
+            min(
+                65536,
+                max(texts.count() // 100_000, pairs.count() // 5_000) + 2,
+            ),
+        )
+    )
     with_ta = _attach_text(
         pairs,
         texts,
@@ -332,6 +349,7 @@ def minhash_near_dup_pairs(
         out_col="_ta",
         id_col=id_col,
         text_col=text_col,
+        num_parts=text_parts,
     )
     with_tb = _attach_text(
         with_ta,
@@ -341,6 +359,7 @@ def minhash_near_dup_pairs(
         out_col="_tb",
         id_col=id_col,
         text_col=text_col,
+        num_parts=text_parts,
     )
 
     def _verify(batch: pa.Table) -> pa.Table:
@@ -348,9 +367,27 @@ def minhash_near_dup_pairs(
         b = batch.column("b").to_numpy(zero_copy_only=False)
         ta = batch.column("_ta").to_pylist()
         tb = batch.column("_tb").to_pylist()
-        j = np.array(
-            [jaccard(x, y, k) for x, y in zip(ta, tb)], dtype=np.float64
-        )
+        # a doc appears in many candidate pairs — shingle each UNIQUE
+        # text once per batch (ids repeat heavily inside a join
+        # partition), then intersect the sorted-unique hash sets with
+        # a searchsorted probe instead of re-hashing per pair
+        cache: dict[str, np.ndarray] = {}
+        for t in ta:
+            if t not in cache:
+                cache[t] = _shingle_hashes(t or "", k)
+        for t in tb:
+            if t not in cache:
+                cache[t] = _shingle_hashes(t or "", k)
+        j = np.empty(len(ta), np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            ha, hb = cache[x], cache[y]
+            if len(ha) > len(hb):
+                ha, hb = hb, ha
+            pos = np.searchsorted(hb, ha)
+            pos_c = np.minimum(pos, len(hb) - 1)
+            inter = int((hb[pos_c] == ha).sum())
+            union = len(ha) + len(hb) - inter
+            j[i] = inter / union if union else 1.0
         keep = j >= verify_threshold
         return pa.table(
             {

@@ -57,7 +57,16 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
 
 def _node_table(arcs: ray.data.Dataset) -> pa.Table:
     """(vid, k) — weighted degree, self-loops counted twice (the
-    ``G.degree(weight=...)`` convention, ``louvain.py:264``)."""
+    ``G.degree(weight=...)`` convention, ``louvain.py:264``).
+
+    Shape note: a ``groupby(vid).aggregate`` with V distinct keys
+    measured ~10× slower than this hash-partition + vectorized
+    per-group sum (16 groups instead of V), the same pattern as
+    ``canonical_edges``; per-block partials keep the shuffle at
+    O(unique srcs per block)."""
+    from igraph_ray.utils import hash_int64
+
+    num_parts = 16
 
     def partial(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -69,14 +78,28 @@ def _node_table(arcs: ray.data.Dataset) -> pa.Table:
         uv = np.unique(src)
         acc = np.zeros(len(uv), np.float64)
         np.add.at(acc, np.searchsorted(uv, src), kw)
-        return pa.table({"vid": pa.array(uv), "k": pa.array(acc)})
+        return pa.table(
+            {
+                "hpart": pa.array(
+                    (hash_int64(uv) % np.uint64(num_parts)).astype(np.int32)
+                ),
+                "vid": pa.array(uv),
+                "k": pa.array(acc),
+            }
+        )
 
-    from ray.data.aggregate import Sum
+    def sum_group(group: pa.Table) -> pa.Table:
+        vid = group.column("vid").to_numpy(zero_copy_only=False)
+        kk = group.column("k").to_numpy(zero_copy_only=False)
+        uv = np.unique(vid)
+        acc = np.zeros(len(uv), np.float64)
+        np.add.at(acc, np.searchsorted(uv, vid), kk)
+        return pa.table({"vid": pa.array(uv), "k": pa.array(acc)})
 
     return _collect(
         arcs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("vid")
-        .aggregate(Sum("k", alias_name="k"))
+        .groupby("hpart")
+        .map_groups(sum_group, batch_format="pyarrow")
     ).sort_by("vid")
 
 
@@ -273,8 +296,9 @@ def _one_level(
     m: float,
     resolution: float,
     max_rounds: int,
-) -> tuple[np.ndarray, np.ndarray, bool]:
-    """Local-move phase on one level; returns (vids, comm, improved)."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
+    """Local-move phase on one level; returns (vids, comm, k,
+    improved)."""
     ntbl = _node_table(arcs)
     vids = ntbl.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
     k = ntbl.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
@@ -366,7 +390,7 @@ def _one_level(
             zero_streak += 1
             if zero_streak >= 2:  # a full even+odd round without moves
                 break
-    return vids, comm, improved
+    return vids, comm, k, improved
 
 
 def louvain(
@@ -398,14 +422,12 @@ def louvain(
     prev_q = -np.inf
 
     for _level in range(max_levels):
-        vids, comm, improved = _one_level(
+        vids, comm, k, improved = _one_level(
             arcs, m, resolution, max_rounds_per_level
         )
-        # level modularity
+        # level modularity (k reused from the level's node table)
         comm_ref = ray.put((vids, comm))
         internal = _internal_weight(arcs, comm_ref)
-        ntbl = _node_table(arcs)
-        k = ntbl.column("k").to_numpy(zero_copy_only=False)
         _ids, stot, _size = _stot_arrays(vids, comm, k)
         q = internal / m - resolution * float((stot**2).sum()) / (
             4.0 * m * m
