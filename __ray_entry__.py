@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter": q.q_diameter,  # SQL oracle (max/min eccentricity)
         "random_walks": q.q_random_walks,  # rows-only (deterministic corpus)
         "maximal_independent_set": q.q_mis,  # rows-only (Luby; property oracle)
+        "clustering": q.q_clustering,  # SQL oracle (exact ints + IEEE replay)
+        "degree_histogram": q.q_degree_histogram,  # SQL oracle
+        "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
+        "coloring": q.q_coloring,  # rows-only (iterated Luby; property oracle)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
         "density": q.q_density,  # SQL oracle
@@ -582,6 +586,52 @@ corners AS (
 cnt AS (SELECT key, COUNT(*) AS n FROM corners GROUP BY key)
 SELECT k.key, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
 FROM keys k LEFT JOIN cnt ON k.key = cnt.key
+""",
+        "clustering": f"""
+{_LINK_PAIRS},
+ce AS (
+  SELECT DISTINCT LEAST(src_key, dst_key) AS a,
+                  GREATEST(src_key, dst_key) AS b
+  FROM link_pairs WHERE src_key <> dst_key
+),
+deg AS (
+  SELECT key, COUNT(*) AS d FROM (
+    SELECT a AS key FROM ce UNION ALL SELECT b FROM ce
+  ) GROUP BY key
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS key FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT key, COUNT(*) AS n FROM corners GROUP BY key)
+SELECT k.key,
+       CASE WHEN COALESCE(deg.d, 0) >= 2
+            THEN CAST(COALESCE(cnt.n, 0) AS DOUBLE)
+                 / (CAST(deg.d AS DOUBLE)
+                    * (CAST(deg.d AS DOUBLE) - 1.0) / 2.0)
+            ELSE 0.0 END AS clustering
+FROM keys k
+LEFT JOIN deg ON k.key = deg.key
+LEFT JOIN cnt ON k.key = cnt.key
+""",
+        "degree_histogram": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT key, COUNT(*) AS degree FROM endpoints GROUP BY key)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM deg GROUP BY degree
 """,
         "transitivity": f"""
 {_LINK_PAIRS},

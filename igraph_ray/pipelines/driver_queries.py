@@ -1182,3 +1182,93 @@ def q_mis(sf_dir: str, graph_dir: str | None = None):
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_clustering(sf_dir: str):
+    """(key, clustering) — per-vertex local clustering coefficient of
+    the E1∪E2 graph (0.0 for keys with degree < 2, including isolated
+    keys).  SQL-checked: both engines form exact integer triangle and
+    degree counts and apply the identical IEEE expression
+    ``t / (d·(d−1)/2)``, so the division matches bitwise."""
+    from igraph_ray.kernels.triangles import local_clustering
+
+    pairs = _link_graph_edges(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    cc = pa.concat_tables(
+        local_clustering(edges).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    # dense vids → scatter into a zero-filled vector (isolated keys
+    # have no edge-table row; nx.clustering gives them 0.0)
+    full = np.zeros(len(vtbl), np.float64)
+    full[cc.column("vid").to_numpy(zero_copy_only=False)] = cc.column(
+        "clustering"
+    ).to_numpy(zero_copy_only=False)
+    return pa.table(
+        {"key": vtbl.column("key"), "clustering": pa.array(full)}
+    )
+
+
+def q_degree_histogram(sf_dir: str):
+    """(degree, n_keys) — degree distribution of the E1∪E2 graph over
+    keys that appear in at least one link pair (igraph
+    ``degree_distribution`` surface)."""
+    return (
+        q_degrees(sf_dir)
+        .groupby("degree")
+        .aggregate(Count("degree", alias_name="n_keys"))
+    )
+
+
+def q_katz(sf_dir: str, graph_dir: str | None = None):
+    """(key, centrality) — Katz centrality of the E1∪E2 graph with
+    ``alpha = 0.85 / max_weighted_degree`` (guarantees
+    ``alpha < 1/λ_max`` since ``λ_max ≤ max weighted degree``);
+    rows-only (float fixed point), nx parity in tests/test_katz.py."""
+    import tempfile
+
+    from igraph_ray.kernels.katz import katz_centrality
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_katz_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    wd = q_degrees(sf_dir).max("weighted_degree") or 1.0
+    out = katz_centrality(
+        graph,
+        num_vertices=graph.num_vertices,
+        alpha=0.85 / float(wd),
+        tol=1e-9,
+        max_iter=500,
+    )
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_coloring(sf_dir: str, graph_dir: str | None = None):
+    """(key, color) — greedy vertex coloring (iterated Luby) of the
+    E1∪E2 graph; rows-only (which proper coloring depends on
+    priorities), proper/contiguous/≤Δ+1 pytest oracle."""
+    import tempfile
+
+    from igraph_ray.kernels.coloring import greedy_coloring
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_col_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = greedy_coloring(graph)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
