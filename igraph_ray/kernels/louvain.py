@@ -24,16 +24,18 @@ label-swaps cannot oscillate.  Output labels therefore differ from any
 particular seeded networkx run; §5-style validation compares
 *modularity quality* against ``nx.louvain_communities`` instead.
 
-Distributed shape: one hash shuffle per local-move round (arc rows +
-node rows co-partitioned on ``hash(vid)``; message combine and argmax
-are vectorized ``reduceat`` segments).  The per-community totals table
-(Σtot, size — one row per community) and the vid→community map are
-broadcast via ``ray.put`` and refreshed per round; the map broadcast
-bounds this implementation to ``broadcast_max_vertices`` (default
-20M) vertices per level — beyond that the map attach needs the
-co-partition-join fallback (see ``stages/vertex_ids.attach_vids`` for
-the idiom), which is raised as ``NotImplementedError`` rather than
-silently shipped.
+Distributed shape: the level's arcs are hash-partitioned by src ONCE
+(an arc's partition never changes across rounds) and materialized;
+every local-move round is then a shuffle-free ``map_batches`` over the
+partitioned blocks — message combine and argmax are vectorized
+``reduceat`` segments, and only MOVED ``(vid, comm)`` rows return to
+the driver.  The per-community totals table (Σtot, size — one row per
+community) and the vid→community map are broadcast via ``ray.put``
+and refreshed per round; the map broadcast bounds this implementation
+to ``broadcast_max_vertices`` (default 20M) vertices per level —
+beyond that the map attach needs the co-partition-join fallback (see
+``stages/vertex_ids.attach_vids`` for the idiom), which is raised as
+``NotImplementedError`` rather than silently shipped.
 """
 
 from __future__ import annotations
@@ -144,130 +146,94 @@ def _internal_weight(arcs: ray.data.Dataset, comm_ref) -> float:
     )
 
 
-class _MoveRound:
-    """One synchronous local-move round over co-partitioned
-    (arc ∪ node) rows.  Broadcast state fetched once per task."""
+def _move_block(
+    batch: pa.Table,
+    node_ref,
+    stot_ref,
+    m: float,
+    gamma: float,
+    iteration: int,
+) -> pa.Table:
+    """One local-move round over ONE src-hash partition of the level's
+    arcs (every arc of a src is in the same block, so per-candidate
+    w2c sums are complete).  Broadcast state fetched zero-copy from
+    the local object store; emits MOVED rows only."""
+    empty = pa.table(
+        {"vid": pa.array([], pa.int64()), "comm": pa.array([], pa.int64())}
+    )
+    if batch.num_rows == 0:
+        return empty
+    vids_all, comm_all, k_all = ray.get(node_ref)
+    sc_ids, stot, ssize = ray.get(stot_ref)
 
-    def __init__(self, node_ref, stot_ref, m, resolution, iteration):
-        self.node_ref = node_ref
-        self.stot_ref = stot_ref
-        self.m = m
-        self.resolution = resolution
-        self.iteration = iteration
+    a_vid = batch.column("src").to_numpy(zero_copy_only=False)
+    a_dst = batch.column("dst").to_numpy(zero_copy_only=False)
+    a_w = batch.column("weight").to_numpy(zero_copy_only=False)
+    a_c = comm_all[np.searchsorted(vids_all, a_dst)]
 
-    def __call__(self, group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "vid": pa.array([], pa.int64()),
-                "comm": pa.array([], pa.int64()),
-                "k": pa.array([], pa.float64()),
-                "moved": pa.array([], pa.int64()),
-            }
-        )
-        if group.num_rows == 0:
-            return empty
-        vids_all, comm_all, _k_all = ray.get(self.node_ref)
-        sc_ids, stot, ssize = ray.get(self.stot_ref)
+    # combine (u, neighbor-comm) → w2c
+    order = np.lexsort((a_c, a_vid))
+    a_vid, a_c, a_w = a_vid[order], a_c[order], a_w[order]
+    first = np.empty(len(a_vid), dtype=bool)
+    first[0] = True
+    first[1:] = (a_vid[1:] != a_vid[:-1]) | (a_c[1:] != a_c[:-1])
+    seg = np.flatnonzero(first)
+    u = a_vid[seg]
+    cand = a_c[seg]
+    w2c = np.add.reduceat(a_w, seg)
 
-        is_node = group.column("is_node").to_numpy(zero_copy_only=False) == 1
-        vid = group.column("vid").to_numpy(zero_copy_only=False)
-        c = group.column("c").to_numpy(zero_copy_only=False)
-        w = group.column("w").to_numpy(zero_copy_only=False)
-        kcol = group.column("k").to_numpy(zero_copy_only=False)
+    upos = np.searchsorted(vids_all, u)
+    u_comm = comm_all[upos]
+    u_k = k_all[upos]
+    u_elig = (u + iteration) % 2 == 0
 
-        n_vid = vid[is_node]
-        n_comm = c[is_node]
-        n_k = kcol[is_node]
-        order_n = np.argsort(n_vid)
-        n_vid, n_comm, n_k = n_vid[order_n], n_comm[order_n], n_k[order_n]
-        if len(n_vid) == 0:
-            return empty
+    s_cand = stot[np.searchsorted(sc_ids, cand)]
+    s_cur = stot[np.searchsorted(sc_ids, u_comm)]
+    # Σtot of u's own community without u (louvain.py:292);
+    # candidate comms don't contain u
+    s_cur_wo = s_cur - u_k
+    same = cand == u_comm
+    s_eff = np.where(same, s_cur_wo, s_cand)
+    # gain relative to staying: w2c(c)/m − γ·Σtot'(c)·k_u/(2m²),
+    # minus the same expression for the current community —
+    # fold the current-community term in as the "remove cost"
+    gain = w2c / m - gamma * s_eff * u_k / (2.0 * m * m)
+    # "staying" value per u = the gain expression at u's own
+    # community: its row carries it if u has intra-community
+    # neighbor edges, else w2c(cur)=0 and only the Σtot term
+    # remains (rc_base)
+    ufirst = np.empty(len(u), dtype=bool)
+    ufirst[0] = True
+    ufirst[1:] = u[1:] != u[:-1]
+    useg_id = np.cumsum(ufirst) - 1
+    rc_base = -gamma * s_cur_wo * u_k / (2.0 * m * m)
+    rc_per_u = rc_base[np.flatnonzero(ufirst)].copy()
+    rc_per_u[useg_id[same]] = gain[same]
+    rc = rc_per_u[useg_id]
 
-        m = self.m
-        gamma = self.resolution
-        new_comm = n_comm.copy()
-        moved = np.zeros(len(n_vid), np.int64)
+    net = gain - rc  # strictly > 0 required to move
+    # drop same-community candidates (net == 0 by construction)
+    net = np.where(same, 0.0, net)
 
-        a_vid = vid[~is_node]
-        a_c = c[~is_node]
-        a_w = w[~is_node]
-        eligible_nodes = (n_vid + self.iteration) % 2 == 0
-        if len(a_vid) and eligible_nodes.any():
-            # combine (u, neighbor-comm) → w2c
-            order = np.lexsort((a_c, a_vid))
-            a_vid, a_c, a_w = a_vid[order], a_c[order], a_w[order]
-            first = np.empty(len(a_vid), dtype=bool)
-            first[0] = True
-            first[1:] = (a_vid[1:] != a_vid[:-1]) | (a_c[1:] != a_c[:-1])
-            seg = np.flatnonzero(first)
-            u = a_vid[seg]
-            cand = a_c[seg]
-            w2c = np.add.reduceat(a_w, seg)
+    # singleton-swap guard: two singleton communities may only
+    # merge towards the smaller community id
+    u_single = ssize[np.searchsorted(sc_ids, u_comm)] == 1
+    c_single = ssize[np.searchsorted(sc_ids, cand)] == 1
+    blocked = u_single & c_single & (cand > u_comm)
+    net = np.where(blocked | ~u_elig, 0.0, net)
 
-            upos = np.searchsorted(n_vid, u)
-            u_comm = n_comm[upos]
-            u_k = n_k[upos]
-            u_elig = (u + self.iteration) % 2 == 0
-
-            s_cand = stot[np.searchsorted(sc_ids, cand)]
-            s_cur = stot[np.searchsorted(sc_ids, u_comm)]
-            # Σtot of u's own community without u (louvain.py:292);
-            # candidate comms don't contain u
-            s_cur_wo = s_cur - u_k
-            same = cand == u_comm
-            s_eff = np.where(same, s_cur_wo, s_cand)
-            # gain relative to staying: w2c(c)/m − γ·Σtot'(c)·k_u/(2m²),
-            # minus the same expression for the current community —
-            # fold the current-community term in as the "remove cost"
-            gain = w2c / m - gamma * s_eff * u_k / (2.0 * m * m)
-            # "staying" value per u = the gain expression at u's own
-            # community: its row carries it if u has intra-community
-            # neighbor edges, else w2c(cur)=0 and only the Σtot term
-            # remains (rc_base)
-            ufirst = np.empty(len(u), dtype=bool)
-            ufirst[0] = True
-            ufirst[1:] = u[1:] != u[:-1]
-            useg_id = np.cumsum(ufirst) - 1
-            rc_base = -gamma * s_cur_wo * u_k / (2.0 * m * m)
-            rc_per_u = rc_base[np.flatnonzero(ufirst)].copy()
-            rc_per_u[useg_id[same]] = gain[same]
-            rc = rc_per_u[useg_id]
-
-            net = gain - rc  # strictly > 0 required to move
-            # drop same-community candidates (net == 0 by construction)
-            net = np.where(same, 0.0, net)
-
-            # singleton-swap guard: two singleton communities may only
-            # merge towards the smaller community id
-            u_single = ssize[np.searchsorted(sc_ids, u_comm)] == 1
-            c_single = ssize[np.searchsorted(sc_ids, cand)] == 1
-            blocked = u_single & c_single & (cand > u_comm)
-            net = np.where(blocked | ~u_elig, 0.0, net)
-
-            # best candidate per u: max net gain, ties → smallest comm
-            border = np.lexsort((cand, -net, u))
-            bfirst = np.empty(len(u), dtype=bool)
-            bfirst[0] = True
-            bfirst[1:] = u[border][1:] != u[border][:-1]
-            best_rows = border[bfirst]
-            bu = u[best_rows]
-            bc = cand[best_rows]
-            bnet = net[best_rows]
-            do_move = bnet > 1e-15
-            bu, bc = bu[do_move], bc[do_move]
-            if len(bu):
-                bpos = np.searchsorted(n_vid, bu)
-                new_comm[bpos] = bc
-                moved[bpos] = 1
-
-        return pa.table(
-            {
-                "vid": pa.array(n_vid),
-                "comm": pa.array(new_comm),
-                "k": pa.array(n_k),
-                "moved": pa.array(moved),
-            }
-        )
+    # best candidate per u: max net gain, ties → smallest comm
+    border = np.lexsort((cand, -net, u))
+    bfirst = np.empty(len(u), dtype=bool)
+    bfirst[0] = True
+    bfirst[1:] = u[border][1:] != u[border][:-1]
+    best_rows = border[bfirst]
+    bu = u[best_rows]
+    bc = cand[best_rows]
+    bnet = net[best_rows]
+    do_move = bnet > 1e-15
+    bu, bc = bu[do_move], bc[do_move]
+    return pa.table({"vid": pa.array(bu), "comm": pa.array(bc)})
 
 
 def _stot_arrays(
@@ -312,6 +278,42 @@ def _one_level(
     n_arcs = arcs.count()
     num_parts = int(max(2, min(4096, n_arcs // 250_000 + 2)))
 
+    # Hash-partition the level's non-self arcs by src ONCE: an arc's
+    # partition never changes across rounds (only the comm map does),
+    # so the per-round all-to-all of the previous design collapses to
+    # a shuffle-free map over the partitioned blocks with the comm map
+    # broadcast.  The ~250k-arc groups stay two orders of magnitude
+    # below the ~128MB block-split target, so a group (= all arcs of
+    # its srcs) is never split across blocks.
+    def add_hpart(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        keep = src != dst  # nbr weights exclude self (louvain.py:266)
+        src, dst, w = src[keep], dst[keep], w[keep]
+        return pa.table(
+            {
+                "hpart": pa.array(
+                    (hash_int64(src) % np.uint64(num_parts)).astype(np.int32)
+                ),
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "weight": pa.array(w),
+            }
+        )
+
+    def strip_hpart(group: pa.Table) -> pa.Table:
+        return group.drop_columns(["hpart"])
+
+    parted = (
+        arcs.map_batches(
+            add_hpart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("hpart")
+        .map_groups(strip_hpart, batch_format="pyarrow")
+        .materialize()
+    )
+
     improved = False
     zero_streak = 0
     for it in range(max_rounds):
@@ -319,67 +321,27 @@ def _one_level(
         ids, stot, size = _stot_arrays(vids, comm, k)
         stot_ref = ray.put((ids, stot, size))
 
-        def tag_arcs(batch: pa.Table, _nr=node_ref) -> pa.Table:
-            v_all, c_all, _ = ray.get(_nr)
-            src = batch.column("src").to_numpy(zero_copy_only=False)
-            dst = batch.column("dst").to_numpy(zero_copy_only=False)
-            w = batch.column("weight").to_numpy(zero_copy_only=False)
-            keep = src != dst  # nbr weights exclude self (louvain.py:266)
-            src, dst, w = src[keep], dst[keep], w[keep]
-            cdst = c_all[np.searchsorted(v_all, dst)]
-            # pre-combine (src, comm_dst) within the block
-            order = np.lexsort((cdst, src))
-            src, cdst, w = src[order], cdst[order], w[order]
-            if len(src):
-                first = np.empty(len(src), dtype=bool)
-                first[0] = True
-                first[1:] = (src[1:] != src[:-1]) | (cdst[1:] != cdst[:-1])
-                seg = np.flatnonzero(first)
-                src, cdst = src[seg], cdst[seg]
-                w = np.add.reduceat(w, seg)
-            return pa.table(
-                {
-                    "hpart": pa.array(
-                        (hash_int64(src) % np.uint64(num_parts)).astype(
-                            np.int32
-                        )
-                    ),
-                    "vid": pa.array(src),
-                    "c": pa.array(cdst),
-                    "w": pa.array(w),
-                    "k": pa.array(np.zeros(len(src), np.float64)),
-                    "is_node": pa.array(np.zeros(len(src), np.int8)),
-                }
-            )
+        def move_fn(
+            batch: pa.Table, _nr=node_ref, _sr=stot_ref, _it=it
+        ) -> pa.Table:
+            return _move_block(batch, _nr, _sr, m, resolution, _it)
 
-        node_rows = pa.table(
-            {
-                "hpart": pa.array(
-                    (hash_int64(vids) % np.uint64(num_parts)).astype(np.int32)
-                ),
-                "vid": pa.array(vids),
-                "c": pa.array(comm),
-                "w": pa.array(np.zeros(len(vids), np.float64)),
-                "k": pa.array(k),
-                "is_node": pa.array(np.ones(len(vids), np.int8)),
-            }
+        batches = list(
+            parted.map_batches(
+                move_fn,
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+                batch_size=None,
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
         )
-        tagged = arcs.map_batches(
-            tag_arcs, batch_format="pyarrow", zero_copy_batch=True
-        ).union(ray.data.from_arrow(node_rows))
-        mover = _MoveRound(node_ref, stot_ref, m, resolution, it)
-
-        def apply_group(group: pa.Table, _mv=mover) -> pa.Table:
-            return _mv(group)
-
-        out = _collect(
-            tagged.groupby("hpart").map_groups(
-                apply_group, batch_format="pyarrow"
-            )
-        )
-        o_vid = out.column("vid").to_numpy(zero_copy_only=False)
-        o_comm = out.column("comm").to_numpy(zero_copy_only=False)
-        moves = int(out.column("moved").to_numpy(zero_copy_only=False).sum())
+        if batches:
+            out = pa.concat_tables(batches)
+            o_vid = out.column("vid").to_numpy(zero_copy_only=False)
+            o_comm = out.column("comm").to_numpy(zero_copy_only=False)
+        else:  # self-loop-only level: no movable arcs at all
+            o_vid = np.empty(0, np.int64)
+            o_comm = np.empty(0, np.int64)
+        moves = len(o_vid)
         pos = np.searchsorted(vids, o_vid)
         comm = comm.copy()
         comm[pos] = o_comm
