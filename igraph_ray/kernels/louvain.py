@@ -33,9 +33,9 @@ the driver.  The per-community totals table (Σtot, size — one row per
 community) and the vid→community map are broadcast via ``ray.put``
 and refreshed per round; the map broadcast bounds this implementation
 to ``broadcast_max_vertices`` (default 20M) vertices per level —
-beyond that the map attach needs the co-partition-join fallback (see
-``stages/vertex_ids.attach_vids`` for the idiom), which is raised as
-``NotImplementedError`` rather than silently shipped.
+beyond that ``mode="join"`` keeps the comm map distributed through
+co-partitioned hash joins (same move decisions, ~5 joins per round;
+``mode="auto"`` switches automatically on the level-0 vertex count).
 """
 
 from __future__ import annotations
@@ -146,6 +146,79 @@ def _internal_weight(arcs: ray.data.Dataset, comm_ref) -> float:
     )
 
 
+def _decide(
+    u: np.ndarray,
+    cand: np.ndarray,
+    w2c: np.ndarray,
+    u_comm: np.ndarray,
+    u_k: np.ndarray,
+    s_cand: np.ndarray,
+    s_cur: np.ndarray,
+    u_single: np.ndarray,
+    c_single: np.ndarray,
+    m: float,
+    gamma: float,
+    iteration: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The move decision shared by the broadcast and join paths: given
+    candidate rows (one per ``(u, neighbour-community)``, with u's own
+    state and the Σtot of both communities attached), return the
+    ``(vid, new_comm)`` arrays of the vertices that move.  Rows need
+    not arrive ordered; decisions are deterministic (ties → smallest
+    community id)."""
+    if len(u) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order0 = np.lexsort((cand, u))
+    u, cand, w2c = u[order0], cand[order0], w2c[order0]
+    u_comm, u_k = u_comm[order0], u_k[order0]
+    s_cand, s_cur = s_cand[order0], s_cur[order0]
+    u_single, c_single = u_single[order0], c_single[order0]
+
+    u_elig = (u + iteration) % 2 == 0
+    # Σtot of u's own community without u (louvain.py:292);
+    # candidate comms don't contain u
+    s_cur_wo = s_cur - u_k
+    same = cand == u_comm
+    s_eff = np.where(same, s_cur_wo, s_cand)
+    # gain relative to staying: w2c(c)/m − γ·Σtot'(c)·k_u/(2m²),
+    # minus the same expression for the current community —
+    # fold the current-community term in as the "remove cost"
+    gain = w2c / m - gamma * s_eff * u_k / (2.0 * m * m)
+    # "staying" value per u = the gain expression at u's own
+    # community: its row carries it if u has intra-community
+    # neighbor edges, else w2c(cur)=0 and only the Σtot term
+    # remains (rc_base)
+    ufirst = np.empty(len(u), dtype=bool)
+    ufirst[0] = True
+    ufirst[1:] = u[1:] != u[:-1]
+    useg_id = np.cumsum(ufirst) - 1
+    rc_base = -gamma * s_cur_wo * u_k / (2.0 * m * m)
+    rc_per_u = rc_base[np.flatnonzero(ufirst)].copy()
+    rc_per_u[useg_id[same]] = gain[same]
+    rc = rc_per_u[useg_id]
+
+    net = gain - rc  # strictly > 0 required to move
+    # drop same-community candidates (net == 0 by construction)
+    net = np.where(same, 0.0, net)
+
+    # singleton-swap guard: two singleton communities may only
+    # merge towards the smaller community id
+    blocked = u_single & c_single & (cand > u_comm)
+    net = np.where(blocked | ~u_elig, 0.0, net)
+
+    # best candidate per u: max net gain, ties → smallest comm
+    border = np.lexsort((cand, -net, u))
+    bfirst = np.empty(len(u), dtype=bool)
+    bfirst[0] = True
+    bfirst[1:] = u[border][1:] != u[border][:-1]
+    best_rows = border[bfirst]
+    bu = u[best_rows]
+    bc = cand[best_rows]
+    bnet = net[best_rows]
+    do_move = bnet > 1e-15
+    return bu[do_move], bc[do_move]
+
+
 def _move_block(
     batch: pa.Table,
     node_ref,
@@ -185,55 +258,306 @@ def _move_block(
     upos = np.searchsorted(vids_all, u)
     u_comm = comm_all[upos]
     u_k = k_all[upos]
-    u_elig = (u + iteration) % 2 == 0
-
     s_cand = stot[np.searchsorted(sc_ids, cand)]
     s_cur = stot[np.searchsorted(sc_ids, u_comm)]
-    # Σtot of u's own community without u (louvain.py:292);
-    # candidate comms don't contain u
-    s_cur_wo = s_cur - u_k
-    same = cand == u_comm
-    s_eff = np.where(same, s_cur_wo, s_cand)
-    # gain relative to staying: w2c(c)/m − γ·Σtot'(c)·k_u/(2m²),
-    # minus the same expression for the current community —
-    # fold the current-community term in as the "remove cost"
-    gain = w2c / m - gamma * s_eff * u_k / (2.0 * m * m)
-    # "staying" value per u = the gain expression at u's own
-    # community: its row carries it if u has intra-community
-    # neighbor edges, else w2c(cur)=0 and only the Σtot term
-    # remains (rc_base)
-    ufirst = np.empty(len(u), dtype=bool)
-    ufirst[0] = True
-    ufirst[1:] = u[1:] != u[:-1]
-    useg_id = np.cumsum(ufirst) - 1
-    rc_base = -gamma * s_cur_wo * u_k / (2.0 * m * m)
-    rc_per_u = rc_base[np.flatnonzero(ufirst)].copy()
-    rc_per_u[useg_id[same]] = gain[same]
-    rc = rc_per_u[useg_id]
-
-    net = gain - rc  # strictly > 0 required to move
-    # drop same-community candidates (net == 0 by construction)
-    net = np.where(same, 0.0, net)
-
-    # singleton-swap guard: two singleton communities may only
-    # merge towards the smaller community id
     u_single = ssize[np.searchsorted(sc_ids, u_comm)] == 1
     c_single = ssize[np.searchsorted(sc_ids, cand)] == 1
-    blocked = u_single & c_single & (cand > u_comm)
-    net = np.where(blocked | ~u_elig, 0.0, net)
 
-    # best candidate per u: max net gain, ties → smallest comm
-    border = np.lexsort((cand, -net, u))
-    bfirst = np.empty(len(u), dtype=bool)
-    bfirst[0] = True
-    bfirst[1:] = u[border][1:] != u[border][:-1]
-    best_rows = border[bfirst]
-    bu = u[best_rows]
-    bc = cand[best_rows]
-    bnet = net[best_rows]
-    do_move = bnet > 1e-15
-    bu, bc = bu[do_move], bc[do_move]
+    bu, bc = _decide(
+        u, cand, w2c, u_comm, u_k, s_cand, s_cur,
+        u_single, c_single, m, gamma, iteration,
+    )
     return pa.table({"vid": pa.array(bu), "comm": pa.array(bc)})
+
+
+def _join_parts() -> int:
+    """Join partition count — capped so the join's aggregator actors
+    stay schedulable on the current cluster (the attach_vids
+    deadlock-guard idiom, ``stages/vertex_ids.py:117``)."""
+    return int(max(2, min(64, ray.cluster_resources().get("CPU", 4) // 2)))
+
+
+def _node_table_ds(
+    arcs: ray.data.Dataset, num_parts: int
+) -> ray.data.Dataset:
+    """Distributed ``(vid, k)`` — the Dataset twin of ``_node_table``
+    (never materialized on the driver; the join-mode scale path)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        w = batch.column("weight").to_numpy(zero_copy_only=False)
+        kw = np.where(src == dst, 2.0 * w, w)
+        uv = np.unique(src)
+        acc = np.zeros(len(uv), np.float64)
+        np.add.at(acc, np.searchsorted(uv, src), kw)
+        return pa.table(
+            {
+                "hpart": pa.array(
+                    (hash_int64(uv) % np.uint64(num_parts)).astype(np.int32)
+                ),
+                "vid": pa.array(uv),
+                "k": pa.array(acc),
+            }
+        )
+
+    def sum_group(group: pa.Table) -> pa.Table:
+        vid = group.column("vid").to_numpy(zero_copy_only=False)
+        kk = group.column("k").to_numpy(zero_copy_only=False)
+        uv = np.unique(vid)
+        acc = np.zeros(len(uv), np.float64)
+        np.add.at(acc, np.searchsorted(uv, vid), kk)
+        return pa.table({"vid": pa.array(uv), "k": pa.array(acc)})
+
+    return (
+        arcs.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hpart")
+        .map_groups(sum_group, batch_format="pyarrow")
+    )
+
+
+def _proj(ds: ray.data.Dataset, cols: dict[str, str]) -> ray.data.Dataset:
+    """Rename-project ``ds`` to ``{new_name: old_name}`` columns."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {new: batch.column(old) for new, old in cols.items()}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _one_level_joined(
+    arcs: ray.data.Dataset,
+    m: float,
+    resolution: float,
+    max_rounds: int,
+) -> tuple[ray.data.Dataset, bool]:
+    """Local-move phase with the vid→community map kept DISTRIBUTED
+    (co-partitioned hash joins instead of a ``ray.put`` broadcast) —
+    the scale path past ``BROADCAST_MAX_VERTICES`` vertices per level.
+
+    Exactly the same synchronous parity schedule and ``_decide`` move
+    rule as the broadcast path (equality-tested in
+    ``tests/test_louvain.py``), at the cost of ~5 hash joins per round
+    instead of zero shuffles.  Float caveat: per-candidate ``w2c``
+    sums use the groupby's arrival order instead of the broadcast
+    path's sorted ``reduceat`` — identical for the integer-valued
+    weights the pipelines use, and within one ulp otherwise.
+
+    Returns ``(node_ds(vid, comm, k) materialized, improved)``."""
+    from ray.data.aggregate import Count, Sum
+
+    jp = _join_parts()
+    num_parts = jp  # decide/merge hash-partition count
+
+    def no_self(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = src != dst  # nbr weights exclude self (louvain.py:266)
+        return batch.filter(pa.array(keep))
+
+    arcs_nsl = arcs.map_batches(
+        no_self, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # comm starts as identity
+    node = _node_table_ds(arcs, num_parts).map_batches(
+        lambda b: pa.table(
+            {"vid": b.column("vid"), "comm": b.column("vid"), "k": b.column("k")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    improved = False
+    zero_streak = 0
+    for it in range(max_rounds):
+        ctot = (
+            node.groupby("comm")
+            .aggregate(
+                Sum("k", alias_name="stot"),
+                Count("comm", alias_name="csize"),
+            )
+            .materialize()
+        )
+
+        # (src, cdst, w2c): attach dst's community, combine per pair
+        arcs_cd = arcs_nsl.join(
+            _proj(node, {"dst": "vid", "cdst": "comm"}),
+            "inner",
+            jp,
+            on=("dst",),
+        )
+        cand = (
+            _proj(arcs_cd, {"src": "src", "cdst": "cdst", "weight": "weight"})
+            .groupby(["src", "cdst"])
+            .aggregate(Sum("weight", alias_name="w2c"))
+        )
+        # attach candidate-community totals
+        cand = cand.join(
+            _proj(ctot, {"cdst": "comm", "s_cand": "stot", "cand_size": "csize"}),
+            "inner",
+            jp,
+            on=("cdst",),
+        )
+        # attach u's state + its community totals
+        ustat = node.join(
+            _proj(ctot, {"comm": "comm", "s_cur": "stot", "cur_size": "csize"}),
+            "inner",
+            jp,
+            on=("comm",),
+        )
+        cand = cand.join(
+            _proj(
+                ustat,
+                {
+                    "src": "vid",
+                    "u_comm": "comm",
+                    "u_k": "k",
+                    "s_cur": "s_cur",
+                    "cur_size": "cur_size",
+                },
+            ),
+            "inner",
+            jp,
+            on=("src",),
+        )
+
+        def add_hpart(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            return batch.append_column(
+                "hpart",
+                pa.array(
+                    (hash_int64(src) % np.uint64(num_parts)).astype(np.int32)
+                ),
+            )
+
+        def decide_group(group: pa.Table, _it=it) -> pa.Table:
+            g = lambda c: group.column(c).to_numpy(zero_copy_only=False)
+            bu, bc = _decide(
+                g("src"),
+                g("cdst"),
+                g("w2c"),
+                g("u_comm"),
+                g("u_k"),
+                g("s_cand"),
+                g("s_cur"),
+                g("cur_size") == 1,
+                g("cand_size") == 1,
+                m,
+                resolution,
+                _it,
+            )
+            if len(bu) == 0:
+                return pa.table(
+                    {
+                        "vid": pa.array([], pa.int64()),
+                        "comm": pa.array([], pa.int64()),
+                        "k": pa.array([], pa.float64()),
+                    }
+                )
+            # u_k aligned to bu: rows are unique per (src,cdst); take
+            # the k of the first row of each moved src
+            src_sorted_idx = np.argsort(g("src"), kind="stable")
+            src_sorted = g("src")[src_sorted_idx]
+            first_idx = src_sorted_idx[
+                np.searchsorted(src_sorted, bu)
+            ]
+            return pa.table(
+                {
+                    "vid": pa.array(bu),
+                    "comm": pa.array(bc),
+                    "k": pa.array(g("u_k")[first_idx]),
+                }
+            )
+
+        moved = (
+            cand.map_batches(
+                add_hpart, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby("hpart")
+            .map_groups(decide_group, batch_format="pyarrow")
+            .materialize()
+        )
+        moves = moved.count()
+
+        if moves > 0:
+            improved = True
+            zero_streak = 0
+            # merge moved rows into the node table (distributed)
+
+            def as_old(batch: pa.Table) -> pa.Table:
+                vid = batch.column("vid").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "hpart": pa.array(
+                            (hash_int64(vid) % np.uint64(num_parts)).astype(
+                                np.int32
+                            )
+                        ),
+                        "vid": batch.column("vid"),
+                        "comm": batch.column("comm"),
+                        "k": batch.column("k"),
+                        "is_new": pa.array(np.zeros(len(vid), np.int8)),
+                    }
+                )
+
+            def as_new(batch: pa.Table) -> pa.Table:
+                vid = batch.column("vid").to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "hpart": pa.array(
+                            (hash_int64(vid) % np.uint64(num_parts)).astype(
+                                np.int32
+                            )
+                        ),
+                        "vid": batch.column("vid"),
+                        "comm": batch.column("comm"),
+                        "k": batch.column("k"),
+                        "is_new": pa.array(np.ones(len(vid), np.int8)),
+                    }
+                )
+
+            def merge_group(group: pa.Table) -> pa.Table:
+                vid = group.column("vid").to_numpy(zero_copy_only=False)
+                comm = group.column("comm").to_numpy(zero_copy_only=False)
+                k = group.column("k").to_numpy(zero_copy_only=False)
+                is_new = group.column("is_new").to_numpy(
+                    zero_copy_only=False
+                )
+                order = np.lexsort((-is_new, vid))  # new row first per vid
+                vid, comm, k = vid[order], comm[order], k[order]
+                first = np.empty(len(vid), dtype=bool)
+                first[0] = True
+                first[1:] = vid[1:] != vid[:-1]
+                sel = np.flatnonzero(first)
+                return pa.table(
+                    {
+                        "vid": pa.array(vid[sel]),
+                        "comm": pa.array(comm[sel]),
+                        "k": pa.array(k[sel]),
+                    }
+                )
+
+            node = (
+                node.map_batches(
+                    as_old, batch_format="pyarrow", zero_copy_batch=True
+                )
+                .union(
+                    moved.map_batches(
+                        as_new, batch_format="pyarrow", zero_copy_batch=True
+                    )
+                )
+                .groupby("hpart")
+                .map_groups(merge_group, batch_format="pyarrow")
+                .materialize()
+            )
+        else:
+            zero_streak += 1
+            if zero_streak >= 2:  # a full even+odd round without moves
+                break
+    return node, improved
 
 
 def _stot_arrays(
@@ -272,7 +596,7 @@ def _one_level(
     if len(vids) > BROADCAST_MAX_VERTICES:  # pragma: no cover
         raise NotImplementedError(
             "louvain level exceeds the broadcast vid→comm map bound; "
-            "the co-partition join fallback is not implemented yet"
+            "use mode='join' (the co-partition join scale path)"
         )
 
     n_arcs = arcs.count()
@@ -355,12 +679,143 @@ def _one_level(
     return vids, comm, k, improved
 
 
+def _louvain_joined(
+    arcs: ray.data.Dataset,
+    m: float,
+    resolution: float,
+    threshold: float,
+    max_levels: int,
+    max_rounds_per_level: int,
+) -> tuple[ray.data.Dataset, list[float]]:
+    """Level loop with every O(V)/O(E) structure kept as a Dataset —
+    the join-mode scale path (no driver-held vertex arrays, no
+    ``ray.put`` of the comm map)."""
+    from ray.data.aggregate import Sum
+
+    jp = _join_parts()
+    assignment: ray.data.Dataset | None = None
+    mods: list[float] = []
+    prev_q = -np.inf
+
+    for _level in range(max_levels):
+        node, improved = _one_level_joined(
+            arcs, m, resolution, max_rounds_per_level
+        )
+
+        # arcs with both endpoint communities (reused for modularity
+        # internal weight AND the coarsen step)
+        arcs_cc = (
+            arcs.join(
+                _proj(node, {"src": "vid", "cs": "comm"}),
+                "inner",
+                jp,
+                on=("src",),
+            )
+            .join(
+                _proj(node, {"dst": "vid", "cd": "comm"}),
+                "inner",
+                jp,
+                on=("dst",),
+            )
+            .materialize()
+        )
+
+        def one_arc_internal(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            cs = batch.column("cs").to_numpy(zero_copy_only=False)
+            cd = batch.column("cd").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            keep = (src <= dst) & (cs == cd)
+            return pa.table({"w": pa.array(w[keep])})
+
+        internal = float(
+            arcs_cc.map_batches(
+                one_arc_internal, batch_format="pyarrow", zero_copy_batch=True
+            ).sum("w")
+            or 0.0
+        )
+        stot_ds = node.groupby("comm").aggregate(
+            Sum("k", alias_name="stot")
+        )
+
+        def sq(batch: pa.Table) -> pa.Table:
+            s = batch.column("stot").to_numpy(zero_copy_only=False)
+            return pa.table({"s2": pa.array(s * s)})
+
+        stot2 = float(
+            stot_ds.map_batches(
+                sq, batch_format="pyarrow", zero_copy_batch=True
+            ).sum("s2")
+            or 0.0
+        )
+        q = internal / m - resolution * stot2 / (4.0 * m * m)
+        mods.append(q)
+
+        # fold the level map into the flat assignment (distributed)
+        if assignment is None:
+            assignment = _proj(
+                node, {"vid": "vid", "community": "comm"}
+            ).materialize()
+        else:
+            assignment = (
+                assignment.join(
+                    _proj(node, {"community": "vid", "comm_new": "comm"}),
+                    "inner",
+                    jp,
+                    on=("community",),
+                )
+                .map_batches(
+                    lambda b: pa.table(
+                        {
+                            "vid": b.column("vid"),
+                            "community": b.column("comm_new"),
+                        }
+                    ),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                .materialize()
+            )
+
+        if not improved or q - prev_q <= threshold:
+            break
+        prev_q = q
+
+        def coarse(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            cs = batch.column("cs").to_numpy(zero_copy_only=False)
+            cd = batch.column("cd").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            keep = src <= dst  # one-arc view of the level graph
+            cs, cd, w = cs[keep], cd[keep], w[keep]
+            return pa.table(
+                {
+                    "src": pa.array(np.minimum(cs, cd)),
+                    "dst": pa.array(np.maximum(cs, cd)),
+                    "weight": pa.array(w),
+                }
+            )
+
+        arcs = symmetrize_dedup(
+            arcs_cc.map_batches(
+                coarse, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            keep_self_loops=True,
+        ).materialize()
+
+    assert assignment is not None
+    return assignment, mods
+
+
 def louvain(
     edges: ray.data.Dataset,
     resolution: float = 1.0,
     threshold: float = 1e-7,
     max_levels: int = 10,
     max_rounds_per_level: int = 50,
+    mode: str = "auto",
 ) -> tuple[ray.data.Dataset, list[float]]:
     """Louvain communities over the undirected weighted view of
     ``edges`` (parallel arcs collapse with summed weight; self-loops
@@ -371,11 +826,30 @@ def louvain(
     community at the coarsest level) and ``level_modularities`` is the
     modularity after each level (matching
     ``nx.community.modularity(..., weight='weight')`` up to the local
-    optimum found)."""
+    optimum found).
+
+    ``mode``: ``"broadcast"`` (driver-held comm map via ``ray.put``,
+    zero shuffles per local-move round — fastest below
+    ``BROADCAST_MAX_VERTICES``), ``"join"`` (comm map kept distributed
+    through co-partitioned hash joins — the scale path, same move
+    decisions, ~5 joins per round), or ``"auto"`` (broadcast unless
+    the level-0 vertex count exceeds the broadcast bound)."""
     arcs = symmetrize_dedup(edges, keep_self_loops=True).materialize()
     m = _graph_size_m(arcs)
     if m <= 0:
         raise ValueError("louvain requires a non-empty weighted graph")
+
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown louvain mode {mode!r}")
+    if mode == "auto" and arcs.count() > BROADCAST_MAX_VERTICES:
+        # V can only exceed the broadcast bound if arcs do; count
+        # vertices exactly (distributed) before choosing the path
+        n_v = _node_table_ds(arcs, _join_parts()).count()
+        mode = "join" if n_v > BROADCAST_MAX_VERTICES else "broadcast"
+    if mode == "join":
+        return _louvain_joined(
+            arcs, m, resolution, threshold, max_levels, max_rounds_per_level
+        )
 
     # assignment starts as identity over level-0 vertices
     assign_vids: np.ndarray | None = None

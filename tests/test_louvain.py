@@ -87,3 +87,46 @@ def test_weighted_pull(ray_session):
     assert comm[0] == comm[1] == comm[2]
     assert comm[3] == comm[4] == comm[5]
     assert comm[0] != comm[3]
+
+
+def test_join_mode_matches_broadcast(ray_session):
+    """mode='join' (distributed comm map, the >20M-vertex scale path)
+    must take exactly the same move decisions as the broadcast path —
+    both run the shared _decide rule on the same parity schedule."""
+    G = nx.ring_of_cliques(6, 5)
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    a_b, mods_b = louvain(edges_dataset(src, dst), mode="broadcast")
+    a_j, mods_j = louvain(edges_dataset(src, dst), mode="join")
+    tb = ds_to_table(a_b)
+    tj = ds_to_table(a_j)
+    db = dict(
+        zip(tb.column("vid").to_pylist(), tb.column("community").to_pylist())
+    )
+    dj = dict(
+        zip(tj.column("vid").to_pylist(), tj.column("community").to_pylist())
+    )
+    assert db == dj
+    assert mods_b == mods_j
+
+
+def test_join_mode_matches_broadcast_gnm(ray_session):
+    G = nx.gnm_random_graph(60, 240, seed=17)
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    a_b, mods_b = louvain(
+        edges_dataset(src, dst), mode="broadcast", max_rounds_per_level=6
+    )
+    a_j, mods_j = louvain(
+        edges_dataset(src, dst), mode="join", max_rounds_per_level=6
+    )
+    tb = ds_to_table(a_b)
+    tj = ds_to_table(a_j)
+    db = dict(
+        zip(tb.column("vid").to_pylist(), tb.column("community").to_pylist())
+    )
+    dj = dict(
+        zip(tj.column("vid").to_pylist(), tj.column("community").to_pylist())
+    )
+    assert db == dj
+    assert mods_b == mods_j
