@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q.q_triangles,  # SQL oracle: 3-way self-join
         "label_propagation": q.q_lpa,  # rows-only (§2.3(1))
         "louvain": q.q_louvain,  # rows-only (§2.3(1); quality-tested)
+        "leiden": q.q_leiden,  # rows-only (quality+connectivity tested)
         "distances": q.q_distances,  # SQL oracle: recursive-CTE BFS
         "distances_weighted": q.q_distances_weighted,  # rows-only (float)
         "betweenness": q.q_betweenness,  # rows-only (sampled Brandes)

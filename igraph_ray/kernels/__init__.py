@@ -19,5 +19,6 @@ from igraph_ray.kernels.kcore import KCoreKernel, core_numbers  # noqa: F401
 from igraph_ray.kernels.degree import out_degrees, undirected_degrees  # noqa: F401
 from igraph_ray.kernels.scc import scc, strongly_connected_components  # noqa: F401
 from igraph_ray.kernels.sssp import SSSPKernel, shortest_paths  # noqa: F401
+from igraph_ray.kernels.leiden import leiden  # noqa: F401
 from igraph_ray.kernels.louvain import louvain  # noqa: F401
 from igraph_ray.kernels.betweenness import betweenness_centrality  # noqa: F401

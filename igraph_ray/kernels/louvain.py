@@ -586,13 +586,20 @@ def _one_level(
     m: float,
     resolution: float,
     max_rounds: int,
+    init_comm: tuple[np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
     """Local-move phase on one level; returns (vids, comm, k,
-    improved)."""
+    improved).  ``init_comm`` (sorted label array, comm-per-label)
+    seeds a non-singleton starting partition — the Leiden aggregation
+    constraint (kernels/leiden.py); Louvain always starts singleton."""
     ntbl = _node_table(arcs)
     vids = ntbl.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
     k = ntbl.column("k").to_numpy(zero_copy_only=False).astype(np.float64)
-    comm = vids.copy()
+    if init_comm is None:
+        comm = vids.copy()
+    else:
+        iv, ic = init_comm
+        comm = ic[np.searchsorted(iv, vids)].astype(np.int64)
     if len(vids) > BROADCAST_MAX_VERTICES:  # pragma: no cover
         raise NotImplementedError(
             "louvain level exceeds the broadcast vid→comm map bound; "
