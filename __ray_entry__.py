@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,  # rows-only
         "near_dedup_clusters": q.q_near_dedup_clusters,  # rows-only
         "ann_brute_topk": q.q_ann_brute,  # SQL oracle: list_cosine_similarity
+        "ann_ivf_topk": q.q_ann_ivf,  # full-probe IVF == brute force; same SQL oracle
         "embedding_near_dup": q.q_embedding_near_dup,  # rows-only (LSH recall)
         "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)
     }
@@ -701,6 +702,22 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
         "quality_score": _QUALITY_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         "ann_brute_topk": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1)
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.embedding, e.embedding) AS s
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rn
+  FROM scored
+)
+SELECT query_id, vec_id FROM ranked WHERE rn <= 5
+""",
+        "ann_ivf_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1)
 ),

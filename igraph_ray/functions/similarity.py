@@ -270,3 +270,216 @@ def lsh_topk(
     return scored.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pyarrow"
     )
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    k: int,
+    iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    spherical: bool = False,
+    tol: float = 1e-6,
+) -> tuple[np.ndarray, float]:
+    """Distributed Lloyd's k-means over the embedding column.
+
+    Each iteration broadcasts the centroid matrix once (``ray.put``)
+    and runs ONE ``map_batches`` pass emitting k partial rows per
+    batch (count + vector sum + inertia per centroid) — the classic
+    pre-combined aggregate; the driver reduces the tiny k-row stream
+    and updates centroids.  ``spherical=True`` L2-normalizes vectors
+    and centroids (cosine k-means — the IVF coarse quantizer).
+
+    Init is deterministic maximin (farthest-point) seeding over the
+    first ``max(64·k, 1024)`` rows of the dataset order — the greedy
+    k-means++ variant, no RNG, stable for a deterministic source.
+    Empty clusters keep their previous centroid.  Returns
+    ``(centroids (k, dim), inertia)``.
+    """
+    n_sample = max(64 * k, 1024)
+    first = ds.select_columns([vec_col]).limit(n_sample).take_all()
+    sample = np.asarray([r[vec_col] for r in first], dtype=np.float64)
+    if len(sample) < k:
+        raise ValueError(f"kmeans needs >= k={k} rows, got {len(sample)}")
+    if spherical:
+        sample = _normalize(sample)
+    # greedy farthest-point seeding on the sample
+    chosen = [0]
+    d2 = ((sample - sample[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((sample - sample[nxt]) ** 2).sum(axis=1))
+    cents = sample[chosen]
+    dim = cents.shape[1]
+    inertia = np.inf
+
+    vecs = ds.select_columns([vec_col]).materialize()
+    for _it in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table, _cr=cref) -> pa.Table:
+            c = ray.get(_cr)  # (k, dim), zero-copy from local store
+            e = _batch_matrix(batch, vec_col).astype(np.float64)
+            if spherical:
+                e = _normalize(e)
+            # assignment by min squared distance == max (e·c − |c|²/2)
+            aff = e @ c.T - 0.5 * (c * c).sum(axis=1)
+            assign = np.argmax(aff, axis=1)
+            sq = (e * e).sum(axis=1) - 2.0 * aff[
+                np.arange(len(e)), assign
+            ]
+            order = np.argsort(assign, kind="stable")
+            a_s, e_s, sq_s = assign[order], e[order], sq[order]
+            fst = np.empty(len(a_s), dtype=bool)
+            fst[0] = True
+            fst[1:] = a_s[1:] != a_s[:-1]
+            seg = np.flatnonzero(fst)
+            cids = a_s[seg]
+            cnt = np.diff(np.append(seg, len(a_s)))
+            sums = np.add.reduceat(e_s, seg, axis=0)
+            iner = np.add.reduceat(sq_s, seg)
+            return pa.table(
+                {
+                    "cid": pa.array(cids.astype(np.int64)),
+                    "n": pa.array(cnt.astype(np.int64)),
+                    "s": pa.array(list(sums), pa.list_(pa.float64())),
+                    "iner": pa.array(iner),
+                }
+            )
+
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        total_iner = 0.0
+        for b in (
+            vecs.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        ):
+            cid = b.column("cid").to_numpy(zero_copy_only=False)
+            n = b.column("n").to_numpy(zero_copy_only=False)
+            s = _batch_matrix(b, "s")
+            np.add.at(counts, cid, n)
+            np.add.at(sums, cid, s)
+            total_iner += float(
+                b.column("iner").to_numpy(zero_copy_only=False).sum()
+            )
+
+        new = cents.copy()  # empty clusters keep their centroid
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        if spherical:
+            new[nz] = _normalize(new[nz])
+        shift = float(np.abs(new - cents).max())
+        cents, inertia = new, total_iner
+        if shift < tol:
+            break
+    return cents, inertia
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    nlist: int = 64,
+    nprobe: int = 8,
+    kmeans_iters: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> ray.data.Dataset:
+    """IVF approximate cosine top-k — the scale path past LSH.
+
+    Train a spherical-k-means coarse quantizer (``nlist`` lists), hash
+    every vector to its nearest list (one broadcast-centroid
+    ``map_batches``), then score each query ONLY against its
+    ``nprobe`` nearest lists: ``groupby("list_id").map_groups`` — a
+    list's vectors never leave their group task, each group rescoring
+    the subset of queries that probe it; per-query partial top-ks are
+    merged by a tiny final ``map_groups``.  Compute per query drops
+    from O(N) to ~O(N·nprobe/nlist); recall < 1 at cluster borders
+    (the standard IVF trade, tests/test_similarity_ivf.py pins it).
+    Returns ``(query_id, vec_id, score)``, ≤ k rows per query.
+    """
+    queries = np.asarray(queries, dtype=np.float64)
+    cents, _ = kmeans(
+        ds, nlist, iters=kmeans_iters, id_col=id_col,
+        vec_col=vec_col, spherical=True,
+    )
+    qn = _normalize(queries)
+    nprobe = min(nprobe, nlist)
+    aff = qn @ cents.T  # (nq, nlist)
+    probe = np.argpartition(-aff, nprobe - 1, axis=1)[:, :nprobe]
+    # probe_mask[l, q] — does query q probe list l
+    nq = len(qn)
+    probe_mask = np.zeros((nlist, nq), dtype=bool)
+    probe_mask[probe.reshape(-1), np.repeat(np.arange(nq), nprobe)] = True
+
+    cref = ray.put(cents)
+    qref = ray.put(qn)
+    mref = ray.put(probe_mask)
+
+    class _Assign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            e = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+            lid = np.argmax(e @ self.c.T, axis=1)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    vec_col: batch.column(vec_col),
+                    "list_id": pa.array(lid.astype(np.int64)),
+                }
+            )
+
+    class _ListScore:
+        def __init__(self):
+            self.q = ray.get(qref)
+            self.mask = ray.get(mref)
+
+        def __call__(self, group: pa.Table) -> pa.Table:
+            lid = group.column("list_id")[0].as_py()
+            q_idx = np.flatnonzero(self.mask[lid])
+            if len(q_idx) == 0:
+                return pa.table(
+                    {
+                        "query_id": pa.array([], pa.int64()),
+                        "vec_id": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.float64()),
+                    }
+                )
+            ids = group.column(id_col).to_numpy(zero_copy_only=False)
+            e = _normalize(_batch_matrix(group, vec_col).astype(np.float64))
+            scores = e @ self.q[q_idx].T
+            n = len(ids)
+            kk = min(k, n)
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            qid = q_idx[np.repeat(np.arange(len(q_idx)), kk)]
+            vid = ids[top.T.reshape(-1)]
+            sc = np.take_along_axis(scores, top, axis=0).T.reshape(-1)
+            return pa.table(
+                {
+                    "query_id": pa.array(qid.astype(np.int64)),
+                    "vec_id": pa.array(vid),
+                    "score": pa.array(sc),
+                }
+            )
+
+    assigned = ds.select_columns([id_col, vec_col]).map_batches(
+        _Assign,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    scorer = _ListScore()
+
+    def _score_group(group: pa.Table) -> pa.Table:
+        return scorer(group)
+
+    scored = assigned.groupby("list_id").map_groups(
+        _score_group, batch_format="pyarrow"
+    )
+    return scored.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow"
+    )

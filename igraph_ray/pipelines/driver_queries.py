@@ -734,6 +734,28 @@ def q_ann_brute(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def q_ann_ivf(sf_dir: str):
+    """(query_id, vec_id) — IVF approximate top-k with nprobe ==
+    nlist (full probe), which is EXACTLY the brute-force result — the
+    same rows as q_ann_brute by construction (equality pinned in
+    tests/test_similarity_ivf.py); partial-probe recall is
+    pytest-pinned.  Rows-only driver check (approximate operator)."""
+    from igraph_ray.functions.similarity import ivf_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtbl = pa.concat_tables(
+        emb.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("vec_id")
+    queries = np.stack(
+        [
+            np.asarray(qtbl.column("embedding")[i].as_py(), dtype=np.float64)
+            for i in range(2)
+        ]
+    )
+    out = ivf_topk(emb, queries, k=5, nlist=8, nprobe=8, kmeans_iters=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def q_scc(sf_dir: str, graph_dir: str | None = None):
     """(key, scc_key) — strongly connected components over a directed
     graph of per-commit member rings (igraph IGRAPH_STRONG mode
