@@ -84,6 +84,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "density": q.q_density,  # SQL oracle
         "jaccard_similarity": q.q_jaccard_similarity,  # SQL oracle
         "assortativity": q.q_assortativity,  # SQL oracle
+        "rich_club": q.q_rich_club,  # SQL oracle (exact-int suffix sums)
+        "avg_neighbor_degree": q.q_avg_neighbor_degree,  # SQL oracle
+        "degree_connectivity": q.q_degree_connectivity,  # SQL oracle
         "strongly_connected_components": q.q_scc,  # rows-only (IGRAPH_STRONG)
         "core_numbers": q.q_core_numbers,  # rows-only (igraph_coreness)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
@@ -566,6 +569,77 @@ SELECT CAST(m AS BIGINT) AS n_arcs, CAST(sx AS BIGINT) AS sum_x,
        / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
               * CAST(m * syy - sy * sy AS DOUBLE)) AS assortativity
 FROM st
+""",
+        "rich_club": f"""
+{_LINK_PAIRS},
+deg AS (
+  SELECT key, COUNT(*) AS degree FROM (
+    SELECT src_key AS key FROM link_pairs
+    UNION ALL SELECT dst_key FROM link_pairs
+  ) GROUP BY key
+),
+ed AS (
+  SELECT LEAST(d1.degree, d2.degree) AS dmin
+  FROM link_pairs p
+  JOIN deg d1 ON d1.key = p.src_key
+  JOIN deg d2 ON d2.key = p.dst_key
+),
+ks AS (
+  SELECT UNNEST(range(0, (SELECT MAX(degree) FROM deg))) AS k
+),
+stats AS (
+  SELECT k,
+    (SELECT COUNT(*) FROM deg WHERE degree > k) AS nk,
+    (SELECT COUNT(*) FROM ed WHERE dmin > k) AS ek
+  FROM ks
+)
+SELECT CAST(k AS BIGINT) AS k,
+       2.0 * ek / (nk * (nk - 1.0)) AS phi
+FROM stats WHERE nk >= 2 ORDER BY k
+""",
+        "avg_neighbor_degree": f"""
+{_LINK_PAIRS},
+deg AS (
+  SELECT key, COUNT(*) AS degree FROM (
+    SELECT src_key AS key FROM link_pairs
+    UNION ALL SELECT dst_key FROM link_pairs
+  ) GROUP BY key
+),
+ed AS (
+  SELECT p.src_key AS k, d2.degree AS nd
+  FROM link_pairs p JOIN deg d2 ON d2.key = p.dst_key
+  UNION ALL
+  SELECT p.dst_key, d1.degree
+  FROM link_pairs p JOIN deg d1 ON d1.key = p.src_key
+)
+SELECT k AS key,
+       CAST(COUNT(*) AS BIGINT) AS degree,
+       CAST(SUM(nd) AS BIGINT) AS sum_nbr_deg,
+       CAST(SUM(nd) AS DOUBLE) / COUNT(*) AS knn
+FROM ed GROUP BY k ORDER BY key
+""",
+        "degree_connectivity": f"""
+{_LINK_PAIRS},
+deg AS (
+  SELECT key, COUNT(*) AS degree FROM (
+    SELECT src_key AS key FROM link_pairs
+    UNION ALL SELECT dst_key FROM link_pairs
+  ) GROUP BY key
+),
+ed AS (
+  SELECT d1.degree AS own, d2.degree AS nd
+  FROM link_pairs p
+  JOIN deg d1 ON d1.key = p.src_key
+  JOIN deg d2 ON d2.key = p.dst_key
+  UNION ALL
+  SELECT d2.degree, d1.degree
+  FROM link_pairs p
+  JOIN deg d1 ON d1.key = p.src_key
+  JOIN deg d2 ON d2.key = p.dst_key
+)
+SELECT CAST(own AS BIGINT) AS k,
+       CAST(SUM(nd) AS DOUBLE) / COUNT(*) AS knnk
+FROM ed GROUP BY own ORDER BY k
 """,
         "triangles": f"""
 {_LINK_PAIRS},

@@ -13,5 +13,7 @@ from igraph_ray.functions.dedup import (  # noqa: F401
 from igraph_ray.functions.similarity import (  # noqa: F401
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
+    kmeans,
     lsh_topk,
 )

@@ -422,3 +422,219 @@ def adamic_adar_edges(
     return only_edges.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# rich-club coefficient
+# ---------------------------------------------------------------------------
+def rich_club(pairs: ray.data.Dataset) -> pa.Table:
+    """Rich-club coefficient per degree threshold —
+    ``nx.rich_club_coefficient(G, normalized=False)`` parity (igraph
+    has no direct twin; the unnormalized φ(k) is the standard form).
+
+    φ(k) = 2·E_k / (N_k·(N_k − 1)) with N_k = #vertices of degree > k
+    and E_k = #edges whose BOTH endpoints have degree > k (equivalently
+    min(deg_u, deg_v) > k).  Rows ``(k, phi)`` for k = 0..max_deg−1
+    with N_k ≥ 2 (where φ is defined), matching the keys networkx
+    yields.
+
+    Distributed shape: degrees via one endpoint groupby; degrees
+    broadcast back onto the edge table (attach_degrees); per-batch
+    histograms of min-endpoint-degree are pre-combined partials, so
+    the driver reduces two ≤max_deg-length histograms and takes exact
+    int64 suffix sums — no O(V) or O(E) driver state.  All-integer
+    sufficient statistics → the SQL twin replays the same IEEE
+    division bitwise.
+    """
+    degs = _degree_map(pairs)
+    with_deg = attach_degrees(pairs, degs)
+
+    def edge_hist(batch: pa.Table) -> pa.Table:
+        a = batch.column("deg_src").to_numpy(zero_copy_only=False)
+        b = batch.column("deg_dst").to_numpy(zero_copy_only=False)
+        u, c = np.unique(np.minimum(a, b), return_counts=True)
+        return pa.table(
+            {
+                "d": pa.array(u.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def node_hist(batch: pa.Table) -> pa.Table:
+        u, c = np.unique(
+            batch.column("degree").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {
+                "d": pa.array(u.astype(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def _hist(ds: ray.data.Dataset) -> dict[int, int]:
+        out: dict[int, int] = {}
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+            for d, c in zip(
+                b.column("d").to_pylist(), b.column("c").to_pylist()
+            ):
+                out[d] = out.get(d, 0) + c
+        return out
+
+    eh = _hist(
+        with_deg.map_batches(
+            edge_hist, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    nh = _hist(
+        degs.map_batches(
+            node_hist, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    if not nh:
+        return pa.table(
+            {"k": pa.array([], pa.int64()), "phi": pa.array([], pa.float64())}
+        )
+    max_deg = max(nh)
+    e_arr = np.zeros(max_deg + 2, dtype=np.int64)
+    n_arr = np.zeros(max_deg + 2, dtype=np.int64)
+    for d, c in eh.items():
+        e_arr[d] += c
+    for d, c in nh.items():
+        n_arr[d] += c
+    # suffix sums: E_k = Σ_{d>k} e_arr[d], N_k = Σ_{d>k} n_arr[d]
+    e_suf = np.cumsum(e_arr[::-1])[::-1]
+    n_suf = np.cumsum(n_arr[::-1])[::-1]
+    ks, phis = [], []
+    for k in range(max_deg):
+        nk = int(n_suf[k + 1])
+        if nk < 2:
+            continue
+        ek = int(e_suf[k + 1])
+        ks.append(k)
+        phis.append(2.0 * ek / (nk * (nk - 1.0)))
+    return pa.table(
+        {"k": pa.array(ks, pa.int64()), "phi": pa.array(phis, pa.float64())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# average neighbor degree / degree connectivity (igraph knn / knnk)
+# ---------------------------------------------------------------------------
+def avg_neighbor_degree(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-vertex average neighbour degree over an unordered-pair edge
+    table — ``igraph_avg_nearest_neighbor_degree`` knn /
+    ``nx.average_neighbor_degree`` parity.
+
+    Rows ``(key, degree, sum_nbr_deg, knn)`` with
+    ``knn = sum_nbr_deg / degree`` — exact int64 sufficient statistics
+    plus one IEEE division, so a SQL twin replays bitwise.
+
+    Distributed shape: one endpoint groupby for degrees, degrees
+    broadcast back onto the edge table, then per-batch pyarrow
+    group-by pre-combine (key → Σ nbr_deg, count) before the single
+    global groupby — hub vertices receive at most one partial row per
+    upstream block, not one per incident edge.
+    """
+    degs = _degree_map(pairs)
+    with_deg = attach_degrees(pairs, degs)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        both = pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        batch.column("src").combine_chunks(),
+                        batch.column("dst").combine_chunks(),
+                    ]
+                ),
+                "nd": pa.concat_arrays(
+                    [
+                        batch.column("deg_dst").combine_chunks(),
+                        batch.column("deg_src").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        part = both.group_by("key").aggregate(
+            [("nd", "sum"), ("nd", "count")]
+        )
+        return part.rename_columns(["key", "s", "c"])
+
+    combined = (
+        with_deg.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("s", alias_name="sum_nbr_deg"), Sum("c", alias_name="degree"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = batch.column("sum_nbr_deg").to_numpy(zero_copy_only=False)
+        c = batch.column("degree").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "key": batch.column("key"),
+                "degree": pa.array(c.astype(np.int64)),
+                "sum_nbr_deg": pa.array(s.astype(np.int64)),
+                "knn": pa.array(
+                    s.astype(np.float64) / c.astype(np.float64)
+                ),
+            }
+        )
+
+    return combined.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def degree_connectivity(pairs: ray.data.Dataset) -> pa.Table:
+    """Average degree connectivity — ``nx.average_degree_connectivity``
+    / igraph knnk parity: for each degree k, the mean degree of the
+    neighbours of all degree-k vertices.
+
+    Rows ``(k, knnk)`` for every degree present.  Per-batch partials
+    are (own_degree → Σ nbr_deg, count) histograms bounded by the
+    number of DISTINCT degrees (≪ V, typically O(√E)); the driver
+    reduces those tiny tables and performs the final IEEE division on
+    exact int64 sums — SQL-twin bitwise.
+    """
+    degs = _degree_map(pairs)
+    with_deg = attach_degrees(pairs, degs)
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch.column("deg_src").to_numpy(zero_copy_only=False)
+        y = batch.column("deg_dst").to_numpy(zero_copy_only=False)
+        own = np.concatenate([x, y])
+        nbr = np.concatenate([y, x]).astype(np.int64)
+        u, inv = np.unique(own, return_inverse=True)
+        sums = np.bincount(inv, weights=nbr).astype(np.int64)
+        cnts = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                "d": pa.array(u.astype(np.int64)),
+                "s": pa.array(sums),
+                "c": pa.array(cnts),
+            }
+        )
+
+    acc: dict[int, list[int]] = {}
+    parts = with_deg.map_batches(
+        part, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        for d, s, c in zip(
+            b.column("d").to_pylist(),
+            b.column("s").to_pylist(),
+            b.column("c").to_pylist(),
+        ):
+            e = acc.setdefault(d, [0, 0])
+            e[0] += s
+            e[1] += c
+    ks = sorted(acc)
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "knnk": pa.array(
+                [acc[k][0] / acc[k][1] for k in ks], pa.float64()
+            ),
+        }
+    )

@@ -948,6 +948,69 @@ def q_jaccard_similarity(sf_dir: str):
     return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
 
 
+def q_rich_club(sf_dir: str):
+    """(k, phi) rich-club coefficient per degree threshold over the
+    E1∪E2 graph — nx.rich_club_coefficient(normalized=False) parity
+    (exact in tests/test_metrics.py); all-int sufficient statistics,
+    the SQL twin replays the identical IEEE division."""
+    from igraph_ray.kernels.metrics import rich_club
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    return rich_club(edges)
+
+
+def q_avg_neighbor_degree(sf_dir: str):
+    """(key, degree, sum_nbr_deg, knn) per vertex of the E1∪E2 graph —
+    nx.average_neighbor_degree / igraph knn parity (exact in
+    tests/test_metrics.py); exact int64 sums + one IEEE division per
+    row, SQL-twin bitwise."""
+    from igraph_ray.kernels.metrics import avg_neighbor_degree
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    tbl = pa.concat_tables(
+        avg_neighbor_degree(edges).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"key": "key"})
+
+
+def q_degree_connectivity(sf_dir: str):
+    """(k, knnk) — nx.average_degree_connectivity / igraph knnk over
+    the E1∪E2 graph; driver reduces distinct-degree-bounded histogram
+    partials of exact int64 sums, SQL-twin bitwise."""
+    from igraph_ray.kernels.metrics import degree_connectivity
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    return degree_connectivity(edges)
+
+
 def q_assortativity(sf_dir: str):
     """One row of exact int64 Pearson sufficient statistics over the
     E1∪E2 degree pairs plus the assortativity coefficient — the SQL

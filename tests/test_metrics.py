@@ -146,3 +146,52 @@ def test_adamic_adar_matches_nx():
     assert set(got) == set(ref)
     for k in ref:
         assert got[k] == pytest.approx(ref[k], abs=1e-9), k
+
+
+def test_rich_club_gnm():
+    from igraph_ray.kernels.metrics import rich_club
+
+    G = nx.gnm_random_graph(90, 260, seed=17)
+    tbl = rich_club(_pairs_ds(G)).to_pandas().set_index("k")["phi"]
+    want = nx.rich_club_coefficient(G, normalized=False)
+    assert set(tbl.index) == set(want)
+    for k, phi in want.items():
+        assert tbl[k] == pytest.approx(phi, abs=1e-12), k
+
+
+def test_rich_club_star_and_clique():
+    from igraph_ray.kernels.metrics import rich_club
+
+    # clique: every phi(k) == 1 for all defined k
+    K = nx.complete_graph(7)
+    tbl = rich_club(_pairs_ds(K)).to_pandas()
+    assert (tbl["phi"] == 1.0).all()
+    want = nx.rich_club_coefficient(K, normalized=False)
+    assert set(tbl["k"]) == set(want)
+
+
+def test_avg_neighbor_degree_gnm():
+    from igraph_ray.kernels.metrics import avg_neighbor_degree
+
+    G = nx.gnm_random_graph(80, 220, seed=23)
+    out = ds_to_table(avg_neighbor_degree(_pairs_ds(G))).to_pandas()
+    out = out.set_index("key")
+    want = nx.average_neighbor_degree(G)
+    for v, w in want.items():
+        if G.degree(v) == 0:
+            assert v not in out.index
+            continue
+        assert out.loc[v, "knn"] == pytest.approx(w, abs=1e-12), v
+        assert out.loc[v, "degree"] == G.degree(v)
+
+
+def test_degree_connectivity_gnm():
+    from igraph_ray.kernels.metrics import degree_connectivity
+
+    G = nx.gnm_random_graph(80, 220, seed=29)
+    tbl = degree_connectivity(_pairs_ds(G)).to_pandas().set_index("k")["knnk"]
+    want = nx.average_degree_connectivity(G)
+    want = {k: v for k, v in want.items() if k > 0}
+    assert set(tbl.index) == set(want)
+    for k, v in want.items():
+        assert tbl[k] == pytest.approx(v, abs=1e-12), k
