@@ -87,6 +87,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": q.q_rich_club,  # SQL oracle (exact-int suffix sums)
         "avg_neighbor_degree": q.q_avg_neighbor_degree,  # SQL oracle
         "degree_connectivity": q.q_degree_connectivity,  # SQL oracle
+        "graph_union": q.q_graph_union,  # SQL oracle (igraph_union)
+        "graph_intersection": q.q_graph_intersection,  # SQL oracle
+        "graph_difference": q.q_graph_difference,  # SQL oracle
         "strongly_connected_components": q.q_scc,  # rows-only (IGRAPH_STRONG)
         "core_numbers": q.q_core_numbers,  # rows-only (igraph_coreness)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
@@ -196,6 +199,45 @@ link_pairs AS (
 ),
 keys AS (
   SELECT DISTINCT repo || ':' || path AS key FROM files
+)"""
+
+
+# E1 and E2 as separate DISTINCT canonical pair sets (graph set ops)
+_E12 = f"""
+WITH files AS ({_FILES}),
+m1 AS (
+  SELECT DISTINCT path AS k, repo || ':' || path AS m FROM files
+),
+s1 AS (
+  SELECT k, m, COUNT(*) OVER (PARTITION BY k) AS g,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY m) AS rn,
+         MIN(m) OVER (PARTITION BY k) AS m0
+  FROM m1
+),
+m2 AS (
+  SELECT DISTINCT commit AS k, repo || ':' || path AS m FROM files
+),
+s2 AS (
+  SELECT k, m, COUNT(*) OVER (PARTITION BY k) AS g,
+         ROW_NUMBER() OVER (PARTITION BY k ORDER BY m) AS rn,
+         MIN(m) OVER (PARTITION BY k) AS m0
+  FROM m2
+),
+e1 AS (
+  SELECT DISTINCT src_key, dst_key FROM (
+    SELECT a.m AS src_key, b.m AS dst_key
+    FROM s1 a JOIN s1 b ON a.k = b.k AND a.rn < b.rn WHERE a.g <= 8
+    UNION ALL
+    SELECT m0, m FROM s1 WHERE g > 8 AND rn > 1
+  )
+),
+e2 AS (
+  SELECT DISTINCT src_key, dst_key FROM (
+    SELECT a.m AS src_key, b.m AS dst_key
+    FROM s2 a JOIN s2 b ON a.k = b.k AND a.rn < b.rn WHERE a.g <= 8
+    UNION ALL
+    SELECT m0, m FROM s2 WHERE g > 8 AND rn > 1
+  )
 )"""
 
 
@@ -596,6 +638,27 @@ stats AS (
 SELECT CAST(k AS BIGINT) AS k,
        2.0 * ek / (nk * (nk - 1.0)) AS phi
 FROM stats WHERE nk >= 2 ORDER BY k
+""",
+        "graph_union": f"""
+{_E12}
+SELECT src_key, dst_key FROM e1
+UNION
+SELECT src_key, dst_key FROM e2
+ORDER BY src_key, dst_key
+""",
+        "graph_intersection": f"""
+{_E12}
+SELECT src_key, dst_key FROM e1
+INTERSECT
+SELECT src_key, dst_key FROM e2
+ORDER BY src_key, dst_key
+""",
+        "graph_difference": f"""
+{_E12}
+SELECT src_key, dst_key FROM e1
+EXCEPT
+SELECT src_key, dst_key FROM e2
+ORDER BY src_key, dst_key
 """,
         "avg_neighbor_degree": f"""
 {_LINK_PAIRS},

@@ -966,6 +966,43 @@ def q_rich_club(sf_dir: str):
     return rich_club(edges)
 
 
+def _rule_edge_sets(sf_dir: str):
+    """Distinct canonical E1 (shared-path) and E2 (commit) pair sets."""
+    files = files_from_documents(sf_dir)
+    e1 = _agg_pairs(shared_path_edges(files))
+    e2 = _agg_pairs(commit_cooccurrence_edges(files))
+    return e1, e2
+
+
+def _q_graph_setop(sf_dir: str, op):
+    e1, e2 = _rule_edge_sets(sf_dir)
+    out = op(e1, e2, src="src_key", dst="dst_key")
+    return out.rename_columns({"src": "src_key", "dst": "dst_key"})
+
+
+def q_graph_union(sf_dir: str):
+    """Distinct canonical pairs in E1 or E2 — igraph_union edge set."""
+    from igraph_ray.stages.graph_ops import graph_union
+
+    return _q_graph_setop(sf_dir, graph_union)
+
+
+def q_graph_intersection(sf_dir: str):
+    """Distinct canonical pairs in both E1 and E2 —
+    igraph_intersection / nx.intersection edge set."""
+    from igraph_ray.stages.graph_ops import graph_intersection
+
+    return _q_graph_setop(sf_dir, graph_intersection)
+
+
+def q_graph_difference(sf_dir: str):
+    """Distinct canonical E1 pairs absent from E2 —
+    igraph_difference / nx.difference edge set."""
+    from igraph_ray.stages.graph_ops import graph_difference
+
+    return _q_graph_setop(sf_dir, graph_difference)
+
+
 def q_avg_neighbor_degree(sf_dir: str):
     """(key, degree, sum_nbr_deg, knn) per vertex of the E1∪E2 graph —
     nx.average_neighbor_degree / igraph knn parity (exact in

@@ -1,0 +1,61 @@
+"""Graph set operators vs the networkx edge-set oracles."""
+
+from __future__ import annotations
+
+import networkx as nx
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.stages.graph_ops import (
+    graph_difference,
+    graph_intersection,
+    graph_union,
+)
+from tests.util import ds_to_table, nx_edge_arrays
+
+
+def _ds(G) -> ray.data.Dataset:
+    src, dst = nx_edge_arrays(G)
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+
+
+def _pairs(tbl: pa.Table) -> set[tuple[int, int]]:
+    return set(
+        zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist())
+    )
+
+
+def _canon_edges(G) -> set[tuple[int, int]]:
+    return {(min(u, v), max(u, v)) for u, v in G.edges()}
+
+
+def test_set_ops_gnm():
+    A = nx.gnm_random_graph(60, 150, seed=3)
+    B = nx.gnm_random_graph(60, 150, seed=7)
+    ea, eb = _canon_edges(A), _canon_edges(B)
+    assert _pairs(ds_to_table(graph_union(_ds(A), _ds(B)))) == ea | eb
+    assert _pairs(ds_to_table(graph_intersection(_ds(A), _ds(B)))) == ea & eb
+    assert _pairs(ds_to_table(graph_difference(_ds(A), _ds(B)))) == ea - eb
+    # nx twins on the shared node set
+    assert _pairs(
+        ds_to_table(graph_intersection(_ds(A), _ds(B)))
+    ) == _canon_edges(nx.intersection(A, B))
+    assert _pairs(
+        ds_to_table(graph_difference(_ds(A), _ds(B)))
+    ) == _canon_edges(nx.difference(A, B))
+
+
+def test_set_ops_collapse_parallel_and_orientation():
+    # (1,2) appears reversed and duplicated in A; still a single pair
+    A = ray.data.from_arrow(
+        pa.table({"src": pa.array([1, 2, 2]), "dst": pa.array([2, 1, 3])})
+    )
+    B = ray.data.from_arrow(
+        pa.table({"src": pa.array([2]), "dst": pa.array([1])})
+    )
+    assert _pairs(ds_to_table(graph_union(A, B))) == {(1, 2), (2, 3)}
+    assert _pairs(ds_to_table(graph_intersection(A, B))) == {(1, 2)}
+    assert _pairs(ds_to_table(graph_difference(A, B))) == {(2, 3)}
+    assert _pairs(ds_to_table(graph_difference(B, A))) == set()
