@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": q.q_degree_histogram,  # SQL oracle
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
         "coloring": q.q_coloring,  # rows-only (iterated Luby; property oracle)
+        "partition_quality": q.q_partition_quality,  # SQL oracle (exact ints + IEEE replay)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
         "density": q.q_density,  # SQL oracle
@@ -638,6 +639,38 @@ stats AS (
 SELECT CAST(k AS BIGINT) AS k,
        2.0 * ek / (nk * (nk - 1.0)) AS phi
 FROM stats WHERE nk >= 2 ORDER BY k
+""",
+        "partition_quality": f"""
+{_LINK_PAIRS},
+mem AS (
+  SELECT key, (ROW_NUMBER() OVER (ORDER BY key) - 1) % 4 AS comm
+  FROM keys
+),
+e AS (
+  SELECT m1.comm AS cs, m2.comm AS cd
+  FROM link_pairs p
+  JOIN mem m1 ON p.src_key = m1.key
+  JOIN mem m2 ON p.dst_key = m2.key
+),
+st AS (
+  SELECT (SELECT COUNT(*) FROM mem) AS n,
+         COUNT(*) AS m,
+         SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS intra
+  FROM e
+),
+ip AS (
+  SELECT SUM(c * (c - 1) // 2) AS intra_pairs FROM (
+    SELECT COUNT(*) AS c FROM mem GROUP BY comm
+  )
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(m AS BIGINT) AS m,
+       CAST(intra AS BIGINT) AS intra_edges,
+       CAST(intra_pairs AS BIGINT) AS intra_pairs,
+       CAST(intra AS DOUBLE) / CAST(m AS DOUBLE) AS coverage,
+       CAST(intra + (n * (n - 1) // 2 - intra_pairs) - (m - intra)
+            AS DOUBLE)
+       / CAST(n * (n - 1) // 2 AS DOUBLE) AS performance
+FROM st, ip
 """,
         "graph_union": f"""
 {_E12}

@@ -1424,3 +1424,35 @@ def q_coloring(sf_dir: str, graph_dir: str | None = None):
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_partition_quality(sf_dir: str):
+    """One row (n, m, intra_edges, intra_pairs, coverage, performance)
+    — nx.community.partition_quality of the E1∪E2 key graph under the
+    deterministic vid%4 partition (vid = dense sorted key rank, the V1
+    rule, so the SQL twin replays it with ROW_NUMBER)."""
+    from igraph_ray.kernels.modularity import partition_quality
+
+    pairs = _link_graph_edges_cached(sf_dir).map_batches(
+        lambda b: pa.table(
+            {"src": b.column("src_key"), "dst": b.column("dst_key")}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    mem = assign_vertex_ids(keys, key_col="key").map_batches(
+        lambda b: pa.table(
+            {
+                "key": b.column("key"),
+                "comm": pc.bit_wise_and(b.column("vid"), 3),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return partition_quality(pairs, mem)

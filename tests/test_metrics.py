@@ -195,3 +195,32 @@ def test_degree_connectivity_gnm():
     assert set(tbl.index) == set(want)
     for k, v in want.items():
         assert tbl[k] == pytest.approx(v, abs=1e-12), k
+
+
+def test_partition_quality_components_and_random():
+    from igraph_ray.kernels.modularity import partition_quality
+
+    G = nx.gnm_random_graph(70, 140, seed=31)
+    # partition 1: connected components; partition 2: vid % 4
+    for parts in (
+        list(nx.connected_components(G)),
+        [set(v for v in G if v % 4 == r) for r in range(4)],
+    ):
+        parts = [p for p in parts if p]
+        comm = {v: i for i, p in enumerate(parts) for v in p}
+        mem = ray.data.from_arrow(
+            pa.table(
+                {
+                    "key": pa.array(sorted(comm), pa.int64()),
+                    "comm": pa.array(
+                        [comm[v] for v in sorted(comm)], pa.int64()
+                    ),
+                }
+            )
+        )
+        got = partition_quality(_pairs_ds(G), mem).to_pandas().iloc[0]
+        cov, perf = nx.community.partition_quality(G, parts)
+        assert got["coverage"] == pytest.approx(cov, abs=1e-12)
+        assert got["performance"] == pytest.approx(perf, abs=1e-12)
+        assert got["n"] == G.number_of_nodes()
+        assert got["m"] == G.number_of_edges()
