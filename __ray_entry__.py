@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": q.q_adamic_adar,  # rows-only (float ln-sums)
         "eccentricity": q.q_eccentricity,  # SQL oracle (all-pairs CTE)
         "diameter": q.q_diameter,  # SQL oracle (max/min eccentricity)
+        "hop_histogram": q.q_hop_histogram,  # SQL oracle (all-pairs CTE, int counts)
+        "global_efficiency": q.q_global_efficiency,  # rows-only (float mean of 1/d)
+        "topo_layers": q.q_topo_layers,  # SQL oracle (longest-walk CTE)
+        "condensation_layers": q.q_condensation_layers,  # rows-only (nx.condensation pytest)
         "random_walks": q.q_random_walks,  # rows-only (deterministic corpus)
         "maximal_independent_set": q.q_mis,  # rows-only (Luby; property oracle)
         "clustering": q.q_clustering,  # SQL oracle (exact ints + IEEE replay)
@@ -496,6 +500,48 @@ ecc AS (
   FROM walk GROUP BY s
 )
 SELECT key, eccentricity FROM ecc
+""",
+        "hop_histogram": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, 0 FROM keys
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+)
+SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS pairs
+FROM walk WHERE dist > 0 GROUP BY dist ORDER BY dist
+""",
+        "topo_layers": """
+WITH arcs AS (
+  SELECT DISTINCT 'v' || CAST(doc_id % 101 AS VARCHAR) AS src,
+                  'v' || CAST((doc_id * 37 + 11) % 101 AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 101 < (doc_id * 37 + 11) % 101
+),
+verts AS (
+  SELECT DISTINCT k AS key FROM (
+    SELECT src AS k FROM arcs UNION SELECT dst FROM arcs
+  )
+),
+walk AS (
+  WITH RECURSIVE r(k, dist) AS (
+    SELECT key, 0 FROM verts
+    UNION
+    SELECT a.dst, r.dist + 1 FROM r JOIN arcs a ON r.k = a.src
+    WHERE r.dist < 200
+  )
+  SELECT k, MAX(dist) AS layer FROM r GROUP BY k
+)
+SELECT k AS key, CAST(layer AS BIGINT) AS layer FROM walk
 """,
         "diameter": f"""
 {_LINK_PAIRS},

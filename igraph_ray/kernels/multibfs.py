@@ -330,3 +330,95 @@ def diameter_radius(ecc: ray.data.Dataset) -> tuple[int, int]:
         Min("eccentricity", alias_name="r"),
     )
     return int(res["d"] or 0), int(res["r"] or 0)
+
+
+def distance_histogram(
+    graph: GraphMeta,
+    pivots: np.ndarray | list[int],
+) -> ray.data.Dataset:
+    """Rows ``(dist, pairs)`` — the hop-distance distribution: number
+    of ordered reachable pairs ``(v, p)`` with ``p`` a pivot, ``p ≠ v``
+    and ``d(v, p) = dist``.  With pivots = all vertices this is the
+    exact ordered-pair hop histogram of the graph (the sufficient
+    statistic for Wiener index / global efficiency — both are exact
+    int-weighted sums over it, so a SQL twin matches bitwise on the
+    int columns).
+
+    Distributed shape: per state batch one ``np.bincount`` over the
+    finite positive lanes (an O(rows·k) vectorized pass), then a tiny
+    ``groupby("dist")`` over O(diameter) partial rows per batch.
+    """
+    pivots = np.unique(np.asarray(pivots, np.int64))
+    run = pivot_distances(graph, pivots)
+    k = len(pivots)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dmat = np.stack(
+            [
+                batch.column(f"d{i}").to_numpy(zero_copy_only=False)
+                for i in range(k)
+            ],
+            axis=1,
+        )
+        finite = np.isfinite(dmat) & (dmat > 0)
+        d = dmat[finite].astype(np.int64)
+        counts = np.bincount(d) if len(d) else np.zeros(0, np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "dist": pa.array(nz.astype(np.int64)),
+                "pairs": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        run.state.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("dist")
+        .aggregate(Sum("pairs", alias_name="pairs"))
+        .sort("dist")
+    )
+
+
+def _hist_table(graph: GraphMeta, pivots) -> pa.Table:
+    ds = distance_histogram(graph, pivots)
+    batches = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    if not batches:
+        return pa.table(
+            {"dist": pa.array([], pa.int64()), "pairs": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(batches).sort_by("dist")
+
+
+def global_efficiency(
+    graph: GraphMeta, n_vertices: int, pivots: np.ndarray | list[int]
+) -> float:
+    """``nx.global_efficiency`` parity when pivots = all vertices:
+    mean of ``1/d(u, v)`` over ordered vertex pairs, 0 for unreachable
+    pairs.  Driver-side work is O(diameter) histogram rows."""
+    tbl = _hist_table(graph, pivots)
+    dist = tbl.column("dist").to_numpy(zero_copy_only=False)
+    pairs = tbl.column("pairs").to_numpy(zero_copy_only=False)
+    denom = n_vertices * (n_vertices - 1)
+    if denom == 0:
+        return 0.0
+    # ascending-dist summation order (sort_by above) → deterministic
+    return float((pairs / dist).sum() / denom)
+
+
+def wiener_index(
+    graph: GraphMeta, n_vertices: int, pivots: np.ndarray | list[int]
+) -> float:
+    """``nx.wiener_index`` (unweighted, undirected) parity when pivots
+    cover all vertices: Σ d(u, v) over unordered pairs; +inf when the
+    graph is disconnected (some pair unreachable), matching nx."""
+    tbl = _hist_table(graph, pivots)
+    dist = tbl.column("dist").to_numpy(zero_copy_only=False)
+    pairs = tbl.column("pairs").to_numpy(zero_copy_only=False)
+    reachable = int(pairs.sum())
+    if reachable < n_vertices * (n_vertices - 1):
+        return float("inf")
+    return float(int((dist * pairs).sum()) / 2)

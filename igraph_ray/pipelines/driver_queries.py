@@ -1456,3 +1456,166 @@ def q_partition_quality(sf_dir: str):
         zero_copy_batch=True,
     )
     return partition_quality(pairs, mem)
+
+
+def q_hop_histogram(sf_dir: str, graph_dir: str | None = None):
+    """(dist, pairs) — exact ordered-pair hop-distance distribution of
+    the E1∪E2 key graph (all-vertex pivots), pure int64 so the
+    all-pairs recursive-CTE twin matches bitwise."""
+    import tempfile
+
+    from igraph_ray.kernels.multibfs import distance_histogram
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_hop_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vids = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    out = distance_histogram(graph, vids)
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+
+
+def q_global_efficiency(sf_dir: str, graph_dir: str | None = None):
+    """One row (n_vertices, efficiency) — nx.global_efficiency of the
+    E1∪E2 key graph (rows-only: float mean of 1/d; the underlying int
+    histogram is the SQL-checked hop_histogram query)."""
+    import tempfile
+
+    from igraph_ray.kernels.multibfs import global_efficiency
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_eff_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vids = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    eff = global_efficiency(graph, len(vids), vids)
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(vids)], pa.int64()),
+            "efficiency": pa.array([eff], pa.float64()),
+        }
+    )
+
+
+def _doc_dag_arcs(sf_dir: str) -> ray.data.Dataset:
+    """Acyclic sub-relation of the directed doc graph: keep arcs whose
+    numeric source index is below the destination index (every arc goes
+    low → high, so the relation is a DAG by construction)."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = doc_id % 101
+        d = (doc_id * 37 + 11) % 101
+        keep = s < d
+        return pa.table(
+            {
+                "src": pa.array([f"v{i}" for i in s[keep]], pa.string()),
+                "dst": pa.array([f"v{i}" for i in d[keep]], pa.string()),
+            }
+        )
+
+    return documents(sf_dir).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_topo_layers(sf_dir: str, graph_dir: str | None = None):
+    """(key, layer) — topological layering (longest path from any
+    source) of the doc-derived DAG; exact int64 layers, recursive-CTE
+    longest-walk SQL twin (igraph_topological_sorting parity: layer
+    order is a valid topological order)."""
+    import tempfile
+
+    from igraph_ray.kernels.toposort import topological_layers
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_topo_")
+    arcs = _doc_dag_arcs(sf_dir)
+    keys = (
+        arcs.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pa.concat_arrays(
+                        [
+                            b.column("src").combine_chunks(),
+                            b.column("dst").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(
+        arcs.map_batches(
+            lambda b: b.append_column(
+                "weight", pa.array(np.ones(b.num_rows, np.float64))
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).rename_columns({"src": "src_key", "dst": "dst_key"}),
+        vertices,
+    )
+    graph = build_graph(
+        edges,
+        graph_dir,
+        symmetrize=False,
+        vertices=vertices.select_columns(["vid"]),
+    )
+    out = topological_layers(graph)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_condensation_layers(sf_dir: str, graph_dir: str | None = None):
+    """(scc_key, layer) — SCC condensation of the commit-ring digraph
+    topologically layered (nx.condensation + longest-path DP parity;
+    rows-only, pytest oracle in tests/test_toposort.py)."""
+    import tempfile
+
+    from igraph_ray.kernels.scc import scc as run_scc
+    from igraph_ray.kernels.toposort import (
+        condensation_arcs,
+        topological_layers,
+    )
+    from igraph_ray.stages.edge_rules import ring_edges
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_cond_")
+    files = with_file_key(files_from_documents(sf_dir))
+    rings = ring_edges(files, "commit", "file_key")
+    keys = (
+        files.select_columns(["file_key"]).rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    arcs = attach_vids(rings, vertices)
+    state = run_scc(
+        arcs, graph_dir + "/scc", vertices=vertices.select_columns(["vid"])
+    )
+    cond = condensation_arcs(
+        arcs.select_columns(["src", "dst"]), state
+    ).materialize()
+    labels = state.select_columns(["scc"]).rename_columns({"scc": "vid"})
+    cg = build_graph(
+        cond,
+        graph_dir + "/cond",
+        symmetrize=False,
+        vertices=labels.groupby("vid")
+        .aggregate(Count("vid", alias_name="_n"))
+        .drop_columns(["_n"]),
+    )
+    out = topological_layers(cg)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"vid": "scc_key"})
