@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
         "minhash_pairs": q.q_minhash_pairs,  # rows-only
+        "ngram_jaccard": q.q_ngram_jaccard,  # SQL oracle (inverted-index twin)
         "simhash_pairs": q.q_simhash_pairs,  # rows-only
         "near_dedup_clusters": q.q_near_dedup_clusters,  # rows-only
         "ann_brute_topk": q.q_ann_brute,  # SQL oracle: list_cosine_similarity
@@ -917,6 +918,37 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
         "language_id": _LANG_ID_SQL,
         "quality_score": _QUALITY_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
+        # exact word-3-gram Jaccard over the df<=128 shingle universe;
+        # mirror of functions/dedup.py::ngram_jaccard_pairs (trim+split
+        # parity: Arrow utf8_split_whitespace after trim == regexp
+        # split with empties filtered)
+        "ngram_jaccard": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+),
+capped AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 128),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN capped USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.a, i.b, CAST(common AS BIGINT) AS common,
+       CAST(sa.sz + sb.sz - common AS BIGINT) AS union_sz,
+       CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+         AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2
+""",
         "ann_brute_topk": """
 WITH q AS (
   SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id IN (0, 1)

@@ -615,3 +615,157 @@ def simhash_near_dup_pairs(
         bucket_pairs, batch_format="pyarrow"
     )
     return _dedup_pairs(pairs, extra_col="hamming")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard near-dup (inverted shingle index, no sketching)
+# ---------------------------------------------------------------------------
+class _WordNgramShingles:
+    """text → distinct word-n-gram shingle rows ``(id, s)`` — one
+    vectorized pass: trim → Arrow whitespace split → flattened-token
+    gather (three ``pc.take`` + one ``binary_join_element_wise``), then
+    a per-batch Arrow group_by for the within-doc distinct.  Docs with
+    fewer than n tokens contribute no shingles (empty set)."""
+
+    def __init__(self, id_col: str, text_col: str, n: int):
+        self.id_col, self.text_col, self.n = id_col, text_col, n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = self.n
+        ids = batch.column(self.id_col)
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(batch.column(self.text_col))
+        ).combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = toks.values
+        counts = np.diff(offs)
+        ng = np.maximum(counts - (n - 1), 0)
+        total = int(ng.sum())
+        if total == 0:
+            return pa.table(
+                {"id": pa.array([], pa.int64()), "s": pa.array([], pa.string())}
+            )
+        doc_idx = np.repeat(np.arange(len(ng)), ng)
+        ranges = np.arange(total) - np.repeat(np.cumsum(ng) - ng, ng)
+        j = np.repeat(offs[:-1], ng) + ranges
+        parts = [pc.take(vals, pa.array(j + t, pa.int64())) for t in range(n)]
+        sh = pc.binary_join_element_wise(*parts, " ")
+        tbl = pa.table(
+            {"id": pc.take(ids, pa.array(doc_idx, pa.int64())), "s": sh}
+        )
+        return tbl.group_by(["id", "s"]).aggregate([])
+
+
+def ngram_jaccard_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    df_cap: int = 128,
+    threshold: float = 0.5,
+) -> ray.data.Dataset:
+    """Exact word-n-gram Jaccard near-duplicate pairs
+    ``(a, b, common, union_sz, jaccard)`` with ``jaccard >= threshold``
+    — the no-sketch member of the dedup family (vs MinHash's estimate):
+    jaccard = |Sa ∩ Sb| / |Sa ∪ Sb| over the distinct word-n-gram sets.
+
+    Distributed shape — an inverted shingle index, never all-pairs:
+    one ``groupby(shingle)`` emits, per shingle, the pair rows of its
+    posting list plus one size-contribution row per member; a second
+    ``groupby(a, b)`` sums intersections; document sizes come from the
+    size rows; two co-partitioned hash joins attach them.  Shingles
+    with document frequency > ``df_cap`` are dropped from the universe
+    on BOTH sides of the metric (sizes and intersections) — the
+    standard stopword-shingle cut that bounds per-group pair fanout at
+    C(df_cap, 2); with no shingle over the cap the result is the exact
+    Jaccard.  At larger scale swap the string shingle for its 64-bit
+    hash (same pipeline, 8-byte shuffle keys); kept as strings here so
+    the SQL twin matches bitwise with no collision caveat.
+    """
+    import ray as _ray
+
+    shingles = ds.map_batches(
+        _WordNgramShingles(id_col, text_col, n),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def posting(group: pa.Table) -> pa.Table:
+        ids = np.unique(group.column("id").to_numpy(zero_copy_only=False))
+        k = len(ids)
+        if k > df_cap:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+            )
+        # size-contribution marker rows (b = -1), then the pair rows
+        a = [ids]
+        b = [np.full(k, -1, np.int64)]
+        if k >= 2:
+            iu, ju = np.triu_indices(k, 1)
+            a.append(ids[iu])
+            b.append(ids[ju])
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(a)),
+                "b": pa.array(np.concatenate(b)),
+            }
+        )
+
+    from ray.data.aggregate import Count
+
+    rows = shingles.groupby("s").map_groups(posting, batch_format="pyarrow")
+    counts = rows.groupby(["a", "b"]).aggregate(
+        Count("a", alias_name="cnt")
+    ).materialize()
+
+    def _take(marker: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch.column("b"), -1)
+            return batch.filter(mask if marker else pc.invert(mask))
+
+        return _f
+
+    sizes = counts.map_batches(
+        _take(True), batch_format="pyarrow", zero_copy_batch=True
+    ).select_columns(["a", "cnt"])
+    inter = counts.map_batches(
+        _take(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    join_parts = int(
+        max(2, min(64, _ray.cluster_resources().get("CPU", 4) // 2))
+    )
+    j = inter.join(
+        sizes.rename_columns({"cnt": "sa"}),
+        "inner",
+        join_parts,
+        on=("a",),
+    ).join(
+        sizes.rename_columns({"a": "b", "cnt": "sb"}),
+        "inner",
+        join_parts,
+        on=("b",),
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        common = batch.column("cnt").to_numpy(zero_copy_only=False)
+        sa = batch.column("sa").to_numpy(zero_copy_only=False)
+        sb = batch.column("sb").to_numpy(zero_copy_only=False)
+        union = sa + sb - common
+        jac = common / union
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(
+                    batch.column("a").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "b": pa.array(
+                    batch.column("b").to_numpy(zero_copy_only=False)[keep]
+                ),
+                "common": pa.array(common[keep].astype(np.int64)),
+                "union_sz": pa.array(union[keep].astype(np.int64)),
+                "jaccard": pa.array(jac[keep].astype(np.float64)),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1619,3 +1619,18 @@ def q_condensation_layers(sf_dir: str, graph_dir: str | None = None):
         )
     ).sort_by("vid")
     return _vid_to_key(tbl, vtbl, {"vid": "scc_key"})
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """(a, b, common, union_sz, jaccard) — exact word-3-gram Jaccard
+    near-dup pairs over documents (df_cap=128, threshold=0.2); int
+    set-sizes plus one IEEE division per pair, so the inverted-index
+    SQL twin matches bitwise."""
+    from igraph_ray.functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        documents(sf_dir), n=3, df_cap=128, threshold=0.2
+    )
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )

@@ -231,3 +231,70 @@ def test_near_dedup_clusters(tmp_path):
     assert keep[1] == 0
     # the unrelated doc keeps itself
     assert keep[5] == 5
+
+
+def test_ngram_jaccard_pairs_exact():
+    """Exact word-3-gram Jaccard vs a pure-Python oracle (same df-cap
+    universe rule), on a corpus with planted near-duplicates."""
+    import itertools
+    import random
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.functions.dedup import ngram_jaccard_pairs
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(30)]
+    docs = {}
+    for i in range(30):
+        docs[i] = " ".join(rng.choice(words) for _ in range(rng.randint(1, 40)))
+    # planted near-dups: copy with small tail edits
+    for i in range(30, 36):
+        base = docs[i - 30]
+        docs[i] = base + " tail" + str(i)
+
+    n, cap, thr = 3, 16, 0.3
+
+    def shingle(t):
+        toks = t.split()
+        return {" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)}
+
+    sets = {i: shingle(t) for i, t in docs.items()}
+    df = Counter(s for ss in sets.values() for s in ss)
+    sets = {i: {s for s in ss if df[s] <= cap} for i, ss in sets.items()}
+    want = {}
+    for i, j in itertools.combinations(sorted(docs), 2):
+        inter = len(sets[i] & sets[j])
+        union = len(sets[i] | sets[j])
+        if union and inter / union >= thr and inter > 0:
+            want[(i, j)] = (inter, union, inter / union)
+    assert want  # fixture sanity: some pairs survive
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+            }
+        )
+    )
+    out = ngram_jaccard_pairs(ds, n=n, df_cap=cap, threshold=thr)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    got = {
+        (a, b): (c, u, j)
+        for a, b, c, u, j in zip(
+            tbl.column("a").to_pylist(),
+            tbl.column("b").to_pylist(),
+            tbl.column("common").to_pylist(),
+            tbl.column("union_sz").to_pylist(),
+            tbl.column("jaccard").to_pylist(),
+        )
+    }
+    assert got.keys() == want.keys()
+    for k, (c, u, j) in want.items():
+        assert got[k][0] == c and got[k][1] == u
+        assert got[k][2] == pytest.approx(j, abs=1e-15)
