@@ -246,6 +246,14 @@ def run_suite(headline_only: bool = False) -> dict:
         detail["simhash_pairs"] = simhash_near_dup_pairs(docs).count()
         queries["simhash_near_dup"] = round(time.perf_counter() - t0, 3)
 
+        from igraph_ray.functions.dedup import ngram_jaccard_pairs
+
+        t0 = time.perf_counter()
+        detail["ngram_jaccard_pairs"] = ngram_jaccard_pairs(
+            docs, threshold=0.2
+        ).count()
+        queries["ngram_jaccard"] = round(time.perf_counter() - t0, 3)
+
         t0 = time.perf_counter()
         token_count(docs).count()
         quality_score(docs).count()

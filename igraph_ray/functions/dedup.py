@@ -690,33 +690,124 @@ def ngram_jaccard_pairs(
         zero_copy_batch=True,
     )
 
-    def posting(group: pa.Table) -> pa.Table:
-        ids = np.unique(group.column("id").to_numpy(zero_copy_only=False))
-        k = len(ids)
-        if k > df_cap:
-            return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
-            )
-        # size-contribution marker rows (b = -1), then the pair rows
-        a = [ids]
-        b = [np.full(k, -1, np.int64)]
-        if k >= 2:
-            iu, ju = np.triu_indices(k, 1)
-            a.append(ids[iu])
-            b.append(ids[ju])
+    # ONE hash-partition shuffle on the shingle string (all rows of a
+    # shingle land in the same partition), then each partition is
+    # processed in a single vectorized pass — a per-shingle map_groups
+    # would pay one Python call per distinct shingle (millions).
+    num_parts = int(
+        max(2, min(64, _ray.cluster_resources().get("CPU", 4)))
+    )
+
+    def add_hpart(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        h = pd.util.hash_array(s, categorize=False)
+        return batch.append_column(
+            "hpart",
+            pa.array((h % np.uint64(num_parts)).astype(np.int32)),
+        )
+
+    def posting_part(group: pa.Table) -> pa.Table:
+        """All complete shingle groups of one partition: boundaries
+        from dictionary codes, size rows (b = -1) for kept groups, and
+        pair rows emitted in ≤ df_cap batches (one vectorized
+        triu-gather per distinct group size)."""
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        ids = group.column("id").to_numpy(zero_copy_only=False)
+        if len(ids) == 0:
+            return empty
+        codes = (
+            pc.dictionary_encode(group.column("s").combine_chunks())
+            .indices.to_numpy(zero_copy_only=False)
+        )
+        order = np.lexsort((ids, codes))
+        ids, codes = ids[order], codes[order]
+        boundary = np.empty(len(codes), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = codes[1:] != codes[:-1]
+        starts = np.flatnonzero(boundary)
+        sizes = np.diff(np.append(starts, len(codes)))
+        keep_g = sizes <= df_cap
+        keep_rows = np.repeat(keep_g, sizes)
+        a_parts = [ids[keep_rows]]
+        b_parts = [np.full(int(keep_rows.sum()), -1, np.int64)]
+        pairy = keep_g & (sizes >= 2)
+        for k in np.unique(sizes[pairy]):
+            gs = starts[pairy & (sizes == k)]
+            iu, ju = np.triu_indices(int(k), 1)
+            a_parts.append(ids[gs[:, None] + iu[None, :]].ravel())
+            b_parts.append(ids[gs[:, None] + ju[None, :]].ravel())
         return pa.table(
             {
-                "a": pa.array(np.concatenate(a)),
-                "b": pa.array(np.concatenate(b)),
+                "a": pa.array(np.concatenate(a_parts)),
+                "b": pa.array(np.concatenate(b_parts)),
             }
         )
 
-    from ray.data.aggregate import Count
+    rows = (
+        shingles.map_batches(
+            add_hpart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("hpart")
+        .map_groups(posting_part, batch_format="pyarrow")
+    )
 
-    rows = shingles.groupby("s").map_groups(posting, batch_format="pyarrow")
-    counts = rows.groupby(["a", "b"]).aggregate(
-        Count("a", alias_name="cnt")
-    ).materialize()
+    # per-(a, b) occurrence counts = intersection sizes (and, for the
+    # b = -1 marker rows, document set sizes) — same one-shuffle
+    # vectorized-count shape as _dedup_pairs; a multi-key Ray groupby
+    # aggregate here costs several times the whole rest of the pipeline
+    from igraph_ray.utils import hash_int64
+
+    def add_cpart(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            hp = (
+                (
+                    hash_int64(a) * np.uint64(0x9E3779B97F4A7C15)
+                    + hash_int64(b)
+                )
+                % np.uint64(num_parts)
+            ).astype(np.int32)
+        return batch.append_column("hpart", pa.array(hp))
+
+    def count_part(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        boundary = np.empty(len(a), dtype=bool)
+        boundary[0] = True
+        boundary[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(boundary)
+        cnt = np.diff(np.append(starts, len(a)))
+        return pa.table(
+            {
+                "a": pa.array(a[starts]),
+                "b": pa.array(b[starts]),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        rows.map_batches(
+            add_cpart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("hpart")
+        .map_groups(count_part, batch_format="pyarrow")
+        .materialize()
+    )
 
     def _take(marker: bool):
         def _f(batch: pa.Table) -> pa.Table:
@@ -731,6 +822,54 @@ def ngram_jaccard_pairs(
     inter = counts.map_batches(
         _take(False), batch_format="pyarrow", zero_copy_batch=True
     )
+
+    def _finish_cols(a, b, common, sa, sb):
+        union = sa + sb - common
+        jac = common / union
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "a": pa.array(a[keep]),
+                "b": pa.array(b[keep]),
+                "common": pa.array(common[keep].astype(np.int64)),
+                "union_sz": pa.array(union[keep].astype(np.int64)),
+                "jaccard": pa.array(jac[keep].astype(np.float64)),
+            }
+        )
+
+    # small-side rule (engine-wide): the sizes table is one int per
+    # document — broadcast it once per actor below the bound, fall
+    # back to two co-partitioned hash joins past it
+    from igraph_ray.stages.vertex_ids import BROADCAST_MAX_VERTICES
+
+    n_docs = sizes.count()
+    if n_docs <= BROADCAST_MAX_VERTICES:
+        stbl = pa.concat_tables(
+            sizes.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).sort_by("a")
+        ref = _ray.put(stbl)
+
+        class _SizeLookup:
+            def __init__(self, r):
+                t = _ray.get(r)
+                self._ids = t.column("a").to_numpy(zero_copy_only=False)
+                self._sz = t.column("cnt").to_numpy(zero_copy_only=False)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                a = batch.column("a").to_numpy(zero_copy_only=False)
+                b = batch.column("b").to_numpy(zero_copy_only=False)
+                common = batch.column("cnt").to_numpy(zero_copy_only=False)
+                sa = self._sz[np.searchsorted(self._ids, a)]
+                sb = self._sz[np.searchsorted(self._ids, b)]
+                return _finish_cols(a, b, common, sa, sb)
+
+        return inter.map_batches(
+            _SizeLookup,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
 
     join_parts = int(
         max(2, min(64, _ray.cluster_resources().get("CPU", 4) // 2))
@@ -748,24 +887,12 @@ def ngram_jaccard_pairs(
     )
 
     def finish(batch: pa.Table) -> pa.Table:
-        common = batch.column("cnt").to_numpy(zero_copy_only=False)
-        sa = batch.column("sa").to_numpy(zero_copy_only=False)
-        sb = batch.column("sb").to_numpy(zero_copy_only=False)
-        union = sa + sb - common
-        jac = common / union
-        keep = jac >= threshold
-        return pa.table(
-            {
-                "a": pa.array(
-                    batch.column("a").to_numpy(zero_copy_only=False)[keep]
-                ),
-                "b": pa.array(
-                    batch.column("b").to_numpy(zero_copy_only=False)[keep]
-                ),
-                "common": pa.array(common[keep].astype(np.int64)),
-                "union_sz": pa.array(union[keep].astype(np.int64)),
-                "jaccard": pa.array(jac[keep].astype(np.float64)),
-            }
+        return _finish_cols(
+            batch.column("a").to_numpy(zero_copy_only=False),
+            batch.column("b").to_numpy(zero_copy_only=False),
+            batch.column("cnt").to_numpy(zero_copy_only=False),
+            batch.column("sa").to_numpy(zero_copy_only=False),
+            batch.column("sb").to_numpy(zero_copy_only=False),
         )
 
     return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
