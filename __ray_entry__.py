@@ -76,7 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hop_histogram": q.q_hop_histogram,  # SQL oracle (all-pairs CTE, int counts)
         "global_efficiency": q.q_global_efficiency,  # rows-only (float mean of 1/d)
         "topo_layers": q.q_topo_layers,  # SQL oracle (longest-walk CTE)
-        "condensation_layers": q.q_condensation_layers,  # rows-only (nx.condensation pytest)
+        "condensation_layers": q.q_condensation_layers,  # SQL oracle (closure + longest-walk CTE)
         "random_walks": q.q_random_walks,  # rows-only (deterministic corpus)
         "maximal_independent_set": q.q_mis,  # rows-only (Luby; property oracle)
         "clustering": q.q_clustering,  # SQL oracle (exact ints + IEEE replay)
@@ -95,7 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_union": q.q_graph_union,  # SQL oracle (igraph_union)
         "graph_intersection": q.q_graph_intersection,  # SQL oracle
         "graph_difference": q.q_graph_difference,  # SQL oracle
-        "strongly_connected_components": q.q_scc,  # rows-only (IGRAPH_STRONG)
+        "strongly_connected_components": q.q_scc,  # SQL oracle (mutual-reachability CTE)
+        "bowtie": q.q_bowtie,  # SQL oracle (closure + reachability CTEs)
         "core_numbers": q.q_core_numbers,  # rows-only (igraph_coreness)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
         "lineitem_agg": q.q_lineitem_agg,
@@ -128,6 +129,29 @@ _FILES = (
     "THEN 'DUP-' || CAST(doc_id % 7 AS VARCHAR) ELSE text END AS content "
     "FROM documents"
 )
+
+
+# Twin of stages/edge_rules.ring_edges over the commit grouping: a
+# directed cycle over the sorted distinct file keys of each commit
+# (groups of 1 emit nothing).  Ends with a trailing comma so callers
+# can append further CTEs.
+_RING_ARCS = """
+ring_members AS (
+  SELECT DISTINCT commit, repo || ':' || path AS k FROM files
+),
+ring_ranked AS (
+  SELECT commit, k,
+    ROW_NUMBER() OVER (PARTITION BY commit ORDER BY k) AS rn,
+    COUNT(*) OVER (PARTITION BY commit) AS cnt
+  FROM ring_members
+),
+ring_arcs AS (
+  SELECT DISTINCT a.k AS s, b.k AS d
+  FROM ring_ranked a JOIN ring_ranked b
+    ON a.commit = b.commit AND b.rn = a.rn % a.cnt + 1
+  WHERE a.cnt >= 2
+),
+"""
 
 
 def _rule_pairs_sql(key_expr: str, cross_repo: bool = False) -> str:
@@ -543,6 +567,126 @@ walk AS (
   SELECT k, MAX(dist) AS layer FROM r GROUP BY k
 )
 SELECT k AS key, CAST(layer AS BIGINT) AS layer FROM walk
+""",
+        # SCC over the per-commit ring digraph: twin of
+        # stages/edge_rules.ring_edges (sorted distinct members, cyclic
+        # successor) + mutual-reachability closure; scc label = min key
+        # of the component (the kernel's min-vid canonicalization under
+        # the sorted-rank vid assignment).
+        "strongly_connected_components": f"""
+WITH files AS ({_FILES}),
+keys AS (SELECT DISTINCT repo || ':' || path AS key FROM files),
+{_RING_ARCS}
+closure AS (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT key, key FROM keys
+    UNION
+    SELECT r.s, a.d FROM r JOIN ring_arcs a ON r.k = a.s
+  )
+  SELECT s, k FROM r
+)
+SELECT c1.s AS key, MIN(c1.k) AS scc_key
+FROM closure c1 JOIN closure c2 ON c1.s = c2.k AND c1.k = c2.s
+GROUP BY c1.s
+""",
+        # Condensation of the same ring digraph, layered by longest
+        # incoming walk (the max-plus topological_layers kernel); one
+        # row per SCC, keyed by the component's min member key.
+        "condensation_layers": f"""
+WITH files AS ({_FILES}),
+keys AS (SELECT DISTINCT repo || ':' || path AS key FROM files),
+{_RING_ARCS}
+closure AS (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT key, key FROM keys
+    UNION
+    SELECT r.s, a.d FROM r JOIN ring_arcs a ON r.k = a.s
+  )
+  SELECT s, k FROM r
+),
+scc AS (
+  SELECT c1.s AS key, MIN(c1.k) AS scc_key
+  FROM closure c1 JOIN closure c2 ON c1.s = c2.k AND c1.k = c2.s
+  GROUP BY c1.s
+),
+cond_arcs AS (
+  SELECT DISTINCT ss.scc_key AS s, sd.scc_key AS d
+  FROM ring_arcs a
+  JOIN scc ss ON a.s = ss.key
+  JOIN scc sd ON a.d = sd.key
+  WHERE ss.scc_key <> sd.scc_key
+),
+cond_verts AS (SELECT DISTINCT scc_key FROM scc),
+walk AS (
+  WITH RECURSIVE r(k, dist) AS (
+    SELECT scc_key, 0 FROM cond_verts
+    UNION
+    SELECT a.d, r.dist + 1 FROM r JOIN cond_arcs a ON r.k = a.s
+    WHERE r.dist < 10000
+  )
+  SELECT k, MAX(dist) AS layer FROM r GROUP BY k
+)
+SELECT k AS scc_key, CAST(layer AS BIGINT) AS layer FROM walk
+""",
+        # Bow-tie decomposition (Broder et al.): regions relative to the
+        # largest SCC (ties: min canonical label) of the ring ∪ DAG-arc
+        # digraph.  The core is strongly connected, so reachability
+        # to/from its canonical member classifies in/out; a single
+        # undirected closure from that member separates tendrils from
+        # the disconnected region.
+        "bowtie": f"""
+WITH files AS ({_FILES}),
+keys AS (SELECT DISTINCT repo || ':' || path AS key FROM files),
+{_RING_ARCS}
+extra_arcs AS (
+  SELECT DISTINCT
+    'r' || CAST(doc_id % 20 AS VARCHAR) || ':p'
+        || CAST(doc_id % 50 AS VARCHAR) AS s,
+    'r' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || ':p'
+        || CAST((doc_id * 7 + 3) % 50 AS VARCHAR) AS d
+  FROM documents
+  WHERE doc_id % 100 < (doc_id * 7 + 3) % 100
+),
+arcs AS (SELECT s, d FROM ring_arcs UNION SELECT s, d FROM extra_arcs),
+closure AS (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT key, key FROM keys
+    UNION
+    SELECT r.s, a.d FROM r JOIN arcs a ON r.k = a.s
+  )
+  SELECT s, k FROM r
+),
+scc AS (
+  SELECT c1.s AS key, MIN(c1.k) AS scc_key
+  FROM closure c1 JOIN closure c2 ON c1.s = c2.k AND c1.k = c2.s
+  GROUP BY c1.s
+),
+core AS (
+  SELECT scc_key FROM scc GROUP BY scc_key
+  ORDER BY COUNT(*) DESC, scc_key ASC LIMIT 1
+),
+undirected AS (SELECT s, d FROM arcs UNION SELECT d, s FROM arcs),
+weak AS (
+  WITH RECURSIVE r(k) AS (
+    SELECT scc_key FROM core
+    UNION
+    SELECT a.d FROM r JOIN undirected a ON r.k = a.s
+  )
+  SELECT k FROM r
+)
+SELECT sc.key AS key,
+  CASE
+    WHEN sc.scc_key = (SELECT scc_key FROM core) THEN 'core'
+    WHEN EXISTS (SELECT 1 FROM closure c
+                 WHERE c.s = sc.key
+                   AND c.k = (SELECT scc_key FROM core)) THEN 'in'
+    WHEN EXISTS (SELECT 1 FROM closure c
+                 WHERE c.s = (SELECT scc_key FROM core)
+                   AND c.k = sc.key) THEN 'out'
+    WHEN sc.key IN (SELECT k FROM weak) THEN 'tendril'
+    ELSE 'disconnected'
+  END AS region
+FROM scc sc
 """,
         "diameter": f"""
 {_LINK_PAIRS},

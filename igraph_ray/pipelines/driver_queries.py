@@ -1621,6 +1621,69 @@ def q_condensation_layers(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "scc_key"})
 
 
+def _extra_dag_arcs(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic acyclic arcs between file keys (index x → y over
+    the 100-point key cycle, kept when x < y) — unioned with the commit
+    rings this gives the bow-tie query a digraph with real IN/OUT/
+    tendril structure instead of a pure cycle soup."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        x = doc_id % 100
+        y = (doc_id * 7 + 3) % 100
+        keep = x < y
+        x, y = x[keep], y[keep]
+        return pa.table(
+            {
+                "src_key": pa.array(
+                    [f"r{i % 20}:p{i % 50}" for i in x], pa.string()
+                ),
+                "dst_key": pa.array(
+                    [f"r{i % 20}:p{i % 50}" for i in y], pa.string()
+                ),
+                "weight": pa.array(np.ones(len(x))),
+                "rule": pa.array(["dag"] * len(x), pa.string()),
+            }
+        )
+
+    return documents(sf_dir).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_bowtie(sf_dir: str, graph_dir: str | None = None):
+    """(key, region) — Broder-et-al. bow-tie decomposition (core / in /
+    out / tendril / disconnected relative to the largest SCC) of the
+    commit-ring ∪ DAG-arc digraph; SQL twin = mutual-reachability
+    closure + three reachability CTEs."""
+    import tempfile
+
+    from igraph_ray.kernels.bowtie import bowtie
+    from igraph_ray.stages.edge_rules import ring_edges
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_bow_")
+    files = with_file_key(files_from_documents(sf_dir))
+    rings = ring_edges(files, "commit", "file_key")
+    arcs_by_key = rings.union(_extra_dag_arcs(sf_dir))
+    keys = (
+        files.select_columns(["file_key"]).rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    arcs = attach_vids(arcs_by_key, vertices)
+    out = bowtie(
+        arcs, graph_dir, vertices=vertices.select_columns(["vid"])
+    )
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
 def q_ngram_jaccard(sf_dir: str):
     """(a, b, common, union_sz, jaccard) — exact word-3-gram Jaccard
     near-dup pairs over documents (df_cap=128, threshold=0.2); int

@@ -69,7 +69,13 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only: set[str] | None = None
+    argv = list(sys.argv[1:])
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     import ray
 
     ray.init(
@@ -92,6 +98,8 @@ def main() -> int:
     sqls = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             ours = to_pandas(fn(sf_dir))
