@@ -95,6 +95,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_union": q.q_graph_union,  # SQL oracle (igraph_union)
         "graph_intersection": q.q_graph_intersection,  # SQL oracle
         "graph_difference": q.q_graph_difference,  # SQL oracle
+        "dyad_census": q.q_dyad_census,  # SQL oracle (exact ints)
+        "triad_census": q.q_triad_census,  # SQL oracle (tricode brute force)
+        "cocitation": q.q_cocitation,  # SQL oracle (int pair counts)
+        "bib_coupling": q.q_bib_coupling,  # SQL oracle (int pair counts)
         "strongly_connected_components": q.q_scc,  # SQL oracle (mutual-reachability CTE)
         "bowtie": q.q_bowtie,  # SQL oracle (closure + reachability CTEs)
         "core_numbers": q.q_core_numbers,  # rows-only (igraph_coreness)
@@ -152,6 +156,37 @@ ring_arcs AS (
   WHERE a.cnt >= 2
 ),
 """
+
+
+# Twin of pipelines/driver_queries.directed_doc_multiarcs: wrap term
+# varies out-neighbours per source; every 7th doc adds the reverse arc
+# (mutual dyads).  dkeys keeps every distinct endpoint (loop-only
+# vertices included); darcs drops loops and duplicate arcs.  Ends with
+# a trailing comma.
+_DOC_ARCS = """
+raw AS (
+  SELECT 'v' || CAST(doc_id % 101 AS VARCHAR) AS src,
+         'v' || CAST((doc_id * 37 + (doc_id // 101) * 13 + 11) % 101
+                     AS VARCHAR) AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'v' || CAST((doc_id * 37 + (doc_id // 101) * 13 + 11) % 101
+                     AS VARCHAR),
+         'v' || CAST(doc_id % 101 AS VARCHAR)
+  FROM documents WHERE doc_id % 7 = 0
+),
+dkeys AS (SELECT src AS k FROM raw UNION SELECT dst FROM raw),
+darcs AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+"""
+
+
+def _triad_code_values() -> str:
+    """VALUES list mapping each 6-bit arc code to its MAN triad type —
+    the published Batagelj-Mrvar tricode table (shared with the kernel,
+    which verifies it against nx.triadic_census in tests)."""
+    from igraph_ray.kernels.triads import TRICODE_TYPE
+
+    return ", ".join(f"({i}, '{t}')" for i, t in enumerate(TRICODE_TYPE))
 
 
 def _rule_pairs_sql(key_expr: str, cross_repo: bool = False) -> str:
@@ -734,6 +769,90 @@ st AS (
   FROM p
 )
 SELECT m AS n_arcs, r AS n_reciprocated, r / m AS reciprocity FROM st
+""",
+        # Holland-Leinhardt dyad census of the same directed doc graph;
+        # vertex set = every distinct endpoint key (incl. loop-only)
+        "dyad_census": f"""
+WITH {_DOC_ARCS}
+p AS (
+  SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b,
+         MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS fwd,
+         MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS bwd
+  FROM darcs GROUP BY 1, 2
+),
+c AS (
+  SELECT COUNT(*) FILTER (WHERE fwd = 1 AND bwd = 1) AS mut,
+         COUNT(*) FILTER (WHERE NOT (fwd = 1 AND bwd = 1)) AS asym
+  FROM p
+),
+nv AS (SELECT COUNT(*) AS n FROM dkeys)
+SELECT 'mut' AS dyad_type, CAST(mut AS BIGINT) AS n FROM c
+UNION ALL
+SELECT 'asym', CAST(asym AS BIGINT) FROM c
+UNION ALL
+SELECT 'null',
+       CAST((SELECT n * (n - 1) // 2 FROM nv) - mut - asym AS BIGINT)
+FROM c
+""",
+        # Full 16-class MAN triad census: brute-force over all key
+        # triples x<y<z, 6-bit arc code -> Batagelj-Mrvar tricode table
+        # (same public lookup the kernel uses; the SQL side derives the
+        # code itself from the arc table)
+        "triad_census": f"""
+WITH {_DOC_ARCS}
+codes (code, triad_type) AS (VALUES {_triad_code_values()}),
+trip AS (
+  SELECT k1.k AS x, k2.k AS y, k3.k AS z
+  FROM dkeys k1
+  JOIN dkeys k2 ON k1.k < k2.k
+  JOIN dkeys k3 ON k2.k < k3.k
+),
+coded AS (
+  SELECT
+      (CASE WHEN EXISTS (SELECT 1 FROM darcs
+                         WHERE src = t.x AND dst = t.y) THEN 1 ELSE 0 END)
+    + (CASE WHEN EXISTS (SELECT 1 FROM darcs
+                         WHERE src = t.y AND dst = t.x) THEN 2 ELSE 0 END)
+    + (CASE WHEN EXISTS (SELECT 1 FROM darcs
+                         WHERE src = t.x AND dst = t.z) THEN 4 ELSE 0 END)
+    + (CASE WHEN EXISTS (SELECT 1 FROM darcs
+                         WHERE src = t.z AND dst = t.x) THEN 8 ELSE 0 END)
+    + (CASE WHEN EXISTS (SELECT 1 FROM darcs
+                         WHERE src = t.y AND dst = t.z) THEN 16 ELSE 0 END)
+    + (CASE WHEN EXISTS (SELECT 1 FROM darcs
+                         WHERE src = t.z AND dst = t.y) THEN 32 ELSE 0 END)
+      AS code
+  FROM trip t
+),
+cnt AS (
+  SELECT c.triad_type, COUNT(*) AS n
+  FROM coded JOIN codes c USING (code) GROUP BY 1
+)
+SELECT t.triad_type, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS n
+FROM (SELECT DISTINCT triad_type FROM codes) t
+LEFT JOIN cnt USING (triad_type)
+""",
+        # common in-neighbour counts per unordered pair (cocitation)
+        "cocitation": f"""
+WITH {_DOC_ARCS}
+pairs AS (
+  SELECT x.dst AS src_key, y.dst AS dst_key,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM darcs x JOIN darcs y ON x.src = y.src AND x.dst < y.dst
+  GROUP BY 1, 2
+)
+SELECT * FROM pairs
+""",
+        # common out-neighbour counts per unordered pair (bibcoupling)
+        "bib_coupling": f"""
+WITH {_DOC_ARCS}
+pairs AS (
+  SELECT x.src AS src_key, y.src AS dst_key,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM darcs x JOIN darcs y ON x.dst = y.dst AND x.src < y.src
+  GROUP BY 1, 2
+)
+SELECT * FROM pairs
 """,
         "density": f"""
 {_LINK_PAIRS},

@@ -1697,3 +1697,121 @@ def q_ngram_jaccard(sf_dir: str):
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
+
+# ---------------------------------------------------------------------------
+# dyad / triad census, cocitation (igraph_dyad_census / igraph_triad_census
+# / igraph_cocitation / igraph_bibcoupling) over the directed doc graph
+# ---------------------------------------------------------------------------
+def directed_doc_multiarcs(sf_dir: str) -> ray.data.Dataset:
+    """Richer deterministic directed key graph than
+    :func:`directed_doc_arcs` (whose dst is a bijection of src, so
+    every vertex has in/out-degree 1 — useless for census/cocitation
+    fixtures): the wrap term ``(doc_id // 101) * 13`` gives each source
+    several distinct out-neighbours, and every 7th doc also emits the
+    reverse arc so mutual dyads exist."""
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = doc_id % 101
+        d = (doc_id * 37 + (doc_id // 101) * 13 + 11) % 101
+        rev = doc_id % 7 == 0
+        src = np.concatenate([s, d[rev]])
+        dst = np.concatenate([d, s[rev]])
+        return pa.table(
+            {
+                "src": pa.array([f"v{i}" for i in src], pa.string()),
+                "dst": pa.array([f"v{i}" for i in dst], pa.string()),
+            }
+        )
+
+    return documents(sf_dir).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _doc_arc_graph(sf_dir: str):
+    """(arcs-with-vids dataset, vertices dataset, n_vertices) for the
+    deterministic directed doc-derived multi-arc key graph — vertex set
+    = every distinct endpoint key (loop-only vertices included,
+    matching the SQL twins' ``dkeys`` CTE)."""
+    arcs = directed_doc_multiarcs(sf_dir)
+
+    def with_weight(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_key": batch.column("src"),
+                "dst_key": batch.column("dst"),
+                "weight": pa.array(np.ones(batch.num_rows)),
+            }
+        )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        batch.column("src").combine_chunks(),
+                        batch.column("dst").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    keys = arcs.map_batches(
+        endpoints, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    arcs_v = attach_vids(
+        arcs.map_batches(
+            with_weight, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        vertices,
+    )
+    return arcs_v, vertices, vertices.count()
+
+
+def q_dyad_census(sf_dir: str):
+    """(dyad_type, n) — Holland-Leinhardt mut/asym/null dyad counts of
+    the directed doc graph (igraph_dyad_census); exact ints."""
+    from igraph_ray.kernels.triads import dyad_census
+
+    arcs, _, n = _doc_arc_graph(sf_dir)
+    return dyad_census(arcs, n)
+
+
+def q_triad_census(sf_dir: str):
+    """(triad_type, n) — full 16-class MAN triad census of the directed
+    doc graph (igraph_triad_census / nx.triadic_census); exact ints via
+    wedge enumeration + Batagelj-Mrvar closed forms."""
+    from igraph_ray.kernels.triads import triad_census
+
+    arcs, _, n = _doc_arc_graph(sf_dir)
+    return triad_census(arcs, n)
+
+
+def _q_cocite(sf_dir: str, mode: str):
+    from igraph_ray.kernels.triads import cocitation_counts
+
+    arcs, vertices, _ = _doc_arc_graph(sf_dir)
+    out = cocitation_counts(arcs, mode=mode)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"a": "src_key", "b": "dst_key"})
+
+
+def q_cocitation(sf_dir: str):
+    """(src_key, dst_key, common) — common in-neighbour counts per
+    unordered pair (igraph_cocitation), nonzero pairs only."""
+    return _q_cocite(sf_dir, "cocitation")
+
+
+def q_bib_coupling(sf_dir: str):
+    """(src_key, dst_key, common) — common out-neighbour counts per
+    unordered pair (igraph_bibcoupling), nonzero pairs only."""
+    return _q_cocite(sf_dir, "bibcoupling")
