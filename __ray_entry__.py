@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie": q.q_bowtie,  # SQL oracle (closure + reachability CTEs)
         "core_numbers": q.q_core_numbers,  # rows-only (igraph_coreness)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
+        "asof_join": q.q_asof_join,  # SQL oracle (window-ranked twin)
         "lineitem_agg": q.q_lineitem_agg,
         "orders_per_nation": q.q_orders_per_nation,
         "events_users_per_type": q.q_events_users_per_type,
@@ -1150,6 +1151,25 @@ tri AS (
   JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles FROM tri
+""",
+        # backward-inclusive as-of join, tie-break = max orderkey;
+        # -1 sentinels keep the hash compare null-free
+        "asof_join": """
+WITH ranked AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id,
+       COALESCE(r.o_orderkey, -1) AS o_orderkey,
+       COALESCE(r.o_totalprice, -1.0) AS o_totalprice
+FROM events e
+LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
 """,
         "lineitem_agg": (
             # CAST the SUM itself: DuckDB SUM(BIGINT) returns HUGEINT

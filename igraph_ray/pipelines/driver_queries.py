@@ -1815,3 +1815,48 @@ def q_bib_coupling(sf_dir: str):
     """(src_key, dst_key, common) — common out-neighbour counts per
     unordered pair (igraph_bibcoupling), nonzero pairs only."""
     return _q_cocite(sf_dir, "bibcoupling")
+
+
+def q_asof_join(sf_dir: str):
+    """(event_id, o_orderkey, o_totalprice) — backward-inclusive as-of
+    join: each event matched to the same user's latest order at or
+    before the event timestamp (ties toward the greatest orderkey);
+    unmatched events carry -1/-1.0.  Values are pass-through (no float
+    arithmetic) so the window-function SQL twin matches bitwise."""
+    from igraph_ray.stages.asof import asof_join
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    right = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = asof_join(
+        left,
+        right,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "o_orderkey": pc.fill_null(
+                    batch.column("o_orderkey"), pa.scalar(-1, pa.int64())
+                ),
+                "o_totalprice": pc.fill_null(
+                    batch.column("o_totalprice"),
+                    pa.scalar(-1.0, pa.float64()),
+                ),
+            }
+        )
+
+    return out.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
