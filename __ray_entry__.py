@@ -109,6 +109,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_per_type": q.q_events_users_per_type,
         "top_orders": q.q_top_orders,
         # training-data ops
+        "term_df": q.q_term_df,  # SQL oracle (top-100 document frequency)
+        "doc_top_terms": q.q_doc_top_terms,  # SQL oracle (tf-idf replay)
         "language_id": q.q_language_id,  # SQL oracle (regex twins)
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
@@ -413,6 +415,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id "
             "FROM documents GROUP BY sha256(text)"
         ),
+        "term_df": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+d AS (SELECT DISTINCT doc_id, term FROM toks)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+FROM d GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 100
+""",
+        # per-doc top-3 terms; tfidf = tf*N/df is one IEEE division of
+        # exact ints so it replays bitwise
+        "doc_top_terms": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+r AS (
+  SELECT doc_id, term, tf,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY tf DESC, term ASC
+         ) AS rn
+  FROM tf
+)
+SELECT r.doc_id, r.term, CAST(r.tf AS BIGINT) AS tf,
+       CAST(r.rn AS BIGINT) AS rank,
+       CAST(r.tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df AS tfidf
+FROM r JOIN df USING (term)
+WHERE r.rn <= 3
+""",
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) "
             "AS BIGINT) AS n_tokens FROM documents"

@@ -10,9 +10,11 @@ from __future__ import annotations
 import zlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
+from ray.data.aggregate import Sum
 
 # A tiny deterministic marker-word table for the n-gram/stopword
 # language heuristic (top function words per language).
@@ -185,3 +187,191 @@ def winnow_fingerprints(
         return batch.append_column(out, pa.array(fps, pa.list_(pa.uint64())))
 
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# corpus term statistics (document frequency, per-doc top terms)
+# ---------------------------------------------------------------------------
+def _tokens_table(
+    batch: pa.Table, text_col: str, id_col: str
+) -> pa.Table:
+    """(did, term) rows — lowercase whitespace tokens, flattened via
+    Arrow list offsets (no per-row Python)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_col)), r"\s+"
+    ).combine_chunks()
+    flat = toks.flatten()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    did = np.repeat(
+        batch.column(id_col).to_numpy(zero_copy_only=False),
+        lens.astype(np.int64),
+    )
+    t = pa.table({"did": pa.array(did), "term": flat})
+    return t.filter(pc.not_equal(t.column("term"), ""))
+
+
+def term_document_frequency(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(term, df) — number of documents containing each lowercase
+    whitespace token.  Per-batch pre-combine: distinct (doc, term)
+    pairs then a per-term partial count (both Arrow-native group_bys),
+    so the only shuffle is the final vocabulary-sized groupby — at
+    corpus scale the shuffled rows are O(batches x vocab), not
+    O(total tokens)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _tokens_table(batch, text_col, id_col)
+        distinct = t.group_by(["did", "term"]).aggregate([])
+        part = distinct.group_by("term").aggregate([("did", "count")])
+        return pa.table(
+            {
+                "term": part.column("term"),
+                "df": pc.cast(part.column("did_count"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"))
+    )
+
+
+def doc_top_terms(
+    ds: ray.data.Dataset,
+    n_docs: int,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, term, tf, rank, tfidf) — each document's top-``k``
+    terms by (tf desc, term asc), scored with the linear-idf variant
+    ``tfidf = tf * n_docs / df`` (one IEEE division of exact ints, so
+    a SQL twin replays it bitwise).
+
+    Map-side: tf and the per-doc top-k are computed entirely within the
+    document's own batch (one row = one doc).  The only shuffle is the
+    (term, df) vocabulary aggregate, re-attached by a second pass over
+    the candidate rows co-grouped by term — candidates are O(docs x k),
+    never the full token stream.
+    """
+    df_ds = term_document_frequency(ds, text_col=text_col, id_col=id_col)
+
+    def topk(batch: pa.Table) -> pa.Table:
+        t = _tokens_table(batch, text_col, id_col)
+        tf = t.group_by(["did", "term"]).aggregate([("term", "count")])
+        did = tf.column("did").to_numpy(zero_copy_only=False)
+        cnt = pc.cast(tf.column("term_count"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        term = tf.column("term").to_pandas().to_numpy()  # object strs
+        # per-doc rank by (tf desc, term asc): stable sort by term,
+        # then by -tf, then by did; rank = position within did segment
+        order = np.lexsort((term, -cnt, did))
+        did, cnt, term = did[order], cnt[order], term[order]
+        boundary = np.empty(len(did), dtype=bool)
+        if len(did):
+            boundary[0] = True
+            boundary[1:] = did[1:] != did[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(boundary, np.arange(len(did)), 0)
+        )
+        rank = np.arange(len(did)) - seg_start + 1
+        keep = rank <= k
+        return pa.table(
+            {
+                "doc_id": pa.array(did[keep]),
+                "term": pa.array(term[keep], pa.string()),
+                "tf": pa.array(cnt[keep]),
+                "rank": pa.array(rank[keep].astype(np.int64)),
+            }
+        )
+
+    cands = ds.map_batches(
+        topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _term_part(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+        terms = col.to_pandas().to_numpy()
+        h = pd.util.hash_array(terms) % np.uint64(16)
+        return pa.array(h.astype(np.int32))
+
+    def tag_cand(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "hpart": _term_part(batch.column("term")),
+                "term": batch.column("term"),
+                "doc_id": batch.column("doc_id"),
+                "tf": batch.column("tf"),
+                "rank": batch.column("rank"),
+                "df": pa.array(np.zeros(batch.num_rows, np.int64)),
+                "is_df": pa.array(np.zeros(batch.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def tag_df(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, np.int64)
+        return pa.table(
+            {
+                "hpart": _term_part(batch.column("term")),
+                "term": batch.column("term"),
+                "doc_id": pa.array(z),
+                "tf": pa.array(z),
+                "rank": pa.array(z),
+                "df": batch.column("df"),
+                "is_df": pa.array(np.ones(batch.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    tagged = cands.map_batches(
+        tag_cand, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        df_ds.map_batches(
+            tag_df, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def attach(group: pa.Table) -> pa.Table:
+        is_df = group.column("is_df").to_numpy(zero_copy_only=False)
+        term = group.column("term").to_pandas().to_numpy()
+        dfv = group.column("df").to_numpy(zero_copy_only=False)
+        # df rows: term -> df (every candidate term has a df row)
+        dmask = is_df == 1
+        dterm = term[dmask]
+        dorder = np.argsort(dterm, kind="stable")
+        dterm, dval = dterm[dorder], dfv[dmask][dorder]
+        cmask = ~dmask
+        if not cmask.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "term": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                    "tfidf": pa.array([], pa.float64()),
+                }
+            )
+        cterm = term[cmask]
+        pos = np.searchsorted(dterm, cterm)
+        tf = group.column("tf").to_numpy(zero_copy_only=False)[cmask]
+        score = (tf * np.int64(n_docs)) / dval[pos]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    group.column("doc_id").to_numpy(zero_copy_only=False)[
+                        cmask
+                    ]
+                ),
+                "term": pa.array(cterm, pa.string()),
+                "tf": pa.array(tf),
+                "rank": pa.array(
+                    group.column("rank").to_numpy(zero_copy_only=False)[cmask]
+                ),
+                "tfidf": pa.array(score.astype(np.float64)),
+            }
+        )
+
+    return tagged.groupby("hpart").map_groups(attach, batch_format="pyarrow")

@@ -1860,3 +1860,24 @@ def q_asof_join(sf_dir: str):
     return out.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_term_df(sf_dir: str):
+    """(term, df) — top-100 lowercase whitespace tokens by document
+    frequency (ties toward the lexicographically smaller term); exact
+    ints, unnest/group-by SQL twin."""
+    from igraph_ray.functions.text import term_document_frequency
+
+    out = term_document_frequency(documents(sf_dir))
+    return out.sort(["df", "term"], descending=[True, False]).limit(100)
+
+
+def q_doc_top_terms(sf_dir: str):
+    """(doc_id, term, tf, rank, tfidf) — each document's top-3 terms by
+    (tf desc, term asc) with the linear-idf score tf*N/df (exact ints +
+    one IEEE division, replayed bitwise by the window-function SQL
+    twin)."""
+    from igraph_ray.functions.text import doc_top_terms
+
+    docs = documents(sf_dir)
+    return doc_top_terms(docs, n_docs=docs.count(), k=3)
