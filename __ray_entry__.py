@@ -95,6 +95,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_union": q.q_graph_union,  # SQL oracle (igraph_union)
         "graph_intersection": q.q_graph_intersection,  # SQL oracle
         "graph_difference": q.q_graph_difference,  # SQL oracle
+        "bridges": q.q_bridges,  # SQL oracle (per-edge closure test)
+        "two_edge_components": q.q_two_edge_components,  # SQL oracle
         "dyad_census": q.q_dyad_census,  # SQL oracle (exact ints)
         "triad_census": q.q_triad_census,  # SQL oracle (tricode brute force)
         "cocitation": q.q_cocitation,  # SQL oracle (int pair counts)
@@ -180,6 +182,37 @@ raw AS (
 ),
 dkeys AS (SELECT src AS k FROM raw UNION SELECT dst FROM raw),
 darcs AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+"""
+
+
+# Twin of pipelines/driver_queries._doc_undirected_vid_pairs: the
+# collapsed undirected multi-arc doc graph plus deterministic pendant
+# chains (bridges by construction).  Ends with a trailing comma.
+_UND_PAIRS = """
+praw AS (
+  SELECT 'v' || CAST(doc_id % 101 AS VARCHAR) AS src,
+         'v' || CAST((doc_id * 37 + (doc_id // 101) * 13 + 11) % 101
+                     AS VARCHAR) AS dst
+  FROM documents
+  UNION ALL
+  SELECT 'v' || CAST((doc_id * 37 + (doc_id // 101) * 13 + 11) % 101
+                     AS VARCHAR),
+         'v' || CAST(doc_id % 101 AS VARCHAR)
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT 'v' || CAST(doc_id % 101 AS VARCHAR),
+         'w' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT 'w' || CAST(doc_id AS VARCHAR),
+         'x' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 33 = 0
+),
+und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM praw WHERE src <> dst
+),
+ukeys AS (SELECT a AS k FROM und UNION SELECT b FROM und),
 """
 
 
@@ -807,6 +840,77 @@ st AS (
   FROM p
 )
 SELECT m AS n_arcs, r AS n_reciprocated, r / m AS reciprocity FROM st
+""",
+        # bridges of the collapsed undirected doc graph (+ pendant
+        # chains, twin of _doc_undirected_vid_pairs): edge e=(a,b) is a
+        # bridge iff b is unreachable from a in the closure that never
+        # traverses e (per-edge recursive CTE, E x V state)
+        "bridges": f"""
+WITH {_UND_PAIRS}
+und2 AS (SELECT a, b, ROW_NUMBER() OVER (ORDER BY a, b) AS eid FROM und),
+arcs2 AS (
+  SELECT a AS u, b AS v, eid FROM und2
+  UNION ALL
+  SELECT b, a, eid FROM und2
+),
+reach AS (
+  WITH RECURSIVE r(eid, k) AS (
+    SELECT eid, a FROM und2
+    UNION
+    SELECT r.eid, a2.v FROM r
+    JOIN arcs2 a2 ON a2.u = r.k AND a2.eid <> r.eid
+  )
+  SELECT eid, k FROM r
+)
+SELECT e.a AS src_key, e.b AS dst_key
+FROM und2 e
+WHERE NOT EXISTS (
+  SELECT 1 FROM reach r WHERE r.eid = e.eid AND r.k = e.b
+)
+""",
+        # 2-edge-connected components: min-key closure labels over the
+        # non-bridge edges; every pair endpoint is a vertex
+        "two_edge_components": f"""
+WITH {_UND_PAIRS}
+und2 AS (SELECT a, b, ROW_NUMBER() OVER (ORDER BY a, b) AS eid FROM und),
+arcs2 AS (
+  SELECT a AS u, b AS v, eid FROM und2
+  UNION ALL
+  SELECT b, a, eid FROM und2
+),
+reach AS (
+  WITH RECURSIVE r(eid, k) AS (
+    SELECT eid, a FROM und2
+    UNION
+    SELECT r.eid, a2.v FROM r
+    JOIN arcs2 a2 ON a2.u = r.k AND a2.eid <> r.eid
+  )
+  SELECT eid, k FROM r
+),
+bset AS (
+  SELECT e.a, e.b FROM und2 e
+  WHERE NOT EXISTS (
+    SELECT 1 FROM reach r WHERE r.eid = e.eid AND r.k = e.b
+  )
+),
+kept AS (
+  SELECT u.a, u.b FROM und u
+  WHERE NOT EXISTS (
+    SELECT 1 FROM bset x WHERE x.a = u.a AND x.b = u.b
+  )
+),
+karcs AS (SELECT a AS u, b AS v FROM kept UNION ALL SELECT b, a FROM kept),
+closure AS (
+  -- NB: inner recursive CTE must NOT be named `r` — DuckDB resolves it
+  -- against the earlier `reach` recursive CTE of the same name
+  WITH RECURSIVE rc(s, k) AS (
+    SELECT k, k FROM ukeys
+    UNION
+    SELECT rc.s, ka.v FROM rc JOIN karcs ka ON ka.u = rc.k
+  )
+  SELECT s, k FROM rc
+)
+SELECT s AS key, MIN(k) AS comp_key FROM closure GROUP BY s
 """,
         # Holland-Leinhardt dyad census of the same directed doc graph;
         # vertex set = every distinct endpoint key (incl. loop-only)

@@ -1881,3 +1881,133 @@ def q_doc_top_terms(sf_dir: str):
 
     docs = documents(sf_dir)
     return doc_top_terms(docs, n_docs=docs.count(), k=3)
+
+
+def _doc_undirected_vid_pairs(sf_dir: str):
+    """(pairs ds (src,dst,weight) of distinct canonical vid pairs,
+    vertices ds) — the collapsed multi-arc doc graph
+    (igraph as.undirected(collapse)) EXTENDED with deterministic
+    pendant chains (v -> w{doc_id} every 11th doc, w -> x{doc_id} every
+    33rd) so the fixture has real bridges and 2-hop peel depth; the
+    dense 101-key core alone has none."""
+
+    def pendants(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        p1 = doc_id[doc_id % 11 == 0]
+        p2 = doc_id[doc_id % 33 == 0]
+        return pa.table(
+            {
+                "src": pa.array(
+                    [f"v{i % 101}" for i in p1] + [f"w{i}" for i in p2],
+                    pa.string(),
+                ),
+                "dst": pa.array(
+                    [f"w{i}" for i in p1] + [f"x{i}" for i in p2],
+                    pa.string(),
+                ),
+            }
+        )
+
+    arcs = directed_doc_multiarcs(sf_dir).union(
+        documents(sf_dir).map_batches(
+            pendants, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d), pa.string()),
+                "b": pa.array(np.maximum(s, d), pa.string()),
+            }
+        )
+
+    pairs_by_key = (
+        arcs.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["a", "b"])
+        .aggregate(Count("a", alias_name="_c"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src_key": t.column("a"),
+                    "dst_key": t.column("b"),
+                    "weight": pa.array(np.ones(t.num_rows)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        batch.column("src_key").combine_chunks(),
+                        batch.column("dst_key").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    keys = pairs_by_key.map_batches(
+        endpoints, batch_format="pyarrow", zero_copy_batch=True
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    pairs = attach_vids(pairs_by_key, vertices)
+    return pairs, vertices
+
+
+def q_bridges(sf_dir: str):
+    """(src_key, dst_key) — bridges of the undirected collapsed doc
+    graph (igraph_bridges / nx.bridges); SQL twin removes each edge and
+    checks endpoint reachability via a per-edge recursive closure."""
+    import tempfile
+
+    from igraph_ray.kernels.bridges import bridges
+
+    pairs, vertices = _doc_undirected_vid_pairs(sf_dir)
+    out = bridges(pairs, work_dir=tempfile.mkdtemp(prefix="igr_qbr_"))
+    batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    if batches:
+        tbl = pa.concat_tables(batches)
+    else:
+        tbl = pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+
+
+def q_two_edge_components(sf_dir: str):
+    """(key, comp_key) — 2-edge-connected components (connected
+    components after bridge removal, min-key labels) of the collapsed
+    doc graph; vertex set = every arc endpoint."""
+    import tempfile
+
+    from igraph_ray.kernels.bridges import two_edge_components
+
+    pairs, vertices = _doc_undirected_vid_pairs(sf_dir)
+    out = two_edge_components(
+        pairs,
+        tempfile.mkdtemp(prefix="igr_q2ec_"),
+        vertices=vertices.select_columns(["vid"]),
+    )
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"vid": "key", "comp": "comp_key"})
