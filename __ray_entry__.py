@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_per_type": q.q_events_users_per_type,
         "top_orders": q.q_top_orders,
         # training-data ops
+        "stratified_sample": q.q_stratified_sample,  # SQL oracle
+        "decontaminate": q.q_decontaminate,  # SQL oracle (8-gram overlap)
         "term_df": q.q_term_df,  # SQL oracle (top-100 document frequency)
         "doc_top_terms": q.q_doc_top_terms,  # SQL oracle (tf-idf replay)
         "language_id": q.q_language_id,  # SQL oracle (regex twins)
@@ -448,6 +450,68 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id "
             "FROM documents GROUP BY sha256(text)"
         ),
+        # per-lang quota 5 by (splitmix64(doc_id), doc_id) — replays
+        # the same splitmix pipeline as sample_hash
+        "stratified_sample": f"""
+WITH s1 AS (
+  SELECT doc_id, lang,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+),
+s2 AS (SELECT doc_id, lang,
+  CAST({_mul64_sql("CAST(xor(z, z >> 30) AS HUGEINT)", "13787848793156543929")}
+       AS UBIGINT) AS z FROM s1),
+s3 AS (SELECT doc_id, lang,
+  CAST({_mul64_sql("CAST(xor(z, z >> 27) AS HUGEINT)", "10723151780598845931")}
+       AS UBIGINT) AS z FROM s2),
+s4 AS (SELECT doc_id, lang, xor(z, z >> 31) AS z FROM s3),
+r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY z, doc_id) AS rn
+  FROM s4
+)
+SELECT doc_id, lang FROM r WHERE rn <= 5
+""",
+        # word-8-gram overlap vs the doc_id %% 97 == 0 benchmark subset
+        "decontaminate": """
+WITH words AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     t -> t <> '') AS w
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(w) AS term,
+         unnest(generate_series(1, len(w))) AS pos
+  FROM words
+),
+grams0 AS (
+  SELECT doc_id,
+         string_agg(term, ' ') OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING
+         ) AS g,
+         COUNT(*) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING
+         ) AS cnt
+  FROM tok
+),
+grams AS (SELECT doc_id, g FROM grams0 WHERE cnt = 8),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT d.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM (SELECT DISTINCT doc_id, g FROM grams) d
+  JOIN bench USING (g)
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(CASE WHEN COALESCE(h.n_hits, 0) > 0 THEN 1 ELSE 0 END
+            AS BIGINT) AS contaminated
+FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id
+""",
         "term_df": """
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term

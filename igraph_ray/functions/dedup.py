@@ -896,3 +896,135 @@ def ngram_jaccard_pairs(
         )
 
     return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (exact n-gram overlap against an eval set)
+# ---------------------------------------------------------------------------
+def _word_ngrams(batch: pa.Table, text_col: str, id_col: str, n: int):
+    """(did, gram) numpy arrays — lowercase whitespace word n-grams,
+    built from the Arrow token list offsets (no per-row Python loop
+    over characters; the join is one vectorized reduce per offset)."""
+    toks = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_col)), r"\s+"
+    ).combine_chunks()
+    flat = toks.flatten().to_pandas().to_numpy()
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    if batch.num_rows == 0:
+        return np.empty(0, np.int64), np.empty(0, np.str_)
+    # remove empty tokens, recompute per-doc lengths
+    keep = flat != ""
+    doc_of = np.repeat(np.arange(len(lens)), lens)
+    flat, doc_of = flat[keep], doc_of[keep]
+    lens = np.bincount(doc_of, minlength=len(lens)).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    # n-gram start positions per doc
+    g_per_doc = np.maximum(lens - (n - 1), 0)
+    g_doc = np.repeat(np.arange(len(lens)), g_per_doc)
+    g_start = (
+        np.arange(len(g_doc))
+        - np.repeat(np.concatenate([[0], np.cumsum(g_per_doc)[:-1]]), g_per_doc)
+        + starts[g_doc]
+    )
+    if len(g_start) == 0:
+        return ids[g_doc], np.empty(0, np.str_)
+    # vectorized join over fixed-width unicode arrays (np.char needs
+    # str_ dtype, not the object dtype pandas hands back)
+    parts = [flat[g_start + i].astype(np.str_) for i in range(n)]
+    gram = parts[0]
+    for p in parts[1:]:
+        gram = np.char.add(np.char.add(gram, " "), p)
+    return ids[g_doc], gram
+
+
+def ngram_contamination(
+    ds: ray.data.Dataset,
+    bench_filter,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, n_hits, contaminated) — exact word-``n``-gram overlap of
+    every document against the benchmark subset selected by
+    ``bench_filter(batch) -> bool mask`` (the standard training-data
+    decontamination check: flag any document sharing an 8-gram with an
+    eval set).
+
+    The benchmark grams are collected once and broadcast via
+    ``ray.put`` (eval sets are tiny next to the corpus — the canonical
+    small-side broadcast); each batch then probes a sorted gram array
+    with ``np.searchsorted``.  ``n_hits`` counts the document's
+    DISTINCT matching grams.  At larger eval-set scale, swap the exact
+    strings for 64-bit gram hashes (same plumbing, documented delta).
+    """
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        mask = bench_filter(batch)
+        sub = batch.filter(pa.array(mask))
+        _, gram = _word_ngrams(sub, text_col, id_col, n)
+        return pa.table({"gram": pa.array(np.unique(gram), pa.string())})
+
+    bench_tbl = pa.concat_tables(
+        ds.map_batches(
+            bench_grams, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    bench_sorted = np.unique(bench_tbl.column("gram").to_pandas().to_numpy())
+    ref = ray.put(bench_sorted)
+
+    class _Probe:
+        def __init__(self, bref):
+            self._bench = ray.get(bref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            did, gram = _word_ngrams(batch, text_col, id_col, n)
+            bench = self._bench
+            if len(gram) and len(bench):
+                pos = np.searchsorted(bench, gram)
+                pos = np.minimum(pos, len(bench) - 1)
+                hit = bench[pos] == gram
+            else:
+                hit = np.zeros(len(gram), dtype=bool)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            n_hits = np.zeros(len(ids), np.int64)
+            if hit.any():
+                # distinct matching grams per doc: sort hit rows by
+                # (doc, gram), keep one row per run, count runs per doc
+                hd, hg = did[hit], gram[hit]
+                order = np.lexsort((hg, hd))
+                hd, hg = hd[order], hg[order]
+                first = np.empty(len(hd), dtype=bool)
+                first[0] = True
+                first[1:] = (hd[1:] != hd[:-1]) | (hg[1:] != hg[:-1])
+                run_docs = hd[np.flatnonzero(first)]
+                db = np.empty(len(run_docs), dtype=bool)
+                db[0] = True
+                db[1:] = run_docs[1:] != run_docs[:-1]
+                doc_starts = np.flatnonzero(db)
+                per_doc = np.diff(np.append(doc_starts, len(run_docs)))
+                docs_u = run_docs[doc_starts]
+                # ids are unique per batch (one row per doc) but may be
+                # unsorted: map each doc back via argsort+searchsorted
+                o = np.argsort(ids, kind="stable")
+                pos_d = o[np.searchsorted(ids[o], docs_u)]
+                n_hits[pos_d] = per_doc
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "n_hits": pa.array(n_hits),
+                    "contaminated": pa.array(
+                        (n_hits > 0).astype(np.int64)
+                    ),
+                }
+            )
+
+    return ds.map_batches(
+        _Probe,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

@@ -2011,3 +2011,36 @@ def q_two_edge_components(sf_dir: str):
         )
     ).sort_by("vid")
     return _vid_to_key(tbl, vtbl, {"vid": "key", "comp": "comp_key"})
+
+
+def q_stratified_sample(sf_dir: str):
+    """(doc_id, lang) — deterministic per-lang quota sample: the 5 docs
+    of each lang with the smallest (splitmix64(doc_id), doc_id); the
+    SQL twin replays the hash and the ROW_NUMBER ranking exactly."""
+    from igraph_ray.stages.sample import stratified_sample
+
+    return stratified_sample(
+        documents(sf_dir).select_columns(["doc_id", "lang"]),
+        group_col="lang",
+        key_col="doc_id",
+        k=5,
+    )
+
+
+def q_decontaminate(sf_dir: str):
+    """(doc_id, n_hits, contaminated) — exact word-8-gram overlap of
+    every document against the deterministic benchmark subset
+    doc_id % 97 == 0 (training-data decontamination); exact ints, the
+    SQL twin builds the same grams with list slicing."""
+    from igraph_ray.functions.dedup import ngram_contamination
+
+    def bench(batch: pa.Table):
+        return (
+            batch.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0
+        )
+
+    return ngram_contamination(
+        documents(sf_dir).select_columns(["doc_id", "text"]),
+        bench_filter=bench,
+        n=8,
+    )

@@ -48,3 +48,51 @@ def random_sample(
 ) -> ray.data.Dataset:
     """Seeded pseudo-random sample (``Dataset.random_sample``)."""
     return ds.random_sample(fraction, seed=seed)
+
+
+def stratified_sample(
+    ds: ray.data.Dataset,
+    group_col: str,
+    key_col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """Deterministic per-group quota sample: the ``k`` rows of each
+    group with the smallest ``(splitmix64(key), key)`` — reproducible
+    across runs, resumes and cluster sizes, and exactly replayable by a
+    ROW_NUMBER() SQL twin (unlike seeded per-block sampling).
+
+    Scale shape: a map-side per-batch top-k per group first, so the
+    final ``groupby(group)`` shuffle moves at most ``k`` rows per group
+    per input block, never the full table.
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+
+    def _rank_select(batch: pa.Table) -> pa.Table:
+        g_raw = batch.column(group_col).to_numpy(zero_copy_only=False)
+        # factorize to int codes — np.lexsort rejects object (string)
+        # arrays; np.unique codes preserve the grouping
+        _, g = np.unique(g_raw, return_inverse=True)
+        key = batch.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        z = hash_int64(key)
+        order = np.lexsort((key, z, g))
+        gs = g[order]
+        boundary = np.empty(len(gs), dtype=bool)
+        if len(gs):
+            boundary[0] = True
+            boundary[1:] = gs[1:] != gs[:-1]
+        seg_start = np.maximum.accumulate(
+            np.where(boundary, np.arange(len(gs)), 0)
+        )
+        rank = np.arange(len(gs)) - seg_start
+        keep_sorted = order[rank < k]
+        return batch.take(pa.array(np.sort(keep_sorted)))
+
+    partial = ds.map_batches(
+        _rank_select, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partial.groupby(group_col).map_groups(
+        _rank_select, batch_format="pyarrow"
+    )
