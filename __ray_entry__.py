@@ -62,7 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain": q.q_louvain,  # rows-only (§2.3(1); quality-tested)
         "leiden": q.q_leiden,  # rows-only (quality+connectivity tested)
         "distances": q.q_distances,  # SQL oracle: recursive-CTE BFS
-        "distances_weighted": q.q_distances_weighted,  # rows-only (float)
+        "distances_weighted": q.q_distances_weighted,  # SQL oracle (int-exact min-plus)
         "betweenness": q.q_betweenness,  # rows-only (sampled Brandes)
         "closeness": q.q_closeness,  # rows-only (sampled pivots)
         "harmonic": q.q_harmonic,  # rows-only (sampled pivots)
@@ -73,12 +73,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": q.q_adamic_adar,  # rows-only (float ln-sums)
         "eccentricity": q.q_eccentricity,  # SQL oracle (all-pairs CTE)
         "diameter": q.q_diameter,  # SQL oracle (max/min eccentricity)
+        "graph_center": q.q_graph_center,  # SQL oracle (ecc == radius)
+        "centralization": q.q_centralization,  # SQL oracle (Freeman degree)
         "hop_histogram": q.q_hop_histogram,  # SQL oracle (all-pairs CTE, int counts)
         "global_efficiency": q.q_global_efficiency,  # rows-only (float mean of 1/d)
         "topo_layers": q.q_topo_layers,  # SQL oracle (longest-walk CTE)
         "condensation_layers": q.q_condensation_layers,  # SQL oracle (closure + longest-walk CTE)
         "random_walks": q.q_random_walks,  # rows-only (deterministic corpus)
         "maximal_independent_set": q.q_mis,  # rows-only (Luby; property oracle)
+        "maximal_matching": q.q_maximal_matching,  # rows-only (property oracle)
         "clustering": q.q_clustering,  # SQL oracle (exact ints + IEEE replay)
         "degree_histogram": q.q_degree_histogram,  # SQL oracle
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
@@ -674,6 +677,31 @@ walk AS (
 )
 SELECT k AS key, CAST(dist AS BIGINT) AS dist FROM walk
 """,
+        # weights are integer co-occurrence counts, so every path sum is
+        # an exact integer in float64 and MIN over identical candidate
+        # sets is order-free — the engine's min-plus result replays
+        # bitwise from this integer CTE
+        "distances_weighted": f"""
+{_LINK_PAIRS},
+warcs AS (
+  SELECT src_key AS s, dst_key AS d, CAST(weight AS BIGINT) AS w
+  FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key, CAST(weight AS BIGINT) FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(k, dist) AS (
+    SELECT key, CAST(0 AS BIGINT) FROM (
+      SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+    ) WHERE vid = 0
+    UNION
+    SELECT a.d, r.dist + a.w FROM r JOIN warcs a ON r.k = a.s
+    WHERE r.dist < 2000
+  )
+  SELECT k, MIN(dist) AS dist FROM r GROUP BY k
+)
+SELECT k AS key, CAST(dist AS DOUBLE) AS dist FROM walk
+""",
         "eccentricity": f"""
 {_LINK_PAIRS},
 arcs AS (
@@ -695,6 +723,52 @@ ecc AS (
   FROM walk GROUP BY s
 )
 SELECT key, eccentricity FROM ecc
+""",
+        # graph center: vertices attaining the radius
+        "graph_center": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, 0 FROM keys
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+),
+ecc AS (
+  SELECT s AS key, CAST(MAX(dist) AS BIGINT) AS eccentricity
+  FROM walk GROUP BY s
+)
+SELECT key, eccentricity FROM ecc
+WHERE eccentricity = (SELECT MIN(eccentricity) FROM ecc)
+""",
+        # Freeman degree centralization over ALL file keys (absent
+        # keys have degree 0): (n*dmax - sum_deg) / ((n-1)(n-2))
+        "centralization": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS k FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT k, COUNT(*) AS d FROM arcs GROUP BY k),
+st AS (
+  SELECT (SELECT COUNT(*) FROM keys) AS n,
+         (SELECT MAX(d) FROM deg) AS dmax,
+         (SELECT SUM(d) FROM deg) AS dsum
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(dmax AS BIGINT) AS max_degree,
+       CAST(dsum AS BIGINT) AS sum_degree,
+       CAST(n * dmax - dsum AS DOUBLE) / ((n - 1) * (n - 2))
+         AS centralization
+FROM st
 """,
         "hop_histogram": f"""
 {_LINK_PAIRS},

@@ -2044,3 +2044,80 @@ def q_decontaminate(sf_dir: str):
         bench_filter=bench,
         n=8,
     )
+
+
+def q_centralization(sf_dir: str):
+    """One row (n, max_degree, sum_degree, centralization) — Freeman
+    degree centralization of the E1∪E2 graph over ALL file keys
+    (igraph_centralization_degree, undirected, theoretical max =
+    (n-1)(n-2)); exact ints + one IEEE division."""
+    degs = q_degrees(sf_dir)
+    tbl = pa.concat_tables(
+        degs.select_columns(["degree"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    d = tbl.column("degree").to_numpy(zero_copy_only=False)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .unique("file_key")
+    )
+    n = len(keys) if isinstance(keys, list) else int(keys)
+    dmax = int(d.max()) if len(d) else 0
+    dsum = int(d.sum())
+    num = n * dmax - dsum
+    den = (n - 1) * (n - 2)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "max_degree": pa.array([dmax], pa.int64()),
+            "sum_degree": pa.array([dsum], pa.int64()),
+            "centralization": pa.array(
+                [num / den if den else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
+def q_graph_center(sf_dir: str):
+    """(key, eccentricity) — the graph center: vertices whose
+    eccentricity equals the radius (igraph: vertices attaining
+    igraph_radius); exact ints from the multi-pivot BFS table."""
+    tbl = _ecc_table(sf_dir)
+    ecc = tbl.column("eccentricity").to_numpy(zero_copy_only=False)
+    keep = ecc == ecc.min()
+    return pa.table(
+        {
+            "key": pc.take(
+                tbl.column("key"), pa.array(np.flatnonzero(keep))
+            ),
+            "eccentricity": pa.array(ecc[keep].astype(np.int64)),
+        }
+    )
+
+
+def q_maximal_matching(sf_dir: str):
+    """(src_key, dst_key) — maximal matching of the E1∪E2 key graph
+    (parallel greedy local-max; deterministic hash priorities);
+    rows-only driver check, property oracle in tests/test_matching.py."""
+    from igraph_ray.kernels.matching import maximal_matching
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = maximal_matching(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
