@@ -100,6 +100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_difference": q.q_graph_difference,  # SQL oracle
         "bridges": q.q_bridges,  # SQL oracle (per-edge closure test)
         "two_edge_components": q.q_two_edge_components,  # SQL oracle
+        "articulation_points": q.q_articulation_points,  # SQL oracle (per-vertex closure)
+        "biconnected": q.q_biconnected,  # rows-only (nx partition oracle in pytest)
         "dyad_census": q.q_dyad_census,  # SQL oracle (exact ints)
         "triad_census": q.q_triad_census,  # SQL oracle (tricode brute force)
         "cocitation": q.q_cocitation,  # SQL oracle (int pair counts)
@@ -1049,6 +1051,35 @@ closure AS (
   SELECT s, k FROM rc
 )
 SELECT s AS key, MIN(k) AS comp_key FROM closure GROUP BY s
+""",
+        # articulation points of the same graph: a degree>=2 vertex rm
+        # is a cut vertex iff some neighbour is unreachable from rm's
+        # min neighbour in the closure that never enters rm (per-vertex
+        # recursive CTE, V x V state — the vertex twin of `bridges`)
+        "articulation_points": f"""
+WITH {_UND_PAIRS}
+arcsv AS (SELECT a AS u, b AS v FROM und UNION ALL SELECT b, a FROM und),
+cand AS (SELECT u FROM arcsv GROUP BY u HAVING COUNT(*) >= 2),
+start AS (
+  SELECT n.u AS rm, MIN(n.v) AS s FROM arcsv n
+  JOIN cand c ON c.u = n.u GROUP BY n.u
+),
+reachv AS (
+  WITH RECURSIVE r(rm, k) AS (
+    SELECT rm, s FROM start
+    UNION
+    SELECT r.rm, a2.v FROM r
+    JOIN arcsv a2 ON a2.u = r.k AND a2.v <> r.rm
+  )
+  SELECT rm, k FROM r
+)
+SELECT c.u AS key FROM cand c
+WHERE EXISTS (
+  SELECT 1 FROM arcsv n
+  WHERE n.u = c.u AND NOT EXISTS (
+    SELECT 1 FROM reachv rv WHERE rv.rm = c.u AND rv.k = n.v
+  )
+)
 """,
         # Holland-Leinhardt dyad census of the same directed doc graph;
         # vertex set = every distinct endpoint key (incl. loop-only)

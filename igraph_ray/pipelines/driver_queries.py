@@ -2121,3 +2121,60 @@ def q_maximal_matching(sf_dir: str):
         )
     ).sort_by("vid")
     return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+
+
+def q_articulation_points(sf_dir: str):
+    """(key,) — cut vertices of the collapsed doc graph (+ pendant
+    chains): igraph_articulation_points / nx.articulation_points via
+    the Tarjan–Vishkin kernel (kernels/biconnected.py); the SQL twin
+    removes each candidate vertex and checks that its neighbours stay
+    mutually reachable via a per-vertex recursive closure."""
+    import tempfile
+
+    from igraph_ray.kernels.biconnected import articulation_points
+
+    pairs, vertices = _doc_undirected_vid_pairs(sf_dir)
+    out = articulation_points(
+        pairs, graph_dir=tempfile.mkdtemp(prefix="igr_qart_")
+    )
+    batches = list(out.iter_batches(batch_format="pyarrow", batch_size=None))
+    tbl = (
+        pa.concat_tables(batches)
+        if batches
+        else pa.table({"vid": pa.array([], pa.int64())})
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_biconnected(sf_dir: str):
+    """(src_key, dst_key, bicomp_key) — biconnected-component edge
+    labels of the collapsed doc graph (igraph_biconnected_components
+    edge partition; label = the component's min tree-child key, a
+    deterministic representative); rows-only driver check, partition
+    oracle vs nx in tests/test_biconnected.py."""
+    import tempfile
+
+    from igraph_ray.kernels.biconnected import biconnected_edge_labels
+
+    pairs, vertices = _doc_undirected_vid_pairs(sf_dir)
+    out = biconnected_edge_labels(
+        pairs, graph_dir=tempfile.mkdtemp(prefix="igr_qbc_")
+    )
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        tbl,
+        vtbl,
+        {"src": "src_key", "dst": "dst_key", "bicomp": "bicomp_key"},
+    )
