@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q.q_exact_dedup,
         "token_count": q.q_token_count,
         "char_classes": q.q_char_classes,
+        "redact_pii": q.q_redact_pii,  # SQL oracle (staged RE2 replay)
         "lang_filtered_counts": q.q_lang_filtered_counts,  # P2 normalizers
         "sample_hash": q.q_sample_hash,  # T2 deterministic sampling
         # E1/E2/E3/E4/V1 — edge rules and graph build
@@ -442,6 +443,42 @@ SELECT doc_id,
 FROM h"""
 
 
+def _redact_pii_sql() -> str:
+    from igraph_ray.functions.text import PII_PATTERNS
+
+    (_, em, _), (_, ip, _), (_, ph, _) = PII_PATTERNS
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com via 10.1.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || '.7 tel +1 555 '
+              || CAST(doc_id % 8999 + 1000 AS VARCHAR) AS t0
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t0, '{em}')) AS BIGINT) AS email_n,
+         regexp_replace(t0, '{em}', '<EMAIL>', 'g') AS t1
+  FROM planted
+),
+s2 AS (
+  SELECT doc_id, email_n,
+         CAST(len(regexp_extract_all(t1, '{ip}')) AS BIGINT) AS ipv4_n,
+         regexp_replace(t1, '{ip}', '<IP>', 'g') AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT doc_id, email_n, ipv4_n,
+         CAST(len(regexp_extract_all(t2, '{ph}')) AS BIGINT) AS phone_n,
+         regexp_replace(t2, '{ph}', '<PHONE>', 'g') AS redacted
+  FROM s2
+)
+SELECT doc_id, redacted, email_n, ipv4_n, phone_n FROM s3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "sha256_projection": (
@@ -563,6 +600,10 @@ WHERE r.rn <= 3
             "CAST(len(regexp_extract_all(text, '[A-Z]')) AS BIGINT) AS upper_n "
             "FROM documents"
         ),
+        # PII redaction: identical planted text, identical staged RE2
+        # count + global replace (patterns shared verbatim via
+        # igraph_ray.functions.text.PII_PATTERNS)
+        "redact_pii": _redact_pii_sql(),
         "lang_filtered_counts": """
 WITH f AS (
   SELECT 'Dir' || CAST(doc_id % 3 AS VARCHAR) || '/File'

@@ -375,3 +375,40 @@ def doc_top_terms(
         )
 
     return tagged.groupby("hpart").map_groups(attach, batch_format="pyarrow")
+
+
+# PII redaction: RE2-safe patterns (no lookaround) shared verbatim by
+# the DuckDB oracle twin, applied in this exact staged order (each
+# count is taken on the text as redacted by the previous stages, so
+# e.g. the digits of an already-masked email can't double-count).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ \-]\d{3}[ \-]\d{3,4}", "<PHONE>"),
+)
+
+
+def redact_pii(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(id, redacted, email_n, ipv4_n, phone_n) — mask emails, IPv4
+    addresses and international phone numbers with typed placeholders
+    and count the matches per class.  One vectorized Arrow RE2 pass
+    per class (count + global replace), no per-row Python; the staged
+    order is part of the contract (see ``PII_PATTERNS``)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col).cast(pa.string())
+        counts: dict[str, pa.Array] = {}
+        for name, pat, repl in PII_PATTERNS:
+            counts[f"{name}_n"] = pc.cast(
+                pc.count_substring_regex(col, pat), pa.int64()
+            )
+            col = pc.replace_substring_regex(col, pat, repl)
+        return pa.table(
+            {id_col: batch.column(id_col), "redacted": col, **counts}
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

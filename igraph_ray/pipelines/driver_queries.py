@@ -2178,3 +2178,40 @@ def q_biconnected(sf_dir: str):
         vtbl,
         {"src": "src_key", "dst": "dst_key", "bicomp": "bicomp_key"},
     )
+
+
+def q_redact_pii(sf_dir: str):
+    """(doc_id, redacted, email_n, ipv4_n, phone_n) — PII masking over
+    the documents table with one planted email/IP/phone per doc (the
+    corpus text is word soup, so the plant makes the operator's work
+    observable); the SQL twin builds the identical planted text and
+    replays the same staged RE2 count+replace."""
+    from igraph_ray.functions.text import redact_pii
+
+    def plant(batch: pa.Table) -> pa.Table:
+        did = batch.column("doc_id")
+        planted = pc.binary_join_element_wise(
+            batch.column("text"),
+            " contact user",
+            pc.cast(did, pa.string()),
+            "@mail.example.com via 10.1.",
+            pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 256), 256)), pa.string()),
+            ".7 tel +1 555 ",
+            pc.cast(
+                pc.add(
+                    pc.subtract(
+                        did, pc.multiply(pc.divide(did, 8999), 8999)
+                    ),
+                    1000,
+                ),
+                pa.string(),
+            ),
+            "",
+        )
+        return pa.table({"doc_id": did, "text": planted})
+
+    return redact_pii(
+        documents(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    )

@@ -298,3 +298,33 @@ def test_ngram_jaccard_pairs_exact():
     for k, (c, u, j) in want.items():
         assert got[k][0] == c and got[k][1] == u
         assert got[k][2] == pytest.approx(j, abs=1e-15)
+
+
+def test_redact_pii():
+    from igraph_ray.functions.text import redact_pii
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail a.b+c@x-corp.example.org now",
+                        "host 192.168.0.1 and backup 10.0.0.254 "
+                        "call +44 555 0176 or +1 555 123",
+                        "no pii here",
+                    ]
+                ),
+            }
+        )
+    )
+    tbl = pa.concat_tables(
+        redact_pii(ds).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+    assert tbl.column("email_n").to_pylist() == [1, 0, 0]
+    assert tbl.column("ipv4_n").to_pylist() == [0, 2, 0]
+    assert tbl.column("phone_n").to_pylist() == [0, 2, 0]
+    red = tbl.column("redacted").to_pylist()
+    assert red[0] == "mail <EMAIL> now"
+    assert red[1] == "host <IP> and backup <IP> call <PHONE> or <PHONE>"
+    assert red[2] == "no pii here"
