@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leiden": q.q_leiden,  # rows-only (quality+connectivity tested)
         "distances": q.q_distances,  # SQL oracle: recursive-CTE BFS
         "distances_weighted": q.q_distances_weighted,  # SQL oracle (int-exact min-plus)
+        "widest_paths": q.q_widest_paths,  # SQL oracle (int-exact max-min)
         "betweenness": q.q_betweenness,  # rows-only (sampled Brandes)
         "closeness": q.q_closeness,  # rows-only (sampled pivots)
         "harmonic": q.q_harmonic,  # rows-only (sampled pivots)
@@ -744,6 +745,30 @@ walk AS (
   SELECT k, MIN(dist) AS dist FROM r GROUP BY k
 )
 SELECT k AS key, CAST(dist AS DOUBLE) AS dist FROM walk
+""",
+        # widest (maximum-bottleneck) paths: max over paths of min edge
+        # weight; integer weights ⇒ every width is an exact integer (or
+        # the source's +inf), and the (k, width) state space is finite
+        # so the UNION-deduped recursion terminates
+        "widest_paths": f"""
+{_LINK_PAIRS},
+warcs AS (
+  SELECT src_key AS s, dst_key AS d, CAST(weight AS DOUBLE) AS w
+  FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key, CAST(weight AS DOUBLE) FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(k, wd) AS (
+    SELECT key, CAST('infinity' AS DOUBLE) FROM (
+      SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+    ) WHERE vid = 0
+    UNION
+    SELECT a.d, LEAST(r.wd, a.w) FROM r JOIN warcs a ON r.k = a.s
+  )
+  SELECT k, MAX(wd) AS wd FROM r GROUP BY k
+)
+SELECT k AS key, wd AS width FROM walk
 """,
         "eccentricity": f"""
 {_LINK_PAIRS},

@@ -2215,3 +2215,32 @@ def q_redact_pii(sf_dir: str):
         .select_columns(["doc_id", "text"])
         .map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
     )
+
+
+def q_widest_paths(sf_dir: str, graph_dir: str | None = None):
+    """(key, width) — widest-path (maximum-bottleneck) widths from the
+    smallest key over the E1∪E2 graph (edge weight = co-occurrence
+    count); unreachable rows dropped, the source's own +inf row kept.
+    Integer weights make every path width an exact integer, so the
+    max-min recursive-CTE SQL twin replays the values bitwise."""
+    import tempfile
+
+    from igraph_ray.kernels.widest import widest_paths
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_wp_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = widest_paths(graph, [0])
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "width"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    w = state.column("width").to_numpy(zero_copy_only=False)
+    keep = ~np.isneginf(w)
+    out = pa.table(
+        {
+            "vid": pc.take(state.column("vid"), pa.array(np.flatnonzero(keep))),
+            "width": pa.array(w[keep]),
+        }
+    )
+    return _vid_to_key(out, vtbl, {"vid": "key"})
