@@ -1,0 +1,198 @@
+"""Deterministic distributed random-graph generators.
+
+igraph ships a large generator surface (``igraph_erdos_renyi_game_gnm``,
+``igraph_static_power_law_game``, the Graph500/R-MAT family via
+published recursive-matrix sampling); this module provides the
+distributed, reproducible equivalents.  Every generator is expressed
+as ``ray.data.range(m)`` → ``map_batches`` so edge production is
+embarrassingly parallel: a block generates exactly the edges whose
+indices it owns, from stateless splitmix64 hashes of (seed, index) —
+no RNG state, no inter-task coordination, byte-identical across runs,
+block sizes and cluster shapes.  At 10^9+ edges the generator is
+therefore a streaming source like any parquet read: blocks flow into
+downstream pipelines with backpressure and never materialize centrally.
+
+- :func:`gnm_edges` — uniform simple G(n, m): a 4-round Feistel
+  network over the pair-index domain ``n*(n-1)/2`` (cycle-walking for
+  the non-power-of-two domain) gives a pseudorandom *permutation*, so
+  the first m indices decode to exactly m DISTINCT loop-free
+  undirected pairs — sampling without replacement, no dedup shuffle.
+- :func:`rmat_edges` — R-MAT / Graph500 recursive-matrix sampling
+  (Chakrabarti et al. 2004): per edge, ``scale`` quadrant draws from
+  hash uniforms; heavy-tailed degrees, multi-edges allowed (as in the
+  reference formulation).
+- :func:`chung_lu_edges` — static power-law sampling à la
+  ``igraph_static_power_law_game``: both endpoints drawn independently
+  ∝ rank^(-alpha) via the closed-form continuous inverse CDF;
+  self-loops dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.utils import hash_int64
+
+_U64 = np.uint64
+
+
+def _hash2(x: np.ndarray, salt: int, seed: int) -> np.ndarray:
+    """Stateless uniform uint64 per element: splitmix of (x, salt, seed)."""
+    z = x.astype(np.uint64) ^ (
+        _U64(salt) * _U64(0x9E3779B97F4A7C15) ^ _U64(seed) * _U64(0xC2B2AE3D27D4EB4F)
+    )
+    return hash_int64(z.view(np.int64))
+
+
+def _ids(batch: pa.Table) -> np.ndarray:
+    return batch.column("id").to_numpy(zero_copy_only=False).astype(np.uint64)
+
+
+# --------------------------------------------------------------------
+# G(n, m): Feistel permutation over the unordered-pair domain
+# --------------------------------------------------------------------
+
+
+def _feistel_permute(
+    idx: np.ndarray, domain: int, seed: int, rounds: int = 4
+) -> np.ndarray:
+    """Pseudorandom permutation of [0, domain) via a balanced Feistel
+    network with cycle-walking; vectorized, deterministic."""
+    half_bits = max(1, (max(domain - 1, 1).bit_length() + 1) // 2)
+    mask = _U64((1 << half_bits) - 1)
+    out = idx.astype(np.uint64)
+    pending = np.ones(len(out), dtype=bool)
+    while pending.any():
+        v = out[pending]
+        left = (v >> _U64(half_bits)) & mask
+        right = v & mask
+        for r in range(rounds):
+            f = _hash2(right, 101 + r, seed) & mask
+            left, right = right, left ^ f
+        v = (left << _U64(half_bits)) | right
+        out[pending] = v
+        pending = out >= _U64(domain)  # cycle-walk out-of-domain values
+    return out
+
+
+def _pair_decode(t: np.ndarray, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Lexicographic unordered-pair index → (u, v) with u < v:
+    t = u*n - u*(u+1)/2 + (v - u - 1).  Float estimate + integer
+    correction (exact for any n that fits the domain in int64)."""
+    tf = t.astype(np.float64)
+    u = np.floor(n - 0.5 - np.sqrt((n - 0.5) ** 2 - 2.0 * tf)).astype(np.int64)
+    u = np.clip(u, 0, n - 2)
+    # integer correction: move u until start(u) <= t < start(u+1)
+    def start(uu: np.ndarray) -> np.ndarray:
+        return uu * n - (uu * (uu + 1)) // 2
+
+    ti = t.astype(np.int64)
+    for _ in range(4):
+        too_hi = start(u) > ti
+        u[too_hi] -= 1
+        too_lo = start(u + 1) <= ti
+        u[too_lo] += 1
+        if not (too_hi.any() or too_lo.any()):
+            break
+    v = ti - start(u) + u + 1
+    return u, v
+
+
+def gnm_edges(
+    n: int, m: int, seed: int = 0, override_num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """Uniform simple undirected G(n, m): exactly ``m`` distinct
+    loop-free pairs ``(src < dst)``, sampled without replacement via a
+    Feistel permutation of the pair-index domain."""
+    domain = n * (n - 1) // 2
+    if m > domain:
+        raise ValueError(f"m={m} exceeds the {domain} possible pairs")
+
+    def gen(batch: pa.Table) -> pa.Table:
+        t = _feistel_permute(_ids(batch), domain, seed)
+        u, v = _pair_decode(t, n)
+        return pa.table({"src": pa.array(u), "dst": pa.array(v)})
+
+    rng = ray.data.range(m, override_num_blocks=override_num_blocks)
+    return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------
+# R-MAT (Graph500 kernel-1 style)
+# --------------------------------------------------------------------
+
+
+def rmat_edges(
+    scale: int,
+    m: int,
+    a: float = 0.57,
+    b: float = 0.19,
+    c: float = 0.19,
+    seed: int = 0,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """R-MAT directed edges over ``n = 2**scale`` vertices: per edge,
+    ``scale`` independent quadrant draws with probabilities
+    (a, b, c, 1-a-b-c); multi-edges and loops possible (reference
+    semantics — collapse downstream if a simple graph is needed)."""
+    if not 0 < a + b + c < 1:
+        raise ValueError("need a + b + c in (0, 1)")
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        src = np.zeros(len(ids), np.int64)
+        dst = np.zeros(len(ids), np.int64)
+        for level in range(scale):
+            u01 = _hash2(ids, 7919 + level, seed).astype(np.float64) / 2.0**64
+            right = (u01 >= a + b) & (u01 < a + b + c) | (u01 >= a + b + c)
+            down = (u01 >= a) & (u01 < a + b) | (u01 >= a + b + c)
+            src = (src << 1) | right.astype(np.int64)
+            dst = (dst << 1) | down.astype(np.int64)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    rng = ray.data.range(m, override_num_blocks=override_num_blocks)
+    return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------
+# Chung–Lu static power-law sampling
+# --------------------------------------------------------------------
+
+
+def chung_lu_edges(
+    n: int,
+    m: int,
+    alpha: float = 2.5,
+    seed: int = 0,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Power-law edge sampling (igraph ``static_power_law_game``
+    semantics): both endpoints of each edge drawn independently with
+    probability ∝ (rank + 1)^(-1/(alpha-1)) via the closed-form
+    continuous inverse CDF; self-loops dropped (row count may be
+    slightly under ``m``)."""
+    if alpha <= 2:
+        raise ValueError("alpha must exceed 2 (finite-mean regime)")
+    # endpoint weights w_i = (i + i0)^(-gamma), gamma = 1/(alpha-1)
+    gamma = 1.0 / (alpha - 1.0)
+    i0 = 1.0
+    p = 1.0 - gamma  # CDF exponent (gamma < 1 for alpha > 2)
+    lo = i0**p
+    hi = (n + i0) ** p
+
+    def draw(ids: np.ndarray, salt: int) -> np.ndarray:
+        u01 = _hash2(ids, salt, seed).astype(np.float64) / 2.0**64
+        x = (lo + u01 * (hi - lo)) ** (1.0 / p) - i0
+        return np.clip(x.astype(np.int64), 0, n - 1)
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        src = draw(ids, 11)
+        dst = draw(ids, 23)
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep]), "dst": pa.array(dst[keep])})
+
+    rng = ray.data.range(m, override_num_blocks=override_num_blocks)
+    return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)

@@ -1,0 +1,74 @@
+"""Deterministic distributed graph generators: exactness (gnm),
+reproducibility across block layouts, and distribution shape."""
+
+import numpy as np
+import pyarrow as pa
+
+from igraph_ray.sources.generators import (
+    chung_lu_edges,
+    gnm_edges,
+    rmat_edges,
+)
+from tests.util import ds_to_table
+
+
+def _pairs(tbl: pa.Table) -> set[tuple[int, int]]:
+    return set(
+        zip(tbl.column("src").to_pylist(), tbl.column("dst").to_pylist())
+    )
+
+
+def test_gnm_exact_distinct():
+    n, m = 50, 400
+    tbl = ds_to_table(gnm_edges(n, m, seed=7))
+    assert tbl.num_rows == m
+    got = _pairs(tbl)
+    assert len(got) == m  # without replacement: all distinct
+    for u, v in got:
+        assert 0 <= u < v < n  # canonical, loop-free
+
+
+def test_gnm_block_layout_invariant():
+    # same seed ⇒ identical edge SET regardless of parallelism
+    a = _pairs(ds_to_table(gnm_edges(40, 300, seed=3, override_num_blocks=1)))
+    b = _pairs(ds_to_table(gnm_edges(40, 300, seed=3, override_num_blocks=8)))
+    assert a == b
+    c = _pairs(ds_to_table(gnm_edges(40, 300, seed=4)))
+    assert a != c  # seed changes the sample
+
+
+def test_gnm_full_domain_is_permutation():
+    n = 30
+    dom = n * (n - 1) // 2
+    tbl = ds_to_table(gnm_edges(n, dom, seed=1))
+    assert len(_pairs(tbl)) == dom  # every pair exactly once
+
+
+def test_rmat_shape_and_determinism():
+    tbl = ds_to_table(rmat_edges(scale=10, m=20_000, seed=5))
+    assert tbl.num_rows == 20_000
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    assert src.min() >= 0 and max(src.max(), dst.max()) < 1024
+    deg = np.bincount(np.concatenate([src, dst]), minlength=1024)
+    # heavy tail: hottest vertex far above the mean degree
+    assert deg.max() > 10 * deg.mean()
+    again = ds_to_table(rmat_edges(scale=10, m=20_000, seed=5))
+    assert _pairs(tbl) == _pairs(again)
+
+
+def test_chung_lu_powerlaw_skew():
+    n, m = 2000, 30_000
+    tbl = ds_to_table(chung_lu_edges(n, m, alpha=2.3, seed=9))
+    assert 0 < tbl.num_rows <= m  # loops dropped
+    src = tbl.column("src").to_numpy(zero_copy_only=False)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False)
+    assert src.min() >= 0 and max(src.max(), dst.max()) < n
+    deg = np.bincount(np.concatenate([src, dst]), minlength=n)
+    order = np.sort(deg)[::-1]
+    # rank-1 vertex dominates; tail is sparse (power-law signature)
+    assert order[0] > 20 * max(1, order[n // 2])
+    again = ds_to_table(chung_lu_edges(n, m, alpha=2.3, seed=9))
+    assert tbl.sort_by([("src", "ascending"), ("dst", "ascending")]).equals(
+        again.sort_by([("src", "ascending"), ("dst", "ascending")])
+    )
