@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": q.q_decontaminate,  # SQL oracle (8-gram overlap)
         "term_df": q.q_term_df,  # SQL oracle (top-100 document frequency)
         "doc_top_terms": q.q_doc_top_terms,  # SQL oracle (tf-idf replay)
+        "bm25": q.q_bm25,  # SQL oracle (odds-idf BM25 bitwise replay)
         "language_id": q.q_language_id,  # SQL oracle (regex twins)
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
@@ -590,6 +591,38 @@ SELECT r.doc_id, r.term, CAST(r.tf AS BIGINT) AS tf,
        CAST(r.tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df AS tfidf
 FROM r JOIN df USING (term)
 WHERE r.rn <= 3
+""",
+        # BM25 with the ln-free odds idf (N-df+0.5)/(df+0.5): every stat
+        # is an exact int and the score is the same left-associated IEEE
+        # op chain as functions/text.py:bm25_scores, so it replays
+        # bitwise (no libm ln anywhere)
+        "bm25": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+  WHERE term IN ('data', 'merge', 'query', 'the', 'window')
+  GROUP BY 1, 2
+),
+dl AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS dl
+  FROM documents
+),
+df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST((SELECT SUM(dl) FROM dl) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM documents
+)
+SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
+       (CAST(n.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)
+       * (tf.tf * (1.2 + 1.0))
+       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / n.avgdl))) AS score
+FROM tf JOIN dl USING (doc_id) JOIN df USING (term), n
 """,
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) "

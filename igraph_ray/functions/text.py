@@ -14,7 +14,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 # A tiny deterministic marker-word table for the n-gram/stopword
 # language heuristic (top function words per language).
@@ -412,3 +412,109 @@ def redact_pii(
         )
 
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_scores(
+    ds: ray.data.Dataset,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> ray.data.Dataset:
+    """(doc_id, term, tf, dl, score) — BM25 relevance of every document
+    against each query term, with the ln-free odds idf
+    ``(N - df + 0.5) / (df + 0.5)`` (rank-equivalent monotone transform
+    of the Robertson idf; chosen — like ``doc_top_terms``'s linear
+    idf — so the score is a fixed chain of IEEE ops over exact integer
+    statistics that a SQL twin replays bitwise; libm ``ln`` is the only
+    thing the classic formula adds and it is not bit-stable across
+    engines).
+
+    ``tf`` counts lowercase whitespace tokens equal to the term (the
+    same tokenization as ``term_document_frequency``); ``dl`` is the
+    document's whitespace token count; N, df and Σdl are exact-integer
+    corpus aggregates (two tiny scalar shuffles), broadcast into one
+    final vectorized pass over the per-doc candidate rows."""
+    qset = sorted(set(query_terms))
+    qarr = pa.array(qset, pa.string())
+
+    def cand(batch: pa.Table) -> pa.Table:
+        toks = _tokens_table(batch, text_col, id_col)
+        hits = toks.filter(pc.is_in(toks.column("term"), value_set=qarr))
+        tf = hits.group_by(["did", "term"]).aggregate([("term", "count")])
+        dl_n = pc.cast(
+            pc.count_substring_regex(batch.column(text_col), _WS_RE),
+            pa.int64(),
+        )
+        dl_tbl = pa.table({"did": batch.column(id_col), "dl": dl_n})
+        did = tf.column("did").to_numpy(zero_copy_only=False)
+        dvid = dl_tbl.column("did").to_numpy(zero_copy_only=False)
+        order = np.argsort(dvid)
+        pos = order[
+            np.searchsorted(dvid[order], did)
+        ]  # doc ids unique per batch (one row per doc)
+        return pa.table(
+            {
+                "doc_id": tf.column("did"),
+                "term": tf.column("term"),
+                "tf": pc.cast(tf.column("term_count"), pa.int64()),
+                "dl": pc.take(dl_tbl.column("dl"), pa.array(pos)),
+            }
+        )
+
+    cands = ds.map_batches(
+        cand, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # exact-int corpus stats in ONE pass: per-batch (n_docs, Σdl)
+    # partial row, then a scalar tree-sum
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        dl = pc.cast(
+            pc.count_substring_regex(batch.column(text_col), _WS_RE),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "n": pa.array([batch.num_rows], pa.int64()),
+                "s": pa.array([pc.sum(dl).as_py() or 0], pa.int64()),
+            }
+        )
+
+    stats = ds.map_batches(
+        dl_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["n", "s"])
+    n_docs = int(stats["sum(n)"])
+    sum_dl = int(stats["sum(s)"])
+    df_batches = list(
+        cands.groupby("term")
+        .aggregate(Count(alias_name="df"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    df_tbl = (
+        pa.concat_tables(df_batches).combine_chunks()
+        if df_batches
+        else pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    )
+    df_terms = df_tbl.column("term")
+    df_vals = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    avgdl = sum_dl / n_docs
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = pc.index_in(
+            batch.column("term"), value_set=df_terms
+        ).to_numpy(zero_copy_only=False)
+        df = df_vals[idx]
+        idf = (n_docs - df + 0.5) / (df + 0.5)
+        s = idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+        return batch.append_column("score", pa.array(s))
+
+    return cands.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1872,6 +1872,18 @@ def q_term_df(sf_dir: str):
     return out.sort(["df", "term"], descending=[True, False]).limit(100)
 
 
+BM25_QUERY_TERMS = ["data", "query", "the", "merge", "window"]
+
+
+def q_bm25(sf_dir: str):
+    """(doc_id, term, tf, dl, score) — BM25 (odds-idf variant) of every
+    document against a fixed query-term set; exact-int tf/dl/df stats
+    plus a fixed IEEE op chain, replayed bitwise by the SQL twin."""
+    from igraph_ray.functions.text import bm25_scores
+
+    return bm25_scores(documents(sf_dir), BM25_QUERY_TERMS)
+
+
 def q_doc_top_terms(sf_dir: str):
     """(doc_id, term, tf, rank, tfidf) — each document's top-3 terms by
     (tf desc, term asc) with the linear-idf score tf*N/df (exact ints +
