@@ -117,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_agg": q.q_lineitem_agg,
         "orders_per_nation": q.q_orders_per_nation,
         "events_users_per_type": q.q_events_users_per_type,
+        "sessions": q.q_sessions,  # SQL oracle (LAG/SUM-OVER twin)
+        "hourly_windows": q.q_hourly_windows,  # SQL oracle (epoch floor)
         "top_orders": q.q_top_orders,
         # training-data ops
         "stratified_sample": q.q_stratified_sample,  # SQL oracle
@@ -1595,6 +1597,45 @@ LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_nationkey"
         ),
+        # 30-min-gap sessionization: timestamps as int64 epoch micros,
+        # money as exact cents via the same floor(v*100+0.5) IEEE chain
+        "sessions": """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+l AS (
+  SELECT *, LAG(t) OVER (PARTITION BY user_id ORDER BY t) AS prev FROM v
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL OR t - prev > 1800000000
+                 THEN 1 ELSE 0 END AS brk
+  FROM l
+),
+s AS (
+  SELECT *, SUM(brk) OVER (
+    PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING
+  ) AS sid
+  FROM f
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+       MIN(t) AS session_start, MAX(t) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM s GROUP BY user_id, sid
+""",
+        "hourly_windows": """
+WITH v AS (
+  SELECT epoch_us(ts) AS t, event_type,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT (t // 3600000000) * 3600000000 AS window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM v GROUP BY 1, 2
+""",
         "events_users_per_type": (
             "SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
             "AS n_users FROM events GROUP BY event_type"

@@ -1872,6 +1872,60 @@ def q_term_df(sf_dir: str):
     return out.sort(["df", "term"], descending=[True, False]).limit(100)
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+WINDOW_US = 3_600 * 1_000_000  # 1 hour
+
+
+def _events_cents(sf_dir: str):
+    """events with value converted to exact integer cents via the fixed
+    IEEE chain floor(value*100 + 0.5) — replayed verbatim in SQL."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        c = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_type": batch.column("event_type"),
+                "cents": pa.array(c),
+            }
+        )
+
+    return ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_sessions(sf_dir: str):
+    """(user_id, session_id, session_start, session_end, n_events,
+    sum_cents) — 30-minute-gap sessionization of the events stream per
+    user; timestamps as int64 epoch micros, money as exact cents, so
+    the LAG/SUM-OVER SQL twin hash-matches bitwise."""
+    from igraph_ray.stages.window import sessionize
+
+    return sessionize(
+        _events_cents(sf_dir), "user_id", "ts", SESSION_GAP_US, ("cents",)
+    )
+
+
+def q_hourly_windows(sf_dir: str):
+    """(window_start, event_type, n_events, sum_cents) — 1-hour tumbling
+    event-time windows per event type; window_start = int64 epoch micros
+    floored to the hour."""
+    from igraph_ray.stages.window import tumbling_window
+
+    return tumbling_window(
+        _events_cents(sf_dir),
+        "ts",
+        WINDOW_US,
+        by=("event_type",),
+        sum_cols=("cents",),
+    )
+
+
 BM25_QUERY_TERMS = ["data", "query", "the", "merge", "window"]
 
 
