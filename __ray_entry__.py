@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_per_nation": q.q_orders_per_nation,
         "events_users_per_type": q.q_events_users_per_type,
         "sessions": q.q_sessions,  # SQL oracle (LAG/SUM-OVER twin)
+        "priority_lineitems": q.q_priority_lineitems,  # SQL oracle (join)
         "hourly_windows": q.q_hourly_windows,  # SQL oracle (epoch floor)
         "top_orders": q.q_top_orders,
         # training-data ops
@@ -1596,6 +1597,13 @@ LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
             "CAST(COUNT(*) AS BIGINT) AS n_orders "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_nationkey"
+        ),
+        "priority_lineitems": (
+            "SELECT o.o_orderpriority, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "GROUP BY o.o_orderpriority"
         ),
         # 30-min-gap sessionization: timestamps as int64 epoch micros,
         # money as exact cents via the same floor(v*100+0.5) IEEE chain

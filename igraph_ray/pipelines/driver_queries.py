@@ -1872,6 +1872,38 @@ def q_term_df(sf_dir: str):
     return out.sort(["df", "term"], descending=[True, False]).limit(100)
 
 
+def q_priority_lineitems(sf_dir: str):
+    """(o_orderpriority, n_items, sum_qty) — fact⋈fact hash-shuffle
+    join (lineitem⋈orders on orderkey via Ray Data's native hash join)
+    followed by a grouped exact-int aggregate."""
+    from igraph_ray.stages.join import hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    )
+
+    def qty_int(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "qty": pa.array(q.astype(np.int64)),
+            }
+        )
+
+    li = li.map_batches(qty_int, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    )
+    return joined.groupby("o_orderpriority").aggregate(
+        Count("qty", alias_name="n_items"),
+        Sum("qty", alias_name="sum_qty"),
+    )
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 WINDOW_US = 3_600 * 1_000_000  # 1 hour
 
