@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q.q_sessions,  # SQL oracle (LAG/SUM-OVER twin)
         "priority_lineitems": q.q_priority_lineitems,  # SQL oracle (join)
         "hourly_windows": q.q_hourly_windows,  # SQL oracle (epoch floor)
+        "running_totals": q.q_running_totals,  # SQL oracle (SUM OVER)
         "top_orders": q.q_top_orders,
         # training-data ops
         "stratified_sample": q.q_stratified_sample,  # SQL oracle
@@ -1632,6 +1633,22 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM s GROUP BY user_id, sid
+""",
+        "running_totals": """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts, event_id,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+       ) AS BIGINT) AS row_number,
+       CAST(SUM(cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS run_sum
+FROM v
 """,
         "hourly_windows": """
 WITH v AS (

@@ -1943,6 +1943,32 @@ def q_sessions(sf_dir: str):
     )
 
 
+def q_running_totals(sf_dir: str):
+    """(user_id, ts, event_id, row_number, run_sum) — per-user running
+    cents total in (ts, event_id) order: the SUM-OVER / ROW_NUMBER
+    window-function surface, exact ints throughout."""
+    from igraph_ray.stages.window import running_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    ev = ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return running_agg(ev, "user_id", "ts", "event_id", "cents")
+
+
 def q_hourly_windows(sf_dir: str):
     """(window_start, event_type, n_events, sum_cents) — 1-hour tumbling
     event-time windows per event type; window_start = int64 epoch micros

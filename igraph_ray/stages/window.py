@@ -147,6 +147,93 @@ def sessionize(
     return tagged.groupby("hpart").map_groups(merge, batch_format="pyarrow")
 
 
+def running_agg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_tie_col: str,
+    sum_col: str,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key running (cumulative) aggregates in event-time order —
+    the ``SUM(...) OVER (PARTITION BY key ORDER BY ts, tie ROWS
+    UNBOUNDED PRECEDING)`` window-function surface.
+
+    Output one row per input row: ``(key, ts [int64 epoch micros],
+    tie, row_number [1-based per key], run_sum)``.  ``sum_col`` must be
+    int64 (exact, so the cumulative values are order-independent given
+    the total (key, ts, tie) order); ``order_tie_col`` must make the
+    sort key unique per key for a deterministic result.
+
+    Same scale shape as ``sessionize``: one hash shuffle on the key,
+    then a numpy lexsort + ``cumsum`` with per-key reset via segment
+    subtraction — no per-row Python.
+    """
+    if num_parts is None:
+        num_parts = _np_parts(ds.count())
+    np_parts = np.uint64(num_parts)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = (
+            batch.column(key_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "hpart": pa.array(
+                    (hash_int64(k) % np_parts).astype(np.int32)
+                ),
+                "k": pa.array(k),
+                "t": pa.array(_ts_int64(batch.column(ts_col))),
+                "tie": pa.array(
+                    batch.column(order_tie_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "v": pa.array(
+                    batch.column(sum_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        tie = group.column("tie").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        n = len(k)
+        order = np.lexsort((tie, t, k))
+        k_s, t_s, tie_s, v_s = k[order], t[order], tie[order], v[order]
+        new_key = np.empty(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = k_s[1:] != k_s[:-1]
+        cs = np.cumsum(v_s)
+        idx = np.arange(n)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        # cumulative sum within key = global cumsum minus the cumsum
+        # just before the key's first row
+        base = np.where(seg_start > 0, cs[np.maximum(seg_start - 1, 0)], 0)
+        run = cs - base
+        rn = idx - seg_start + 1
+        return pa.table(
+            {
+                key_col: pa.array(k_s),
+                ts_col: pa.array(t_s),
+                order_tie_col: pa.array(tie_s),
+                "row_number": pa.array(rn.astype(np.int64)),
+                "run_sum": pa.array(run.astype(np.int64)),
+            }
+        )
+
+    return tagged.groupby("hpart").map_groups(merge, batch_format="pyarrow")
+
+
 def tumbling_window(
     ds: ray.data.Dataset,
     ts_col: str,
