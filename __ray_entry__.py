@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_users_per_type": q.q_events_users_per_type,
         "sessions": q.q_sessions,  # SQL oracle (LAG/SUM-OVER twin)
         "priority_lineitems": q.q_priority_lineitems,  # SQL oracle (join)
+        "price_quantiles": q.q_price_quantiles,  # SQL oracle (quantile_disc)
         "hourly_windows": q.q_hourly_windows,  # SQL oracle (epoch floor)
         "running_totals": q.q_running_totals,  # SQL oracle (SUM OVER)
         "top_orders": q.q_top_orders,
@@ -1599,6 +1600,19 @@ LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_nationkey"
         ),
+        # exact discrete quantiles on integer cents; quantile_disc's
+        # rank rule (0-based ceil(q*n)-1) is what the engine's
+        # histogram-refinement selection implements
+        "price_quantiles": """
+WITH v AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+)
+SELECT 0.25 AS q, quantile_disc(c, 0.25) AS value FROM v
+UNION ALL SELECT 0.5, quantile_disc(c, 0.5) FROM v
+UNION ALL SELECT 0.75, quantile_disc(c, 0.75) FROM v
+UNION ALL SELECT 0.95, quantile_disc(c, 0.95) FROM v
+""",
         "priority_lineitems": (
             "SELECT o.o_orderpriority, "
             "CAST(COUNT(*) AS BIGINT) AS n_items, "

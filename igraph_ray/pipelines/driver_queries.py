@@ -1904,6 +1904,29 @@ def q_priority_lineitems(sf_dir: str):
     )
 
 
+PRICE_QS = [0.25, 0.5, 0.75, 0.95]
+
+
+def q_price_quantiles(sf_dir: str):
+    """(q, value) — exact discrete quantiles of l_extendedprice in
+    integer cents via histogram-refinement selection (no global sort);
+    rank semantics = DuckDB quantile_disc (0-based ceil(q*n)-1)."""
+    from igraph_ray.stages.quantile import exact_quantiles_int
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))}
+        )
+
+    li = li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return exact_quantiles_int(li, "c", PRICE_QS)
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 WINDOW_US = 3_600 * 1_000_000  # 1 hour
 

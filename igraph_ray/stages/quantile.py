@@ -1,0 +1,147 @@
+"""Exact distributed quantiles of an integer column WITHOUT a global
+sort: iterative histogram-refinement selection.
+
+Each pass streams the column once through a ``map_batches`` partial
+histogram (``branch`` buckets over each quantile's current candidate
+range), combines the tiny (quantile, bucket, count) table with one
+small ``groupby``, and narrows every quantile's range by a factor of
+``branch``.  For a 64-bit domain that is at most ~7 passes; for
+realistic money/count columns 2-3.  Nothing is ever materialized
+beyond the O(n_quantiles × branch) histogram — this is the selection
+algorithm that still works when the column is 100 TB and a
+``sort``-based quantile would be an all-to-all shuffle of everything.
+
+Rank semantics match DuckDB's ``quantile_disc``: the 0-based order
+statistic ``ceil(q*n) - 1`` (verified empirically, see
+tests/test_quantile.py), so the SQL twin hash-compares exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Max, Min, Sum
+
+
+def exact_quantiles_int(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    branch: int = 1024,
+) -> pa.Table:
+    """(q, value) — exact discrete quantiles of int64 column ``col``.
+
+    ``value`` is an actual element of the column (the ``ceil(q*n)-1``-th
+    order statistic, 0-based) — never an interpolation.  Returns a
+    small driver-side Arrow table (one row per q).
+    """
+
+    def mm(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "lo": pa.array([int(v.min())]),
+                "hi": pa.array([int(v.max())]),
+                "n": pa.array([len(v)]),
+            }
+        )
+
+    stats = ds.map_batches(
+        mm, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Min("lo"), Max("hi"), Sum("n"))
+    n = int(stats["sum(n)"] or 0)
+    if n == 0:
+        raise ValueError("exact_quantiles_int: empty column")
+    glo, ghi = int(stats["min(lo)"]), int(stats["max(hi)"])
+
+    # 0-based target order statistic per q (duckdb quantile_disc rank)
+    state = [
+        [glo, ghi, max(0, math.ceil(q * n) - 1)] for q in qs
+    ]  # [lo, hi, k-within-range]
+
+    while any(lo < hi for lo, hi, _ in state):
+        active = [i for i, (lo, hi, _) in enumerate(state) if lo < hi]
+        ranges = [
+            (
+                state[i][0],
+                state[i][1],
+                -(-(state[i][1] - state[i][0] + 1) // branch),  # ceil width
+            )
+            for i in active
+        ]
+
+        def hist(batch: pa.Table) -> pa.Table:
+            v = (
+                batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            qi_out, b_out, c_out = [], [], []
+            for j, (lo, hi, w) in enumerate(ranges):
+                m = v[(v >= lo) & (v <= hi)]
+                if len(m) == 0:
+                    continue
+                b = (m - lo) // w
+                cnt = np.bincount(b)
+                nz = np.flatnonzero(cnt)
+                qi_out.append(np.full(len(nz), active[j], np.int64))
+                b_out.append(nz.astype(np.int64))
+                c_out.append(cnt[nz].astype(np.int64))
+            if not qi_out:
+                return pa.table(
+                    {
+                        "qi": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "cnt": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "qi": pa.array(np.concatenate(qi_out)),
+                    "b": pa.array(np.concatenate(b_out)),
+                    "cnt": pa.array(np.concatenate(c_out)),
+                }
+            )
+
+        combined = (
+            ds.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["qi", "b"])
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+        tbl = pa.concat_tables(
+            combined.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        qi_a = tbl.column("qi").to_numpy(zero_copy_only=False)
+        b_a = tbl.column("b").to_numpy(zero_copy_only=False)
+        c_a = tbl.column("cnt").to_numpy(zero_copy_only=False)
+        for j, (lo, hi, w) in enumerate(ranges):
+            i = active[j]
+            sel = qi_a == i
+            order = np.argsort(b_a[sel])
+            bb, cc = b_a[sel][order], c_a[sel][order]
+            cum = np.cumsum(cc)
+            k = state[i][2]
+            pos = int(np.searchsorted(cum, k + 1))  # first cum > k
+            bucket = int(bb[pos])
+            before = int(cum[pos - 1]) if pos > 0 else 0
+            state[i][0] = lo + bucket * w
+            state[i][1] = min(hi, lo + (bucket + 1) * w - 1)
+            state[i][2] = k - before
+
+    return pa.table(
+        {
+            "q": pa.array(list(qs), pa.float64()),
+            "value": pa.array([int(s[0]) for s in state], pa.int64()),
+        }
+    )
