@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": q.q_term_df,  # SQL oracle (top-100 document frequency)
         "doc_top_terms": q.q_doc_top_terms,  # SQL oracle (tf-idf replay)
         "bm25": q.q_bm25,  # SQL oracle (odds-idf BM25 bitwise replay)
+        "bigrams": q.q_bigrams,  # SQL oracle (top-100 bigram counts)
         "language_id": q.q_language_id,  # SQL oracle (regex twins)
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
@@ -596,6 +597,24 @@ SELECT r.doc_id, r.term, CAST(r.tf AS BIGINT) AS tf,
        CAST(r.tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df AS tfidf
 FROM r JOIN df USING (term)
 WHERE r.rn <= 3
+""",
+        "bigrams": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS i
+  FROM t
+),
+b AS (
+  SELECT a.term || ' ' || c.term AS bigram
+  FROM u a JOIN u c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+)
+SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT 100
 """,
         # BM25 with the ln-free odds idf (N-df+0.5)/(df+0.5): every stat
         # is an exact int and the score is the same left-associated IEEE

@@ -414,6 +414,50 @@ def redact_pii(
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bigram_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(bigram, n) — corpus frequency of adjacent lowercase
+    whitespace-token pairs (``"t1 t2"``), never crossing a document
+    boundary.  Pair construction is an Arrow ``binary_join_element_wise``
+    over the flattened token stream with a numpy same-doc mask; counts
+    are pre-combined per batch so the only shuffle is the
+    vocabulary-sized final groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _tokens_table(batch, text_col, id_col)
+        term = t.column("term").combine_chunks()
+        did = t.column("did").to_numpy(zero_copy_only=False)
+        n = len(did)
+        if n < 2:
+            return pa.table(
+                {
+                    "bigram": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        pairs = pc.binary_join_element_wise(
+            term.slice(0, n - 1), term.slice(1, n - 1), " "
+        )
+        same_doc = did[:-1] == did[1:]
+        kept = pa.table({"bigram": pairs}).filter(pa.array(same_doc))
+        part = kept.group_by("bigram").aggregate([("bigram", "count")])
+        return pa.table(
+            {
+                "bigram": part.column("bigram"),
+                "n": pc.cast(part.column("bigram_count"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def bm25_scores(
     ds: ray.data.Dataset,
     query_terms: list[str],

@@ -2019,6 +2019,15 @@ def q_bm25(sf_dir: str):
     return bm25_scores(documents(sf_dir), BM25_QUERY_TERMS)
 
 
+def q_bigrams(sf_dir: str):
+    """(bigram, n) — top-100 adjacent lowercase token pairs by corpus
+    frequency (ties toward the lexicographically smaller bigram)."""
+    from igraph_ray.functions.text import bigram_counts
+
+    out = bigram_counts(documents(sf_dir))
+    return out.sort(["n", "bigram"], descending=[True, False]).limit(100)
+
+
 def q_doc_top_terms(sf_dir: str):
     """(doc_id, term, tf, rank, tfidf) — each document's top-3 terms by
     (tf desc, term asc) with the linear-idf score tf*N/df (exact ints +
