@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q.q_sessions,  # SQL oracle (LAG/SUM-OVER twin)
         "priority_lineitems": q.q_priority_lineitems,  # SQL oracle (join)
         "price_quantiles": q.q_price_quantiles,  # SQL oracle (quantile_disc)
+        "customers_no_orders": q.q_customers_no_orders,  # SQL oracle (anti)
+        "top_orders_per_cust": q.q_top_orders_per_cust,  # SQL oracle (rn<=3)
         "hourly_windows": q.q_hourly_windows,  # SQL oracle (epoch floor)
         "running_totals": q.q_running_totals,  # SQL oracle (SUM OVER)
         "top_orders": q.q_top_orders,
@@ -1619,6 +1621,27 @@ LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY c.c_nationkey"
         ),
+        "customers_no_orders": (
+            "SELECT c_custkey, c_nationkey FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o "
+            "WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_totalprice > 400000)"
+        ),
+        "top_orders_per_cust": """
+WITH v AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY o_custkey ORDER BY cents DESC, o_orderkey ASC
+  ) AS rank
+  FROM v
+)
+SELECT o_custkey, cents, o_orderkey, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= 3
+""",
         # exact discrete quantiles on integer cents; quantile_disc's
         # rank rule (0-based ceil(q*n)-1) is what the engine's
         # histogram-refinement selection implements

@@ -1904,6 +1904,58 @@ def q_priority_lineitems(sf_dir: str):
     )
 
 
+def q_customers_no_orders(sf_dir: str):
+    """(c_custkey, c_nationkey) — customers with no high-value
+    (>400000) order: anti join against the distinct qualifying
+    custkeys (broadcast key-set filter)."""
+    from igraph_ray.stages.join import semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def big(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater(batch.column("o_totalprice"), pa.scalar(400000.0))
+        ).select(["o_custkey"])
+
+    orders = orders.map_batches(
+        big, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return semi_join(cust, orders, on="c_custkey", right_on="o_custkey",
+                     anti=True)
+
+
+def q_top_orders_per_cust(sf_dir: str):
+    """(o_custkey, cents, o_orderkey, rank) — each customer's top-3
+    orders by total price (exact integer cents; ties toward the
+    smaller orderkey): the grouped-top-k / ROW_NUMBER surface."""
+    from igraph_ray.stages.topk import topk_per_group
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_custkey": batch.column("o_custkey"),
+                "o_orderkey": batch.column("o_orderkey"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    orders = orders.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return topk_per_group(orders, "o_custkey", "cents", "o_orderkey", k=3)
+
+
 PRICE_QS = [0.25, 0.5, 0.75, 0.95]
 
 

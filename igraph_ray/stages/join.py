@@ -26,6 +26,7 @@ import math
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -98,6 +99,69 @@ def broadcast_join(
 
     return left.map_batches(
         Probe,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
+def semi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset | pa.Table,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    concurrency: int | tuple[int, int] = (1, 8),
+) -> ray.data.Dataset:
+    """Semi join (keep left rows whose key exists in ``right``) or anti
+    join (``anti=True``: keep rows whose key does NOT exist).
+
+    The right side is reduced map-side to its DISTINCT keys before the
+    broadcast — the probe set is O(distinct keys), never the right
+    table — then each probe batch is one vectorized ``np.isin``-style
+    binary search.  For a right key set too big to broadcast, use
+    ``hash_join`` + filter (the co-partitioned path); this operator is
+    the dimension-filter fast path.
+    """
+    rkey = right_on or on
+    if isinstance(right, ray.data.Dataset):
+
+        def distinct_keys(batch: pa.Table) -> pa.Table:
+            k = pc.unique(batch.column(rkey))
+            return pa.table({rkey: k})
+
+        right = pa.concat_tables(
+            right.map_batches(
+                distinct_keys, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+    keys = np.unique(
+        right.column(rkey).to_numpy(zero_copy_only=False).astype(np.int64)
+    )
+    ref = ray.put(keys)
+
+    class Filter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            k = (
+                batch.column(on)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            pos = np.searchsorted(self.keys, k)
+            pos_c = np.clip(pos, 0, max(len(self.keys) - 1, 0))
+            hit = (
+                (self.keys[pos_c] == k)
+                if len(self.keys)
+                else np.zeros(len(k), dtype=bool)
+            )
+            keep = ~hit if anti else hit
+            return batch.filter(pa.array(keep))
+
+    return left.map_batches(
+        Filter,
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
