@@ -124,6 +124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_cust": q.q_top_orders_per_cust,  # SQL oracle (rn<=3)
         "hourly_windows": q.q_hourly_windows,  # SQL oracle (epoch floor)
         "running_totals": q.q_running_totals,  # SQL oracle (SUM OVER)
+        "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
+        "props_k_stats": q.q_props_k_stats,  # SQL oracle (json_extract)
         "top_orders": q.q_top_orders,
         # training-data ops
         "stratified_sample": q.q_stratified_sample,  # SQL oracle
@@ -1690,6 +1692,39 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_id,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM s GROUP BY user_id, sid
 """,
+        # hopping windows: every event expanded to its covering window
+        # starts via generate_series — an independent formulation of
+        # the same window membership rule
+        "hopping_windows": """
+WITH v AS (
+  SELECT epoch_us(ts) AS t, event_type,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+),
+w AS (
+  SELECT event_type, cents,
+         unnest(generate_series(
+           ((t - 3600000000) // 900000000 + 1) * 900000000,
+           (t // 900000000) * 900000000,
+           900000000
+         )) AS window_start
+  FROM v
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM w GROUP BY 1, 2
+""",
+        # engine extracts with a vectorized RE2 kernel; oracle does a
+        # REAL json parse — independent implementations must agree
+        "props_k_stats": (
+            "WITH v AS (SELECT event_type, "
+            "CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
+            "SELECT event_type, CAST(COUNT(k) AS BIGINT) AS n, "
+            "CAST(SUM(k) AS BIGINT) AS sum_k, "
+            "CAST(MAX(k) AS BIGINT) AS max_k "
+            "FROM v GROUP BY event_type"
+        ),
         "running_totals": """
 WITH v AS (
   SELECT user_id, epoch_us(ts) AS ts, event_id,

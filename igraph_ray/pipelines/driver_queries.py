@@ -21,7 +21,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 from igraph_ray.api import build_graph
 from igraph_ray.functions.dedup import (
@@ -2056,6 +2056,42 @@ def q_hourly_windows(sf_dir: str):
         WINDOW_US,
         by=("event_type",),
         sum_cols=("cents",),
+    )
+
+
+HOP_US = 15 * 60 * 1_000_000  # 15 min
+
+
+def q_hopping_windows(sf_dir: str):
+    """(window_start, event_type, n_events, sum_cents) — 1-hour sliding
+    windows hopping every 15 min per event type."""
+    from igraph_ray.stages.window import hopping_window
+
+    return hopping_window(
+        _events_cents(sf_dir),
+        "ts",
+        WINDOW_US,
+        HOP_US,
+        by=("event_type",),
+        sum_cols=("cents",),
+    )
+
+
+def q_props_k_stats(sf_dir: str):
+    """(event_type, n, sum_k, max_k) — the flat-JSON ``props`` column's
+    integer field k, extracted with a vectorized RE2 kernel and
+    aggregated per event type (oracle parses with real json_extract —
+    an independent parse, not a regex replay)."""
+    from igraph_ray.stages.json_extract import extract_json_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "props"]
+    )
+    ev = extract_json_int(ev, "props", "k")
+    return ev.groupby("event_type").aggregate(
+        Count("k", alias_name="n"),
+        Sum("k", alias_name="sum_k"),
+        Max("k", alias_name="max_k"),
     )
 
 

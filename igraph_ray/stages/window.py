@@ -285,3 +285,68 @@ def tumbling_window(
         )
     )
     return grouped
+
+
+def hopping_window(
+    ds: ray.data.Dataset,
+    ts_col: str,
+    width_us: int,
+    hop_us: int,
+    by: tuple[str, ...] = (),
+    sum_cols: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Hopping (sliding) event-time windows: every ``hop_us`` a window
+    of length ``width_us`` opens; an event at time t belongs to every
+    window start ``s = m*hop`` with ``s <= t < s + width``.
+
+    Map-side each row is expanded to its (width/hop)-ish window
+    replicas with ``np.repeat`` and pre-combined per (window, group)
+    within the batch; the shuffle carries the combined partials only —
+    same scale shape as ``tumbling_window`` with a constant replication
+    factor.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _ts_int64(batch.column(ts_col))
+        m_lo = (t - width_us) // hop_us + 1
+        m_hi = t // hop_us
+        counts = np.maximum(m_hi - m_lo + 1, 0)
+        idx = np.repeat(np.arange(len(t)), counts)
+        # intra-replica offset 0..count-1 per row
+        offs = np.arange(len(idx)) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        w = (m_lo[idx] + offs) * hop_us
+        cols = {"window_start": pa.array(w)}
+        for c in by:
+            cols[c] = batch.column(c).take(pa.array(idx.astype(np.int64)))
+        for c in sum_cols:
+            cols[c] = pc.cast(
+                batch.column(c).take(pa.array(idx.astype(np.int64))),
+                pa.int64(),
+            )
+        tbl = pa.table(cols)
+        aggs = [("window_start", "count")] + [(c, "sum") for c in sum_cols]
+        part = tbl.group_by(["window_start", *by]).aggregate(aggs)
+        return pa.table(
+            {
+                "window_start": part.column("window_start"),
+                **{c: part.column(c) for c in by},
+                "n_events": pc.cast(
+                    part.column("window_start_count"), pa.int64()
+                ),
+                **{
+                    f"sum_{c}": pc.cast(part.column(f"{c}_sum"), pa.int64())
+                    for c in sum_cols
+                },
+            }
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start", *by])
+        .aggregate(
+            Sum("n_events", alias_name="n_events"),
+            *[Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_cols],
+        )
+    )

@@ -6,7 +6,11 @@ import numpy as np
 import pyarrow as pa
 import ray.data
 
-from igraph_ray.stages.window import sessionize, tumbling_window
+from igraph_ray.stages.window import (
+    hopping_window,
+    sessionize,
+    tumbling_window,
+)
 from tests.util import ds_to_table
 
 GAP = 100  # micros
@@ -131,4 +135,32 @@ def test_tumbling_window():
         w = (int(t) // width) * width
         want[(w, int(e))][0] += 1
         want[(w, int(e))][1] += int(v)
+    assert rows == {k: tuple(v) for k, v in want.items()}
+
+
+def test_hopping_window():
+    key, ts, val = _events(seed=19, n=300)
+    width, hop = 300, 100
+    ds = ray.data.from_arrow(
+        pa.table({"ts": pa.array(ts), "cents": pa.array(val)})
+    ).repartition(4)
+    got = ds_to_table(
+        hopping_window(ds, "ts", width, hop, sum_cols=("cents",))
+    )
+    rows = {
+        w: (n, s)
+        for w, n, s in zip(
+            got.column("window_start").to_pylist(),
+            got.column("n_events").to_pylist(),
+            got.column("sum_cents").to_pylist(),
+        )
+    }
+    want = defaultdict(lambda: [0, 0])
+    for t, v in zip(ts, val):
+        m = (int(t) - width) // hop + 1
+        while m * hop <= int(t):
+            if int(t) < m * hop + width:
+                want[m * hop][0] += 1
+                want[m * hop][1] += int(v)
+            m += 1
     assert rows == {k: tuple(v) for k, v in want.items()}
