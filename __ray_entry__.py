@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "total_triangles": q.q_total_triangles,  # SQL oracle
         "components": q.q_components,  # SQL oracle: recursive CTE
         "triangles": q.q_triangles,  # SQL oracle: 3-way self-join
+        "four_cliques": q.q_four_cliques,  # SQL oracle: 6-way self-join
         "label_propagation": q.q_lpa,  # rows-only (§2.3(1))
         "louvain": q.q_louvain,  # rows-only (§2.3(1); quality-tested)
         "leiden": q.q_leiden,  # rows-only (quality+connectivity tested)
@@ -1506,6 +1507,32 @@ corners AS (
 ),
 cnt AS (SELECT key, COUNT(*) AS n FROM corners GROUP BY key)
 SELECT k.key, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS triangles
+FROM keys k LEFT JOIN cnt ON k.key = cnt.key
+""",
+        "four_cliques": f"""
+{_LINK_PAIRS},
+ce AS (
+  SELECT DISTINCT LEAST(src_key, dst_key) AS a,
+                  GREATEST(src_key, dst_key) AS b
+  FROM link_pairs WHERE src_key <> dst_key
+),
+c4 AS (
+  SELECT e1.a AS a, e1.b AS b, e2.b AS c, e3.b AS d
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e2.b
+  JOIN ce e4 ON e4.a = e1.a AND e4.b = e2.b
+  JOIN ce e5 ON e5.a = e1.a AND e5.b = e3.b
+  JOIN ce e6 ON e6.a = e1.b AND e6.b = e3.b
+),
+corners AS (
+  SELECT a AS key FROM c4
+  UNION ALL SELECT b FROM c4
+  UNION ALL SELECT c FROM c4
+  UNION ALL SELECT d FROM c4
+),
+cnt AS (SELECT key, COUNT(*) AS n FROM corners GROUP BY key)
+SELECT k.key, CAST(COALESCE(cnt.n, 0) AS BIGINT) AS c4
 FROM keys k LEFT JOIN cnt ON k.key = cnt.key
 """,
         "clustering": f"""

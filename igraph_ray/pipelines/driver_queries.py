@@ -379,6 +379,25 @@ def q_triangles(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
 
 
+def q_four_cliques(sf_dir: str, graph_dir: str | None = None):
+    """(key, c4) per vertex of the E1∪E2 graph (0 for K4-free keys) —
+    oriented-DAG K4 counting (kernels/cliques.py)."""
+    import tempfile
+
+    from igraph_ray.kernels.cliques import four_clique_counts
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_c4_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    pairs = _link_graph_edges(sf_dir)
+    vertices_ds = ray.data.from_arrow(vtbl)
+    edges = attach_vids(pairs, vertices_ds)
+    cc = four_clique_counts(edges, vertices=vertices_ds)
+    tbl = pa.concat_tables(
+        cc.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
 def q_transitivity(sf_dir: str):
     """Global transitivity of the E1∪E2 graph as one row — both
     engines compute Σtriangles / Σtriads over exactly-representable

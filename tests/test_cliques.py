@@ -1,0 +1,88 @@
+"""K4 counting vs a brute-force oracle on random graphs."""
+
+from itertools import combinations
+
+import networkx as nx
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.kernels.cliques import four_clique_counts, total_four_cliques
+from tests.util import ds_to_table
+
+
+def _edges_ds(G):
+    src = np.array([u for u, v in G.edges()], dtype=np.int64)
+    dst = np.array([v for u, v in G.edges()], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    ).repartition(4)
+
+
+def _oracle(G):
+    want = {v: 0 for v in G.nodes()}
+    total = 0
+    adj = {v: set(G[v]) for v in G.nodes()}
+    for a, b, c, d in combinations(sorted(G.nodes()), 4):
+        if (
+            b in adj[a]
+            and c in adj[a]
+            and d in adj[a]
+            and c in adj[b]
+            and d in adj[b]
+            and d in adj[c]
+        ):
+            total += 1
+            for x in (a, b, c, d):
+                want[x] += 1
+    return want, total
+
+
+def test_four_cliques_dense_random():
+    G = nx.gnp_random_graph(40, 0.35, seed=7)
+    got = ds_to_table(
+        four_clique_counts(
+            _edges_ds(G),
+            vertices=ray.data.from_arrow(
+                pa.table({"vid": pa.array(sorted(G.nodes()), pa.int64())})
+            ),
+        )
+    )
+    rows = dict(
+        zip(got.column("vid").to_pylist(), got.column("c4").to_pylist())
+    )
+    want, total = _oracle(G)
+    assert rows == want
+    assert total > 0  # fixture sanity: the graph actually has K4s
+    assert sum(rows.values()) // 4 == total
+
+
+def test_four_cliques_sparse_plus_planted():
+    G = nx.gnm_random_graph(120, 240, seed=3)
+    # plant two overlapping K4s and a K5 (5 K4s inside)
+    for quad in ([200, 201, 202, 203], [202, 203, 204, 205]):
+        for x, y in combinations(quad, 2):
+            G.add_edge(x, y)
+    for x, y in combinations([300, 301, 302, 303, 304], 2):
+        G.add_edge(x, y)
+    got = ds_to_table(
+        four_clique_counts(
+            _edges_ds(G),
+            vertices=ray.data.from_arrow(
+                pa.table({"vid": pa.array(sorted(G.nodes()), pa.int64())})
+            ),
+        )
+    )
+    rows = dict(
+        zip(got.column("vid").to_pylist(), got.column("c4").to_pylist())
+    )
+    want, total = _oracle(G)
+    assert rows == want
+    assert rows[300] == 4  # each K5 vertex is in C(4,3)=4 K4s
+    assert total >= 7
+
+
+def test_total_four_cliques():
+    G = nx.complete_graph(6)  # C(6,4) = 15
+    ds = four_clique_counts(_edges_ds(G))
+    assert total_four_cliques(ds) == 15
