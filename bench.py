@@ -259,6 +259,24 @@ def run_suite(headline_only: bool = False) -> dict:
         quality_score(docs).count()
         queries["text_analysis"] = round(time.perf_counter() - t0, 3)
 
+        # relational/window family (round-2 additions): gap sessions +
+        # running totals over events, fact⋈fact hash join + grouped
+        # aggregate, and exact selection-based quantiles over lineitem
+        from igraph_ray.pipelines import driver_queries as dq
+
+        t0 = time.perf_counter()
+        dq.q_sessions(SF_DIR).count()
+        dq.q_running_totals(SF_DIR).count()
+        queries["sessions_running"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        dq.q_priority_lineitems(SF_DIR).count()
+        queries["hash_join_agg"] = round(time.perf_counter() - t0, 3)
+
+        t0 = time.perf_counter()
+        dq.q_price_quantiles(SF_DIR)
+        queries["exact_quantiles"] = round(time.perf_counter() - t0, 3)
+
         emb = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
         first = emb.take(2)
         q = np.stack([np.asarray(r["embedding"]) for r in first])
