@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": q.q_running_totals,  # SQL oracle (SUM OVER)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "props_k_stats": q.q_props_k_stats,  # SQL oracle (json_extract)
+        "approx_distinct_users": q.q_approx_distinct_users,  # rows-only (HLL; pytest accuracy oracle)
         "top_orders": q.q_top_orders,
         # training-data ops
         "stratified_sample": q.q_stratified_sample,  # SQL oracle

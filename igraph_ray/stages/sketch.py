@@ -1,0 +1,155 @@
+"""Cardinality sketches: HyperLogLog approximate distinct count.
+
+At 100 TB an exact distinct is a full hash shuffle of every key; an
+HLL register array is ONE streaming pass — each batch folds its keys
+into a 2^p-byte register block, blocks merge by elementwise max (a
+tiny fixed-size reduce), and the estimator reads the merged block on
+the driver.  Deterministic: keys are hashed with the repo's stateless
+splitmix64 (``utils.hash_int64``), so the estimate is bit-identical
+across runs, partitionings, and resumes — the property the engine's
+checkpoint/resume contract requires of every operator.
+
+Estimator: Flajolet–Fuss–Gandouet–Meunier 2007 with the standard
+small-range (linear counting) and large-range corrections.  Accuracy
+~1.04/√(2^p) relative standard error (p=14 → ~0.8%), property-tested
+in tests/test_sketch.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from igraph_ray.utils import hash_int64
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _fold(keys: np.ndarray, p: int) -> np.ndarray:
+    """Registers (uint8, length 2^p) for one batch of int64 keys."""
+    m = 1 << p
+    h = hash_int64(keys.astype(np.int64))
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    # rho = leading zeros of rest within 64-p bits, + 1
+    # leading zeros via bit_length: lz = 64 - bit_length(rest)
+    bl = np.zeros(len(rest), np.int64)
+    nz = rest != 0
+    # vectorized bit_length: 64 - clz = floor(log2)+1; use frexp-free
+    # integer method via np.log2 on uint64 is lossy for >2^53 — use
+    # the 32-bit halves instead
+    hi = (rest >> np.uint64(32)).astype(np.uint32)
+    lo = (rest & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    bl_hi = np.zeros(len(rest), np.int64)
+    nz_hi = hi != 0
+    bl_hi[nz_hi] = (
+        np.floor(np.log2(hi[nz_hi].astype(np.float64))).astype(np.int64) + 1
+    )
+    bl_lo = np.zeros(len(rest), np.int64)
+    nz_lo = lo != 0
+    bl_lo[nz_lo] = (
+        np.floor(np.log2(lo[nz_lo].astype(np.float64))).astype(np.int64) + 1
+    )
+    bl = np.where(nz_hi, bl_hi + 32, bl_lo)
+    rho = np.where(nz, 64 - bl + 1, 64 - p + 1).astype(np.int64)
+    rho = np.minimum(rho, 64 - p + 1)
+    regs = np.zeros(m, np.uint8)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def _estimate(regs: np.ndarray) -> float:
+    m = len(regs)
+    r = regs.astype(np.float64)
+    est = _alpha(m) * m * m / np.sum(np.exp2(-r))
+    if est <= 2.5 * m:
+        zeros = int(np.count_nonzero(regs == 0))
+        if zeros:
+            return m * np.log(m / zeros)
+    two64 = float(2**64)
+    if est > two64 / 30.0:
+        return -two64 * np.log1p(-est / two64)
+    return float(est)
+
+
+def hll_distinct(
+    ds: ray.data.Dataset, col: str, p: int = 14
+) -> float:
+    """Approximate number of distinct values in int64 column ``col``.
+
+    One streaming pass: per-batch register fold (map_batches), register
+    blocks merged by elementwise max on the driver (Σ 2^p bytes per
+    batch — for finer control at extreme batch counts, tree-merge via a
+    small groupby; unnecessary below ~10^5 batches)."""
+    m = 1 << p
+
+    def fold(batch: pa.Table) -> pa.Table:
+        k = batch.column(col).to_numpy(zero_copy_only=False)
+        regs = _fold(k, p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(m, np.uint8)
+    for b in ds.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in b.column("regs").to_pylist():
+            merged = np.maximum(merged, np.frombuffer(blob, np.uint8))
+    return _estimate(merged)
+
+
+def hll_distinct_by(
+    ds: ray.data.Dataset, key_col: str, col: str, p: int = 12
+) -> pa.Table:
+    """(key, approx_distinct) — per-group HLL.  Per-batch register
+    blocks are emitted per (group, block) row and merged with one
+    tiny groupby-max shuffle over ``groups × 2^p`` bytes."""
+    m = 1 << p
+
+    def fold(batch: pa.Table) -> pa.Table:
+        g = batch.column(key_col)
+        k = batch.column(col).to_numpy(zero_copy_only=False)
+        tbl = pa.table({"g": g})
+        import pyarrow.compute as pc
+
+        uniq = pc.unique(tbl.column("g"))
+        out_g, out_r = [], []
+        garr = g.to_numpy(zero_copy_only=False)
+        for gv in uniq.to_pylist():
+            mask = garr == gv
+            out_g.append(gv)
+            out_r.append(_fold(k[mask], p).tobytes())
+        return pa.table(
+            {
+                "g": pa.array(out_g, g.type),
+                "regs": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    partials = ds.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True
+    )
+    acc: dict = {}
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        for gv, blob in zip(
+            b.column("g").to_pylist(), b.column("regs").to_pylist()
+        ):
+            r = np.frombuffer(blob, np.uint8)
+            acc[gv] = np.maximum(acc[gv], r) if gv in acc else r
+    keys = sorted(acc)
+    return pa.table(
+        {
+            "key": pa.array(keys),
+            "approx_distinct": pa.array(
+                [float(_estimate(acc[k])) for k in keys], pa.float64()
+            ),
+        }
+    )
