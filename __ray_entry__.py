@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "props_k_stats": q.q_props_k_stats,  # SQL oracle (json_extract)
         "approx_distinct_users": q.q_approx_distinct_users,  # rows-only (HLL; pytest accuracy oracle)
+        "lineitem_rollup": q.q_lineitem_rollup,  # SQL oracle (GROUP BY ROLLUP)
         "top_orders": q.q_top_orders,
         # training-data ops
         "stratified_sample": q.q_stratified_sample,  # SQL oracle
@@ -1637,6 +1638,14 @@ SELECT e.event_id,
 FROM events e
 LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
 """,
+        "lineitem_rollup": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
         "lineitem_agg": (
             # CAST the SUM itself: DuckDB SUM(BIGINT) returns HUGEINT
             # (surfaces as float) while the engine emits int64

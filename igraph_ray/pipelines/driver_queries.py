@@ -2096,6 +2096,76 @@ def q_hopping_windows(sf_dir: str):
     )
 
 
+def q_lineitem_rollup(sf_dir: str):
+    """(l_returnflag, l_linestatus, n, sum_qty) with ROLLUP subtotal
+    rows ('ALL' sentinels): detail, per-returnflag subtotal, grand
+    total — three pre-combined grouped aggregates over one scan graph,
+    no operator materializes the fact table."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def qty_int(batch: pa.Table) -> pa.Table:
+        q = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(q.astype(np.int64)),
+            }
+        )
+
+    li = li.map_batches(qty_int, batch_format="pyarrow", zero_copy_batch=True)
+
+    detail = li.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Count("qty", alias_name="n"), Sum("qty", alias_name="sum_qty")
+    )
+
+    def drop_status(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": pa.array(
+                    ["ALL"] * batch.num_rows, pa.string()
+                ),
+                "n": batch.column("n"),
+                "sum_qty": batch.column("sum_qty"),
+            }
+        )
+
+    def drop_both(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": pa.array(["ALL"] * batch.num_rows),
+                "l_linestatus": pa.array(["ALL"] * batch.num_rows),
+                "n": batch.column("n"),
+                "sum_qty": batch.column("sum_qty"),
+            }
+        )
+
+    # subtotals re-aggregate the tiny detail result, not the fact table
+    sub = (
+        detail.map_batches(
+            drop_status, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty")
+        )
+    )
+    total = (
+        detail.map_batches(
+            drop_both, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("n", alias_name="n"), Sum("sum_qty", alias_name="sum_qty")
+        )
+    )
+    return detail.union(sub).union(total)
+
+
 def q_approx_distinct_users(sf_dir: str):
     """(key=event_type, approx_distinct) — one-pass HyperLogLog
     per-group distinct users (p=14, ~0.8% rse; deterministic splitmix
