@@ -137,6 +137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_top_terms": q.q_doc_top_terms,  # SQL oracle (tf-idf replay)
         "bm25": q.q_bm25,  # SQL oracle (odds-idf BM25 bitwise replay)
         "bigrams": q.q_bigrams,  # SQL oracle (top-100 bigram counts)
+        "repetition_stats": q.q_repetition_stats,  # SQL oracle (bitwise)
         "language_id": q.q_language_id,  # SQL oracle (regex twins)
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
@@ -604,6 +605,45 @@ SELECT r.doc_id, r.term, CAST(r.tf AS BIGINT) AS tf,
        CAST(r.tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df AS tfidf
 FROM r JOIN df USING (term)
 WHERE r.rn <= 3
+""",
+        # Gopher repetition rules: exact int stats, one IEEE division
+        # per fraction — replays the engine bitwise
+        "repetition_stats": """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS toks
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS i
+  FROM t
+),
+ntok AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS n_distinct
+  FROM u GROUP BY doc_id
+),
+bg AS (
+  SELECT a.doc_id, a.term || ' ' || b.term AS bgm
+  FROM u a JOIN u b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+),
+mbg AS (
+  SELECT doc_id, MAX(cnt) AS max_bigram FROM (
+    SELECT doc_id, bgm, COUNT(*) AS cnt FROM bg GROUP BY 1, 2
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  COALESCE(n.n_tokens, 0) AS n_tokens,
+  COALESCE(n.n_distinct, 0) AS n_distinct,
+  CAST(COALESCE(m.max_bigram, 0) AS BIGINT) AS max_bigram,
+  CASE WHEN COALESCE(n.n_tokens, 0) > 0
+       THEN (n.n_tokens - n.n_distinct) / CAST(n.n_tokens AS DOUBLE)
+       ELSE 0.0 END AS dup_frac,
+  CASE WHEN COALESCE(n.n_tokens, 0) > 0
+       THEN (2 * COALESCE(m.max_bigram, 0)) / CAST(n.n_tokens AS DOUBLE)
+       ELSE 0.0 END AS top_bigram_frac
+FROM documents d
+LEFT JOIN ntok n USING (doc_id) LEFT JOIN mbg m USING (doc_id)
 """,
         "bigrams": """
 WITH t AS (

@@ -458,6 +458,92 @@ def bigram_counts(
     )
 
 
+def repetition_stats(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_distinct, max_bigram, dup_frac,
+    top_bigram_frac) — Gopher-style repetition quality signals per
+    document:
+
+    * ``dup_frac`` = (n_tokens - n_distinct) / n_tokens — the fraction
+      of tokens that are repeats of an earlier token;
+    * ``top_bigram_frac`` = 2·max_bigram / n_tokens — the fraction of
+      tokens covered by the single most frequent adjacent pair
+      (Rae et al. 2021's "top 2-gram" rule, token-count flavour).
+
+    Entirely map-side (a document never leaves its batch, zero
+    shuffle); counts are exact ints and each fraction is one IEEE
+    division, so a SQL twin replays the values bitwise.  Zero-token
+    docs emit 0.0 fractions.
+    """
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        t = _tokens_table(batch, text_col, id_col)
+        term = t.column("term").combine_chunks()
+        did = t.column("did").to_numpy(zero_copy_only=False)
+        doc_ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        n_docs = len(doc_ids)
+        id_order = np.argsort(doc_ids)
+        ids_sorted = doc_ids[id_order]
+
+        def pos_of(x: np.ndarray) -> np.ndarray:
+            return id_order[np.searchsorted(ids_sorted, x)]
+
+        n_tok = np.zeros(n_docs, np.int64)
+        if len(did):
+            u, c = np.unique(did, return_counts=True)
+            n_tok[pos_of(u)] = c
+        # distinct tokens per doc
+        nd = np.zeros(n_docs, np.int64)
+        if t.num_rows:
+            dd = t.group_by(["did", "term"]).aggregate([])
+            u, c = np.unique(
+                dd.column("did").to_numpy(zero_copy_only=False),
+                return_counts=True,
+            )
+            nd[pos_of(u)] = c
+        # max adjacent-bigram count per doc
+        mb = np.zeros(n_docs, np.int64)
+        n = len(did)
+        if n >= 2:
+            same = did[:-1] == did[1:]
+            pairs = pc.binary_join_element_wise(
+                term.slice(0, n - 1), term.slice(1, n - 1), " "
+            )
+            bt = pa.table(
+                {"did": pa.array(did[:-1]), "bg": pairs}
+            ).filter(pa.array(same))
+            if bt.num_rows:
+                cnt = bt.group_by(["did", "bg"]).aggregate([("bg", "count")])
+                cd = cnt.column("did").to_numpy(zero_copy_only=False)
+                cc = pc.cast(cnt.column("bg_count"), pa.int64()).to_numpy(
+                    zero_copy_only=False
+                )
+                np.maximum.at(mb, pos_of(cd), cc)
+        ntf = n_tok.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup = np.where(
+                n_tok > 0, (n_tok - nd) / ntf, 0.0
+            )
+            top_bg = np.where(n_tok > 0, (2 * mb) / ntf, 0.0)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_tokens": pa.array(n_tok),
+                "n_distinct": pa.array(nd),
+                "max_bigram": pa.array(mb),
+                "dup_frac": pa.array(dup),
+                "top_bigram_frac": pa.array(top_bg),
+            }
+        )
+
+    return ds.map_batches(
+        per_doc, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def bm25_scores(
     ds: ray.data.Dataset,
     query_terms: list[str],

@@ -2210,6 +2210,15 @@ def q_bm25(sf_dir: str):
     return bm25_scores(documents(sf_dir), BM25_QUERY_TERMS)
 
 
+def q_repetition_stats(sf_dir: str):
+    """(doc_id, n_tokens, n_distinct, max_bigram, dup_frac,
+    top_bigram_frac) — Gopher-style repetition quality signals; exact
+    ints + one IEEE division each, bitwise SQL replay."""
+    from igraph_ray.functions.text import repetition_stats
+
+    return repetition_stats(documents(sf_dir))
+
+
 def q_bigrams(sf_dir: str):
     """(bigram, n) — top-100 adjacent lowercase token pairs by corpus
     frequency (ties toward the lexicographically smaller bigram)."""
