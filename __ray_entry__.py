@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distances_weighted": q.q_distances_weighted,  # SQL oracle (int-exact min-plus)
         "widest_paths": q.q_widest_paths,  # SQL oracle (int-exact max-min)
         "betweenness": q.q_betweenness,  # rows-only (sampled Brandes)
+        "edge_betweenness": q.q_edge_betweenness,  # rows-only (sampled; nx pytest oracle)
         "closeness": q.q_closeness,  # rows-only (sampled pivots)
         "harmonic": q.q_harmonic,  # rows-only (sampled pivots)
         "eigenvector": q.q_eigenvector,  # rows-only (power iteration)

@@ -1113,6 +1113,26 @@ def q_betweenness(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
 
 
+def q_edge_betweenness(sf_dir: str, graph_dir: str | None = None):
+    """(a_key, b_key, ebc) — pivot-sampled edge betweenness (k=12)
+    over the E1∪E2 graph; rows-only (float sums over sampled pivots),
+    exact-mode semantics verified by the pytest networkx oracle."""
+    import tempfile
+
+    from igraph_ray.kernels.betweenness import edge_betweenness
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_ebc_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    pairs = _link_graph_edges(sf_dir)
+    vertices_ds = ray.data.from_arrow(vtbl)
+    edges = attach_vids(pairs, vertices_ds)
+    out = edge_betweenness(graph, edges, k=min(12, vtbl.num_rows))
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"a": "a_key", "b": "b_key"})
+
+
 def q_harmonic(sf_dir: str, graph_dir: str | None = None):
     """(key, harmonic) — pivot-sampled harmonic centrality (k=64 BFS
     lanes in ONE multi-pivot chassis run); rows-only, exact-mode
