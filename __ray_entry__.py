@@ -139,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25": q.q_bm25,  # SQL oracle (odds-idf BM25 bitwise replay)
         "bigrams": q.q_bigrams,  # SQL oracle (top-100 bigram counts)
         "repetition_stats": q.q_repetition_stats,  # SQL oracle (bitwise)
+        "frequent_terms": q.q_frequent_terms,  # SQL oracle (top-100 tf)
         "language_id": q.q_language_id,  # SQL oracle (regex twins)
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
@@ -606,6 +607,15 @@ SELECT r.doc_id, r.term, CAST(r.tf AS BIGINT) AS tf,
        CAST(r.tf * (SELECT n_docs FROM n) AS DOUBLE) / df.df AS tfidf
 FROM r JOIN df USING (term)
 WHERE r.rn <= 3
+""",
+        "frequent_terms": """
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+)
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks GROUP BY term
+ORDER BY n DESC, term ASC LIMIT 100
 """,
         # Gopher repetition rules: exact int stats, one IEEE division
         # per fraction — replays the engine bitwise

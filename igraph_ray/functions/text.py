@@ -458,6 +458,121 @@ def bigram_counts(
     )
 
 
+def frequent_terms(
+    ds: ray.data.Dataset,
+    top_n: int = 100,
+    summary_size: int = 4096,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(term, n) — the ``top_n`` most frequent lowercase whitespace
+    tokens by TOTAL occurrence count (ties toward the smaller term),
+    EXACTLY, without ever shuffling the full vocabulary.
+
+    Two passes:
+
+    1. per-batch Misra–Gries summary of size ``summary_size`` (the
+       batch's top tokens by count — a superset of every token whose
+       in-batch frequency exceeds tokens/summary_size; the union of
+       batch summaries therefore contains every token with global
+       count > total_tokens/summary_size, which covers the true top-N
+       whenever N ≪ summary_size relative to skew).  Summaries are
+       tiny: O(batches × summary_size) rows reach the driver.
+    2. exact recount of ONLY the candidate set (broadcast filter +
+       pre-combined groupby) — so the returned counts are exact, and
+       the result is provably the true top-N whenever the N-th count
+       exceeds total_tokens/summary_size (asserted at runtime from the
+       exact counts; raises if the guarantee cannot be certified).
+    """
+
+    def summary(batch: pa.Table) -> pa.Table:
+        t = _tokens_table(batch, text_col, id_col)
+        part = t.group_by("term").aggregate([("term", "count")])
+        cnt = pc.cast(part.column("term_count"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        if len(cnt) > summary_size:
+            keep = np.argsort(-cnt, kind="stable")[:summary_size]
+            terms = part.column("term").take(
+                pa.array(keep.astype(np.int64))
+            )
+        else:
+            terms = part.column("term")
+        return pa.table({"term": terms})
+
+    sums = pa.concat_tables(
+        ds.map_batches(
+            summary, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    cand = pc.unique(sums.column("term"))
+    # total token count: each batch's summary repeats its batch total;
+    # sum one row per batch via max-per-batch is awkward — recount
+    # exactly in pass 2 instead.
+    cand_ref = ray.put(cand)
+
+    def recount(batch: pa.Table) -> pa.Table:
+        t = _tokens_table(batch, text_col, id_col)
+        total = pa.table(
+            {
+                "term": pa.array(["\x00total"], pa.string()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+        hits = t.filter(
+            pc.is_in(t.column("term"), value_set=ray.get(cand_ref))
+        )
+        part = hits.group_by("term").aggregate([("term", "count")])
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "term": part.column("term"),
+                        "n": pc.cast(part.column("term_count"), pa.int64()),
+                    }
+                ),
+                total,
+            ]
+        )
+
+    counts = (
+        ds.map_batches(recount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+        .materialize()
+    )
+    tbl = pa.concat_tables(
+        counts.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    terms = tbl.column("term").to_pylist()
+    ns = tbl.column("n").to_pylist()
+    total_tokens = 0
+    pairs = []
+    for t, n in zip(terms, ns):
+        if t == "\x00total":
+            total_tokens = n
+        else:
+            pairs.append((t, n))
+    pairs.sort(key=lambda kv: (-kv[1], kv[0]))
+    top = pairs[:top_n]
+    if len(pairs) > top_n and top:
+        nth = top[-1][1]
+        if nth <= total_tokens / summary_size:
+            raise ValueError(
+                "frequent_terms: top-N completeness not certifiable "
+                f"(n-th count {nth} <= {total_tokens}/{summary_size}); "
+                "increase summary_size"
+            )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "term": pa.array([t for t, _ in top], pa.string()),
+                "n": pa.array([n for _, n in top], pa.int64()),
+            }
+        )
+    )
+
+
 def repetition_stats(
     ds: ray.data.Dataset,
     text_col: str = "text",

@@ -2230,6 +2230,14 @@ def q_bm25(sf_dir: str):
     return bm25_scores(documents(sf_dir), BM25_QUERY_TERMS)
 
 
+def q_frequent_terms(sf_dir: str):
+    """(term, n) — top-100 tokens by exact total count via per-batch
+    summary + candidate recount (no full-vocabulary shuffle)."""
+    from igraph_ray.functions.text import frequent_terms
+
+    return frequent_terms(documents(sf_dir), top_n=100, summary_size=4096)
+
+
 def q_repetition_stats(sf_dir: str):
     """(doc_id, n_tokens, n_distinct, max_bigram, dup_frac,
     top_bigram_frac) — Gopher-style repetition quality signals; exact
