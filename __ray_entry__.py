@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": q.q_props_k_stats,  # SQL oracle (json_extract)
         "approx_distinct_users": q.q_approx_distinct_users,  # rows-only (HLL; pytest accuracy oracle)
         "lineitem_rollup": q.q_lineitem_rollup,  # SQL oracle (GROUP BY ROLLUP)
+        "revenue_per_nation": q.q_revenue_per_nation,  # SQL oracle (Q5-ish)
         "top_orders": q.q_top_orders,
         # training-data ops
         "stratified_sample": q.q_stratified_sample,  # SQL oracle
@@ -1689,6 +1690,18 @@ SELECT e.event_id,
 FROM events e
 LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
 """,
+        "revenue_per_nation": (
+            "WITH v AS (SELECT l_orderkey, "
+            "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) "
+            "* (100 - CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT)) "
+            "AS rev_milli FROM lineitem) "
+            "SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_items, "
+            "CAST(SUM(v.rev_milli) AS BIGINT) AS revenue_milli "
+            "FROM v JOIN orders o ON v.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
+        ),
         "lineitem_rollup": (
             "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
             "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "

@@ -1995,6 +1995,57 @@ def q_top_orders_per_cust(sf_dir: str):
     return topk_per_group(orders, "o_custkey", "cents", "o_orderkey", k=3)
 
 
+def q_revenue_per_nation(sf_dir: str):
+    """(n_name, n_items, revenue_milli) — TPC-H Q5-flavoured multi-join:
+    lineitem ⋈ orders (hash-shuffle, the two fact tables) ⋈ customer ⋈
+    nation (broadcast probes).  Revenue is exact integer milli-cents,
+    ``price_cents * (100 - discount_pct)``, so the SUM hash-matches the
+    SQL twin bitwise.  Demonstrates the intended join topology at
+    scale: one fact⋈fact shuffle, every dimension a broadcast."""
+    from igraph_ray.stages.join import broadcast_join, hash_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def milli(batch: pa.Table) -> pa.Table:
+        p = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        d = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(p * 100.0 + 0.5).astype(np.int64)
+        disc = np.floor(d * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "rev_milli": pa.array(cents * (100 - disc)),
+            }
+        )
+
+    li = li.map_batches(milli, batch_format="pyarrow", zero_copy_batch=True)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = hash_join(
+        li, orders, on="l_orderkey", right_on="o_orderkey", num_partitions=8
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    joined = broadcast_join(
+        joined, cust, on="o_custkey", right_on="c_custkey"
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    joined = broadcast_join(
+        joined, nation, on="c_nationkey", right_on="n_nationkey"
+    )
+    return joined.groupby("n_name").aggregate(
+        Count("rev_milli", alias_name="n_items"),
+        Sum("rev_milli", alias_name="revenue_milli"),
+    )
+
+
 PRICE_QS = [0.25, 0.5, 0.75, 0.95]
 
 
