@@ -126,14 +126,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_cust": q.q_top_orders_per_cust,  # SQL oracle (rn<=3)
         "hourly_windows": q.q_hourly_windows,  # SQL oracle (epoch floor)
         "running_totals": q.q_running_totals,  # SQL oracle (SUM OVER)
+        "moving_totals": q.q_moving_totals,  # SQL oracle (LAG/LEAD/ROWS BETWEEN)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
+        "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
+        "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
         "props_k_stats": q.q_props_k_stats,  # SQL oracle (json_extract)
         "approx_distinct_users": q.q_approx_distinct_users,  # rows-only (HLL; pytest accuracy oracle)
         "lineitem_rollup": q.q_lineitem_rollup,  # SQL oracle (GROUP BY ROLLUP)
+        "lineitem_cube": q.q_lineitem_cube,  # SQL oracle (GROUP BY CUBE)
+        "segment_status_pivot": q.q_segment_status_pivot,  # SQL oracle (cond. agg)
         "revenue_per_nation": q.q_revenue_per_nation,  # SQL oracle (Q5-ish)
         "top_orders": q.q_top_orders,
         # training-data ops
         "stratified_sample": q.q_stratified_sample,  # SQL oracle
+        "mixture_sample": q.q_mixture_sample,  # SQL oracle (splitmix CASE rates)
         "decontaminate": q.q_decontaminate,  # SQL oracle (8-gram overlap)
         "term_df": q.q_term_df,  # SQL oracle (top-100 document frequency)
         "doc_top_terms": q.q_doc_top_terms,  # SQL oracle (tf-idf replay)
@@ -534,6 +540,28 @@ r AS (
   FROM s4
 )
 SELECT doc_id, lang FROM r WHERE rn <= 5
+""",
+        # per-lang mixture rebalancing: same splitmix chain, numerator
+        # selected per language (en 9/10, de 5/10, fr 3/10, es 2/10,
+        # zh 1/10)
+        "mixture_sample": f"""
+WITH s1 AS (
+  SELECT doc_id, lang, source,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+),
+s2 AS (SELECT doc_id, lang, source,
+  CAST({_mul64_sql("CAST(xor(z, z >> 30) AS HUGEINT)", "13787848793156543929")}
+       AS UBIGINT) AS z FROM s1),
+s3 AS (SELECT doc_id, lang, source,
+  CAST({_mul64_sql("CAST(xor(z, z >> 27) AS HUGEINT)", "10723151780598845931")}
+       AS UBIGINT) AS z FROM s2),
+s4 AS (SELECT doc_id, lang, source, xor(z, z >> 31) AS z FROM s3)
+SELECT doc_id, lang, source FROM s4
+WHERE z % 10 < CASE lang
+  WHEN 'en' THEN 9 WHEN 'de' THEN 5 WHEN 'fr' THEN 3
+  WHEN 'es' THEN 2 WHEN 'zh' THEN 1 ELSE 0 END
 """,
         # word-8-gram overlap vs the doc_id %% 97 == 0 benchmark subset
         "decontaminate": """
@@ -1710,6 +1738,26 @@ LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
             "FROM lineitem "
             "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
         ),
+        "lineitem_cube": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem "
+            "GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "segment_status_pivot": (
+            "SELECT c_mktsegment, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_F, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_O, "
+            "CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_P, "
+            "CAST(COUNT(*) AS BIGINT) AS total "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY c_mktsegment"
+        ),
         "lineitem_agg": (
             # CAST the SUM itself: DuckDB SUM(BIGINT) returns HUGEINT
             # (surfaces as float) while the engine emits int64
@@ -1816,6 +1864,27 @@ SELECT window_start, event_type,
        CAST(SUM(cents) AS BIGINT) AS sum_cents
 FROM w GROUP BY 1, 2
 """,
+        # band join: 60-min strict time-band self join, formulated as
+        # the plain non-equi SQL join the bucketed engine reimplements
+        "event_pairs_band": """
+WITH v AS (SELECT user_id, epoch_us(ts) AS t, event_id FROM events)
+SELECT a.user_id AS user_id, a.event_id AS l_event_id,
+       b.event_id AS r_event_id, b.t - a.t AS dt_us
+FROM v a JOIN v b
+  ON a.user_id = b.user_id AND b.t > a.t AND b.t <= a.t + 3600000000
+""",
+        # interval join: purchases attributed to each same-user click
+        # in the preceding 2 h (inclusive start, exclusive end)
+        "purchase_attribution": """
+WITH v AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type
+           FROM events)
+SELECT p.user_id AS user_id, p.event_id AS event_id,
+       c.event_id AS click_id, p.t - c.t AS offset_us
+FROM v p JOIN v c
+  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+ AND c.event_type = 'click'
+ AND p.t >= c.t AND p.t < c.t + 7200000000
+""",
         # engine extracts with a vectorized RE2 kernel; oracle does a
         # REAL json parse — independent implementations must agree
         "props_k_stats": (
@@ -1841,6 +1910,26 @@ SELECT user_id, ts, event_id,
          ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS run_sum
 FROM v
+""",
+        "moving_totals": """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS ts, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, ts, event_id,
+       CAST(COALESCE(LAG(cents) OVER w, 0) AS BIGINT) AS lag_cents,
+       CAST(COALESCE(LEAD(cents) OVER w, 0) AS BIGINT) AS lead_cents,
+       CAST(SUM(cents) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS mov_sum,
+       CAST(COUNT(*) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS mov_n
+FROM v
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
         "hourly_windows": """
 WITH v AS (

@@ -2720,3 +2720,184 @@ def q_generated_rmat(sf_dir: str):
         .groupby("degree_bucket")
         .aggregate(Count(alias_name="n_vertices"))
     )
+
+
+BAND_US = 60 * 60 * 1_000_000  # 60 min
+ATTR_US = 2 * 3_600 * 1_000_000  # 2 h attribution window
+
+
+def q_event_pairs_band(sf_dir: str):
+    """(user_id, l_event_id, r_event_id, dt_us) — time-band self join:
+    every ordered pair of one user's events strictly within 60 minutes
+    (0 < dt <= band).  Bucketed band join (stages/interval.py): one
+    groupby on hash(user, time-bin), never an all-pairs product."""
+    from igraph_ray.stages.interval import band_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+    return band_join(ev, "user_id", "ts", "event_id", BAND_US)
+
+
+def q_purchase_attribution(sf_dir: str):
+    """(user_id, event_id, click_id, offset_us) — point-in-interval
+    join: each purchase attributed to every click by the same user in
+    the preceding 2 hours (click.ts <= purchase.ts < click.ts + 2h).
+    Bucketed interval join (stages/interval.py)."""
+    from igraph_ray.stages.interval import interval_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    purchases = ev.filter(
+        expr="event_type == 'purchase'"
+    ).select_columns(["user_id", "ts", "event_id"])
+
+    def as_click(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "click_id": batch.column("event_id"),
+            }
+        )
+
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        as_click, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return interval_join(
+        purchases,
+        clicks,
+        key_col="user_id",
+        ts_col="ts",
+        point_id_col="event_id",
+        iv_key_col="user_id",
+        iv_start_col="ts",
+        iv_len_us=ATTR_US,
+        iv_id_col="click_id",
+    )
+
+
+def q_lineitem_cube(sf_dir: str):
+    """(l_returnflag, l_linestatus, n, sum_qty) at every CUBE grain —
+    detail, each one-dim subtotal, grand total ('ALL' sentinels).  The
+    fact table is aggregated ONCE; coarser grains re-aggregate the tiny
+    detail result (stages/cube.py)."""
+    from igraph_ray.stages.cube import cube_sets, grouping_sets
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def qty_int(batch: pa.Table) -> pa.Table:
+        qv = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": pa.array(qv.astype(np.int64)),
+            }
+        )
+
+    li = li.map_batches(qty_int, batch_format="pyarrow", zero_copy_batch=True)
+    dims = ("l_returnflag", "l_linestatus")
+    out = grouping_sets(li, dims, ("qty",), cube_sets(dims))
+    # columns arrive as (dims..., n, sum_qty); only the metric name
+    # needs the sum_ prefix mapped onto the public qty name
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["l_returnflag", "l_linestatus", "n", "sum_qty"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_segment_status_pivot(sf_dir: str):
+    """(c_mktsegment, n_F, n_O, n_P, total) — orders pivoted wide by
+    order status per customer market segment: broadcast dimension join
+    (customer is the small side) + conditional aggregation, one shuffle
+    of pre-combined partials (stages/cube.py)."""
+    from igraph_ray.stages.cube import pivot_counts
+    from igraph_ray.stages.join import broadcast_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    joined = broadcast_join(
+        orders, cust, on="o_custkey", right_on="c_custkey"
+    )
+    return pivot_counts(
+        joined, "c_mktsegment", "o_orderstatus", ("F", "O", "P")
+    )
+
+
+def q_moving_totals(sf_dir: str):
+    """(user_id, ts, event_id, lag_cents, lead_cents, mov_sum, mov_n)
+    — per-user trailing-4-row moving sum plus LAG/LEAD neighbors in
+    (ts, event_id) order; exact ints, nulls at key boundaries exactly
+    as the SQL window functions produce them."""
+    from igraph_ray.stages.window import moving_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts": batch.column("ts"),
+                "event_id": batch.column("event_id"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    ev = ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = moving_agg(ev, "user_id", "ts", "event_id", "cents", 4)
+
+    # boundary nulls (first/last row per key) coalesced to 0 so the
+    # driver's value hash is NaN-free; the stage itself emits proper
+    # SQL nulls (tests/test_cube_moving.py checks those)
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: (
+                    pc.fill_null(batch.column(c), 0)
+                    if c in ("lag_cents", "lead_cents")
+                    else batch.column(c)
+                )
+                for c in batch.column_names
+            }
+        )
+
+    return out.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+MIXTURE_RATES = {
+    "en": (9, 10),
+    "de": (5, 10),
+    "fr": (3, 10),
+    "es": (2, 10),
+    "zh": (1, 10),
+}
+
+
+def q_mixture_sample(sf_dir: str):
+    """(doc_id, lang, source) — deterministic language-mixture
+    rebalancing: keep doc iff splitmix64(doc_id) % 10 < per-lang
+    numerator (en 9, de 5, fr 3, es 2, zh 1).  Map-only, block-layout
+    independent, replayed bitwise by the SQL twin."""
+    from igraph_ray.stages.sample import mixture_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
+    )
+    return mixture_sample(docs, "lang", "doc_id", MIXTURE_RATES)

@@ -96,3 +96,44 @@ def stratified_sample(
     return partial.groupby(group_col).map_groups(
         _rank_select, batch_format="pyarrow"
     )
+
+
+def mixture_sample(
+    ds: ray.data.Dataset,
+    category_col: str,
+    key_col: str,
+    rates: dict[str, tuple[int, int]],
+    default: tuple[int, int] = (0, 1),
+) -> ray.data.Dataset:
+    """Deterministic per-category downsampling — the data-mixture
+    rebalancing step of a training pipeline: keep a row of category
+    ``c`` iff ``splitmix64(key) % denom_c < num_c``.  Categories not in
+    ``rates`` use ``default`` ((0, 1) = drop).
+
+    Like :func:`hash_sample` this is map-only, exact, independent of
+    block layout / cluster size, and replayable in SQL (CASE over the
+    same splitmix64 chain), so the resulting mixture is reproducible
+    and resumable at any scale.
+    """
+    for c, (num, denom) in rates.items():
+        if not (0 <= num <= denom and denom > 0):
+            raise ValueError(f"bad rate for {c!r}: {num}/{denom}")
+
+    def _f(batch: pa.Table) -> pa.Table:
+        cat = batch.column(category_col).to_numpy(zero_copy_only=False)
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        z = hash_int64(k)
+        # per-unique-category rate lookup (tiny), broadcast by codes
+        uniq, inv = np.unique(cat, return_inverse=True)
+        num_u = np.array(
+            [rates.get(c, default)[0] for c in uniq], np.uint64
+        )
+        den_u = np.array(
+            [rates.get(c, default)[1] for c in uniq], np.uint64
+        )
+        keep = (z % den_u[inv]) < num_u[inv]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

@@ -350,3 +350,108 @@ def hopping_window(
             *[Sum(f"sum_{c}", alias_name=f"sum_{c}") for c in sum_cols],
         )
     )
+
+
+def moving_agg(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    order_tie_col: str,
+    val_col: str,
+    window_rows: int,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key sliding row-window aggregates in event-time order — the
+    ``LAG/LEAD/SUM(...) OVER (PARTITION BY key ORDER BY ts, tie ROWS
+    BETWEEN w-1 PRECEDING AND CURRENT ROW)`` window-function surface.
+
+    Output one row per input row: ``(key, ts, tie, lag_<v> [prev row's
+    value, null on each key's first row], lead_<v> [next row's value,
+    null on the last], mov_sum [sum of the trailing ``window_rows``
+    rows including current], mov_n [actual rows in that window])``.
+    ``val_col`` must be int64; ``order_tie_col`` must make the per-key
+    sort key unique.
+
+    Same scale shape as ``running_agg``: one hash shuffle on the key,
+    then lexsort + cumsum with per-key clamped window starts — no
+    per-row Python.
+    """
+    if window_rows <= 0:
+        raise ValueError("window_rows must be positive")
+    if num_parts is None:
+        num_parts = _np_parts(ds.count())
+    np_parts = np.uint64(num_parts)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = (
+            batch.column(key_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "hpart": pa.array(
+                    (hash_int64(k) % np_parts).astype(np.int32)
+                ),
+                "k": pa.array(k),
+                "t": pa.array(_ts_int64(batch.column(ts_col))),
+                "tie": pa.array(
+                    batch.column(order_tie_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "v": pa.array(
+                    batch.column(val_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    w = int(window_rows)
+
+    def merge(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        t = group.column("t").to_numpy(zero_copy_only=False)
+        tie = group.column("tie").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        n = len(k)
+        order = np.lexsort((tie, t, k))
+        k_s, t_s, tie_s, v_s = k[order], t[order], tie[order], v[order]
+        new_key = np.empty(n, dtype=bool)
+        if n:
+            new_key[0] = True
+            new_key[1:] = k_s[1:] != k_s[:-1]
+        idx = np.arange(n)
+        seg_start = np.maximum.accumulate(np.where(new_key, idx, 0))
+        # trailing-w window start, clamped at the key's first row
+        win_start = np.maximum(seg_start, idx - (w - 1))
+        cs = np.concatenate([[0], np.cumsum(v_s)])  # cs[i] = sum of first i
+        mov_sum = cs[idx + 1] - cs[win_start]
+        mov_n = idx - win_start + 1
+        # lag/lead: neighbors within the same key, else null
+        lag_vals = np.empty(n, dtype=np.int64)
+        lead_vals = np.empty(n, dtype=np.int64)
+        if n:
+            lag_vals[1:] = v_s[:-1]
+            lag_vals[0] = 0
+            lead_vals[:-1] = v_s[1:]
+            lead_vals[-1] = 0
+        last_of_key = np.empty(n, dtype=bool)
+        if n:
+            last_of_key[:-1] = new_key[1:]
+            last_of_key[-1] = True
+        return pa.table(
+            {
+                key_col: pa.array(k_s),
+                ts_col: pa.array(t_s),
+                order_tie_col: pa.array(tie_s),
+                f"lag_{val_col}": pa.array(lag_vals, mask=new_key),
+                f"lead_{val_col}": pa.array(lead_vals, mask=last_of_key),
+                "mov_sum": pa.array(mov_sum.astype(np.int64)),
+                "mov_n": pa.array(mov_n.astype(np.int64)),
+            }
+        )
+
+    return tagged.groupby("hpart").map_groups(merge, batch_format="pyarrow")

@@ -77,3 +77,33 @@ def test_ngram_contamination():
         assert got[did] == (hits, int(hits > 0)), did
     assert got[2] == (0, 0) and got[4] == (0, 0)
     assert got[1][1] == 1 and got[5][1] == 1
+
+
+def test_mixture_sample():
+    import numpy as np
+
+    from igraph_ray.stages.sample import mixture_sample
+    from igraph_ray.utils import hash_int64
+
+    n = 1000
+    rng = np.random.default_rng(5)
+    doc_id = np.arange(n, dtype=np.int64)
+    lang = rng.choice(["en", "de", "zz"], n)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(doc_id), "lang": pa.array(lang)})
+    ).repartition(4)
+    rates = {"en": (9, 10), "de": (3, 10)}  # zz -> default drop
+    out = ds_to_table(mixture_sample(ds, "lang", "doc_id", rates))
+    got = set(out.column("doc_id").to_pylist())
+    z = hash_int64(doc_id) % np.uint64(10)
+    want = set()
+    for d, lg, zz in zip(doc_id, lang, z):
+        num = {"en": 9, "de": 3}.get(lg, 0)
+        if zz < num:
+            want.add(int(d))
+    assert got == want
+    # determinism across block layouts
+    out2 = ds_to_table(
+        mixture_sample(ds.repartition(9), "lang", "doc_id", rates)
+    )
+    assert set(out2.column("doc_id").to_pylist()) == want
