@@ -225,6 +225,35 @@ def init_state_dataset(
     )
 
 
+def _metric_sums(
+    state: ray.data.Dataset, metric_cols: tuple[str, ...]
+) -> dict[str, float]:
+    """All metric-column sums in ONE pass: per-block partial sums via
+    ``pyarrow.compute`` (one tiny row per block), combined on the
+    driver.  ``Dataset.sum(c)`` per column would launch one full job
+    per metric — with 3-4 metric columns that was 3-4× the driver
+    overhead every iteration, which dominates small-graph kernels and
+    long-running ones (spectral, coloring)."""
+    if not metric_cols:
+        return {}
+    cols = list(metric_cols)
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                c: pa.array(
+                    [float(pc.sum(batch.column(c)).as_py() or 0.0)]
+                )
+                for c in cols
+            }
+        )
+
+    rows = state.map_batches(
+        _partials, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    return {c: float(sum(r[c] for r in rows)) for c in cols}
+
+
 def run_kernel(
     kernel: VertexKernel,
     graph: GraphMeta,
@@ -290,7 +319,15 @@ def run_kernel(
             .map_groups(_apply_group, batch_format="pyarrow")
             .materialize()
         )
-        metrics = {c: float(new_state.sum(c) or 0.0) for c in kernel.metric_cols}
+        # Cut plan lineage: a MaterializedDataset still carries its
+        # originating logical plan, so kernels that run hundreds of
+        # iterations (slow spectral gaps, long chains) accumulate an
+        # ever-deeper plan that eventually overflows the driver's
+        # recursion limit during optimization.  Rebuilding from the
+        # already-materialized block refs is zero-copy and keeps every
+        # iteration's plan O(1).
+        new_state = ray.data.from_arrow_refs(new_state.to_arrow_refs())
+        metrics = _metric_sums(new_state, kernel.metric_cols)
         state = new_state
         run.iterations = it + 1
         run.metrics_history.append(metrics)

@@ -2901,3 +2901,37 @@ def q_mixture_sample(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "source"]
     )
     return mixture_sample(docs, "lang", "doc_id", MIXTURE_RATES)
+
+
+def q_spectral_bisection(sf_dir: str, graph_dir: str | None = None):
+    """(key, side) — Fiedler-vector spectral bisection
+    of the E1∪E2 link graph (kernels/spectral.py: deflated power
+    iteration on sigma*I - L with driver-fed mean/norm, one shuffle
+    per matvec).  Rows-only driver check; dense-eigh exactness oracles
+    in tests/test_spectral.py."""
+    import tempfile
+
+    from igraph_ray.kernels.spectral import fiedler_vector
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_spec_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    # side signs stabilize far before the vector's last digits; 1e-5
+    # keeps this check-scale query fast
+    vec, lam2 = fiedler_vector(
+        graph, graph.num_vertices, tol=1e-5, max_iter=2000
+    )
+
+    def cut(batch: pa.Table) -> pa.Table:
+        f = batch.column("fiedler").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "side": pa.array((f >= 0).astype(np.int64)),
+            }
+        )
+
+    state = pa.concat_tables(
+        vec.map_batches(cut, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(state, vtbl, {"vid": "key", "side": "side"})
