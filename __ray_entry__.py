@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data ops
         "stratified_sample": q.q_stratified_sample,  # SQL oracle
         "mixture_sample": q.q_mixture_sample,  # SQL oracle (splitmix CASE rates)
+        "packed_chunks": q.q_packed_chunks,  # SQL oracle (cumsum chop replay)
         "decontaminate": q.q_decontaminate,  # SQL oracle (8-gram overlap)
         "term_df": q.q_term_df,  # SQL oracle (top-100 document frequency)
         "doc_top_terms": q.q_doc_top_terms,  # SQL oracle (tf-idf replay)
@@ -735,6 +736,37 @@ SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
        * (tf.tf * (1.2 + 1.0))
        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / n.avgdl))) AS score
 FROM tf JOIN dl USING (doc_id) JOIN df USING (term), n
+""",
+        # concat-and-chop packing: cumsum start offsets per stream,
+        # chunk span via generate_series — same prefix-sum algebra as
+        # the engine's vectorized chop
+        "packed_chunks": r"""
+WITH tok AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT doc_id, doc_id % 8 AS stream, n_tokens,
+         SUM(n_tokens) OVER (
+           PARTITION BY doc_id % 8 ORDER BY doc_id
+           ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS st
+  FROM tok WHERE n_tokens > 0
+),
+b AS (
+  SELECT doc_id, stream, n_tokens, st,
+         unnest(generate_series(CAST(st // 512 AS BIGINT),
+                                CAST((st + n_tokens - 1) // 512 AS BIGINT)))
+           AS chunk_id
+  FROM s
+)
+SELECT doc_id, CAST(stream AS BIGINT) AS stream,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(GREATEST(0, chunk_id * 512 - st) AS BIGINT) AS tok_start,
+       CAST(LEAST(n_tokens, (chunk_id + 1) * 512 - st) AS BIGINT)
+         AS tok_end
+FROM b
 """,
         "token_count": (
             "SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) "

@@ -2935,3 +2935,24 @@ def q_spectral_bisection(sf_dir: str, graph_dir: str | None = None):
         .iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return _vid_to_key(state, vtbl, {"vid": "key", "side": "side"})
+
+
+PACK_CAPACITY = 512
+PACK_STREAMS = 8
+
+
+def q_packed_chunks(sf_dir: str):
+    """(doc_id, stream, chunk_id, tok_start, tok_end) — concat-and-chop
+    sequence packing of documents into 512-token context windows over 8
+    deterministic streams (doc_id % 8, ascending doc_id order); token
+    counts from the whitespace tokenizer.  Exact-int SQL twin via
+    SUM-OVER cumsum + generate_series chunk spans."""
+    from igraph_ray.functions.packing import pack_chunks
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    counted = token_count(docs).select_columns(["doc_id", "n_tokens"])
+    return pack_chunks(
+        counted, "doc_id", "n_tokens", PACK_CAPACITY, PACK_STREAMS
+    )
