@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic": q.q_harmonic,  # rows-only (sampled pivots)
         "eigenvector": q.q_eigenvector,  # rows-only (power iteration)
         "spectral_bisection": q.q_spectral_bisection,  # rows-only (dense-eigh pytest oracle)
+        "voterank": q.q_voterank,  # rows-only (nx.voterank pytest oracle)
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
         "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)

@@ -2956,3 +2956,23 @@ def q_packed_chunks(sf_dir: str):
     return pack_chunks(
         counted, "doc_id", "n_tokens", PACK_CAPACITY, PACK_STREAMS
     )
+
+
+def q_voterank(sf_dir: str, graph_dir: str | None = None):
+    """(rank, key) — top-10 VoteRank spreaders of the E1∪E2 link graph
+    in selection order (kernels/voterank.py; nx.voterank exactness
+    oracles in tests/test_voterank.py).  Rows-only driver check."""
+    import tempfile
+
+    from igraph_ray.kernels.voterank import voterank
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_vr_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    sel = voterank(graph, graph.num_vertices, number_of_nodes=10)
+    state = pa.table(
+        {
+            "vid": pa.array(sel, pa.int64()),
+            "rank": pa.array(range(1, len(sel) + 1), pa.int64()),
+        }
+    )
+    return _vid_to_key(state, vtbl, {"vid": "key", "rank": "rank"})
