@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q.q_stratified_sample,  # SQL oracle
         "mixture_sample": q.q_mixture_sample,  # SQL oracle (splitmix CASE rates)
         "packed_chunks": q.q_packed_chunks,  # SQL oracle (cumsum chop replay)
+        "paragraph_dedup": q.q_paragraph_dedup,  # SQL oracle (unnest + MIN-keeper replay)
         "decontaminate": q.q_decontaminate,  # SQL oracle (8-gram overlap)
         "term_df": q.q_term_df,  # SQL oracle (top-100 document frequency)
         "doc_top_terms": q.q_doc_top_terms,  # SQL oracle (tf-idf replay)
@@ -737,6 +738,38 @@ SELECT tf.doc_id, tf.term, tf.tf, dl.dl,
        * (tf.tf * (1.2 + 1.0))
        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / n.avgdl))) AS score
 FROM tf JOIN dl USING (doc_id) JOIN df USING (term), n
+""",
+        # paragraph dedup: identical 5-word-grid chunking, MIN-fused
+        # keeper per distinct chunk, ordered string_agg reassembly
+        "paragraph_dedup": r"""
+WITH w AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id, i + 1 AS idx,
+         list_aggregate(ws[i*5+1 : i*5+5], 'string_agg', ' ') AS para
+  FROM w, unnest(generate_series(0, CAST((len(ws)-1) // 5 AS BIGINT)))
+       AS t(i)
+  WHERE len(ws) > 0
+),
+k AS (
+  SELECT para, MIN(doc_id * 1048576 + idx) AS keeper FROM c GROUP BY para
+),
+kept AS (
+  SELECT CAST(keeper // 1048576 AS BIGINT) AS doc_id,
+         CAST(keeper % 1048576 AS BIGINT) AS idx, para
+  FROM k
+),
+tot AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tot FROM c GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(string_agg(kept.para, ' ' ORDER BY kept.idx), '')
+         AS clean_text,
+       CAST(COUNT(kept.para) AS BIGINT) AS n_kept,
+       t.n_tot - CAST(COUNT(kept.para) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN kept ON t.doc_id = kept.doc_id
+GROUP BY t.doc_id, t.n_tot
 """,
         # concat-and-chop packing: cumsum start offsets per stream,
         # chunk span via generate_series — same prefix-sum algebra as

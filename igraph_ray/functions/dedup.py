@@ -510,10 +510,13 @@ class _SimHashStage:
         filled = pc.fill_null(text_col, "")
         if isinstance(filled, pa.ChunkedArray):
             filled = filled.combine_chunks()
-        lists = pc.utf8_split_whitespace(filled)
+        # RE2 splitter, not pc.utf8_split_whitespace: that kernel
+        # intermittently corrupts token lists under concurrent Ray
+        # tasks in pyarrow 16.1.0 (see functions/paragraphs.py)
+        lists = pc.split_pattern_regex(filled, pattern=r"\s+")
         n_docs = len(lists)
-        # utf8_split_whitespace emits empty edge tokens where
-        # str.split() does not — drop them via parent indices
+        # the splitter emits empty edge tokens where str.split() does
+        # not — drop them via parent indices
         parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
         flat = pc.list_flatten(lists)
         if isinstance(flat, pa.ChunkedArray):
@@ -633,8 +636,11 @@ class _WordNgramShingles:
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = self.n
         ids = batch.column(self.id_col)
-        toks = pc.utf8_split_whitespace(
-            pc.utf8_trim_whitespace(batch.column(self.text_col))
+        # RE2 splitter, not pc.utf8_split_whitespace (intermittent
+        # corruption under concurrent tasks — see functions/paragraphs.py)
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(batch.column(self.text_col)),
+            pattern=r"\s+",
         ).combine_chunks()
         offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         vals = toks.values

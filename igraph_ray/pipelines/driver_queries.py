@@ -2976,3 +2976,16 @@ def q_voterank(sf_dir: str, graph_dir: str | None = None):
         }
     )
     return _vid_to_key(state, vtbl, {"vid": "key", "rank": "rank"})
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """(doc_id, clean_text, n_kept, n_removed) — C4-style exact
+    paragraph dedup over aligned 5-word chunks, first occurrence by
+    (doc_id, idx) wins; removed chunks excised and the doc re-joined
+    with single spaces (functions/paragraphs.py)."""
+    from igraph_ray.functions.paragraphs import paragraph_dedup
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return paragraph_dedup(docs, "doc_id", "text", width=5)
