@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_brute_topk": q.q_ann_brute,  # SQL oracle: list_cosine_similarity
         "ann_ivf_topk": q.q_ann_ivf,  # full-probe IVF == brute force; same SQL oracle
         "embedding_near_dup": q.q_embedding_near_dup,  # rows-only (LSH recall)
+        "pca_embeddings": q.q_pca_embeddings,  # rows-only (numpy dense pytest oracle)
         "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)
     }
 

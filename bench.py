@@ -284,6 +284,32 @@ def run_suite(headline_only: bool = False) -> dict:
         brute_force_topk(emb, q, k=10).count()
         queries["ann_brute_topk"] = round(time.perf_counter() - t0, 3)
 
+        # round-2 late additions: non-equi joins, paragraph dedup,
+        # sequence packing, PCA
+        t0 = time.perf_counter()
+        n_band = dq.q_event_pairs_band(SF_DIR).count()
+        queries["band_join"] = round(time.perf_counter() - t0, 3)
+        detail["band_pairs"] = n_band
+
+        from igraph_ray.functions.paragraphs import paragraph_dedup
+
+        t0 = time.perf_counter()
+        para = paragraph_dedup(docs, "doc_id", "text", width=5)
+        removed = para.sum("n_removed")
+        queries["paragraph_dedup"] = round(time.perf_counter() - t0, 3)
+        detail["paragraphs_removed"] = int(removed or 0)
+
+        t0 = time.perf_counter()
+        dq.q_packed_chunks(SF_DIR).count()
+        queries["sequence_packing"] = round(time.perf_counter() - t0, 3)
+
+        from igraph_ray.functions.pca import pca_project
+
+        t0 = time.perf_counter()
+        out, _var = pca_project(emb, "vec_id", "embedding", 8)
+        out.count()
+        queries["pca_project"] = round(time.perf_counter() - t0, 3)
+
     total = round(time.perf_counter() - t_total, 3)
     shutil.rmtree(graph_dir, ignore_errors=True)
     ray.shutdown()

@@ -2989,3 +2989,18 @@ def q_paragraph_dedup(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return paragraph_dedup(docs, "doc_id", "text", width=5)
+
+
+def q_pca_embeddings(sf_dir: str):
+    """(vec_id, projection[8]) — exact-covariance PCA of the embedding
+    table to 8 components: two map-only passes (per-batch Gram-matrix
+    partials → driver eigh → broadcast projection), deterministic sign
+    convention (functions/pca.py; numpy dense oracles in
+    tests/test_pca.py).  Rows-only driver check."""
+    from igraph_ray.functions.pca import pca_project
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out, _var = pca_project(emb, "vec_id", "embedding", 8)
+    return out
