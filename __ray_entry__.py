@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigenvector": q.q_eigenvector,  # rows-only (power iteration)
         "spectral_bisection": q.q_spectral_bisection,  # rows-only (dense-eigh pytest oracle)
         "voterank": q.q_voterank,  # rows-only (nx.voterank pytest oracle)
+        "quotient_graph": q.q_quotient_graph,  # SQL oracle (join + mod contraction)
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
         "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)
@@ -873,6 +874,22 @@ canon AS (
 SELECT a AS src_key, b AS dst_key, w AS weight FROM canon
 UNION ALL
 SELECT b, a, w FROM canon WHERE a <> b
+""",
+        # quotient graph: contract by community = vid % 8 where vid is
+        # the global sorted key rank — identical derivation both sides
+        "quotient_graph": f"""
+{_LINK_PAIRS},
+v AS (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+)
+SELECT CAST(a.vid % 8 AS BIGINT) AS c_src,
+       CAST(b.vid % 8 AS BIGINT) AS c_dst,
+       SUM(p.weight) AS weight,
+       CAST(COUNT(*) AS BIGINT) AS n_edges
+FROM link_pairs p
+JOIN v a ON p.src_key = a.key
+JOIN v b ON p.dst_key = b.key
+GROUP BY 1, 2
 """,
         "degrees": f"""
 {_LINK_PAIRS},

@@ -3004,3 +3004,36 @@ def q_pca_embeddings(sf_dir: str):
     )
     out, _var = pca_project(emb, "vec_id", "embedding", 8)
     return out
+
+
+def q_quotient_graph(sf_dir: str):
+    """(c_src, c_dst, weight, n_edges) — community-contracted quotient
+    of the E1∪E2 link graph under the deterministic assignment
+    community = vid % 8 (vids = global sorted key ranks): every edge
+    maps through the broadcast vid→community table, one grouped
+    aggregate sums weights and counts contracted edges
+    (stages/graph_ops.py::quotient_graph)."""
+    from igraph_ray.stages.graph_ops import quotient_graph
+
+    pairs = _link_graph_edges(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key")
+    edges = attach_vids(pairs, vertices)
+
+    def comm_of(batch: pa.Table) -> pa.Table:
+        v = batch.column("vid").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": pa.array(v),
+                "comm": pa.array((v % 8).astype(np.int64)),
+            }
+        )
+
+    assignment = vertices.map_batches(
+        comm_of, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return quotient_graph(edges, assignment)

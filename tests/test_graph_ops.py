@@ -59,3 +59,51 @@ def test_set_ops_collapse_parallel_and_orientation():
     assert _pairs(ds_to_table(graph_intersection(A, B))) == {(1, 2)}
     assert _pairs(ds_to_table(graph_difference(A, B))) == {(2, 3)}
     assert _pairs(ds_to_table(graph_difference(B, A))) == set()
+
+
+def test_quotient_graph_modes():
+    import numpy as np
+
+    from igraph_ray.stages.graph_ops import quotient_graph
+
+    rng = np.random.default_rng(19)
+    n, m = 40, 200
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.integers(1, 5, m).astype(np.float64)
+    comm = rng.integers(0, 6, n).astype(np.int64)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"src": pa.array(src), "dst": pa.array(dst),
+             "weight": pa.array(w)}
+        )
+    ).repartition(4)
+    assign = ray.data.from_arrow(
+        pa.table(
+            {"vid": pa.array(np.arange(n, dtype=np.int64)),
+             "comm": pa.array(comm)}
+        )
+    ).repartition(3)
+
+    def collect(ds):
+        t = ds_to_table(ds)
+        return {
+            (cs, cd): (wt, ne)
+            for cs, cd, wt, ne in zip(
+                t.column("c_src").to_pylist(),
+                t.column("c_dst").to_pylist(),
+                t.column("weight").to_pylist(),
+                t.column("n_edges").to_pylist(),
+            )
+        }
+
+    got_b = collect(quotient_graph(edges, assign, mode="broadcast"))
+    got_j = collect(quotient_graph(edges, assign, mode="join"))
+    want = {}
+    for s, d, ww in zip(src, dst, w):
+        k = (comm[s], comm[d])
+        cur = want.get(k, (0.0, 0))
+        want[k] = (cur[0] + ww, cur[1] + 1)
+    want = {k: (v[0], v[1]) for k, v in want.items()}
+    assert got_b == want
+    assert got_j == want
