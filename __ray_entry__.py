@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectral_bisection": q.q_spectral_bisection,  # rows-only (dense-eigh pytest oracle)
         "voterank": q.q_voterank,  # rows-only (nx.voterank pytest oracle)
         "quotient_graph": q.q_quotient_graph,  # SQL oracle (join + mod contraction)
+        "neighborhood2": q.q_neighborhood2,  # SQL oracle (self-join distinct)
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
         "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)
@@ -874,6 +875,24 @@ canon AS (
 SELECT a AS src_key, b AS dst_key, w AS weight FROM canon
 UNION ALL
 SELECT b, a, w FROM canon WHERE a <> b
+""",
+        # closed 2-hop neighborhood size: symmetric arcs, one self-join,
+        # UNION dedup, per-vertex count (isolated keys -> 1)
+        "neighborhood2": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS a, dst_key AS b FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+p AS (
+  SELECT a, b FROM arcs
+  UNION
+  SELECT x.a, y.b FROM arcs x JOIN arcs y ON x.b = y.a
+  UNION
+  SELECT key, key FROM keys
+)
+SELECT a AS key, CAST(COUNT(*) AS BIGINT) AS n2 FROM p GROUP BY a
 """,
         # quotient graph: contract by community = vid % 8 where vid is
         # the global sorted key rank — identical derivation both sides

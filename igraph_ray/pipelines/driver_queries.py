@@ -3037,3 +3037,99 @@ def q_quotient_graph(sf_dir: str):
         comm_of, batch_format="pyarrow", zero_copy_batch=True
     )
     return quotient_graph(edges, assignment)
+
+
+def q_neighborhood2(sf_dir: str):
+    """(key, n2) — closed 2-hop neighborhood size per vertex of the
+    E1∪E2 link graph (igraph ``neighborhood_size(order=2)``): |{u :
+    d(v,u) <= 2}| including v itself and isolated vertices (n2 = 1).
+    One distributed self-join on the arc table + two dedup/count
+    grouped aggregates; the wedge blow-up is bounded by sum(deg^2)
+    (degree-ordered capping is the documented scale path, as in the
+    triangle pipeline)."""
+    from igraph_ray.stages.join import hash_join
+
+    pairs = _link_graph_edges(sf_dir)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": pa.concat_arrays(
+                    [
+                        batch.column("src_key").combine_chunks(),
+                        batch.column("dst_key").combine_chunks(),
+                    ]
+                ),
+                "b": pa.concat_arrays(
+                    [
+                        batch.column("dst_key").combine_chunks(),
+                        batch.column("src_key").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    # materialized once: the deduped arc table feeds both join sides
+    # (at scale this is a persisted shuffle output, spilled not held)
+    arcs = (
+        pairs.map_batches(
+            both_dirs, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+    def as_mid(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"mid": batch.column("a"), "b2": batch.column("b")}
+        )
+
+    right = arcs.map_batches(
+        as_mid, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hop2 = hash_join(arcs, right, on="b", right_on="mid").select_columns(
+        ["a", "b2"]
+    )
+
+    def rename_hop2(batch: pa.Table) -> pa.Table:
+        return pa.table({"a": batch.column("a"), "b": batch.column("b2")})
+
+    hop2 = hop2.map_batches(
+        rename_hop2, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+
+    def self_pairs(batch: pa.Table) -> pa.Table:
+        k = batch.column("key")
+        return pa.table({"a": k, "b": k})
+
+    selfs = keys.groupby("key").aggregate(
+        Count(alias_name="_c")
+    ).select_columns(["key"]).map_batches(
+        self_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    all_pairs = (
+        arcs.union(hop2)
+        .union(selfs)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_c"))
+    )
+
+    def drop(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("a")})
+
+    return (
+        all_pairs.map_batches(
+            drop, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("key")
+        .aggregate(Count(alias_name="n2"))
+    )
