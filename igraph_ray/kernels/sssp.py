@@ -184,3 +184,221 @@ def shortest_paths(
             "(negative cycle, or raise max_iter)"
         )
     return run
+
+
+PARENT_MSG_SCHEMA = pa.schema(
+    [
+        ("dst_part", pa.int32()),
+        ("dst", pa.int64()),
+        ("val", pa.float64()),
+        ("parent", pa.int64()),
+        ("old", pa.float64()),
+        ("old_parent", pa.int64()),
+    ]
+)
+
+_NO_PARENT = np.int64(-1)
+
+
+@dataclass
+class SSSPParentKernel(SSSPKernel):
+    """SSSP with deterministic parent pointers — the
+    ``igraph_get_shortest_paths`` / ``nx.single_source_dijkstra``
+    predecessor surface.  Among equal-distance relaxations the parent
+    is the smallest source vid (deterministic across runs, resumes and
+    partitionings), so the shortest-path tree is unique."""
+
+    message_schema: pa.Schema = PARENT_MSG_SCHEMA
+
+    def __post_init__(self):
+        self.state_value_cols = {
+            "dist": np.float64,
+            "parent": np.int64,
+            "changed": np.int64,
+        }
+
+    def init_state(self, csr, part: int) -> dict[str, np.ndarray]:
+        base = super().init_state(csr, part)
+        base["parent"] = np.full(
+            len(base["dist"]), _NO_PARENT, np.int64
+        )
+        return base
+
+    def scatter(self, csr, sb) -> pa.Table:
+        dist = sb.aligned["dist"]
+        changed = sb.aligned["changed"].astype(bool) & sb.present
+
+        if len(csr.get("src_pos", ())):
+            w = (
+                np.ones(len(csr["src_pos"]), np.float64)
+                if self.unit_weights
+                else np.asarray(csr["w"], np.float64)
+            )
+            vals = np.where(
+                changed[csr["src_pos"]], dist[csr["src_pos"]] + w, _INF
+            )
+            seg_min = np.minimum.reduceat(vals, csr["seg_start"])
+            # parent achieving the min, smallest src vid on ties: a
+            # second reduceat over src vids masked to the minimal arcs
+            seg_lens = np.diff(np.r_[csr["seg_start"], len(vals)])
+            seg_of_arc = np.repeat(
+                np.arange(len(csr["seg_start"])), seg_lens
+            )
+            src_vids = csr["vids"][csr["src_pos"]]
+            at_min = vals == seg_min[seg_of_arc]
+            big = np.int64(np.iinfo(np.int64).max)
+            seg_parent = np.minimum.reduceat(
+                np.where(at_min, src_vids, big), csr["seg_start"]
+            )
+            live = np.isfinite(seg_min)
+            m_part = csr["seg_dst_part"][live]
+            m_dst = csr["seg_dst"][live]
+            m_val = seg_min[live]
+            m_parent = seg_parent[live]
+        else:
+            m_part = np.empty(0, np.int32)
+            m_dst = np.empty(0, np.int64)
+            m_val = np.empty(0, np.float64)
+            m_parent = np.empty(0, np.int64)
+
+        n_self = len(sb.vids)
+        return pa.table(
+            {
+                "dst_part": pa.array(
+                    np.concatenate(
+                        [m_part, np.full(n_self, sb.part, np.int32)]
+                    )
+                ),
+                "dst": pa.array(np.concatenate([m_dst, sb.vids])),
+                "val": pa.array(
+                    np.concatenate(
+                        [m_val, np.full(n_self, _INF, np.float64)]
+                    )
+                ),
+                "parent": pa.array(
+                    np.concatenate(
+                        [m_parent, np.full(n_self, _NO_PARENT)]
+                    )
+                ),
+                "old": pa.array(
+                    np.concatenate(
+                        [np.full(len(m_dst), _INF), sb.values["dist"]]
+                    )
+                ),
+                "old_parent": pa.array(
+                    np.concatenate(
+                        [
+                            np.full(len(m_dst), _NO_PARENT),
+                            sb.values["parent"],
+                        ]
+                    )
+                ),
+            }
+        )
+
+    def apply(self, group: pa.Table, part: int) -> pa.Table:
+        dst = group.column("dst").to_numpy(zero_copy_only=False)
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        parent = group.column("parent").to_numpy(zero_copy_only=False)
+        old = group.column("old").to_numpy(zero_copy_only=False)
+        old_parent = group.column("old_parent").to_numpy(
+            zero_copy_only=False
+        )
+
+        # first row per dst after this sort = (min val, min parent)
+        order = np.lexsort((parent, val, dst))
+        dst, val, parent, old, old_parent = (
+            dst[order],
+            val[order],
+            parent[order],
+            old[order],
+            old_parent[order],
+        )
+        if len(dst):
+            boundary = np.empty(len(dst), dtype=bool)
+            boundary[0] = True
+            boundary[1:] = dst[1:] != dst[:-1]
+            seg = np.flatnonzero(boundary)
+            vids = dst[seg]
+            new = val[seg]
+            new_parent = parent[seg]
+            old_min = np.minimum.reduceat(old, seg)
+            # the incumbent parent rides the self row (old < inf)
+            inc_parent = np.minimum.reduceat(
+                np.where(
+                    old_parent == _NO_PARENT,
+                    np.int64(np.iinfo(np.int64).max),
+                    old_parent,
+                ),
+                seg,
+            )
+            inc_parent = np.where(
+                inc_parent == np.iinfo(np.int64).max, _NO_PARENT, inc_parent
+            )
+        else:
+            vids = np.empty(0, np.int64)
+            new = np.empty(0, np.float64)
+            new_parent = np.empty(0, np.int64)
+            old_min = np.empty(0, np.float64)
+            inc_parent = np.empty(0, np.int64)
+
+        improved = new < old_min
+        # equal-distance rediscovery must NOT change the parent (the
+        # incumbent was chosen deterministically when dist first hit
+        # this value), so ties keep the old pointer
+        out_dist = np.where(improved, new, old_min)
+        out_parent = np.where(improved, new_parent, inc_parent)
+        return pa.table(
+            {
+                "part": pa.array(np.full(len(vids), part, np.int32)),
+                "vid": pa.array(vids),
+                "dist": pa.array(out_dist),
+                "parent": pa.array(out_parent),
+                "changed": pa.array(improved.astype(np.int64)),
+            }
+        )
+
+
+def shortest_path_tree(
+    graph: GraphMeta,
+    source: int,
+    weighted: bool = True,
+    max_iter: int = 10_000,
+) -> KernelRun:
+    """Single-source shortest-path TREE: state rows ``(vid, dist,
+    parent)`` with ``parent = -1`` for the source and unreachable
+    vertices.  Deterministic (smallest-parent tie-break)."""
+    kernel = SSSPParentKernel(
+        num_parts=graph.num_parts,
+        sources=np.asarray([source], np.int64),
+        unit_weights=not weighted,
+    )
+    run = run_kernel(kernel, graph, max_iter=max_iter)
+    if not run.converged:
+        raise RuntimeError(
+            f"shortest_path_tree did not converge in {max_iter} iterations"
+        )
+    return run
+
+
+def trace_path(state, source: int, target: int, max_hops: int = 100_000):
+    """Walk parent pointers from ``target`` back to ``source``; returns
+    the vid path source→target, or ``[]`` if unreachable.  Each hop is
+    one tiny filter over the (materialized) state — fine for the
+    O(diameter) hops of a link graph; at serious scale persist the
+    tree as vid-partitioned parquet and use pushdown point reads."""
+    state = state.materialize()
+    path = [int(target)]
+    cur = int(target)
+    for _ in range(max_hops):
+        if cur == source:
+            return list(reversed(path))
+        rows = state.filter(expr=f"vid == {cur}").take_all()
+        if not rows:
+            return []
+        p = int(rows[0]["parent"])
+        if p < 0:
+            return []
+        path.append(p)
+        cur = p
+    raise RuntimeError("path trace exceeded max_hops (cycle?)")

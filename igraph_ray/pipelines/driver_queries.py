@@ -3133,3 +3133,47 @@ def q_neighborhood2(sf_dir: str):
         .groupby("key")
         .aggregate(Count(alias_name="n2"))
     )
+
+
+def _farthest(run) -> int:
+    """Farthest reachable vid (smallest vid on distance ties) from a
+    shortest-path run — per-block partial argmax, tiny driver reduce."""
+    best = None
+    for b in run.state.iter_batches(batch_format="pyarrow", batch_size=None):
+        v = b.column("vid").to_numpy(zero_copy_only=False)
+        d = b.column("dist").to_numpy(zero_copy_only=False)
+        fin = np.isfinite(d)
+        if not fin.any():
+            continue
+        i = np.lexsort((v[fin], -d[fin]))[0]
+        cand = (float(d[fin][i]), int(v[fin][i]))
+        if best is None or (-cand[0], cand[1]) < (-best[0], best[1]):
+            best = cand
+    assert best is not None
+    return best[1]
+
+
+def q_shortest_path_route(sf_dir: str, graph_dir: str | None = None):
+    """(step, key) — a pseudo-diameter path of the E1∪E2 link graph by
+    the classic double sweep (igraph ``pseudo_diameter``): BFS tree
+    from vid 0 → farthest vertex u, BFS tree from u → farthest w, then
+    the parent-pointer trace u→w (kernels/sssp.py::shortest_path_tree
+    with deterministic smallest-parent tie-break).  Rows-only; nx
+    path-validity oracles in tests/test_path_tree.py."""
+    import tempfile
+
+    from igraph_ray.kernels.sssp import shortest_path_tree, trace_path
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_spt_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    u = _farthest(shortest_path_tree(graph, source=0, weighted=False))
+    run = shortest_path_tree(graph, source=u, weighted=False)
+    w = _farthest(run)
+    path = trace_path(run.state, u, w)
+    tbl = pa.table(
+        {
+            "step": pa.array(range(len(path)), pa.int64()),
+            "vid": pa.array(path, pa.int64()),
+        }
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})

@@ -1,0 +1,74 @@
+"""Shortest-path tree + path retrieval vs networkx invariants."""
+
+import math
+
+import networkx as nx
+import numpy as np
+import pytest
+
+from igraph_ray.kernels.sssp import shortest_path_tree, trace_path
+from tests.util import graph_from_nx
+
+
+def _state_maps(run):
+    dist, parent = {}, {}
+    for b in run.state.iter_batches(batch_format="pyarrow", batch_size=None):
+        for v, d, p in zip(
+            b.column("vid").to_pylist(),
+            b.column("dist").to_pylist(),
+            b.column("parent").to_pylist(),
+        ):
+            dist[v], parent[v] = d, p
+    return dist, parent
+
+
+def test_tree_distances_and_parent_invariant(tmp_graph_dir):
+    G = nx.gnm_random_graph(60, 150, seed=13)
+    for u, v in G.edges():
+        G[u][v]["weight"] = ((u * 7 + v * 3) % 5) + 1
+    graph = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    # graph_from_nx builds unweighted (weight 1) edges: test hops here
+    run = shortest_path_tree(graph, source=0, weighted=False)
+    dist, parent = _state_maps(run)
+    want = nx.single_source_shortest_path_length(G, 0)
+    for v in G.nodes():
+        if v in want:
+            assert dist[v] == want[v], v
+        else:
+            assert math.isinf(dist[v])
+    # parent invariant: dist[p] + 1 == dist[v], (p, v) is an edge
+    for v, p in parent.items():
+        if p >= 0:
+            assert G.has_edge(p, v)
+            assert dist[p] + 1 == dist[v]
+    assert parent[0] == -1
+
+
+def test_trace_path_valid(tmp_graph_dir):
+    G = nx.gnm_random_graph(40, 90, seed=5)
+    assert nx.has_path(G, 0, 17)
+    graph = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    run = shortest_path_tree(graph, source=0, weighted=False)
+    path = trace_path(run.state, 0, 17)
+    assert path[0] == 0 and path[-1] == 17
+    for a, b in zip(path, path[1:]):
+        assert G.has_edge(a, b)
+    assert len(path) - 1 == nx.shortest_path_length(G, 0, 17)
+
+
+def test_trace_path_unreachable(tmp_graph_dir):
+    G = nx.Graph()
+    G.add_edges_from([(0, 1), (2, 3)])
+    graph = graph_from_nx(G, tmp_graph_dir, num_parts=2)
+    run = shortest_path_tree(graph, source=0, weighted=False)
+    assert trace_path(run.state, 0, 3) == []
+    assert trace_path(run.state, 0, 1) == [0, 1]
+
+
+def test_tree_determinism(tmp_graph_dir):
+    G = nx.gnm_random_graph(30, 80, seed=3)
+    g1 = graph_from_nx(G, f"{tmp_graph_dir}/a", num_parts=3)
+    g2 = graph_from_nx(G, f"{tmp_graph_dir}/b", num_parts=5)
+    _, p1 = _state_maps(shortest_path_tree(g1, 0, weighted=False))
+    _, p2 = _state_maps(shortest_path_tree(g2, 0, weighted=False))
+    assert p1 == p2  # smallest-parent tie-break kills layout effects
