@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_windows": q.q_hourly_windows,  # SQL oracle (epoch floor)
         "running_totals": q.q_running_totals,  # SQL oracle (SUM OVER)
         "moving_totals": q.q_moving_totals,  # SQL oracle (LAG/LEAD/ROWS BETWEEN)
+        "distinct_users_exact": q.q_distinct_users_exact,  # SQL oracle (COUNT DISTINCT)
+        "user_journeys": q.q_user_journeys,  # SQL oracle (ordered string_agg)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
@@ -2015,6 +2017,31 @@ SELECT user_id, ts, event_id,
          ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS run_sum
 FROM v
+""",
+        "distinct_users_exact": (
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type"
+        ),
+        # ordered per-key collection: first-20 filter via ROW_NUMBER,
+        # but n_events counts every row of the key
+        "user_journeys": """
+WITH v AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+),
+tot AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id
+)
+SELECT t.user_id,
+       (SELECT string_agg(event_type, '>' ORDER BY rn)
+        FROM v WHERE v.user_id = t.user_id AND v.rn <= 20) AS journey,
+       t.n_events
+FROM tot t
 """,
         "moving_totals": """
 WITH v AS (

@@ -3177,3 +3177,36 @@ def q_shortest_path_route(sf_dir: str, graph_dir: str | None = None):
         }
     )
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_distinct_users_exact(sf_dir: str):
+    """(event_type, n_users) — EXACT distinct users per event type via
+    the two-level grouped aggregate (dedup groupby then count), the
+    exact twin of the HLL sketch query `approx_distinct_users`."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    dedup = ev.groupby(["event_type", "user_id"]).aggregate(
+        Count(alias_name="_c")
+    )
+    return (
+        dedup.select_columns(["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+    )
+
+
+def q_user_journeys(sf_dir: str):
+    """(user_id, journey, n_events) — each user's first 20 event types
+    concatenated with '>' in (ts, event_id) order: the string_agg /
+    collect_list surface (stages/collect.py, segmented ListArray join,
+    no per-key Python)."""
+    from igraph_ray.stages.collect import collect_ordered
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return collect_ordered(
+        ev, "user_id", "ts", "event_id", "event_type", sep=">", limit=20
+    )
