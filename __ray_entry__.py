@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moving_totals": q.q_moving_totals,  # SQL oracle (LAG/LEAD/ROWS BETWEEN)
         "distinct_users_exact": q.q_distinct_users_exact,  # SQL oracle (COUNT DISTINCT)
         "user_journeys": q.q_user_journeys,  # SQL oracle (ordered string_agg)
+        "events_jsonl_agg": q.q_events_jsonl_agg,  # SQL oracle (JSONL source roundtrip)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
@@ -2018,6 +2019,12 @@ SELECT user_id, ts, event_id,
        ) AS BIGINT) AS run_sum
 FROM v
 """,
+        "events_jsonl_agg": (
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS sum_cents "
+            "FROM events GROUP BY event_type"
+        ),
         "distinct_users_exact": (
             "SELECT event_type, "
             "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "

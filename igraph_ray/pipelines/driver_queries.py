@@ -3210,3 +3210,48 @@ def q_user_journeys(sf_dir: str):
     return collect_ordered(
         ev, "user_id", "ts", "event_id", "event_type", sep=">", limit=20
     )
+
+
+def q_events_jsonl_agg(sf_dir: str):
+    """(event_type, n, sum_cents) — S1 source-format coverage beyond
+    parquet: events are converted to exact integer cents, written as
+    JSONL (one scratch dump per sf dir under /tmp), read back with
+    ray.data.read_json, and aggregated.  Ints survive the JSON
+    roundtrip bitwise, so the SQL twin over the original parquet
+    hash-matches."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/igr_jsonl_{tag}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        ev = ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+        )
+
+        def cents(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "event_type": batch.column("event_type"),
+                    "cents": pa.array(
+                        np.floor(v * 100.0 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+        ev.map_batches(
+            cents, batch_format="pyarrow", zero_copy_batch=True
+        ).write_json(out)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    back = ray.data.read_json(
+        [
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".json")
+        ]
+    )
+    return back.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("cents", alias_name="sum_cents")
+    )

@@ -196,3 +196,58 @@ def chung_lu_edges(
 
     rng = ray.data.range(m, override_num_blocks=override_num_blocks)
     return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------
+# Watts–Strogatz small-world rewiring
+# --------------------------------------------------------------------
+
+
+def watts_strogatz_edges(
+    n: int,
+    k: int,
+    beta: float,
+    seed: int = 0,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Watts–Strogatz small-world graph (igraph
+    ``igraph_watts_strogatz_game`` / ``nx.watts_strogatz_graph``
+    semantics): start from the ring lattice where each vertex i links
+    to its k/2 clockwise neighbours (undirected, emitted once as
+    ``src = i``, ``dst = (i + j) % n``), then rewire each edge's dst
+    with probability ``beta`` to a uniform random vertex (self-loops
+    and the original endpoint re-drawn via a salted second draw —
+    duplicates possible, as in the reference; collapse downstream for
+    a simple graph).
+
+    Fully deterministic (splitmix64-salted per-edge draws) and
+    embarrassingly parallel: each of the ``n*k/2`` edge slots is
+    generated independently from its index — no sequential state, any
+    scale, stable under any partitioning.
+    """
+    if k <= 0 or k % 2:
+        raise ValueError("k must be positive and even")
+    if not 0 <= beta <= 1:
+        raise ValueError("beta must be in [0, 1]")
+    half = k // 2
+    m = n * half
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        i = ids // half
+        j = ids % half + 1
+        src = i
+        dst = (i + j) % n
+        u01 = _hash2(ids, 104729, seed).astype(np.float64) / 2.0**64
+        rewire = u01 < beta
+        # two independent target draws; take the second when the first
+        # hits src (cheap collision dodge — a residual self-loop after
+        # both draws is kept, matching "loops possible" semantics)
+        t1 = (_hash2(ids, 1299709, seed) % np.uint64(n)).astype(np.int64)
+        t2 = (_hash2(ids, 15485863, seed) % np.uint64(n)).astype(np.int64)
+        target = np.where(t1 == src, t2, t1)
+        dst = np.where(rewire, target, dst)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    rng = ray.data.range(m, override_num_blocks=override_num_blocks)
+    return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)

@@ -72,3 +72,39 @@ def test_chung_lu_powerlaw_skew():
     assert tbl.sort_by([("src", "ascending"), ("dst", "ascending")]).equals(
         again.sort_by([("src", "ascending"), ("dst", "ascending")])
     )
+
+
+def test_watts_strogatz_ring_and_rewire():
+    import numpy as np
+
+    from igraph_ray.sources.generators import watts_strogatz_edges
+
+    n, k = 200, 4
+    # beta = 0: the exact ring lattice
+    ds = watts_strogatz_edges(n, k, beta=0.0, seed=7)
+    t = ds_to_table(ds)
+    pairs = set(
+        zip(t.column("src").to_pylist(), t.column("dst").to_pylist())
+    )
+    want = {(i, (i + j) % n) for i in range(n) for j in (1, 2)}
+    assert pairs == want
+
+    # beta = 0.3: edge count preserved, src side untouched, a
+    # nontrivial fraction rewired away from the lattice
+    ds2 = watts_strogatz_edges(n, k, beta=0.3, seed=7)
+    t2 = ds_to_table(ds2)
+    assert t2.num_rows == n * k // 2
+    src = np.asarray(t2.column("src").to_pylist())
+    dst = np.asarray(t2.column("dst").to_pylist())
+    assert set(src.tolist()) == set(range(n))
+    lattice = np.array(
+        [((d - s) % n) in (1, 2) for s, d in zip(src, dst)]
+    )
+    frac_rewired = 1.0 - lattice.mean()
+    assert 0.15 < frac_rewired < 0.45  # ~beta, minus back-luck hits
+
+    # determinism across block layouts
+    t3 = ds_to_table(
+        watts_strogatz_edges(n, k, beta=0.3, seed=7, override_num_blocks=9)
+    )
+    assert sorted(zip(t3.column("src").to_pylist(), t3.column("dst").to_pylist())) == sorted(zip(src.tolist(), dst.tolist()))
