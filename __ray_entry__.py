@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quotient_graph": q.q_quotient_graph,  # SQL oracle (join + mod contraction)
         "neighborhood2": q.q_neighborhood2,  # SQL oracle (self-join distinct)
         "shortest_path_route": q.q_shortest_path_route,  # rows-only (nx path-validity pytest oracle)
+        "hyperball_nf": q.q_hyperball_nf,  # rows-only (bitwise local-replay pytest oracle)
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
         "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)

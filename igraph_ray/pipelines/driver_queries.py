@@ -3255,3 +3255,24 @@ def q_events_jsonl_agg(sf_dir: str):
     return back.groupby("event_type").aggregate(
         Count(alias_name="n"), Sum("cents", alias_name="sum_cents")
     )
+
+
+def q_hyperball_nf(sf_dir: str, graph_dir: str | None = None):
+    """(t, nf) — HyperBall approximate neighborhood function N(t) of
+    the E1∪E2 link graph (kernels/hyperball.py: per-vertex 64-register
+    HLL counters, byte-wise max pre-combine, N(t) read from the
+    per-iteration metrics).  Rows-only; bitwise local-replay oracle in
+    tests/test_hyperball.py."""
+    import tempfile
+
+    from igraph_ray.kernels.hyperball import hyperball
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_hb_")
+    graph, _vtbl = _build_key_graph(sf_dir, graph_dir)
+    _run, nf, eff = hyperball(graph)
+    return pa.table(
+        {
+            "t": pa.array(range(len(nf)), pa.int64()),
+            "nf": pa.array(nf, pa.float64()),
+        }
+    )
