@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neighborhood2": q.q_neighborhood2,  # SQL oracle (self-join distinct)
         "shortest_path_route": q.q_shortest_path_route,  # rows-only (nx path-validity pytest oracle)
         "hyperball_nf": q.q_hyperball_nf,  # rows-only (bitwise local-replay pytest oracle)
+        "wl_colors": q.q_wl_colors,  # rows-only (local replay + nx subtree-class pytest oracles)
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
         "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)

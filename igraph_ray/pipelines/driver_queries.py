@@ -3276,3 +3276,24 @@ def q_hyperball_nf(sf_dir: str, graph_dir: str | None = None):
             "nf": pa.array(nf, pa.float64()),
         }
     )
+
+
+def q_wl_colors(sf_dir: str, graph_dir: str | None = None):
+    """(key, wl_color) — depth-3 Weisfeiler–Lehman refinement colors
+    of the E1∪E2 link graph (kernels/wl.py: multiset-sum message
+    hashing, bitwise-deterministic across runs/partitionings; local
+    replay + nx subtree-class oracles in tests/test_wl.py).
+    Rows-only driver check."""
+    import tempfile
+
+    from igraph_ray.kernels.wl import wl_colors
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_wl_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = wl_colors(graph, rounds=3)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "color"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return _vid_to_key(state, vtbl, {"vid": "key", "color": "wl_color"})
