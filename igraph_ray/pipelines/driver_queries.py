@@ -3295,5 +3295,7 @@ def q_wl_colors(sf_dir: str, graph_dir: str | None = None):
         run.state.select_columns(["vid", "color"]).iter_batches(
             batch_format="pyarrow", batch_size=None
         )
-    )
-    return _vid_to_key(state, vtbl, {"vid": "key", "color": "wl_color"})
+    ).rename_columns(["vid", "wl_color"])
+    # only vid is a vertex id; wl_color is a hash value and passes
+    # through unmapped
+    return _vid_to_key(state, vtbl, {"vid": "key"})
