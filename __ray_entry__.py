@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shortest_path_route": q.q_shortest_path_route,  # rows-only (nx path-validity pytest oracle)
         "hyperball_nf": q.q_hyperball_nf,  # rows-only (bitwise local-replay pytest oracle)
         "wl_colors": q.q_wl_colors,  # rows-only (local replay + nx subtree-class pytest oracles)
+        "four_cycles": q.q_four_cycles,  # SQL oracle (codegree identity, exact ints)
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
         "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)
@@ -881,6 +882,23 @@ canon AS (
 SELECT a AS src_key, b AS dst_key, w AS weight FROM canon
 UNION ALL
 SELECT b, a, w FROM canon WHERE a <> b
+""",
+        # rectangle count: wedges grouped per unordered pair, the
+        # codegree identity sum, halved (each C4 has two diagonals)
+        "four_cycles": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS a, dst_key AS b FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+codeg AS (
+  SELECT e1.b AS u, e2.b AS w, CAST(COUNT(*) AS BIGINT) AS m
+  FROM arcs e1 JOIN arcs e2 ON e1.a = e2.a AND e1.b < e2.b
+  GROUP BY e1.b, e2.b
+)
+SELECT CAST(COALESCE(SUM(m * (m - 1) // 2), 0) // 2 AS BIGINT) AS n_c4
+FROM codeg
 """,
         # closed 2-hop neighborhood size: symmetric arcs, one self-join,
         # UNION dedup, per-vertex count (isolated keys -> 1)

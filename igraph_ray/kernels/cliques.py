@@ -193,3 +193,37 @@ def total_four_cliques(per_vertex: ray.data.Dataset) -> int:
     """Σ per-vertex counts / 4 (each K4 credits its four corners)."""
     s = per_vertex.sum("c4") or 0
     return int(s) // 4
+
+
+def four_cycle_count(arcs: ray.data.Dataset) -> int:
+    """Global number of (simple, chordless-or-not) 4-cycles — the
+    rectangle count (igraph motif surface; nx has no direct twin, the
+    pytest oracle uses the same codegree identity computed densely).
+
+    Identity: every C4 has two diagonal pairs, and a pair (u, w) with
+    codegree m spans C(m, 2) rectangles through its common neighbors,
+    so ``#C4 = Σ_{u<w} C(codeg(u, w), 2) / 2``.  Codegrees come from
+    the existing cocitation pipeline over the SYMMETRIC arc table (one
+    per-center wedge expansion + one grouped sum — O(Σ deg²) wedges,
+    same cost class as triangle counting); the final reduction is
+    per-block partial sums, exact ints throughout.
+    """
+    from igraph_ray.kernels.triads import cocitation_counts
+
+    co = cocitation_counts(arcs, mode="cocitation")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = batch.column("common").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {"s": pa.array([int((m * (m - 1) // 2).sum())], pa.int64())}
+        )
+
+    rows = co.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    total = sum(r["s"] for r in rows)
+    if total % 2:
+        raise AssertionError("codegree identity violated (odd total)")
+    return total // 2

@@ -3299,3 +3299,34 @@ def q_wl_colors(sf_dir: str, graph_dir: str | None = None):
     # only vid is a vertex id; wl_color is a hash value and passes
     # through unmapped
     return _vid_to_key(state, vtbl, {"vid": "key"})
+
+
+def q_four_cycles(sf_dir: str):
+    """(n_c4) — global rectangle (4-cycle) count of the E1∪E2 link
+    graph via the codegree identity Σ C(codeg,2)/2 over the cocitation
+    pipeline (kernels/cliques.py::four_cycle_count).  Exact ints."""
+    from igraph_ray.kernels.cliques import four_cycle_count
+
+    pairs = _link_graph_edges(sf_dir)
+    vertices = assign_vertex_ids(
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"}),
+        key_col="key",
+    )
+    edges = attach_vids(pairs, vertices)
+
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([s, d])),
+                "dst": pa.array(np.concatenate([d, s])),
+            }
+        )
+
+    arcs = edges.map_batches(
+        both, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pa.table({"n_c4": pa.array([four_cycle_count(arcs)], pa.int64())})

@@ -86,3 +86,48 @@ def test_total_four_cliques():
     G = nx.complete_graph(6)  # C(6,4) = 15
     ds = four_clique_counts(_edges_ds(G))
     assert total_four_cliques(ds) == 15
+
+
+def test_four_cycle_count_known_graphs():
+    import networkx as nx
+    import numpy as np
+
+    from igraph_ray.kernels.cliques import four_cycle_count
+
+    def arcs_of(G):
+        from tests.util import nx_edge_arrays
+
+        src, dst = nx_edge_arrays(G)
+        s = np.concatenate([src, dst])
+        d = np.concatenate([dst, src])
+        return ray.data.from_arrow(
+            pa.table({"src": pa.array(s), "dst": pa.array(d)})
+        ).repartition(3)
+
+    def dense_c4(G):
+        nodes = sorted(G.nodes())
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        A = np.zeros((n, n), np.int64)
+        for u, v in G.edges():
+            if u != v:
+                A[idx[u], idx[v]] = A[idx[v], idx[u]] = 1
+        co = A @ A
+        tot = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                m = co[i, j]
+                tot += m * (m - 1) // 2
+        return tot // 2
+
+    cases = [
+        (nx.complete_graph(4), 3),
+        (nx.cycle_graph(4), 1),
+        (nx.petersen_graph(), 0),  # girth 5
+        (nx.complete_bipartite_graph(2, 3), 3),
+        (nx.gnm_random_graph(30, 90, seed=8), None),
+    ]
+    for G, known in cases:
+        got = four_cycle_count(arcs_of(G))
+        want = dense_c4(G) if known is None else known
+        assert got == want, (G, got, want)
