@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_exact": q.q_distinct_users_exact,  # SQL oracle (COUNT DISTINCT)
         "user_journeys": q.q_user_journeys,  # SQL oracle (ordered string_agg)
         "events_jsonl_agg": q.q_events_jsonl_agg,  # SQL oracle (JSONL source roundtrip)
+        "funnel_counts": q.q_funnel_counts,  # SQL oracle (chained-min funnel)
+        "cohort_retention": q.q_cohort_retention,  # SQL oracle (first-bucket matrix)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
@@ -2038,6 +2040,41 @@ SELECT user_id, ts, event_id,
          ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS run_sum
 FROM v
+""",
+        # ordered funnel: per-user ROW_NUMBER in (ts, event_id) order,
+        # chained strictly-after MINs — the greedy earliest chain
+        "funnel_counts": """
+WITH v AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         ) AS rn
+  FROM events
+),
+c1 AS (SELECT user_id, MIN(rn) AS rn FROM v
+       WHERE event_type = 'view' GROUP BY user_id),
+c2 AS (SELECT v.user_id, MIN(v.rn) AS rn FROM v
+       JOIN c1 ON v.user_id = c1.user_id AND v.rn > c1.rn
+       WHERE v.event_type = 'click' GROUP BY v.user_id),
+c3 AS (SELECT v.user_id, MIN(v.rn) AS rn FROM v
+       JOIN c2 ON v.user_id = c2.user_id AND v.rn > c2.rn
+       WHERE v.event_type = 'purchase' GROUP BY v.user_id)
+SELECT 1 AS step, 'view' AS step_name,
+       CAST(COUNT(*) AS BIGINT) AS n_users FROM c1
+UNION ALL
+SELECT 2, 'click', CAST(COUNT(*) AS BIGINT) FROM c2
+UNION ALL
+SELECT 3, 'purchase', CAST(COUNT(*) AS BIGINT) FROM c3
+""",
+        "cohort_retention": """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS b FROM events
+),
+d AS (SELECT DISTINCT user_id, b FROM v),
+f AS (SELECT user_id, MIN(b) AS cohort FROM d GROUP BY user_id)
+SELECT f.cohort, d.b - f.cohort AS "offset",
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id) GROUP BY 1, 2
 """,
         "events_jsonl_agg": (
             "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "

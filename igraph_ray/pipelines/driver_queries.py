@@ -3330,3 +3330,35 @@ def q_four_cycles(sf_dir: str):
         both, batch_format="pyarrow", zero_copy_batch=True
     )
     return pa.table({"n_c4": pa.array([four_cycle_count(arcs)], pa.int64())})
+
+
+WEEK_US = 7 * 24 * 3_600 * 1_000_000
+
+
+def q_funnel_counts(sf_dir: str):
+    """(step, step_name, n_users) — ordered view→click→purchase funnel
+    over the events stream: a user advances to step i only with an
+    event of that type strictly later (ts, event_id) than their chosen
+    step-i-1 event; greedy earliest chain (stages/funnel.py)."""
+    from igraph_ray.stages.funnel import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return funnel_counts(
+        ev, "user_id", "ts", "event_id", "event_type",
+        ("view", "click", "purchase"),
+    )
+
+
+def q_cohort_retention(sf_dir: str):
+    """(cohort, offset, n_users) — weekly cohort retention matrix:
+    cohort = user's first-event week, one count per distinct active
+    week per user (stages/funnel.py)."""
+    from igraph_ray.stages.funnel import cohort_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return cohort_retention(ev, "user_id", "ts", WEEK_US)
