@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_jsonl_agg": q.q_events_jsonl_agg,  # SQL oracle (JSONL source roundtrip)
         "funnel_counts": q.q_funnel_counts,  # SQL oracle (chained-min funnel)
         "cohort_retention": q.q_cohort_retention,  # SQL oracle (first-bucket matrix)
+        "corpus_report": q.q_corpus_report,  # SQL oracle (independent metric recompute)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
@@ -2040,6 +2041,28 @@ SELECT user_id, ts, event_id,
          ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS run_sum
 FROM v
+""",
+        # corpus curation report: every metric recomputed independently
+        "corpus_report": r"""
+WITH tok AS (
+  SELECT CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT 'n_docs' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+FROM documents
+UNION ALL
+SELECT 'n_exact_dup_docs',
+       CAST(COUNT(*) - COUNT(DISTINCT sha256(text)) AS BIGINT)
+FROM documents
+UNION ALL
+SELECT 'total_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM tok
+UNION ALL
+SELECT 'median_tokens',
+       CAST(quantile_disc(n_tokens, 0.5) AS BIGINT) FROM tok
+UNION ALL
+SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
 """,
         # ordered funnel: per-user ROW_NUMBER in (ts, event_id) order,
         # chained strictly-after MINs — the greedy earliest chain

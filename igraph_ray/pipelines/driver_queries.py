@@ -3362,3 +3362,74 @@ def q_cohort_retention(sf_dir: str):
         f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
     )
     return cohort_retention(ev, "user_id", "ts", WEEK_US)
+
+
+def q_corpus_report(sf_dir: str):
+    """(metric, value) — one-table corpus curation report: document
+    count, exact-duplicate docs (same sha256 as an earlier doc), total
+    and median whitespace tokens, distinct languages/sources.  Each
+    stat is a streaming aggregate over pruned columns; the SQL twin
+    recomputes every metric independently (exact ints)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang", "source"],
+    )
+    sha = with_content_sha(
+        docs.select_columns(["doc_id", "text"]), column="text"
+    )
+    n_docs = docs.count()
+    # docs whose sha already appeared on a smaller doc_id
+    firsts = sha.groupby("content_sha").aggregate(
+        Min("doc_id", alias_name="keeper")
+    )
+    n_distinct = firsts.count()
+    n_dups = n_docs - n_distinct
+
+    counted = token_count(docs).select_columns(["doc_id", "n_tokens"])
+    total_tokens = counted.sum("n_tokens")
+
+    from igraph_ray.stages.quantile import exact_quantiles_int
+
+    med = (
+        exact_quantiles_int(counted, "n_tokens", [0.5])
+        .column("value")[0]
+        .as_py()
+    )
+
+    n_langs = (
+        docs.select_columns(["lang"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="_c"))
+        .count()
+    )
+    n_sources = (
+        docs.select_columns(["source"])
+        .groupby("source")
+        .aggregate(Count(alias_name="_c"))
+        .count()
+    )
+    return pa.table(
+        {
+            "metric": pa.array(
+                [
+                    "n_docs",
+                    "n_exact_dup_docs",
+                    "total_tokens",
+                    "median_tokens",
+                    "n_langs",
+                    "n_sources",
+                ]
+            ),
+            "value": pa.array(
+                [
+                    n_docs,
+                    n_dups,
+                    int(total_tokens),
+                    int(med),
+                    n_langs,
+                    n_sources,
+                ],
+                pa.int64(),
+            ),
+        }
+    )
