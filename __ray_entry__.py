@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_counts": q.q_funnel_counts,  # SQL oracle (chained-min funnel)
         "cohort_retention": q.q_cohort_retention,  # SQL oracle (first-bucket matrix)
         "corpus_report": q.q_corpus_report,  # SQL oracle (independent metric recompute)
+        "quality_sample": q.q_quality_sample,  # SQL oracle (splitmix draw < IEEE quality)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
@@ -2041,6 +2042,29 @@ SELECT user_id, ts, event_id,
          ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS run_sum
 FROM v
+""",
+        # quality-weighted importance sampling: splitmix64 uniform draw
+        # vs the bitwise-replayed quality score (both sides round the
+        # uint64 to double with IEEE round-to-nearest, then divide by
+        # the exact power of two)
+        "quality_sample": f"""
+WITH s1 AS (
+  SELECT doc_id, lang,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+),
+s2 AS (SELECT doc_id, lang,
+  CAST({_mul64_sql("CAST(xor(z, z >> 30) AS HUGEINT)", "13787848793156543929")}
+       AS UBIGINT) AS z FROM s1),
+s3 AS (SELECT doc_id, lang,
+  CAST({_mul64_sql("CAST(xor(z, z >> 27) AS HUGEINT)", "10723151780598845931")}
+       AS UBIGINT) AS z FROM s2),
+s4 AS (SELECT doc_id, lang, xor(z, z >> 31) AS z FROM s3),
+qt AS ({_QUALITY_SQL})
+SELECT s4.doc_id, s4.lang
+FROM s4 JOIN qt USING (doc_id)
+WHERE CAST(s4.z AS DOUBLE) / 18446744073709551616.0 < qt.quality
 """,
         # corpus curation report: every metric recomputed independently
         "corpus_report": r"""

@@ -3433,3 +3433,18 @@ def q_corpus_report(sf_dir: str):
             ),
         }
     )
+
+
+def q_quality_sample(sf_dir: str):
+    """(doc_id, lang) — quality-weighted importance sampling: each doc
+    kept with probability equal to its quality score via the
+    deterministic splitmix64 acceptance draw (stages/sample.py::
+    weighted_sample + functions/text.py::quality_score)."""
+    from igraph_ray.stages.sample import weighted_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    scored = quality_score(docs, "text")
+    kept = weighted_sample(scored, "doc_id", "quality")
+    return kept.select_columns(["doc_id", "lang"])

@@ -137,3 +137,26 @@ def mixture_sample(
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+) -> ray.data.Dataset:
+    """Deterministic importance sampling: keep a row iff
+    ``splitmix64(key)/2^64 < weight`` (weight in [0, 1] — e.g. a
+    quality score), so acceptance probability equals the weight while
+    staying exactly reproducible across runs, resumes and cluster
+    sizes (and SQL-replayable: the uint64→double rounding is IEEE
+    round-to-nearest on both sides).  Map-only."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        u = hash_int64(k).astype(np.float64) / 2.0**64
+        return batch.filter(pa.array(u < w))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
