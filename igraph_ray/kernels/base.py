@@ -319,14 +319,19 @@ def run_kernel(
             .map_groups(_apply_group, batch_format="pyarrow")
             .materialize()
         )
-        # Cut plan lineage: a MaterializedDataset still carries its
-        # originating logical plan, so kernels that run hundreds of
-        # iterations (slow spectral gaps, long chains) accumulate an
-        # ever-deeper plan that eventually overflows the driver's
-        # recursion limit during optimization.  Rebuilding from the
-        # already-materialized block refs is zero-copy and keeps every
-        # iteration's plan O(1).
-        new_state = ray.data.from_arrow_refs(new_state.to_arrow_refs())
+        # Cut plan lineage PERIODICALLY: a MaterializedDataset still
+        # carries its originating logical plan, so kernels that run
+        # hundreds of iterations (slow spectral gaps, long chains)
+        # accumulate an ever-deeper plan that eventually overflows the
+        # driver's recursion limit during optimization.  Rebuilding
+        # from the materialized block refs resets the plan — but doing
+        # it EVERY iteration measurably degrades large-graph iteration
+        # times (A/B on the 100M-arc graph: 5.1 → 10.3 s/iter with
+        # escalation, apparently from lost block metadata/locality), so
+        # the cut runs every 64 iterations: normal kernels (≤60 iters)
+        # never pay, and the plan depth stays bounded for the rest.
+        if (it - start_iter) % 64 == 63:
+            new_state = ray.data.from_arrow_refs(new_state.to_arrow_refs())
         metrics = _metric_sums(new_state, kernel.metric_cols)
         state = new_state
         run.iterations = it + 1
