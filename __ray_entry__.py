@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q.q_cohort_retention,  # SQL oracle (first-bucket matrix)
         "corpus_report": q.q_corpus_report,  # SQL oracle (independent metric recompute)
         "quality_sample": q.q_quality_sample,  # SQL oracle (splitmix draw < IEEE quality)
+        "anomaly_windows": q.q_anomaly_windows,  # SQL oracle (exact-int z-score flag)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
@@ -2042,6 +2043,29 @@ SELECT user_id, ts, event_id,
          ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS run_sum
 FROM v
+""",
+        # exact-int anomaly flag: cross-multiplied |z| > 2 rule, no
+        # floating point anywhere
+        "anomaly_windows": """
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600000000 AS window_start,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+st AS (
+  SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS k,
+         CAST(SUM(n_events) AS HUGEINT) AS s,
+         CAST(SUM(n_events * n_events) AS HUGEINT) AS q2
+  FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.window_start, c.n_events,
+       CAST(CASE WHEN st.k > 1 AND
+                 (st.k * c.n_events - st.s) * (st.k * c.n_events - st.s)
+                   * (st.k - 1)
+                 > 4 * st.k * (st.k * st.q2 - st.s * st.s)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM c JOIN st USING (event_type)
 """,
         # quality-weighted importance sampling: splitmix64 uniform draw
         # vs the bitwise-replayed quality score (both sides round the

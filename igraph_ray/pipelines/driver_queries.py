@@ -3448,3 +3448,83 @@ def q_quality_sample(sf_dir: str):
     scored = quality_score(docs, "text")
     kept = weighted_sample(scored, "doc_id", "quality")
     return kept.select_columns(["doc_id", "lang"])
+
+
+def q_anomaly_windows(sf_dir: str):
+    """(event_type, window_start, n_events, is_anomaly) — hourly event
+    counts flagged as anomalous when |z| > 2 against the type's own
+    window distribution, decided in EXACT integer arithmetic: with k
+    windows, S = Σx, Q = Σx², flag iff
+    (k·x − S)²·(k−1) > 4·k·(k·Q − S²) — the cross-multiplied form of
+    (x−μ)² > 4σ² (sample variance), so the SQL twin matches bitwise
+    with no IEEE replay at all."""
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts"]
+    )
+
+    def win(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").to_numpy(zero_copy_only=False)
+        t = t.astype("datetime64[us]").astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": pa.array((t // WINDOW_US) * WINDOW_US),
+                "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = (
+        ev.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n_events"))
+    )
+
+    def sq(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_events").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "k": pa.array(np.ones(len(x), np.int64)),
+                "s": pa.array(x.astype(np.int64)),
+                "q2": pa.array((x * x).astype(np.int64)),
+            }
+        )
+
+    stats = (
+        counts.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("k", alias_name="k"),
+            Sum("s", alias_name="s"),
+            Sum("q2", alias_name="q2"),
+        )
+    )
+    # per-type stats: a handful of rows — collected once and shipped
+    # in the task closure (the classic broadcast small side)
+    lut = {
+        r["event_type"]: (r["k"], r["s"], r["q2"])
+        for r in stats.take_all()
+    }
+
+    def flag(batch: pa.Table) -> pa.Table:
+        x = batch.column("n_events").to_numpy(zero_copy_only=False)
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(types, return_inverse=True)
+        trip = np.array([lut[t] for t in uniq], np.int64)
+        k, s, q2 = trip[inv, 0], trip[inv, 1], trip[inv, 2]
+        lhs = (k * x - s) ** 2 * (k - 1)
+        rhs = 4 * k * (k * q2 - s * s)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "window_start": batch.column("window_start"),
+                "n_events": pa.array(x.astype(np.int64)),
+                "is_anomaly": pa.array(
+                    ((k > 1) & (lhs > rhs)).astype(np.int64)
+                ),
+            }
+        )
+
+    return counts.map_batches(
+        flag, batch_format="pyarrow", zero_copy_batch=True
+    )
