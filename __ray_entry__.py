@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_report": q.q_corpus_report,  # SQL oracle (independent metric recompute)
         "quality_sample": q.q_quality_sample,  # SQL oracle (splitmix draw < IEEE quality)
         "anomaly_windows": q.q_anomaly_windows,  # SQL oracle (exact-int z-score flag)
+        "running_revenue": q.q_running_revenue,  # SQL oracle (global exclusive scan)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
@@ -2042,6 +2043,20 @@ SELECT user_id, ts, event_id,
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS run_sum
+FROM v
+""",
+        # global exclusive scan: the SUM-OVER total-order window
+        "running_revenue": """
+WITH v AS (
+  SELECT epoch_us(o_orderdate) AS ts, o_orderkey,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT ts, o_orderkey, cents,
+       CAST(COALESCE(SUM(cents) OVER (
+         ORDER BY ts, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+       ), 0) AS BIGINT) AS scan
 FROM v
 """,
         # exact-int anomaly flag: cross-multiplied |z| > 2 rule, no

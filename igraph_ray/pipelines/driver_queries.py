@@ -3528,3 +3528,32 @@ def q_anomaly_windows(sf_dir: str):
     return counts.map_batches(
         flag, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_running_revenue(sf_dir: str):
+    """(o_orderkey, ts, cents, scan) — GLOBAL running revenue over all
+    orders in (o_orderdate, o_orderkey) order: the total-order
+    exclusive-scan primitive (stages/scan.py, two-phase distributed
+    prefix sum — sort, per-block bases, map-side cumsum)."""
+    from igraph_ray.stages.scan import exclusive_scan
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.column("o_orderdate").to_numpy(zero_copy_only=False)
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ts": pa.array(t.astype("datetime64[us]").astype(np.int64)),
+                "o_orderkey": batch.column("o_orderkey"),
+                "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    prepped = orders.map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return exclusive_scan(prepped, ("ts", "o_orderkey"), "cents")
