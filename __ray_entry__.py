@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_sample": q.q_quality_sample,  # SQL oracle (splitmix draw < IEEE quality)
         "anomaly_windows": q.q_anomaly_windows,  # SQL oracle (exact-int z-score flag)
         "running_revenue": q.q_running_revenue,  # SQL oracle (global exclusive scan)
+        "repo_assortativity": q.q_repo_assortativity,  # SQL oracle (int stats + one division)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
@@ -2044,6 +2045,36 @@ SELECT user_id, ts, event_id,
          ROWS UNBOUNDED PRECEDING
        ) AS BIGINT) AS run_sum
 FROM v
+""",
+        # nominal assortativity by repo: integer mixing-matrix stats,
+        # one IEEE division — r = (N*Tr - AB) / (N^2 - AB)
+        "repo_assortativity": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT regexp_replace(src_key, ':.*$', '') AS cs,
+         regexp_replace(dst_key, ':.*$', '') AS cd
+  FROM link_pairs
+  UNION ALL
+  SELECT regexp_replace(dst_key, ':.*$', ''),
+         regexp_replace(src_key, ':.*$', '')
+  FROM link_pairs
+),
+mix AS (SELECT cs, cd, CAST(COUNT(*) AS BIGINT) AS m FROM arcs GROUP BY 1, 2),
+tot AS (
+  SELECT CAST(SUM(m) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN cs = cd THEN m ELSE 0 END) AS BIGINT) AS tr
+  FROM mix
+),
+ab AS (
+  SELECT CAST(SUM(ra.a * ca.b) AS BIGINT) AS ab
+  FROM (SELECT cs AS c, SUM(m) AS a FROM mix GROUP BY cs) ra
+  JOIN (SELECT cd AS c, SUM(m) AS b FROM mix GROUP BY cd) ca
+    USING (c)
+)
+SELECT CAST(tot.n * tot.tr - ab.ab AS DOUBLE)
+         / CAST(tot.n * tot.n - ab.ab AS DOUBLE) AS r,
+       tot.n, tot.tr, ab.ab AS ab
+FROM tot, ab
 """,
         # global exclusive scan: the SUM-OVER total-order window
         "running_revenue": """

@@ -638,3 +638,47 @@ def degree_connectivity(pairs: ray.data.Dataset) -> pa.Table:
             ),
         }
     )
+
+
+def attribute_assortativity(
+    arcs_with_cats: ray.data.Dataset,
+    src_cat: str = "cat_src",
+    dst_cat: str = "cat_dst",
+) -> tuple[float, dict[str, int]]:
+    """Categorical attribute assortativity
+    (``nx.attribute_assortativity_coefficient`` /
+    ``igraph_assortativity_nominal``) from an ARC table already
+    carrying both endpoints' categories (pass arcs in both directions
+    for the undirected convention).
+
+    With the integer mixing-matrix counts ``M_ij``, arc total ``N``,
+    row sums ``a_i`` and column sums ``b_i``::
+
+        r = (N·Tr(M) − Σ_i a_i b_i) / (N² − Σ_i a_i b_i)
+
+    — exact integer sufficient statistics and ONE final IEEE division,
+    so the value replays bitwise in SQL.  Returns ``(r, stats)`` with
+    ``stats = {"n": N, "tr": Tr, "ab": Σ a_i b_i}``.
+
+    Scale shape: one grouped count over (src_cat, dst_cat) — the
+    mixing matrix is |categories|² tiny rows on the driver.
+    """
+    mix = (
+        arcs_with_cats.groupby([src_cat, dst_cat])
+        .aggregate(Count(alias_name="m"))
+        .take_all()
+    )
+    n = sum(r["m"] for r in mix)
+    if n == 0:
+        raise ValueError("no arcs")
+    tr = sum(r["m"] for r in mix if r[src_cat] == r[dst_cat])
+    rows: dict[object, int] = {}
+    cols: dict[object, int] = {}
+    for r in mix:
+        rows[r[src_cat]] = rows.get(r[src_cat], 0) + r["m"]
+        cols[r[dst_cat]] = cols.get(r[dst_cat], 0) + r["m"]
+    ab = sum(rows[c] * cols.get(c, 0) for c in rows)
+    denom = n * n - ab
+    if denom == 0:
+        return 1.0, {"n": n, "tr": tr, "ab": ab}
+    return (n * tr - ab) / denom, {"n": n, "tr": tr, "ab": ab}

@@ -3557,3 +3557,34 @@ def q_running_revenue(sf_dir: str):
         prep, batch_format="pyarrow", zero_copy_batch=True
     )
     return exclusive_scan(prepped, ("ts", "o_orderkey"), "cents")
+
+
+def q_repo_assortativity(sf_dir: str):
+    """(r, n, tr, ab) — categorical assortativity of the E1∪E2 link
+    graph by repo (the key's prefix before ':'): integer mixing-matrix
+    sufficient statistics and ONE final IEEE division
+    (kernels/metrics.py::attribute_assortativity; nx parity test in
+    tests/test_metrics.py)."""
+    from igraph_ray.kernels.metrics import attribute_assortativity
+
+    pairs = _link_graph_edges(sf_dir)
+
+    def arcs(batch: pa.Table) -> pa.Table:
+        s = batch.column("src_key").combine_chunks()
+        d = batch.column("dst_key").combine_chunks()
+        both_s = pa.concat_arrays([s, d])
+        both_d = pa.concat_arrays([d, s])
+        rep = pc.replace_substring_regex(both_s, ":.*$", "")
+        red = pc.replace_substring_regex(both_d, ":.*$", "")
+        return pa.table({"cat_src": rep, "cat_dst": red})
+
+    ds = pairs.map_batches(arcs, batch_format="pyarrow", zero_copy_batch=True)
+    r, st = attribute_assortativity(ds)
+    return pa.table(
+        {
+            "r": pa.array([r], pa.float64()),
+            "n": pa.array([st["n"]], pa.int64()),
+            "tr": pa.array([st["tr"]], pa.int64()),
+            "ab": pa.array([st["ab"]], pa.int64()),
+        }
+    )

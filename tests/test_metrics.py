@@ -224,3 +224,65 @@ def test_partition_quality_components_and_random():
         assert got["performance"] == pytest.approx(perf, abs=1e-12)
         assert got["n"] == G.number_of_nodes()
         assert got["m"] == G.number_of_edges()
+
+
+def test_attribute_assortativity_vs_nx():
+    import networkx as nx
+    import numpy as np
+
+    from igraph_ray.kernels.metrics import attribute_assortativity
+
+    rng = np.random.default_rng(13)
+    G = nx.gnm_random_graph(60, 150, seed=13)
+    cats = {v: ["x", "y", "z"][rng.integers(0, 3)] for v in G.nodes()}
+    nx.set_node_attributes(G, cats, "grp")
+    src, dst, cs, cd = [], [], [], []
+    for u, v in G.edges():
+        for a, b in ((u, v), (v, u)):  # both directions (undirected)
+            src.append(a)
+            dst.append(b)
+            cs.append(cats[a])
+            cd.append(cats[b])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "cat_src": pa.array(cs),
+                "cat_dst": pa.array(cd),
+            }
+        )
+    ).repartition(4)
+    r, stats = attribute_assortativity(ds)
+    want = nx.attribute_assortativity_coefficient(G, "grp")
+    assert abs(r - want) < 1e-12
+    assert stats["n"] == 2 * G.number_of_edges()
+
+
+def test_attribute_assortativity_perfect():
+    import numpy as np
+
+    from igraph_ray.kernels.metrics import attribute_assortativity
+
+    # two monochromatic cliques, no cross edges -> r == 1
+    src, dst, cs, cd = [], [], [], []
+    for grp, base in (("a", 0), ("b", 10)):
+        for i in range(4):
+            for j in range(4):
+                if i != j:
+                    src.append(base + i)
+                    dst.append(base + j)
+                    cs.append(grp)
+                    cd.append(grp)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "cat_src": pa.array(cs),
+                "cat_dst": pa.array(cd),
+            }
+        )
+    )
+    r, _ = attribute_assortativity(ds)
+    assert r == 1.0
