@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_windows": q.q_anomaly_windows,  # SQL oracle (exact-int z-score flag)
         "running_revenue": q.q_running_revenue,  # SQL oracle (global exclusive scan)
         "repo_assortativity": q.q_repo_assortativity,  # SQL oracle (int stats + one division)
+        "percolation": q.q_percolation,  # SQL oracle (splitmix edge draw + recursive CC)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
@@ -439,6 +440,59 @@ FROM s"""
 # operation order (clip = least(greatest(...))), so doubles match
 # bitwise.
 _STOP_PAT = "the|and|of|to|in|a|is|it|for|on|with|as|was|at|by"
+def _perc_chain(pct: int) -> str:
+    """Per-arm percolation CTE chain (names suffixed by pct; the
+    link_pairs / keys / v / fused CTEs are shared by both arms)."""
+    return f"""
+s1_{pct} AS (SELECT src_key, dst_key,
+  CAST((f + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+  FROM fused),
+s2_{pct} AS (SELECT src_key, dst_key,
+  CAST({_mul64_sql("CAST(xor(z, z >> 30) AS HUGEINT)", "13787848793156543929")}
+       AS UBIGINT) AS z FROM s1_{pct}),
+s3_{pct} AS (SELECT src_key, dst_key,
+  CAST({_mul64_sql("CAST(xor(z, z >> 27) AS HUGEINT)", "10723151780598845931")}
+       AS UBIGINT) AS z FROM s2_{pct}),
+s4_{pct} AS (SELECT src_key, dst_key, xor(z, z >> 31) AS z FROM s3_{pct}),
+kept_{pct} AS (SELECT src_key, dst_key FROM s4_{pct} WHERE z % 100 < {pct}),
+arcs_{pct} AS (
+  SELECT src_key AS s, dst_key AS d FROM kept_{pct}
+  UNION
+  SELECT dst_key, src_key FROM kept_{pct}
+),
+cc_{pct} AS (
+  WITH RECURSIVE reach(k, comp) AS (
+    SELECT key, key FROM keys
+    UNION
+    SELECT a.d, reach.comp FROM reach JOIN arcs_{pct} a ON reach.k = a.s
+  )
+  SELECT k, MIN(comp) AS comp FROM reach GROUP BY k
+),
+sizes_{pct} AS (SELECT comp, COUNT(*) AS n FROM cc_{pct} GROUP BY comp)"""
+
+
+def _percolation_sql(pcts: tuple[int, ...]) -> str:
+    chains = ",".join(_perc_chain(p) for p in pcts)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT CAST({p} AS BIGINT) AS pct,
+       CAST((SELECT MAX(n) FROM sizes_{p}) AS BIGINT) AS giant,
+       CAST((SELECT COUNT(*) FROM kept_{p}) AS BIGINT) AS n_kept"""
+        for p in pcts
+    )
+    return f"""
+{_LINK_PAIRS},
+v AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys),
+fused AS (
+  SELECT p.src_key, p.dst_key,
+         CAST(a.vid * 1048576 + b.vid AS HUGEINT) AS f
+  FROM link_pairs p
+  JOIN v a ON p.src_key = a.key JOIN v b ON p.dst_key = b.key
+),
+{chains}
+{arms}
+"""
+
+
 _QUALITY_SQL = f"""
 WITH f AS (
   SELECT doc_id,
@@ -2046,6 +2100,8 @@ SELECT user_id, ts, event_id,
        ) AS BIGINT) AS run_sum
 FROM v
 """,
+        # bond percolation robustness curve: one arm per retention pct
+        "percolation": _percolation_sql((40, 70)),
         # nominal assortativity by repo: integer mixing-matrix stats,
         # one IEEE division — r = (N*Tr - AB) / (N^2 - AB)
         "repo_assortativity": f"""

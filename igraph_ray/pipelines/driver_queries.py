@@ -3588,3 +3588,61 @@ def q_repo_assortativity(sf_dir: str):
             "ab": pa.array([st["ab"]], pa.int64()),
         }
     )
+
+
+PERC_PCTS = (40, 70)
+
+
+def q_percolation(sf_dir: str):
+    """(pct, giant, n_kept) — deterministic bond percolation: keep each
+    canonical link-graph edge iff splitmix64(src_vid·2^20 + dst_vid) %
+    100 < pct, rebuild the graph, and report the largest connected
+    component (robustness-curve surface).  Both the edge draw and the
+    component computation replay exactly in SQL."""
+    import tempfile
+
+    pairs = _link_graph_edges(sf_dir).materialize()
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).materialize()
+
+    out_rows = []
+    for pct in PERC_PCTS:
+        def keep(batch: pa.Table, _p=pct) -> pa.Table:
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            fused = (s << 20) | d
+            from igraph_ray.utils import hash_int64
+
+            z = hash_int64(fused) % np.uint64(100)
+            return batch.filter(pa.array(z < np.uint64(_p)))
+
+        sub = edges.map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True
+        )
+        n_kept = sub.count()
+        gdir = tempfile.mkdtemp(prefix=f"igr_perc{pct}_")
+        graph = build_graph(
+            sub,
+            gdir,
+            vertices=vertices.select_columns(["vid"]),
+            symmetrize=True,
+        )
+        run = connected_components(graph)
+        sizes = (
+            run.state.groupby("comp")
+            .aggregate(Count(alias_name="n"))
+            .max("n")
+        )
+        out_rows.append((pct, int(sizes or 0), n_kept))
+    return pa.table(
+        {
+            "pct": pa.array([r[0] for r in out_rows], pa.int64()),
+            "giant": pa.array([r[1] for r in out_rows], pa.int64()),
+            "n_kept": pa.array([r[2] for r in out_rows], pa.int64()),
+        }
+    )
