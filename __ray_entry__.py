@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_revenue": q.q_running_revenue,  # SQL oracle (global exclusive scan)
         "repo_assortativity": q.q_repo_assortativity,  # SQL oracle (int stats + one division)
         "percolation": q.q_percolation,  # SQL oracle (splitmix edge draw + recursive CC)
+        "doc_perplexity": q.q_doc_perplexity,  # rows-only (brute LM pytest oracle)
         "hopping_windows": q.q_hopping_windows,  # SQL oracle (series join)
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)

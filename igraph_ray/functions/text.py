@@ -763,3 +763,121 @@ def bm25_scores(
     return cands.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def corpus_unigram_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 65_536,
+) -> tuple[pa.Table, int]:
+    """Global lowercase-token frequency table capped to the
+    ``max_vocab`` most frequent terms (ties by term), plus the total
+    token count (INCLUDING tokens outside the kept vocabulary — the
+    OOV mass).  Per-batch pre-combine as in term_document_frequency."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _tokens_table(batch, text_col, id_col)
+        part = t.group_by("term").aggregate([("did", "count")])
+        return pa.table(
+            {
+                "term": part.column("term"),
+                "tf": pc.cast(part.column("did_count"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("tf", alias_name="tf"))
+    )
+    total = int(counts.sum("tf") or 0)
+    top = counts.sort(["tf", "term"], descending=[True, False]).limit(
+        max_vocab
+    )
+    vocab = pa.concat_tables(
+        top.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return vocab.combine_chunks(), total
+
+
+def unigram_logprob(
+    ds: ray.data.Dataset,
+    vocab: pa.Table,
+    total_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Per-document unigram-LM score — the perplexity quality filter
+    of a training pipeline (KenLM-style, order 1): with add-one
+    smoothing over the capped vocabulary (OOV falls to the smoothing
+    floor), append ``(n_tokens, avg_logp, ppl = exp(-avg_logp))`` per
+    doc.  Empty docs score ``avg_logp = 0, ppl = 1``.
+
+    The vocabulary ships ONCE via ``ray.put``; per batch the lookup is
+    a sorted-array binary search over the dictionary-encoded tokens —
+    no per-token Python."""
+    import math
+
+    import ray as _ray
+
+    v = vocab.sort_by("term").combine_chunks()
+    vsize = len(v) + 1  # +1 OOV bucket
+    denom = float(total_tokens + vsize)
+    ref = _ray.put(
+        (
+            np.asarray(v.column("term").to_pylist()),
+            v.column("tf").to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+    )
+    floor_logp = math.log(1.0 / denom)
+
+    class Score:
+        def __init__(self):
+            self.terms, self.tf = _ray.get(ref)
+            self.logp = np.log((self.tf + 1.0) / denom)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch.column(text_col)), r"\s+"
+            ).combine_chunks()
+            flat = toks.flatten()
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(keep))
+            # recompute per-doc counts over kept tokens
+            doc_of = np.repeat(np.arange(len(lens)), lens)[keep]
+            n_tok = np.bincount(doc_of, minlength=len(lens))
+            enc = flat.dictionary_encode()
+            uniq = np.asarray(enc.dictionary.to_pylist())
+            pos = np.searchsorted(self.terms, uniq)
+            pos_c = np.clip(pos, 0, max(len(self.terms) - 1, 0))
+            hit = (
+                (self.terms[pos_c] == uniq)
+                if len(self.terms)
+                else np.zeros(len(uniq), bool)
+            )
+            u_logp = np.where(hit, self.logp[pos_c], floor_logp)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            tok_logp = u_logp[idx]
+            sums = np.bincount(
+                doc_of, weights=tok_logp, minlength=len(lens)
+            )
+            avg = np.where(n_tok > 0, sums / np.maximum(n_tok, 1), 0.0)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "n_tokens": pa.array(n_tok.astype(np.int64)),
+                    "avg_logp": pa.array(avg),
+                    "ppl": pa.array(np.exp(-avg)),
+                }
+            )
+
+    return ds.map_batches(
+        Score,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )

@@ -3646,3 +3646,21 @@ def q_percolation(sf_dir: str):
             "n_kept": pa.array([r[2] for r in out_rows], pa.int64()),
         }
     )
+
+
+def q_doc_perplexity(sf_dir: str):
+    """(doc_id, n_tokens, avg_logp, ppl) — per-doc unigram-LM
+    perplexity under the corpus's own capped vocabulary (the KenLM-ish
+    quality filter; functions/text.py::unigram_logprob, vocabulary
+    broadcast once, binary-search scoring).  Rows-only; brute-force
+    pytest oracle in tests/test_unigram_lm.py."""
+    from igraph_ray.functions.text import (
+        corpus_unigram_counts,
+        unigram_logprob,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    vocab, total = corpus_unigram_counts(docs)
+    return unigram_logprob(docs, vocab, total)
