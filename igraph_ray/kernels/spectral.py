@@ -93,6 +93,9 @@ class FiedlerKernel:
         xn = (sb.aligned["x"] - self.mean) / self.norm
         if len(csr.get("src_pos", ())):
             vals = xn[csr["src_pos"]] * np.asarray(csr["w"], np.float64)
+            # partial-batch contract: (0 - mean)/norm is nonzero, so
+            # arcs from rows absent in this batch must be zeroed
+            vals[~sb.present[csr["src_pos"]]] = 0.0
             contrib = np.add.reduceat(vals, csr["seg_start"])
             seg_dst = csr["seg_dst"]
             seg_dst_part = csr["seg_dst_part"]

@@ -108,6 +108,11 @@ class VoteRankKernel:
             len(csr["vids"]) > 0
             and sel_local < len(csr["vids"])
             and csr["vids"][sel_local] == self.last_selected
+            # partial-batch contract: if this partition's state rows
+            # split across blocks, exactly ONE slice (the one holding
+            # the selected vid's row) may emit the weaken arcs — else
+            # neighbor abilities would be decremented once per slice
+            and bool(sb.present[sel_local])
         )
         if has_sel and len(src_pos):
             # per-arc filter (pre-combine segments group arcs by dst

@@ -76,6 +76,11 @@ class WLKernel:
             h = hash_int64(color[csr["src_pos"]])
             with np.errstate(over="ignore"):
                 vals = h * w
+                # partial-batch contract (base.py scatter doc): arcs
+                # whose source row is NOT in this batch must contribute
+                # the additive neutral — hash_int64(0) is nonzero, so
+                # zero-filled absent slots must be masked explicitly
+                vals[~sb.present[csr["src_pos"]]] = np.uint64(0)
                 comb = np.add.reduceat(vals, csr["seg_start"]).view(
                     np.int64
                 )

@@ -3510,8 +3510,22 @@ def q_anomaly_windows(sf_dir: str):
         x = batch.column("n_events").to_numpy(zero_copy_only=False)
         types = batch.column("event_type").to_numpy(zero_copy_only=False)
         uniq, inv = np.unique(types, return_inverse=True)
-        trip = np.array([lut[t] for t in uniq], np.int64)
+        # the SQL twin compares in HUGEINT; int64 silently wraps when
+        # s**2 / the cross terms exceed 2**63.  Pick dtype by an exact
+        # Python-int bound on the worst-case magnitudes (per-type
+        # constants are tiny — this check is O(types)): int64 fast
+        # path when safe, arbitrary-precision object path otherwise.
+        max_x = int(x.max()) if len(x) else 0
+        safe = all(
+            (k_ * max_x + abs(s_)) ** 2 * max(k_ - 1, 1) < 2**63
+            and 4 * k_ * (k_ * q2_ + s_ * s_) < 2**63
+            for k_, s_, q2_ in (lut[t] for t in uniq)
+        )
+        dtype = np.int64 if safe else object
+        trip = np.array([lut[t] for t in uniq], dtype)
         k, s, q2 = trip[inv, 0], trip[inv, 1], trip[inv, 2]
+        if not safe:
+            x = x.astype(object)
         lhs = (k * x - s) ** 2 * (k - 1)
         rhs = 4 * k * (k * q2 - s * s)
         return pa.table(

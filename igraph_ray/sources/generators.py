@@ -241,11 +241,12 @@ def watts_strogatz_edges(
         u01 = _hash2(ids, 104729, seed).astype(np.float64) / 2.0**64
         rewire = u01 < beta
         # two independent target draws; take the second when the first
-        # hits src (cheap collision dodge — a residual self-loop after
-        # both draws is kept, matching "loops possible" semantics)
+        # hits src OR the original endpoint (cheap collision dodge —
+        # a residual collision after both draws is kept, matching
+        # "loops/duplicates possible" semantics)
         t1 = (_hash2(ids, 1299709, seed) % np.uint64(n)).astype(np.int64)
         t2 = (_hash2(ids, 15485863, seed) % np.uint64(n)).astype(np.int64)
-        target = np.where(t1 == src, t2, t1)
+        target = np.where((t1 == src) | (t1 == dst), t2, t1)
         dst = np.where(rewire, target, dst)
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
 

@@ -57,6 +57,14 @@ def write_partitioned(
         marker = os.path.join(shard_dir, "_SUCCESS")
         if resume and os.path.exists(marker):
             continue
+        # A previous attempt may have died mid-write: parquet files
+        # present but no _SUCCESS.  write_parquet APPENDS uniquely-named
+        # files next to existing ones, so rewriting without clearing
+        # would silently duplicate the shard's rows.
+        if os.path.isdir(shard_dir):
+            import shutil
+
+            shutil.rmtree(shard_dir)
 
         def keep(batch: pa.Table, _s=s) -> pa.Table:
             k = (

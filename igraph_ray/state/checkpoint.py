@@ -109,9 +109,26 @@ class CheckpointManager:
             f.write(str(metrics))
 
     def load_state(self, iteration: int) -> ray.data.Dataset:
-        return ray.data.read_parquet(
+        """Read back a committed state and canonicalize its block
+        layout: one block per graph partition, rows sorted by vid.
+
+        ``read_parquet`` is free to fuse or split files into blocks
+        however the scheduler likes; if a partition's rows land in two
+        blocks, the scatter stage pre-combines each slice separately
+        and the float reduction order of downstream partial sums
+        differs from the un-resumed run by ULPs.  Re-grouping by
+        ``part`` restores the invariant the apply stage established
+        (one block per partition), making resume bitwise-equivalent
+        regardless of parquet block boundaries.
+        """
+        ds = ray.data.read_parquet(
             os.path.join(_iter_dir(self.root, iteration), "state")
         )
+
+        def _canon(group: pa.Table) -> pa.Table:
+            return group.sort_by("vid")
+
+        return ds.groupby("part").map_groups(_canon, batch_format="pyarrow")
 
     def load_lineage(self, iteration: int) -> pa.Table:
         return pq.read_table(

@@ -30,6 +30,67 @@ def test_pagerank_resume_bitwise(tmp_graph_dir, tmp_path):
     assert a == b  # bitwise: same floats, not approx
 
 
+def test_pagerank_resume_bitwise_dangling(tmp_graph_dir, tmp_path):
+    """Resume equivalence on a DIRECTED graph with dangling (zero
+    out-degree) vertices — exercises the dangling-mass sort in apply
+    (kernels/pagerank.py) under the resume path."""
+    G = nx.gnp_random_graph(100, 0.04, seed=7, directed=True)
+    # gnp at this density leaves several sinks; guarantee at least one
+    G.add_edge(0, 99)
+    for e in list(G.out_edges(99)):
+        G.remove_edge(*e)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3, symmetrize=False)
+    full = pagerank(g, tol=1e-10, max_iter=40, raise_on_nonconvergence=False)
+    ck = str(tmp_path / "ck")
+    pagerank(
+        g, tol=1e-10, max_iter=5, checkpoint_dir=ck,
+        raise_on_nonconvergence=False,
+    )
+    resumed = pagerank(
+        g, tol=1e-10, max_iter=40, checkpoint_dir=ck, resume=True,
+        raise_on_nonconvergence=False,
+    )
+    assert resumed.iterations == full.iterations
+    assert state_dict(full.state, "rank") == state_dict(resumed.state, "rank")
+
+
+def test_resume_bitwise_under_split_blocks(tmp_graph_dir, tmp_path):
+    """Deterministic reproduction of the round-2 flake: a checkpoint
+    whose parquet files SPLIT each partition's rows across two files
+    must still resume bitwise-identically (load_state canonicalizes
+    block layout back to one block per partition)."""
+    import glob
+
+    import pyarrow as pa
+
+    G = nx.gnm_random_graph(120, 480, seed=1)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    full = pagerank(g, tol=1e-10, max_iter=40, raise_on_nonconvergence=False)
+    ck = str(tmp_path / "ck")
+    pagerank(
+        g, tol=1e-10, max_iter=5, checkpoint_dir=ck,
+        raise_on_nonconvergence=False,
+    )
+    # adversarially re-shard the committed state: read all rows, then
+    # write MANY small files, each mixing rows of different partitions
+    state_dir = os.path.join(ck, "iter_00004", "state")
+    tbl = pq.read_table(state_dir)
+    for f in glob.glob(os.path.join(state_dir, "*.parquet")):
+        os.remove(f)
+    n = tbl.num_rows
+    step = max(1, n // 7)
+    for i, lo in enumerate(range(0, n, step)):
+        pq.write_table(
+            tbl.slice(lo, step), os.path.join(state_dir, f"shard_{i}.parquet")
+        )
+    resumed = pagerank(
+        g, tol=1e-10, max_iter=40, checkpoint_dir=ck, resume=True,
+        raise_on_nonconvergence=False,
+    )
+    assert resumed.iterations == full.iterations
+    assert state_dict(full.state, "rank") == state_dict(resumed.state, "rank")
+
+
 def test_components_resume_exact(tmp_graph_dir, tmp_path):
     G = nx.gnm_random_graph(150, 170, seed=4)
     g = graph_from_nx(G, tmp_graph_dir, num_parts=3)

@@ -83,3 +83,26 @@ def test_resume_skips_finished_shards(tmp_path):
         assert files == ["_SUCCESS"]
     # a second resume writes nothing
     assert write_partitioned(ds, out, "doc_id", num_shards=4) == []
+
+
+def test_resume_clears_partial_shard(tmp_path):
+    """A shard killed mid-write (parquet files, no _SUCCESS) must be
+    cleared and rewritten, not appended to — rows must not duplicate."""
+    n = 1000
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "v": pa.array(np.arange(n, dtype=np.int64)),
+            }
+        )
+    ).repartition(4)
+    out = str(tmp_path / "out")
+    write_partitioned(ds, out, "doc_id", num_shards=4)
+    # simulate a kill mid-write of shard 1: drop its marker, keep files
+    os.remove(os.path.join(out, "shard=1", "_SUCCESS"))
+    written = write_partitioned(ds, out, "doc_id", num_shards=4)
+    assert written == [1]
+    back = _read_all(out)
+    assert back.num_rows == n
+    assert sorted(back.column("doc_id").to_pylist()) == list(range(n))
