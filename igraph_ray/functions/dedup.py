@@ -669,6 +669,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     df_cap: int = 128,
     threshold: float = 0.5,
+    hash_shingles: bool = False,
 ) -> ray.data.Dataset:
     """Exact word-n-gram Jaccard near-duplicate pairs
     ``(a, b, common, union_sz, jaccard)`` with ``jaccard >= threshold``
@@ -684,9 +685,11 @@ def ngram_jaccard_pairs(
     on BOTH sides of the metric (sizes and intersections) — the
     standard stopword-shingle cut that bounds per-group pair fanout at
     C(df_cap, 2); with no shingle over the cap the result is the exact
-    Jaccard.  At larger scale swap the string shingle for its 64-bit
-    hash (same pipeline, 8-byte shuffle keys); kept as strings here so
-    the SQL twin matches bitwise with no collision caveat.
+    Jaccard.  ``hash_shingles=True`` is the scale variant: it replaces
+    the string shingle with its 64-bit hash right after shingling
+    (same pipeline, 8-byte shuffle keys instead of n-word strings);
+    the default keeps strings so the SQL twin matches bitwise with no
+    collision caveat.
     """
     import ray as _ray
 
@@ -695,14 +698,28 @@ def ngram_jaccard_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    if hash_shingles:
 
-    # ONE hash-partition shuffle on the shingle string (all rows of a
-    # shingle land in the same partition), then each partition is
-    # processed in a single vectorized pass — a per-shingle map_groups
-    # would pay one Python call per distinct shingle (millions).
-    num_parts = int(
-        max(2, min(64, _ray.cluster_resources().get("CPU", 4)))
-    )
+        def _hash_s(batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            s = batch.column("s").to_numpy(zero_copy_only=False)
+            h = pd.util.hash_array(s, categorize=False).view(np.int64)
+            return pa.table({"id": batch.column("id"), "s": pa.array(h)})
+
+        shingles = shingles.map_batches(
+            _hash_s, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # ONE hash-partition shuffle on the shingle (all rows of a shingle
+    # land in the same partition), then each partition is processed in
+    # a single vectorized pass — a per-shingle map_groups would pay one
+    # Python call per distinct shingle (millions).  Partition count is
+    # ROWS-based (one group ≈ one block at any scale) — a CPU-count
+    # key-space would make per-group size O(total_rows/CPUs), unbounded
+    # at 100 TB.
+    shingles = shingles.materialize()
+    num_parts = int(max(2, min(65536, shingles.count() // 250_000 + 2)))
 
     def add_hpart(batch: pa.Table) -> pa.Table:
         import pandas as pd
@@ -759,6 +776,7 @@ def ngram_jaccard_pairs(
         )
         .groupby("hpart")
         .map_groups(posting_part, batch_format="pyarrow")
+        .materialize()
     )
 
     # per-(a, b) occurrence counts = intersection sizes (and, for the
@@ -766,6 +784,10 @@ def ngram_jaccard_pairs(
     # vectorized-count shape as _dedup_pairs; a multi-key Ray groupby
     # aggregate here costs several times the whole rest of the pipeline
     from igraph_ray.utils import hash_int64
+
+    # rows-based key-space again: pair fanout is C(df_cap, 2) per hot
+    # shingle, so the pair-row count is the right sizing signal
+    cnt_parts = int(max(2, min(65536, rows.count() // 250_000 + 2)))
 
     def add_cpart(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
@@ -776,7 +798,7 @@ def ngram_jaccard_pairs(
                     hash_int64(a) * np.uint64(0x9E3779B97F4A7C15)
                     + hash_int64(b)
                 )
-                % np.uint64(num_parts)
+                % np.uint64(cnt_parts)
             ).astype(np.int32)
         return batch.append_column("hpart", pa.array(hp))
 

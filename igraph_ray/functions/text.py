@@ -292,11 +292,18 @@ def doc_top_terms(
 
     cands = ds.map_batches(
         topk, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    df_ds = df_ds.materialize()
+
+    # rows-based partition key-space (one group ≈ one block at any
+    # scale) — a fixed constant would make per-group size O(rows/16)
+    num_parts = int(
+        max(2, min(65536, (cands.count() + df_ds.count()) // 250_000 + 2))
     )
 
     def _term_part(col: pa.ChunkedArray | pa.Array) -> pa.Array:
         terms = col.to_pandas().to_numpy()
-        h = pd.util.hash_array(terms) % np.uint64(16)
+        h = pd.util.hash_array(terms) % np.uint64(num_parts)
         return pa.array(h.astype(np.int32))
 
     def tag_cand(batch: pa.Table) -> pa.Table:

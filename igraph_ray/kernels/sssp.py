@@ -383,21 +383,46 @@ def shortest_path_tree(
 
 def trace_path(state, source: int, target: int, max_hops: int = 100_000):
     """Walk parent pointers from ``target`` back to ``source``; returns
-    the vid path source→target, or ``[]`` if unreachable.  Each hop is
-    one tiny filter over the (materialized) state — fine for the
-    O(diameter) hops of a link graph; at serious scale persist the
-    tree as vid-partitioned parquet and use pushdown point reads."""
+    the vid path source→target, or ``[]`` if unreachable.
+
+    Below the engine-wide broadcast bound the (vid, parent) map — two
+    int64 columns — is collected ONCE and the walk is pure numpy (one
+    execution per path, not one per hop).  Past the bound each hop
+    falls back to a predicate-pushdown point filter; at serious scale
+    persist the tree as vid-partitioned parquet instead."""
+    from igraph_ray.stages.vertex_ids import BROADCAST_MAX_VERTICES
+
     state = state.materialize()
+    if state.count() <= BROADCAST_MAX_VERTICES:
+        import pyarrow as _pa
+
+        tbl = _pa.concat_tables(
+            state.select_columns(["vid", "parent"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ).sort_by("vid")
+        vids = tbl.column("vid").to_numpy(zero_copy_only=False)
+        parents = tbl.column("parent").to_numpy(zero_copy_only=False)
+
+        def _parent_of(v: int) -> int | None:
+            i = int(np.searchsorted(vids, v))
+            if i >= len(vids) or vids[i] != v:
+                return None
+            return int(parents[i])
+
+    else:
+
+        def _parent_of(v: int) -> int | None:
+            rows = state.filter(expr=f"vid == {v}").take_all()
+            return int(rows[0]["parent"]) if rows else None
+
     path = [int(target)]
     cur = int(target)
     for _ in range(max_hops):
         if cur == source:
             return list(reversed(path))
-        rows = state.filter(expr=f"vid == {cur}").take_all()
-        if not rows:
-            return []
-        p = int(rows[0]["parent"])
-        if p < 0:
+        p = _parent_of(cur)
+        if p is None or p < 0:
             return []
         path.append(p)
         cur = p

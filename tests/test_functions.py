@@ -299,6 +299,25 @@ def test_ngram_jaccard_pairs_exact():
         assert got[k][0] == c and got[k][1] == u
         assert got[k][2] == pytest.approx(j, abs=1e-15)
 
+    # the 64-bit hashed-shingle scale variant must agree exactly on a
+    # corpus this small (collisions astronomically unlikely)
+    out_h = ngram_jaccard_pairs(
+        ds, n=n, df_cap=cap, threshold=thr, hash_shingles=True
+    )
+    tbl_h = pa.concat_tables(
+        out_h.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    got_h = {
+        (a, b): (c, u)
+        for a, b, c, u in zip(
+            tbl_h.column("a").to_pylist(),
+            tbl_h.column("b").to_pylist(),
+            tbl_h.column("common").to_pylist(),
+            tbl_h.column("union_sz").to_pylist(),
+        )
+    }
+    assert got_h == {k: (c, u) for k, (c, u, _) in want.items()}
+
 
 def test_redact_pii():
     from igraph_ray.functions.text import redact_pii
