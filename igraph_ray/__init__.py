@@ -21,3 +21,30 @@ owned by the driver, ``bench.py``, or the pytest fixture.
 """
 
 __version__ = "0.1.0"
+
+import logging as _logging
+
+
+class _EmptyBlockSchemaFilter(_logging.Filter):
+    """Drop ONLY the benign variant of Ray Data's schema-divergence
+    warning where the *new* schema is empty.
+
+    Ray's sort machinery emits zero-column blocks for empty sort
+    partitions (every ``groupby`` rides on sort), and the streaming
+    executor then warns "Operator produced a RefBundle with a
+    different schema ... new schema: ." once per empty partition —
+    pure noise on skewed key spaces.  Genuine schema divergence (a
+    non-empty differing schema) still warns.
+    """
+
+    def filter(self, record: _logging.LogRecord) -> bool:  # noqa: A003
+        msg = record.getMessage()
+        return not (
+            "RefBundle with a different schema" in msg
+            and "new schema: ." in msg
+        )
+
+
+_logging.getLogger(
+    "ray.data._internal.execution.streaming_executor_state"
+).addFilter(_EmptyBlockSchemaFilter())
