@@ -20,9 +20,11 @@ accumulate ``δ += σ·Σc`` (the predecessor relation for unweighted
 BFS).  Per-source cost is O(diameter) supersteps; per-source δ tables
 are unioned and reduced with one final ``groupby(vid).sum``.
 
-Unweighted only (igraph's default betweenness is over hop counts when
-no weights are given); weighted Brandes needs Dijkstra orderings that
-do not level-synchronize — out of scope, raise on request.
+The unweighted path below level-synchronizes on BFS hop levels; the
+weighted path (``weighted=True``) delegates to
+``kernels/weighted_brandes.py``, which replaces Dijkstra's pop order
+with shortest-path-DAG *levels* (a topological rank) — same chassis,
+same estimator/scaling.
 """
 
 from __future__ import annotations
@@ -525,8 +527,9 @@ def betweenness_centrality(
     normalized: bool = True,
     directed: bool = False,
     sources: list[int] | None = None,
+    weighted: bool = False,
 ) -> ray.data.Dataset:
-    """Rows ``(vid, betweenness)`` over an unweighted graph.
+    """Rows ``(vid, betweenness)``.
 
     ``k`` samples k pivots (deterministic: the k vids with smallest
     ``splitmix64(vid)``) and rescales by ``n/k``
@@ -534,7 +537,16 @@ def betweenness_centrality(
     overrides pivot selection (no rescale unless ``k`` given).
     ``directed=False`` halves the sums (each undirected pair counted
     from both sides) — the graph itself must already be symmetrized.
+    ``weighted=True`` uses the graph's edge weights as distances
+    (``nx.betweenness_centrality(G, weight=...)``; strictly positive
+    weights required) via the weighted-Brandes kernels.
     """
+    if weighted:
+        from igraph_ray.kernels.weighted_brandes import (
+            validate_positive_weights,
+        )
+
+        validate_positive_weights(graph)
     vids = _all_vids(graph)
     n = len(vids)
     if sources is None:
@@ -555,17 +567,20 @@ def betweenness_centrality(
             else 2.0 / ((n - 1) * (n - 2))
         )
 
-    # each source's two chassis runs are driver-side loops dominated by
+    if weighted:
+        from igraph_ray.kernels.weighted_brandes import (
+            single_source_weighted_dependencies as _dep_fn,
+        )
+    else:
+        _dep_fn = _single_source_dependencies
+
+    # each source's chassis runs are driver-side loops dominated by
     # waiting on Ray Data executions — drive several concurrently from
     # threads so per-iteration fixed costs overlap
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(8, len(sources))) as pool:
-        deps = list(
-            pool.map(
-                lambda s: _single_source_dependencies(graph, int(s)), sources
-            )
-        )
+        deps = list(pool.map(lambda s: _dep_fn(graph, int(s)), sources))
     merged = deps[0]
     for d in deps[1:]:
         merged = merged.union(d)

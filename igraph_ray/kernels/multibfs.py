@@ -40,11 +40,15 @@ _INF = np.inf
 
 @dataclass
 class MultiBFSKernel:
-    """Unweighted BFS from k pivots at once; lane i holds hop
-    distances from ``pivots[i]``."""
+    """BFS / min-plus relaxation from k pivots at once; lane i holds
+    distances from ``pivots[i]`` — hop counts by default, weighted
+    shortest-path distances with ``weighted=True`` (distributed
+    Bellman-Ford per lane; exact Dijkstra distances at the converged
+    fixed point on non-negative weights, like ``kernels/sssp.py``)."""
 
     num_parts: int
     pivots: np.ndarray  # sorted pivot vids, one BFS lane each
+    weighted: bool = False
 
     def __post_init__(self) -> None:
         k = len(self.pivots)
@@ -92,7 +96,12 @@ class MultiBFSKernel:
                 dmat = np.stack(
                     [sb.aligned[f"d{i}"] for i in range(k)], axis=1
                 )
-                vals = dmat[src_pos[kept]] + 1.0
+                step = (
+                    np.asarray(csr["w"], np.float64)[kept][:, None]
+                    if self.weighted
+                    else 1.0
+                )
+                vals = dmat[src_pos[kept]] + step
                 # kept is ascending → its seg ids are non-decreasing;
                 # rebuild combine boundaries on the filtered arcs
                 seg_id = (
@@ -180,6 +189,7 @@ def pivot_distances(
     graph: GraphMeta,
     pivots: np.ndarray,
     max_iter: int = 10_000,
+    weighted: bool = False,
 ) -> KernelRun:
     """One chassis run; final state rows are
     ``(part, vid, d0..d{k-1}, changed)`` with ``d{i}`` = hop distance
@@ -187,7 +197,9 @@ def pivot_distances(
     pivots = np.unique(np.asarray(pivots, np.int64))
     if len(pivots) == 0:
         raise ValueError("pivot_distances requires at least one pivot")
-    kernel = MultiBFSKernel(num_parts=graph.num_parts, pivots=pivots)
+    kernel = MultiBFSKernel(
+        num_parts=graph.num_parts, pivots=pivots, weighted=weighted
+    )
     run = run_kernel(kernel, graph, max_iter=max_iter)
     if not run.converged:
         raise RuntimeError("pivot_distances did not converge")
@@ -200,8 +212,17 @@ def _centrality(
     pivots: np.ndarray,
     mode: str,
     wf_improved: bool = True,
+    weighted: bool = False,
 ) -> ray.data.Dataset:
-    run = pivot_distances(graph, pivots)
+    if weighted:
+        # d == 0 must mean "self lane" in finish() below — zero-weight
+        # edges would alias a real neighbor distance to 0
+        from igraph_ray.kernels.weighted_brandes import (
+            validate_positive_weights,
+        )
+
+        validate_positive_weights(graph)
+    run = pivot_distances(graph, pivots, weighted=weighted)
     k = len(pivots)
     n = n_vertices
     pivot_set = np.asarray(pivots, np.int64)
@@ -252,15 +273,24 @@ def harmonic_centrality(
     n_vertices: int,
     k: int | None = None,
     pivots: np.ndarray | list[int] | None = None,
+    weighted: bool = False,
 ) -> ray.data.Dataset:
     """Rows ``(vid, harmonic)``.  ``harmonic(v) = Σ_{u≠v} 1/d(u, v)``
     (``nx.harmonic_centrality``) — exact when pivots cover all
-    vertices, else the (n-1)/k-scaled pivot estimate."""
+    vertices, else the (n-1)/k-scaled pivot estimate.
+    ``weighted=True`` uses edge weights as distances
+    (``nx.harmonic_centrality(G, distance=...)``)."""
     if pivots is None:
         from igraph_ray.kernels.betweenness import _all_vids
 
         pivots = sample_pivots(_all_vids(graph), k)
-    return _centrality(graph, n_vertices, np.asarray(pivots, np.int64), "harmonic")
+    return _centrality(
+        graph,
+        n_vertices,
+        np.asarray(pivots, np.int64),
+        "harmonic",
+        weighted=weighted,
+    )
 
 
 def closeness_centrality(
@@ -269,10 +299,13 @@ def closeness_centrality(
     k: int | None = None,
     pivots: np.ndarray | list[int] | None = None,
     wf_improved: bool = True,
+    weighted: bool = False,
 ) -> ray.data.Dataset:
     """Rows ``(vid, closeness)`` matching ``nx.closeness_centrality``
     (``wf_improved=True`` default: (r-1)/Σd · (r-1)/(n-1) within each
-    component) when pivots cover all vertices."""
+    component) when pivots cover all vertices.  ``weighted=True`` uses
+    edge weights as distances
+    (``nx.closeness_centrality(G, distance=...)``)."""
     if pivots is None:
         from igraph_ray.kernels.betweenness import _all_vids
 
@@ -283,6 +316,7 @@ def closeness_centrality(
         np.asarray(pivots, np.int64),
         "closeness",
         wf_improved=wf_improved,
+        weighted=weighted,
     )
 
 
