@@ -68,20 +68,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "widest_paths": q.q_widest_paths,  # SQL oracle (int-exact max-min)
         "betweenness": q.q_betweenness,  # rows-only (sampled Brandes)
         "edge_betweenness": q.q_edge_betweenness,  # rows-only (sampled; nx pytest oracle)
-        "closeness": q.q_closeness,  # rows-only (sampled pivots)
+        "closeness": q.q_closeness,  # SQL oracle (splitmix pivots + CTE BFS, IEEE replay)
+        "closeness_weighted": q.q_closeness_weighted,  # SQL oracle (int-exact min-plus pivots)
+        "betweenness_weighted": q.q_betweenness_weighted,  # rows-only (sampled weighted Brandes)
         "harmonic": q.q_harmonic,  # rows-only (sampled pivots)
         "eigenvector": q.q_eigenvector,  # rows-only (power iteration)
         "spectral_bisection": q.q_spectral_bisection,  # rows-only (dense-eigh pytest oracle)
         "voterank": q.q_voterank,  # rows-only (nx.voterank pytest oracle)
         "quotient_graph": q.q_quotient_graph,  # SQL oracle (join + mod contraction)
         "neighborhood2": q.q_neighborhood2,  # SQL oracle (self-join distinct)
-        "shortest_path_route": q.q_shortest_path_route,  # rows-only (nx path-validity pytest oracle)
+        "shortest_path_route": q.q_shortest_path_route,  # SQL oracle (BFS route replay)
         "hyperball_nf": q.q_hyperball_nf,  # rows-only (bitwise local-replay pytest oracle)
         "wl_colors": q.q_wl_colors,  # rows-only (local replay + nx subtree-class pytest oracles)
         "four_cycles": q.q_four_cycles,  # SQL oracle (codegree identity, exact ints)
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
-        "ktruss": q.q_ktruss,  # rows-only (nx.k_truss pytest oracle)
-        "mst": q.q_mst,  # rows-only (Borůvka; nx weight-parity pytest)
+        "ktruss": q.q_ktruss,  # SQL oracle (unrolled support fixed point)
+        "mst": q.q_mst,  # SQL oracle (Kruskal-membership recursion)
         "adamic_adar": q.q_adamic_adar,  # rows-only (float ln-sums)
         "eccentricity": q.q_eccentricity,  # SQL oracle (all-pairs CTE)
         "diameter": q.q_diameter,  # SQL oracle (max/min eccentricity)
@@ -99,6 +101,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": q.q_degree_histogram,  # SQL oracle
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
         "coloring": q.q_coloring,  # rows-only (iterated Luby; property oracle)
+        "coloring_validity": q.q_coloring_validity,  # SQL oracle (property constants)
+        "mis_validity": q.q_mis_validity,  # SQL oracle (property constants)
+        "matching_validity": q.q_matching_validity,  # SQL oracle (property constants)
         "partition_quality": q.q_partition_quality,  # SQL oracle (exact ints + IEEE replay)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
@@ -121,7 +126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bib_coupling": q.q_bib_coupling,  # SQL oracle (int pair counts)
         "strongly_connected_components": q.q_scc,  # SQL oracle (mutual-reachability CTE)
         "bowtie": q.q_bowtie,  # SQL oracle (closure + reachability CTEs)
-        "core_numbers": q.q_core_numbers,  # rows-only (igraph_coreness)
+        "core_numbers": q.q_core_numbers,  # SQL oracle (unrolled peeling)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
         "asof_join": q.q_asof_join,  # SQL oracle (window-ranked twin)
         "lineitem_agg": q.q_lineitem_agg,
@@ -409,6 +414,254 @@ def _mul64_sql(a: str, b: str) -> str:
     )
 
 
+def _splitmix_chain_sql(expr: str, pfx: str) -> str:
+    """CTE chain computing splitmix64 of an int64 column ``z0``
+    (result column named ``z``) — mirrors
+    igraph_ray.stages.sample.splitmix64 bit-for-bit."""
+    return f"""
+{pfx}1 AS (SELECT *, CAST((z0 + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS za FROM {expr}),
+{pfx}2 AS (SELECT * EXCLUDE (za),
+  CAST({_mul64_sql("CAST(xor(za, za >> 30) AS HUGEINT)", "13787848793156543929")} AS UBIGINT) AS zb FROM {pfx}1),
+{pfx}3 AS (SELECT * EXCLUDE (zb),
+  CAST({_mul64_sql("CAST(xor(zb, zb >> 27) AS HUGEINT)", "10723151780598845931")} AS UBIGINT) AS zc FROM {pfx}2),
+{pfx}4 AS (SELECT * EXCLUDE (zc), xor(zc, zc >> 31) AS z FROM {pfx}3)"""
+
+
+# Symmetric unweighted arc CTE over link_pairs (MATERIALIZED: DuckDB
+# inlines plain CTEs, and the fixed-point twins below reference their
+# predecessor many times — inlining would re-expand link_pairs
+# exponentially and exhaust file handles on the parquet views).
+_ARCS_SQL = """
+arcs AS MATERIALIZED (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+)"""
+
+
+def _ktruss_sql(rounds: int = 6) -> str:
+    """3-truss via iterated support filtering: an edge survives a
+    round iff its endpoints share a common neighbour among surviving
+    edges.  ``rounds`` unrolled fixed-point iterations suffice at the
+    oracle scale (the driver compares row sets, so a converged prefix
+    is enough); each round is one MATERIALIZED CTE."""
+    parts = [
+        "e0 AS MATERIALIZED "
+        "(SELECT src_key AS s, dst_key AS d FROM link_pairs)"
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""a{i - 1} AS MATERIALIZED (SELECT s, d FROM e{i - 1} UNION ALL SELECT d, s FROM e{i - 1}),
+e{i} AS MATERIALIZED (
+  SELECT e.s, e.d FROM e{i - 1} e
+  WHERE EXISTS (
+    SELECT 1 FROM a{i - 1} x JOIN a{i - 1} y ON x.d = y.d
+    WHERE x.s = e.s AND y.s = e.d
+  )
+)"""
+        )
+    return f"""
+{_LINK_PAIRS},
+{",".join(parts)}
+SELECT s AS src_key, d AS dst_key FROM e{rounds}
+"""
+
+
+def _core_sql(kmax: int = 6, rounds: int = 6) -> str:
+    """k-core membership by unrolled peeling: for each k, iteratively
+    keep vertices with >= k surviving neighbours; core number = max k
+    whose fixed point retains the vertex."""
+    parts = []
+    finals = []
+    for k in range(1, kmax + 1):
+        parts.append(
+            f"al_{k}_0 AS MATERIALIZED (SELECT key AS s FROM keys)"
+        )
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"""al_{k}_{r} AS MATERIALIZED (
+  SELECT p.s FROM al_{k}_{r - 1} p
+  WHERE (
+    SELECT COUNT(*) FROM arcs a
+    JOIN al_{k}_{r - 1} q ON q.s = a.d
+    WHERE a.s = p.s
+  ) >= {k}
+)"""
+            )
+        finals.append(f"SELECT s, {k} AS k FROM al_{k}_{rounds}")
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+{",".join(parts)},
+survive AS ({" UNION ALL ".join(finals)})
+SELECT kv.key, CAST(COALESCE(mx.core, 0) AS BIGINT) AS core
+FROM keys kv
+LEFT JOIN (SELECT s, MAX(k) AS core FROM survive GROUP BY s) mx
+  ON mx.s = kv.key
+"""
+
+
+# Minimum spanning forest by Kruskal membership: rank edges by
+# (weight, src_key, dst_key) — the engine's deterministic tie-break —
+# and keep edge e iff its endpoints are NOT connected using only
+# lower-ranked edges.  The reachability recursion carries the rank
+# limit in its state, so it is O(edges × vertices) states, not the
+# all-pairs bottleneck closure.
+_MST_SQL = f"""
+{_LINK_PAIRS},
+ranked AS MATERIALIZED (
+  SELECT src_key, dst_key, weight,
+         ROW_NUMBER() OVER (ORDER BY weight, src_key, dst_key) AS rk
+  FROM link_pairs
+),
+rarcs AS MATERIALIZED (
+  SELECT src_key AS s, dst_key AS d, rk FROM ranked
+  UNION ALL
+  SELECT dst_key, src_key, rk FROM ranked
+),
+reach AS (
+  WITH RECURSIVE r(lim, k) AS (
+    SELECT rk, src_key FROM ranked
+    UNION
+    SELECT r.lim, a.d FROM r JOIN rarcs a ON r.k = a.s AND a.rk < r.lim
+  )
+  SELECT lim, k FROM r
+)
+SELECT e.src_key, e.dst_key, e.weight
+FROM ranked e
+WHERE NOT EXISTS (
+  SELECT 1 FROM reach r WHERE r.lim = e.rk AND r.k = e.dst_key
+)
+"""
+
+
+# BFS route replay: pivot 0 -> farthest u (dist DESC, key tie-break)
+# -> farthest w from u, parents = MIN key at dist-1, walk back.
+# Mirrors kernels/sssp.trace_path's deterministic choices.
+_ROUTE_SQL = f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+v AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys),
+d1 AS (
+  WITH RECURSIVE r(k, dist) AS (
+    SELECT key, 0 FROM v WHERE vid = 0
+    UNION
+    SELECT a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT k, MIN(dist) AS dist FROM r GROUP BY k
+),
+uu AS (SELECT k FROM d1 ORDER BY dist DESC, k LIMIT 1),
+d2 AS (
+  WITH RECURSIVE r(k, dist) AS (
+    SELECT k, 0 FROM uu
+    UNION
+    SELECT a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT k, MIN(dist) AS dist FROM r GROUP BY k
+),
+par AS (
+  SELECT c.k, MIN(a.s) AS parent
+  FROM d2 c
+  JOIN arcs a ON a.d = c.k
+  JOIN d2 p ON p.k = a.s AND p.dist = c.dist - 1
+  GROUP BY c.k
+),
+ww AS (SELECT k, dist FROM d2 ORDER BY dist DESC, k LIMIT 1),
+chain AS (
+  WITH RECURSIVE c(pos, k) AS (
+    SELECT 0, k FROM ww
+    UNION ALL
+    SELECT c.pos + 1, p.parent FROM c JOIN par p ON p.k = c.k
+    WHERE c.k != (SELECT k FROM uu)
+  )
+  SELECT pos, k FROM c
+)
+SELECT CAST((SELECT dist FROM ww) - pos AS BIGINT) AS step, k AS key
+FROM chain
+"""
+
+
+def _closeness_sql(weighted: bool, k: int = 64) -> str:
+    """Pivot-sampled closeness replay: splitmix64(vid) draws the same
+    k pivots as kernels/multibfs, the (weighted) BFS closure yields
+    exact integer distance sums, and the wf_improved scaling is the
+    identical IEEE expression tree — bitwise twin."""
+    if weighted:
+        walk = """
+warcs AS MATERIALIZED (
+  SELECT src_key AS s, dst_key AS d, CAST(weight AS BIGINT) AS w FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key, CAST(weight AS BIGINT) FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, CAST(0 AS BIGINT) FROM piv
+    UNION
+    SELECT r.s, a.d, r.dist + a.w FROM r JOIN warcs a ON r.k = a.s
+    WHERE r.dist < 2000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+)"""
+    else:
+        walk = """
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, CAST(0 AS BIGINT) FROM piv
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+)"""
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+v AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys),
+hz AS (SELECT key, vid, CAST(vid AS HUGEINT) AS z0 FROM v),
+{_splitmix_chain_sql('hz', 'sm')},
+piv AS (SELECT key FROM sm4 ORDER BY z, vid LIMIT {k}),
+{walk},
+stats AS (
+  SELECT k AS key,
+         COUNT(*) AS r,
+         SUM(dist) AS sd
+  FROM walk WHERE dist > 0 GROUP BY k
+),
+consts AS (
+  SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n,
+         CAST({k} AS BIGINT) AS kk
+)
+SELECT kv.key,
+  CASE WHEN COALESCE(st.sd, 0) > 0 THEN
+    (
+      (CAST(COALESCE(st.r, 0) AS DOUBLE)
+        * (CAST(c.n - 1 AS DOUBLE)
+           / CASE WHEN p.key IS NOT NULL THEN CAST(c.kk - 1 AS DOUBLE)
+                  ELSE CAST(c.kk AS DOUBLE) END))
+      /
+      (CAST(COALESCE(st.sd, 0) AS DOUBLE)
+        * (CAST(c.n - 1 AS DOUBLE)
+           / CASE WHEN p.key IS NOT NULL THEN CAST(c.kk - 1 AS DOUBLE)
+                  ELSE CAST(c.kk AS DOUBLE) END))
+    )
+    *
+    (
+      (CAST(COALESCE(st.r, 0) AS DOUBLE)
+        * (CAST(c.n - 1 AS DOUBLE)
+           / CASE WHEN p.key IS NOT NULL THEN CAST(c.kk - 1 AS DOUBLE)
+                  ELSE CAST(c.kk AS DOUBLE) END))
+      / CAST(c.n - 1 AS DOUBLE)
+    )
+  ELSE 0.0 END AS closeness
+FROM keys kv
+CROSS JOIN consts c
+LEFT JOIN stats st ON st.key = kv.key
+LEFT JOIN piv p ON p.key = kv.key
+"""
+
+
 # Marker patterns mirror igraph_ray.functions.text._LANG_MARKERS
 # (stripped + '|'-joined, langs in sorted order so the CASE tie-break
 # matches np.argmax's first-max rule).
@@ -583,6 +836,32 @@ SELECT doc_id, redacted, email_n, ipv4_n, phone_n FROM s3
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Property twins: greedy coloring / Luby MIS / parallel
+        # matching emit SOME valid witness (not canonical), so the
+        # checkable contract is the defining property reduced to exact
+        # violation counts.  The Ray side computes the counts from its
+        # actual witness (kernels/validity.py); the oracle states the
+        # constants the property demands.
+        "coloring_validity": (
+            "SELECT CAST(0 AS BIGINT) AS conflicts, "
+            "TRUE AS contiguous, TRUE AS within_bound"
+        ),
+        "mis_validity": (
+            "SELECT CAST(0 AS BIGINT) AS independence_violations, "
+            "CAST(0 AS BIGINT) AS non_dominated"
+        ),
+        "matching_validity": (
+            "SELECT CAST(0 AS BIGINT) AS overlaps, "
+            "CAST(0 AS BIGINT) AS uncovered_edges"
+        ),
+        # Fixed-point / recursive-CTE graph twins (exact ints or
+        # replayed IEEE expression trees — see the builders above)
+        "ktruss": _ktruss_sql(),
+        "core_numbers": _core_sql(),
+        "mst": _MST_SQL,
+        "shortest_path_route": _ROUTE_SQL,
+        "closeness": _closeness_sql(False),
+        "closeness_weighted": _closeness_sql(True),
         "sha256_projection": (
             "SELECT doc_id, sha256(text) AS content_sha FROM documents"
         ),

@@ -1153,7 +1153,10 @@ def q_harmonic(sf_dir: str, graph_dir: str | None = None):
 def q_closeness(sf_dir: str, graph_dir: str | None = None):
     """(key, closeness) — pivot-sampled closeness (wf_improved,
     nx.closeness_centrality semantics in exact mode); shares the
-    multi-pivot BFS chassis run shape with q_harmonic."""
+    multi-pivot BFS chassis run shape with q_harmonic.  Hash twin:
+    hop distances are exact ints, so the per-vertex Σd/reach counts
+    replay in SQL (splitmix64 pivot draw + recursive-CTE BFS) and the
+    scaling arithmetic is a fixed IEEE expression tree."""
     import tempfile
 
     from igraph_ray.kernels.multibfs import closeness_centrality
@@ -1161,6 +1164,48 @@ def q_closeness(sf_dir: str, graph_dir: str | None = None):
     graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_cl_")
     graph, vtbl = _build_key_graph(sf_dir, graph_dir)
     out = closeness_centrality(graph, vtbl.num_rows, k=64)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_closeness_weighted(sf_dir: str, graph_dir: str | None = None):
+    """(key, closeness) — pivot-sampled WEIGHTED closeness over the
+    E1∪E2 graph (edge weight = co-occurrence count as distance;
+    nx.closeness_centrality(G, distance=...) semantics in exact mode).
+    Weights are integers, so the min-plus distance sums are exact ints
+    and the SQL twin (splitmix64 pivot draw + weighted recursive-CTE
+    closure) replays the closeness expression bitwise."""
+    import tempfile
+
+    from igraph_ray.kernels.multibfs import closeness_centrality
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_clw_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = closeness_centrality(graph, vtbl.num_rows, k=64, weighted=True)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_betweenness_weighted(sf_dir: str, graph_dir: str | None = None):
+    """(key, betweenness) — pivot-sampled WEIGHTED Brandes (k=12,
+    weights = co-occurrence counts as distances;
+    nx.betweenness_centrality(G, weight=...) estimator) via the
+    shortest-path-DAG level kernels (kernels/weighted_brandes.py);
+    rows-only (float δ sums over sampled pivots), exact-mode parity
+    vs networkx in tests/test_weighted_brandes.py."""
+    import tempfile
+
+    from igraph_ray.kernels.betweenness import betweenness_centrality
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_bcw_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = betweenness_centrality(
+        graph, k=min(12, vtbl.num_rows), weighted=True
+    )
     tbl = pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
@@ -1463,6 +1508,65 @@ def q_coloring(sf_dir: str, graph_dir: str | None = None):
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def _key_edge_vids(sf_dir: str):
+    """Canonical (src, dst) vid edge dataset + vertex table of the
+    E1∪E2 key graph, vids consistent with _build_key_graph (same
+    deterministic dense-rank rule)."""
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    return edges, vertices
+
+
+def q_coloring_validity(sf_dir: str, graph_dir: str | None = None):
+    """One row (conflicts, contiguous, within_bound) — distributed
+    property validation of the greedy coloring witness (proper, colors
+    contiguous from 0, ≤Δ+1).  SQL twin is the constant row the
+    property demands; a broken coloring kernel breaks the hash."""
+    import tempfile
+
+    from igraph_ray.kernels.coloring import greedy_coloring
+    from igraph_ray.kernels.validity import coloring_validity
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_colv_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = greedy_coloring(graph)
+    edges, _ = _key_edge_vids(sf_dir)
+    return coloring_validity(edges, out)
+
+
+def q_mis_validity(sf_dir: str, graph_dir: str | None = None):
+    """One row (independence_violations, non_dominated) — distributed
+    validation of the Luby MIS witness.  SQL twin: SELECT 0, 0."""
+    import tempfile
+
+    from igraph_ray.kernels.mis import maximal_independent_set
+    from igraph_ray.kernels.validity import mis_validity
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_misv_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = maximal_independent_set(graph)
+    edges, _ = _key_edge_vids(sf_dir)
+    return mis_validity(edges, out, vtbl.num_rows)
+
+
+def q_matching_validity(sf_dir: str):
+    """One row (overlaps, uncovered_edges) — distributed validation of
+    the maximal-matching witness.  SQL twin: SELECT 0, 0."""
+    from igraph_ray.kernels.matching import maximal_matching
+    from igraph_ray.kernels.validity import matching_validity
+
+    edges, vertices = _key_edge_vids(sf_dir)
+    out = maximal_matching(edges)
+    n = vertices.count()
+    return matching_validity(edges, out, n)
 
 
 def q_partition_quality(sf_dir: str):
