@@ -127,6 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strongly_connected_components": q.q_scc,  # SQL oracle (mutual-reachability CTE)
         "bowtie": q.q_bowtie,  # SQL oracle (closure + reachability CTEs)
         "core_numbers": q.q_core_numbers,  # SQL oracle (unrolled peeling)
+        "max_flow": q.q_max_flow,  # rows-only (augmenting paths; nx pytest oracle)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
         "asof_join": q.q_asof_join,  # SQL oracle (window-ranked twin)
         "lineitem_agg": q.q_lineitem_agg,

@@ -1569,6 +1569,63 @@ def q_matching_validity(sf_dir: str):
     return matching_validity(edges, out, n)
 
 
+def q_max_flow(sf_dir: str):
+    """One row (flow_value, cut_capacity, cut_n, lambda_st) — s-t max
+    flow / min cut / edge connectivity between the two top-degree keys
+    of the E1∪E2 graph (capacity = co-occurrence count, undirected;
+    igraph_maxflow / igraph_st_mincut surface).  Deterministic but not
+    SQL-expressible (augmenting paths); exact nx.maximum_flow /
+    nx.minimum_cut / nx.edge_connectivity parity in
+    tests/test_maxflow.py."""
+    from igraph_ray.kernels.maxflow import max_flow, st_edge_connectivity
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "capacity": pc.cast(b.column("weight"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n = vertices.count()
+
+    # endpoints: the heaviest edge's endpoints (capacity DESC, src/dst
+    # ASC tie-break) — deterministic AND guaranteed connected, so the
+    # flow value is a non-trivial invariant of the whole component
+    top = (
+        edges.sort(
+            ["capacity", "src", "dst"], descending=[True, False, False]
+        )
+        .limit(1)
+        .take_all()
+    )
+    s, t = int(top[0]["src"]), int(top[0]["dst"])
+
+    res = max_flow(edges, n, s, t, "capacity", directed=False)
+    lam = st_edge_connectivity(edges, n, s, t, directed=False)
+    return pa.table(
+        {
+            "flow_value": pa.array([res["value"]], pa.int64()),
+            "cut_capacity": pa.array(
+                [int(res["cut_edges"].column("capacity").to_pandas().sum())],
+                pa.int64(),
+            ),
+            "cut_n": pa.array([res["cut_edges"].num_rows], pa.int64()),
+            "lambda_st": pa.array([lam], pa.int64()),
+        }
+    )
+
+
 def q_partition_quality(sf_dir: str):
     """One row (n, m, intra_edges, intra_pairs, coverage, performance)
     — nx.community.partition_quality of the E1∪E2 key graph under the
