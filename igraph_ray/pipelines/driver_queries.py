@@ -532,6 +532,67 @@ def q_leiden(sf_dir: str):
     )
 
 
+def q_fastgreedy(sf_dir: str):
+    """(key, community_key) — CNM greedy-modularity communities over
+    the E1∪E2 graph cut at the max-Q dendrogram prefix (igraph
+    community_fastgreedy + as_clustering); rows-only (heap-ordered
+    greedy merges are not SQL-expressible); exact
+    nx.greedy_modularity_communities parity asserted in
+    tests/test_community_extra.py."""
+    from igraph_ray.kernels.community_extra import fastgreedy
+
+    pairs = _link_graph_edges(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    assign, _qs = fastgreedy(edges)
+    tbl = pa.concat_tables(
+        assign.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        tbl, vtbl, {"vid": "key", "community": "community_key"}
+    )
+
+
+def q_girvan_newman(sf_dir: str):
+    """(key, community_key) — Girvan-Newman edge-betweenness
+    communities (igraph community_edge_betweenness) over the E1∪E2
+    graph, split until 8 communities; rows-only (iterative global
+    edge removal); exact nx.girvan_newman parity asserted in
+    tests/test_community_extra.py."""
+    from igraph_ray.kernels.community_extra import girvan_newman
+
+    pairs = _link_graph_edges(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    assign, _q, _rem = girvan_newman(edges, target_communities=8)
+    tbl = pa.concat_tables(
+        assign.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        tbl, vtbl, {"vid": "key", "community": "community_key"}
+    )
+
+
 def q_distances(sf_dir: str, graph_dir: str | None = None):
     """(key, dist) — BFS hop distances from the lexicographically
     smallest key over the E1∪E2 graph; reachable vertices only (the
