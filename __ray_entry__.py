@@ -130,6 +130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie": q.q_bowtie,  # SQL oracle (closure + reachability CTEs)
         "core_numbers": q.q_core_numbers,  # SQL oracle (unrolled peeling)
         "max_flow": q.q_max_flow,  # rows-only (augmenting paths; nx pytest oracle)
+        "global_min_cut": q.q_global_min_cut,  # rows-only (Stoer-Wagner; nx pytest oracle)
+        "gomory_hu": q.q_gomory_hu,  # rows-only (Gusfield; nx all-pairs pytest oracle)
+        "graph_isomorphic": q.q_isomorphic,  # SQL oracle (VF2 witness property constants)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
         "asof_join": q.q_asof_join,  # SQL oracle (window-ranked twin)
         "lineitem_agg": q.q_lineitem_agg,
@@ -852,6 +855,11 @@ def oracle_sql() -> dict[str, str]:
         "mis_validity": (
             "SELECT CAST(0 AS BIGINT) AS independence_violations, "
             "CAST(0 AS BIGINT) AS non_dominated"
+        ),
+        "graph_isomorphic": (
+            "SELECT TRUE AS is_isomorphic, "
+            "CAST(0 AS BIGINT) AS mapping_violations, "
+            "CAST(0 AS BIGINT) AS non_bijective"
         ),
         "matching_validity": (
             "SELECT CAST(0 AS BIGINT) AS overlaps, "

@@ -284,6 +284,146 @@ def st_vertex_connectivity(
     ]
 
 
+@ray.remote
+def _stoer_wagner_task(blocks, cap_col: str | None):
+    tables = [t for t in ray.get(list(blocks)) if t.num_rows]
+    tbl = pa.concat_tables(tables)
+    src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    w = (
+        tbl.column(cap_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if cap_col
+        else np.ones(len(src), dtype=np.float64)
+    )
+    keep = src != dst
+    src, dst, w = src[keep], dst[keep], w[keep]
+    vids = np.unique(np.concatenate([src, dst]))
+    n = len(vids)
+    a = np.searchsorted(vids, src)
+    b = np.searchsorted(vids, dst)
+    W = np.zeros((n, n), dtype=np.float64)
+    np.add.at(W, (a, b), w)
+    np.add.at(W, (b, a), w)
+
+    groups: list[list[int]] = [[i] for i in range(n)]
+    active = np.ones(n, dtype=bool)
+    best = np.inf
+    best_side: list[int] = []
+    for _phase in range(n - 1):
+        act = np.flatnonzero(active)
+        # maximum adjacency search (vectorized argmax per step)
+        start = int(act[0])
+        in_a = np.zeros(n, dtype=bool)
+        in_a[start] = True
+        conn = W[start].copy()
+        conn[~active] = -np.inf
+        conn[start] = -np.inf
+        s_prev, t_last, t_cut = start, start, 0.0
+        for _step in range(len(act) - 1):
+            v = int(np.argmax(conn))
+            s_prev, t_last, t_cut = t_last, v, float(conn[v])
+            in_a[v] = True
+            conn += W[v]
+            conn[in_a] = -np.inf
+            conn[~active] = -np.inf
+        if t_cut < best:
+            best = t_cut
+            best_side = list(groups[t_last])
+        # merge t_last into s_prev
+        W[s_prev] += W[t_last]
+        W[:, s_prev] += W[:, t_last]
+        W[s_prev, s_prev] = 0.0
+        active[t_last] = False
+        W[t_last] = 0.0
+        W[:, t_last] = 0.0
+        groups[s_prev].extend(groups[t_last])
+    side = pa.array(np.sort(vids[np.array(best_side, dtype=np.int64)]))
+    return float(best), side
+
+
+def min_cut(
+    edges: ray.data.Dataset,
+    capacity_col: str | None = None,
+    gather_max_arcs: int = GATHER_MAX_ARCS,
+) -> tuple[float, pa.Array]:
+    """Global minimum cut of the undirected weighted graph
+    (igraph ``igraph_mincut`` with no s/t; ``nx.stoer_wagner``
+    parity): Stoer-Wagner maximum-adjacency phases, vectorized over a
+    dense weight matrix.  Returns ``(cut_value, one_side_vids)``.
+    Bounded-gather like :func:`max_flow`; the dense matrix bounds the
+    vertex count to ~20k (3.2 GB float64) — run on a component /
+    quotient subgraph past that."""
+    m = edges.count()
+    if m > gather_max_arcs:
+        raise NotImplementedError(
+            f"min_cut bounded-gather limit: {m} arcs > {gather_max_arcs}"
+        )
+    cols = ["src", "dst"] + ([capacity_col] if capacity_col else [])
+    refs = edges.select_columns(cols).to_arrow_refs()
+    value, side = ray.get(_stoer_wagner_task.remote(refs, capacity_col))
+    return value, side
+
+
+@ray.remote
+def _gomory_hu_task(blocks, cap_col: str | None):
+    tables = [t for t in ray.get(list(blocks)) if t.num_rows]
+    tbl = pa.concat_tables(tables)
+    src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    cap = (
+        tbl.column(cap_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if cap_col
+        else np.ones(len(src), dtype=np.int64)
+    )
+    keep = src != dst
+    src, dst, cap = src[keep], dst[keep], cap[keep]
+    vids = np.unique(np.concatenate([src, dst]))
+    n = len(vids)
+    a = np.searchsorted(vids, src)
+    b = np.searchsorted(vids, dst)
+
+    # Gusfield 1990: n-1 max-flows against current tree parents; no
+    # graph contraction needed
+    parent = np.zeros(n, dtype=np.int64)
+    flow_lbl = np.zeros(n, dtype=np.int64)
+    for i in range(1, n):
+        t = int(parent[i])
+        f, _flows, reach = _dinic_py(n, a, b, cap, i, t, undirected=True)
+        flow_lbl[i] = f
+        for j in range(i + 1, n):
+            if parent[j] == t and reach[j]:
+                parent[j] = i
+    tree = pa.table(
+        {
+            "u": pa.array(vids[np.arange(1, n)]),
+            "v": pa.array(vids[parent[1:]]),
+            "flow": pa.array(flow_lbl[1:]),
+        }
+    )
+    return tree
+
+
+def gomory_hu_tree(
+    edges: ray.data.Dataset,
+    capacity_col: str | None = None,
+    gather_max_arcs: int = GATHER_MAX_ARCS,
+) -> pa.Table:
+    """Gomory-Hu cut tree of the undirected graph (igraph
+    ``igraph_gomory_hu_tree``; ``nx.gomory_hu_tree`` parity): Gusfield's
+    n-1 max-flow scheme over the gathered arc table, each flow solved
+    by the exact int64 Dinic above.  Rows ``(u, v, flow)``: the min
+    s-t cut for ANY pair equals the minimum ``flow`` on the unique
+    tree path.  Integer capacities stay exact."""
+    m = edges.count()
+    if m > gather_max_arcs:
+        raise NotImplementedError(
+            f"gomory_hu bounded-gather limit: {m} arcs > {gather_max_arcs}"
+        )
+    cols = ["src", "dst"] + ([capacity_col] if capacity_col else [])
+    refs = edges.select_columns(cols).to_arrow_refs()
+    return ray.get(_gomory_hu_task.remote(refs, capacity_col))
+
+
 def edge_connectivity(
     edges: ray.data.Dataset, n: int, directed: bool = False
 ) -> int:

@@ -1687,6 +1687,199 @@ def q_max_flow(sf_dir: str):
     )
 
 
+def q_global_min_cut(sf_dir: str, graph_dir: str | None = None):
+    """One row (cut_value, side_n, lcc_cut_value, lcc_side_n) —
+    Stoer-Wagner global minimum weighted cut (igraph_mincut surface)
+    of the full E1∪E2 graph (0 when disconnected) AND of its largest
+    connected component (the non-trivial invariant), composed with
+    the distributed components kernel; rows-only (maximum-adjacency
+    phases not SQL-expressible); exact nx.stoer_wagner parity in
+    tests/test_maxflow.py."""
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from igraph_ray.kernels.maxflow import min_cut
+
+    edges, _vertices = _key_edge_vids_weighted(sf_dir)
+    value, side = min_cut(edges, capacity_col="capacity")
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_gmc_")
+    graph, _vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = connected_components(graph)
+    sizes = (
+        run.state.groupby("comp")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "comp"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    big = int(sizes[0]["comp"])
+    comp_tbl = pa.concat_tables(
+        run.state.select_columns(["vid", "comp"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    cvid = comp_tbl.column("vid").to_numpy(zero_copy_only=False)
+    ccomp = comp_tbl.column("comp").to_numpy(zero_copy_only=False)
+    order = np.argsort(cvid)
+    ref = ray.put((cvid[order], ccomp[order]))
+
+    def in_lcc(batch: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        keep = c[np.searchsorted(v, s)] == big
+        return batch.filter(pa.array(keep))
+
+    lcc_edges = edges.map_batches(
+        in_lcc, batch_format="pyarrow", zero_copy_batch=True
+    )
+    lcc_value, lcc_side = min_cut(lcc_edges, capacity_col="capacity")
+    return pa.table(
+        {
+            "cut_value": pa.array([int(value)], pa.int64()),
+            "side_n": pa.array([len(side)], pa.int64()),
+            "lcc_cut_value": pa.array([int(lcc_value)], pa.int64()),
+            "lcc_side_n": pa.array([len(lcc_side)], pa.int64()),
+        }
+    )
+
+
+def q_gomory_hu(sf_dir: str):
+    """(u_key, v_key, flow) — Gomory-Hu cut tree of the E1∪E2 graph
+    (igraph_gomory_hu_tree surface, Gusfield scheme, deterministic
+    vid-order flows); rows-only; all-pairs min-cut parity vs
+    nx.gomory_hu_tree in tests/test_maxflow.py."""
+    from igraph_ray.kernels.maxflow import gomory_hu_tree
+
+    edges, vertices = _key_edge_vids_weighted(sf_dir)
+    tree = gomory_hu_tree(edges, capacity_col="capacity")
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tree, vtbl, {"u": "u_key", "v": "v_key"})
+
+
+def q_isomorphic(sf_dir: str):
+    """One row (is_isomorphic, mapping_violations, non_bijective) —
+    VF2 certificate that the E1∪E2 graph is isomorphic to its
+    deterministic relabeling vid -> n-1-vid, with the returned mapping
+    validated DISTRIBUTEDLY (every edge mapped through the witness and
+    diffed against the relabeled edge set via a count-signed groupby).
+    SQL twin states the property constants (witness pattern, like
+    coloring_validity); a broken VF2 or a bogus mapping breaks the
+    hash."""
+    from ray.data.aggregate import Sum
+
+    from igraph_ray.kernels.isomorphism import isomorphic
+
+    edges, vertices = _key_edge_vids(sf_dir)
+    edges = edges.materialize()
+    n = vertices.count()
+
+    def relabel(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        rs, rd = n - 1 - s, n - 1 - d
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(rs, rd)),
+                "dst": pa.array(np.maximum(rs, rd)),
+            }
+        )
+
+    relabeled = edges.map_batches(
+        relabel, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    ok, mapping = isomorphic(edges, relabeled)
+    violations = 0
+    non_bij = 0
+    if ok:
+        mvid = mapping.column("vid1").to_numpy(zero_copy_only=False)
+        mto = mapping.column("vid2").to_numpy(zero_copy_only=False)
+        order = np.argsort(mvid)
+        mvid, mto = mvid[order], mto[order]
+        non_bij = int(len(mto) - len(np.unique(mto)))
+        ref = ray.put((mvid, mto))
+
+        def mapped(batch: pa.Table) -> pa.Table:
+            v, t = ray.get(ref)
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            ms = t[np.searchsorted(v, s)]
+            md = t[np.searchsorted(v, d)]
+            return pa.table(
+                {
+                    "src": pa.array(np.minimum(ms, md)),
+                    "dst": pa.array(np.maximum(ms, md)),
+                    "sign": pa.array(np.ones(len(ms), np.int64)),
+                }
+            )
+
+        def negate(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "src": batch.column("src"),
+                    "dst": batch.column("dst"),
+                    "sign": pa.array(
+                        np.full(batch.num_rows, -1, np.int64)
+                    ),
+                }
+            )
+
+        diff = (
+            edges.map_batches(
+                mapped, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .union(
+                relabeled.map_batches(
+                    negate, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            .groupby(["src", "dst"])
+            .aggregate(Sum("sign", alias_name="net"))
+            .filter(expr="net != 0")
+        )
+        violations = diff.count()
+    return pa.table(
+        {
+            "is_isomorphic": pa.array([bool(ok)], pa.bool_()),
+            "mapping_violations": pa.array([violations], pa.int64()),
+            "non_bijective": pa.array([non_bij], pa.int64()),
+        }
+    )
+
+
+def _key_edge_vids_weighted(sf_dir: str):
+    """Like _key_edge_vids but keeps the co-occurrence weight as an
+    int64 capacity column."""
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = (
+        attach_vids(pairs, vertices)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("src"),
+                    "dst": b.column("dst"),
+                    "capacity": pc.cast(b.column("weight"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    return edges, vertices
+
+
 def q_partition_quality(sf_dir: str):
     """One row (n, m, intra_edges, intra_pairs, coverage, performance)
     — nx.community.partition_quality of the E1∪E2 key graph under the

@@ -125,3 +125,117 @@ def test_gather_bound_raises():
     dst = [1, 2]
     with pytest.raises(NotImplementedError):
         max_flow(_ds(src, dst), 3, 0, 2, gather_max_arcs=1)
+
+
+def _rand_ugraph(n, m, seed):
+    rng = np.random.default_rng(seed)
+    G = nx.gnm_random_graph(n, m, seed=seed)
+    caps = rng.integers(1, 30, G.number_of_edges())
+    for (u, v), c in zip(G.edges(), caps):
+        G[u][v]["capacity"] = int(c)
+        G[u][v]["weight"] = int(c)
+    src = np.array([u for u, v in G.edges()], dtype=np.int64)
+    dst = np.array([v for u, v in G.edges()], dtype=np.int64)
+    return G, src, dst, caps.astype(np.int64)
+
+
+@pytest.mark.parametrize("seed", [0, 2, 9])
+def test_stoer_wagner_matches_nx(ray_session, seed):
+    from igraph_ray.kernels.maxflow import min_cut
+
+    G, src, dst, caps = _rand_ugraph(18, 45, seed)
+    if not nx.is_connected(G):
+        G = G.subgraph(max(nx.connected_components(G), key=len))
+        keep = [i for i, (u, v) in enumerate(zip(src, dst))
+                if u in G and v in G]
+        src, dst, caps = src[keep], dst[keep], caps[keep]
+    value, side = min_cut(_ds(src, dst, caps), capacity_col="capacity")
+    ref_val, (s1, s2) = nx.stoer_wagner(G, weight="weight")
+    assert value == ref_val
+    side_set = set(side.to_pylist())
+    # our side must be a valid min cut of the same value
+    cut_w = sum(
+        int(G[u][v]["weight"])
+        for u, v in G.edges()
+        if (u in side_set) != (v in side_set)
+    )
+    assert cut_w == ref_val
+    assert 0 < len(side_set) < G.number_of_nodes()
+
+
+def test_stoer_wagner_unit_weights_bridge(ray_session):
+    from igraph_ray.kernels.maxflow import min_cut
+
+    # two K4s joined by one edge: global min cut = 1 (the bridge)
+    G = nx.disjoint_union(nx.complete_graph(4), nx.complete_graph(4))
+    G.add_edge(0, 4)
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    value, side = min_cut(_ds(src, dst))
+    assert value == 1.0
+    assert set(side.to_pylist()) in ({0, 1, 2, 3}, {4, 5, 6, 7})
+
+
+def _tree_allpairs_mincut(tree_rows, nodes):
+    """All-pairs min-cut implied by a Gomory-Hu tree: min edge flow
+    on the unique path."""
+    T = nx.Graph()
+    T.add_nodes_from(nodes)
+    for u, v, f in tree_rows:
+        T.add_edge(u, v, flow=f)
+    out = {}
+    for s in nodes:
+        for t in nodes:
+            if s < t:
+                path = nx.shortest_path(T, s, t)
+                out[(s, t)] = min(
+                    T[a][b]["flow"]
+                    for a, b in zip(path, path[1:])
+                )
+    return out
+
+
+@pytest.mark.parametrize("seed", [1, 4])
+def test_gomory_hu_allpairs_match_nx(ray_session, seed):
+    from igraph_ray.kernels.maxflow import gomory_hu_tree
+
+    G, src, dst, caps = _rand_ugraph(12, 30, seed)
+    G = G.subgraph(max(nx.connected_components(G), key=len)).copy()
+    keep = [i for i, (u, v) in enumerate(zip(src, dst))
+            if u in G and v in G]
+    src, dst, caps = src[keep], dst[keep], caps[keep]
+    tree = gomory_hu_tree(_ds(src, dst, caps), capacity_col="capacity")
+    rows = list(
+        zip(
+            tree.column("u").to_pylist(),
+            tree.column("v").to_pylist(),
+            tree.column("flow").to_pylist(),
+        )
+    )
+    nodes = sorted(G.nodes())
+    ours = _tree_allpairs_mincut(rows, nodes)
+    ref_tree = nx.gomory_hu_tree(G, capacity="capacity")
+    ref_rows = [
+        (u, v, d["weight"]) for u, v, d in ref_tree.edges(data=True)
+    ]
+    ref = _tree_allpairs_mincut(ref_rows, nodes)
+    assert ours == ref
+
+
+def test_gomory_hu_path_graph_exact(ray_session):
+    from igraph_ray.kernels.maxflow import gomory_hu_tree
+
+    # path with distinct capacities: tree == the path itself
+    src = [0, 1, 2, 3]
+    dst = [1, 2, 3, 4]
+    cap = [5, 3, 8, 2]
+    tree = gomory_hu_tree(_ds(src, dst, cap), capacity_col="capacity")
+    rows = {
+        (min(u, v), max(u, v)): f
+        for u, v, f in zip(
+            tree.column("u").to_pylist(),
+            tree.column("v").to_pylist(),
+            tree.column("flow").to_pylist(),
+        )
+    }
+    assert rows == {(0, 1): 5, (1, 2): 3, (2, 3): 8, (3, 4): 2}
