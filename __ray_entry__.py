@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_min_cut": q.q_global_min_cut,  # rows-only (Stoer-Wagner; nx pytest oracle)
         "gomory_hu": q.q_gomory_hu,  # rows-only (Gusfield; nx all-pairs pytest oracle)
         "graph_isomorphic": q.q_isomorphic,  # SQL oracle (VF2 witness property constants)
+        "dominator_tree": q.q_dominator_tree,  # rows-only (CHK fixed point; nx pytest oracle)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
         "asof_join": q.q_asof_join,  # SQL oracle (window-ranked twin)
         "lineitem_agg": q.q_lineitem_agg,

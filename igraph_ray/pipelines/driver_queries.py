@@ -1852,6 +1852,37 @@ def q_isomorphic(sf_dir: str):
     )
 
 
+def q_dominator_tree(sf_dir: str):
+    """(key, idom_key) — immediate dominators (igraph_dominator_tree
+    surface, Cooper-Harvey-Kennedy) of the E1∪E2 graph oriented low→
+    high vid, rooted at vid 0; rows-only (global RPO fixed point);
+    exact nx.immediate_dominators parity in tests/test_dominators.py."""
+    from igraph_ray.kernels.dominators import dominator_tree
+
+    edges, vertices = _key_edge_vids(sf_dir)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(s, d)),
+                "dst": pa.array(np.maximum(s, d)),
+            }
+        )
+
+    dag = edges.map_batches(
+        orient, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tree = dominator_tree(dag, root=0)
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tree, vtbl, {"vid": "key", "idom": "idom_key"})
+
+
 def _key_edge_vids_weighted(sf_dir: str):
     """Like _key_edge_vids but keeps the co-occurrence weight as an
     int64 capacity column."""
