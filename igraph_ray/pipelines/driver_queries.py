@@ -593,6 +593,38 @@ def q_girvan_newman(sf_dir: str):
     )
 
 
+def q_walktrap(sf_dir: str):
+    """(key, community_key) — Walktrap communities (igraph
+    community_walktrap(steps=4) + as_clustering) over the E1∪E2
+    graph, Ward agglomeration on 4-step random-walk distances cut at
+    the max-Q dendrogram prefix; rows-only (heap-ordered greedy
+    merges are not SQL-expressible); merge-sequence parity vs an
+    independent brute-force reference asserted in
+    tests/test_walktrap.py."""
+    from igraph_ray.kernels.walktrap import walktrap
+
+    pairs = _link_graph_edges(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    assign, _qs = walktrap(edges)
+    tbl = pa.concat_tables(
+        assign.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        tbl, vtbl, {"vid": "key", "community": "community_key"}
+    )
+
+
 def q_distances(sf_dir: str, graph_dir: str | None = None):
     """(key, dist) — BFS hop distances from the lexicographically
     smallest key over the E1∪E2 graph; reachable vertices only (the
