@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fastgreedy": q.q_fastgreedy,  # rows-only (nx CNM parity pytest)
         "girvan_newman": q.q_girvan_newman,  # rows-only (nx GN parity pytest)
         "walktrap": q.q_walktrap,  # rows-only (brute-force merge parity pytest)
+        "infomap": q.q_infomap,  # rows-only (codelength local-optimum pytest)
         "distances": q.q_distances,  # SQL oracle: recursive-CTE BFS
         "distances_weighted": q.q_distances_weighted,  # SQL oracle (int-exact min-plus)
         "widest_paths": q.q_widest_paths,  # SQL oracle (int-exact max-min)

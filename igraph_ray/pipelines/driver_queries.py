@@ -625,6 +625,37 @@ def q_walktrap(sf_dir: str):
     )
 
 
+def q_infomap(sf_dir: str):
+    """(key, community_key) — Infomap communities (igraph
+    community_infomap: two-level map-equation minimization,
+    Louvain-style deterministic local moves + coarsening) over the
+    E1∪E2 graph; rows-only (sequential greedy over a global
+    objective is not SQL-expressible); incremental-vs-scratch
+    codelength and local-optimum checks in tests/test_infomap.py."""
+    from igraph_ray.kernels.infomap import infomap
+
+    pairs = _link_graph_edges(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    assign, _L, _L0 = infomap(edges)
+    tbl = pa.concat_tables(
+        assign.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        tbl, vtbl, {"vid": "key", "community": "community_key"}
+    )
+
+
 def q_distances(sf_dir: str, graph_dir: str | None = None):
     """(key, dist) — BFS hop distances from the lexicographically
     smallest key over the E1∪E2 graph; reachable vertices only (the
