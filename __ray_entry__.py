@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "girvan_newman": q.q_girvan_newman,  # rows-only (nx GN parity pytest)
         "walktrap": q.q_walktrap,  # rows-only (brute-force merge parity pytest)
         "infomap": q.q_infomap,  # rows-only (codelength local-optimum pytest)
+        "leading_eigenvector": q.q_leading_eigenvector,  # rows-only (eigh parity pytest)
         "distances": q.q_distances,  # SQL oracle: recursive-CTE BFS
         "distances_weighted": q.q_distances_weighted,  # SQL oracle (int-exact min-plus)
         "widest_paths": q.q_widest_paths,  # SQL oracle (int-exact max-min)

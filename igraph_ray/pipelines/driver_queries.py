@@ -656,6 +656,36 @@ def q_infomap(sf_dir: str):
     )
 
 
+def q_leading_eigenvector(sf_dir: str):
+    """(key, community_key) — Newman leading-eigenvector communities
+    (igraph community_leading_eigenvector: recursive modularity-matrix
+    spectral bisection with Gershgorin-shifted power iteration) over
+    the E1∪E2 graph; rows-only (iterative eigensolver); dense-eigh
+    reference parity asserted in tests/test_leading_eigen.py."""
+    from igraph_ray.kernels.leading_eigen import leading_eigenvector
+
+    pairs = _link_graph_edges(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    assign, _Q = leading_eigenvector(edges)
+    tbl = pa.concat_tables(
+        assign.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        tbl, vtbl, {"vid": "key", "community": "community_key"}
+    )
+
+
 def q_distances(sf_dir: str, graph_dir: str | None = None):
     """(key, dist) — BFS hop distances from the lexicographically
     smallest key over the E1∪E2 graph; reachable vertices only (the
