@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms": q.q_frequent_terms,  # SQL oracle (top-100 tf)
         "language_id": q.q_language_id,  # SQL oracle (regex twins)
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
+        "gopher_rules": q.q_gopher_rules,  # SQL oracle (bitwise IEEE replay)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
         "minhash_pairs": q.q_minhash_pairs,  # rows-only
         "ngram_jaccard": q.q_ngram_jaccard,  # SQL oracle (inverted-index twin)
@@ -775,6 +776,55 @@ SELECT doc_id,
   * least(greatest(0.25 + (stop/nt), 0.0), 1.0)
   * least(greatest((nc/nt)/4.0, 0.25), 1.0) AS quality
 FROM f"""
+
+# Gopher quality rules (functions/text.gopher_rules): exact integer
+# RE2 counters, ratios are single int/int IEEE divisions, so doubles
+# match bitwise.  '...' count replays Arrow's non-overlapping
+# count_substring via replace-length-diff // 3.
+_GOPHER_STOP_SQL = " + ".join(
+    f"(CASE WHEN regexp_matches(text, '(?i)\\b{sw}\\b') THEN 1 ELSE 0 END)"
+    for sw in ("the", "be", "to", "of", "and", "that", "have", "with")
+)
+_GOPHER_SQL = f"""
+WITH c AS (
+  SELECT doc_id, text,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nw,
+    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS wc,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS nhash,
+    CAST((length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT)
+      AS ndots,
+    CAST(length(text) - length(replace(text, chr(10), '')) + 1 AS BIGINT)
+      AS nlines,
+    CAST(len(regexp_extract_all(text, '(?m)^[ \t]*[•\\-\\*]')) AS BIGINT)
+      AS nbullet,
+    CAST(len(regexp_extract_all(text, '(?m)(\\.\\.\\.|…)[ \t]*$')) AS BIGINT)
+      AS nellipsis,
+    CAST(len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS BIGINT)
+      AS nalpha,
+    CAST({_GOPHER_STOP_SQL} AS BIGINT) AS n_stop_hits
+  FROM documents
+),
+r AS (
+  SELECT doc_id, nw, n_stop_hits,
+    CASE WHEN nw > 0 THEN CAST(wc AS DOUBLE) / CAST(nw AS DOUBLE)
+         ELSE 0.0 END AS mean_word_len,
+    CASE WHEN nw > 0 THEN CAST(nhash + ndots AS DOUBLE) / CAST(nw AS DOUBLE)
+         ELSE 0.0 END AS symbol_ratio,
+    CAST(nbullet AS DOUBLE) / CAST(nlines AS DOUBLE) AS bullet_line_ratio,
+    CAST(nellipsis AS DOUBLE) / CAST(nlines AS DOUBLE)
+      AS ellipsis_line_ratio,
+    CASE WHEN nw > 0 THEN CAST(nalpha AS DOUBLE) / CAST(nw AS DOUBLE)
+         ELSE 0.0 END AS alpha_word_ratio
+  FROM c
+)
+SELECT doc_id, nw AS n_words, mean_word_len, symbol_ratio,
+  bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio, n_stop_hits,
+  CAST(CASE WHEN nw >= 50 AND nw <= 100000
+       AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       AND symbol_ratio <= 0.1 AND bullet_line_ratio <= 0.9
+       AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
+       AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM r"""
 
 # Winnowing fingerprint COUNT (functions/text._winnow_row: k=8 rolling
 # polynomial base-257 hash mod 2^64, window-16 sliding min, distinct).
@@ -2621,6 +2671,7 @@ FROM v GROUP BY 1, 2
         # character ops == byte ops for the rolling hash).
         "language_id": _LANG_ID_SQL,
         "quality_score": _QUALITY_SQL,
+        "gopher_rules": _GOPHER_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         # exact word-3-gram Jaccard over the df<=128 shingle universe;
         # mirror of functions/dedup.py::ngram_jaccard_pairs (trim+split

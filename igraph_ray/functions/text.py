@@ -888,3 +888,100 @@ def unigram_logprob(
         zero_copy_batch=True,
         concurrency=(1, 8),
     )
+
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Appendix A quality heuristics):
+
+    1. 50 <= n_words <= 100000
+    2. 3 <= mean word length <= 10
+    3. symbol-to-word ratio <= 0.1  (symbols: '#' and '...')
+    4. <= 90% of lines start with a bullet ('•', '-', '*')
+    5. <= 30% of lines end with an ellipsis ('...' or '…')
+    6. >= 80% of words contain at least one alphabetic character
+    7. at least 2 of 8 required stopwords appear (the/be/to/of/and/
+       that/have/with, word-bounded, case-insensitive)
+
+    All counters are exact integers from RE2 kernels; ratios are
+    single IEEE divisions of those integers, so a SQL twin replays
+    them bitwise.  Output: ``(id_col, n_words, mean_word_len,
+    symbol_ratio, bullet_line_ratio, ellipsis_line_ratio,
+    alpha_word_ratio, n_stop_hits, keep)`` — one streaming map, no
+    shuffle.
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        nw = pc.count_substring_regex(text, r"\S+").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        word_chars = pc.utf8_length(
+            pc.replace_substring_regex(text, r"\s", "")
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_hash = pc.count_substring(text, "#").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_dots = pc.count_substring(text, "...").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        n_lines = pc.count_substring(text, "\n").to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64) + 1
+        n_bullet = pc.count_substring_regex(
+            text, r"(?m)^[ \t]*[•\-\*]"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ellipsis = pc.count_substring_regex(
+            text, r"(?m)(\.\.\.|…)[ \t]*$"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_alpha = pc.count_substring_regex(
+            text, r"\S*[A-Za-z]\S*"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        stop_hits = np.zeros(len(nw), dtype=np.int64)
+        for sw in _GOPHER_STOPWORDS:
+            hit = pc.match_substring_regex(
+                text, rf"(?i)\b{sw}\b"
+            ).to_numpy(zero_copy_only=False)
+            stop_hits += hit.astype(np.int64)
+        nwf = nw.astype(np.float64)
+        nlf = n_lines.astype(np.float64)
+        mean_wl = np.where(nw > 0, word_chars / np.maximum(nwf, 1.0), 0.0)
+        sym_r = np.where(
+            nw > 0, (n_hash + n_dots) / np.maximum(nwf, 1.0), 0.0
+        )
+        bul_r = n_bullet / nlf
+        ell_r = n_ellipsis / nlf
+        alp_r = np.where(nw > 0, n_alpha / np.maximum(nwf, 1.0), 0.0)
+        keep = (
+            (nw >= 50)
+            & (nw <= 100_000)
+            & (mean_wl >= 3.0)
+            & (mean_wl <= 10.0)
+            & (sym_r <= 0.1)
+            & (bul_r <= 0.9)
+            & (ell_r <= 0.3)
+            & (alp_r >= 0.8)
+            & (stop_hits >= 2)
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_words": pa.array(nw),
+                "mean_word_len": pa.array(mean_wl),
+                "symbol_ratio": pa.array(sym_r),
+                "bullet_line_ratio": pa.array(bul_r),
+                "ellipsis_line_ratio": pa.array(ell_r),
+                "alpha_word_ratio": pa.array(alp_r),
+                "n_stop_hits": pa.array(stop_hits),
+                "keep": pa.array(keep.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

@@ -863,6 +863,19 @@ def q_quality(sf_dir: str):
     ).select_columns(["doc_id", "quality"])
 
 
+def q_gopher_rules(sf_dir: str):
+    """(doc_id, n_words, mean_word_len, symbol_ratio,
+    bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+    n_stop_hits, keep) — Gopher quality heuristics (Rae et al. 2021
+    App. A); exact integer counters + single IEEE divisions, SQL twin
+    replays bitwise (functions/text.py::gopher_rules)."""
+    from igraph_ray.functions.text import gopher_rules
+
+    return gopher_rules(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def q_fingerprints(sf_dir: str):
     out = winnow_fingerprints(
         documents(sf_dir).select_columns(["doc_id", "text"])

@@ -347,3 +347,40 @@ def test_redact_pii():
     assert red[0] == "mail <EMAIL> now"
     assert red[1] == "host <IP> and backup <IP> call <PHONE> or <PHONE>"
     assert red[2] == "no pii here"
+
+
+def test_gopher_rules_edge_cases():
+    from igraph_ray.functions.text import gopher_rules
+
+    good = (
+        "the quick brown fox jumps over that lazy dog and it will have "
+        "been with us for quite some time now running through fields "
+    ) * 4  # 96 words, all alphabetic, plenty of stopwords
+    bullets = "\n".join(f"- item {i}" for i in range(10))  # 100% bullet lines
+    ellipses = "\n".join(f"so it goes on {i}..." for i in range(10))
+    symbols = "# " * 60 + "the word is that we have to be of and with it " * 2
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+                "text": pa.array(["", good, bullets, ellipses, symbols]),
+            }
+        )
+    )
+    tbl = pa.concat_tables(
+        gopher_rules(ds).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in tbl.to_pylist()}
+    # empty doc: zero words, ratios defined (0.0), rejected
+    assert rows[0]["n_words"] == 0 and rows[0]["keep"] == 0
+    assert rows[0]["mean_word_len"] == 0.0
+    # good doc passes every rule
+    assert rows[1]["n_words"] == 96 and rows[1]["keep"] == 1
+    assert rows[1]["alpha_word_ratio"] == 1.0
+    assert rows[1]["n_stop_hits"] >= 2
+    # bullet-only doc: bullet_line_ratio == 1.0 > 0.9 -> reject
+    assert rows[2]["bullet_line_ratio"] == 1.0 and rows[2]["keep"] == 0
+    # ellipsis-terminated lines: ratio 1.0 > 0.3 -> reject
+    assert rows[3]["ellipsis_line_ratio"] == 1.0 and rows[3]["keep"] == 0
+    # symbol-heavy doc: 60 hashes over ~84 words -> symbol ratio > 0.1
+    assert rows[4]["symbol_ratio"] > 0.1 and rows[4]["keep"] == 0
