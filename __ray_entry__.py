@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": q.q_language_id,  # SQL oracle (regex twins)
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
         "gopher_rules": q.q_gopher_rules,  # SQL oracle (bitwise IEEE replay)
+        "c4_clean": q.q_c4_clean,  # SQL oracle (exact string/int rebuild)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
         "minhash_pairs": q.q_minhash_pairs,  # rows-only
         "ngram_jaccard": q.q_ngram_jaccard,  # SQL oracle (inverted-index twin)
@@ -825,6 +826,41 @@ SELECT doc_id, nw AS n_words, mean_word_len, symbol_ratio,
        AND ellipsis_line_ratio <= 0.3 AND alpha_word_ratio >= 0.8
        AND n_stop_hits >= 2 THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM r"""
+
+# C4 line-level cleaning (functions/text.c4_clean): line keep =
+# terminal punctuation + >=5 words + no 'javascript'; page keep =
+# no lorem-ipsum / no brace / >=3 sentences in the cleaned text.
+# Exact integers + string rebuild — bitwise.
+_C4_SQL = """
+WITH l AS (
+  SELECT doc_id, text,
+    string_split(text, chr(10)) AS ls,
+    list_filter(string_split(text, chr(10)),
+      x -> regexp_matches(x, '[.!?"][ \t]*$')
+           AND len(regexp_extract_all(x, '\\S+')) >= 5
+           AND NOT regexp_matches(x, '(?i)javascript')) AS kept
+  FROM documents
+),
+c AS (
+  SELECT doc_id, text,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+    COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text
+  FROM l
+)
+SELECT doc_id, n_lines, n_kept_lines,
+  CAST(len(regexp_extract_all(cleaned_text, '[.!?]')) AS BIGINT)
+    AS n_sentences,
+  CAST(CASE WHEN regexp_matches(text, '(?i)lorem ipsum')
+       THEN 1 ELSE 0 END AS BIGINT) AS has_lorem,
+  CAST(CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS BIGINT)
+    AS has_brace,
+  cleaned_text,
+  CAST(CASE WHEN NOT regexp_matches(text, '(?i)lorem ipsum')
+       AND NOT contains(text, '{')
+       AND len(regexp_extract_all(cleaned_text, '[.!?]')) >= 3
+       THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM c"""
 
 # Winnowing fingerprint COUNT (functions/text._winnow_row: k=8 rolling
 # polynomial base-257 hash mod 2^64, window-16 sliding min, distinct).
@@ -2672,6 +2708,7 @@ FROM v GROUP BY 1, 2
         "language_id": _LANG_ID_SQL,
         "quality_score": _QUALITY_SQL,
         "gopher_rules": _GOPHER_SQL,
+        "c4_clean": _C4_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         # exact word-3-gram Jaccard over the df<=128 shingle universe;
         # mirror of functions/dedup.py::ngram_jaccard_pairs (trim+split

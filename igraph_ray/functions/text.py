@@ -985,3 +985,86 @@ def gopher_rules(
         )
 
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def c4_clean(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> ray.data.Dataset:
+    """C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text
+    Transformer", §2.2 heuristics):
+
+    Line keep rule (all must hold): ends with terminal punctuation
+    (``. ! ?`` or ``"``), has >= 5 whitespace words, and does not
+    contain "javascript" (case-insensitive).
+
+    Page rules: drop pages containing "lorem ipsum" (ci) or a curly
+    brace ``{``; keep pages whose CLEANED text has >= 3 sentence
+    terminators.  (The original's three-sentence-span dedup is the
+    separate ``paragraph_dedup`` pipeline.)
+
+    Output: ``(id_col, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, cleaned_text, keep)``.  One streaming map, no shuffle;
+    every counter is an exact integer and the cleaned text is a pure
+    string rebuild, so a SQL twin matches bitwise.  Hot path is fully
+    vectorized: ``split_pattern`` -> flat line-level RE2 kernels ->
+    prefix-sum re-segmentation -> ``binary_join``.
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col).combine_chunks()
+        if isinstance(text, pa.ChunkedArray):
+            text = pa.concat_arrays(text.chunks) if text.num_chunks else (
+                pa.array([], pa.string())
+            )
+        lines = pc.split_pattern(text, "\n")
+        counts = pc.list_value_length(lines).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        offsets = np.concatenate([[0], np.cumsum(counts)])
+        flat = pc.list_flatten(lines)
+        keep_line = pc.and_(
+            pc.and_(
+                pc.match_substring_regex(flat, r'[.!?"][ \t]*$'),
+                pc.greater_equal(
+                    pc.count_substring_regex(flat, r"\S+"), 5
+                ),
+            ),
+            pc.invert(pc.match_substring_regex(flat, r"(?i)javascript")),
+        )
+        k = keep_line.to_numpy(zero_copy_only=False).astype(np.int64)
+        csum = np.concatenate([[0], np.cumsum(k)])
+        kept_per_doc = csum[offsets[1:]] - csum[offsets[:-1]]
+        new_offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
+        kept_flat = flat.filter(keep_line)
+        if isinstance(kept_flat, pa.ChunkedArray):
+            kept_flat = kept_flat.combine_chunks()
+        cleaned_list = pa.LargeListArray.from_arrays(
+            pa.array(new_offsets, pa.int64()), kept_flat
+        )
+        cleaned = pc.binary_join(cleaned_list, "\n")
+        n_sent = pc.cast(
+            pc.count_substring_regex(cleaned, r"[.!?]"), pa.int64()
+        )
+        has_lorem = pc.match_substring_regex(text, r"(?i)lorem ipsum")
+        has_brace = pc.match_substring(text, "{")
+        keep = pc.and_(
+            pc.and_(pc.invert(has_lorem), pc.invert(has_brace)),
+            pc.greater_equal(n_sent, 3),
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_lines": pa.array(counts),
+                "n_kept_lines": pa.array(kept_per_doc),
+                "n_sentences": n_sent,
+                "has_lorem": pc.cast(has_lorem, pa.int64()),
+                "has_brace": pc.cast(has_brace, pa.int64()),
+                "cleaned_text": cleaned,
+                "keep": pc.cast(keep, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

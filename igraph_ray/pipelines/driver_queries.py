@@ -876,6 +876,16 @@ def q_gopher_rules(sf_dir: str):
     )
 
 
+def q_c4_clean(sf_dir: str):
+    """(doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+    has_brace, cleaned_text, keep) — C4 line-level cleaning (Raffel
+    et al. 2020 §2.2); exact integer counters + pure string rebuild,
+    SQL twin replays bitwise (functions/text.py::c4_clean)."""
+    from igraph_ray.functions.text import c4_clean
+
+    return c4_clean(documents(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def q_fingerprints(sf_dir: str):
     out = winnow_fingerprints(
         documents(sf_dir).select_columns(["doc_id", "text"])

@@ -384,3 +384,44 @@ def test_gopher_rules_edge_cases():
     assert rows[3]["ellipsis_line_ratio"] == 1.0 and rows[3]["keep"] == 0
     # symbol-heavy doc: 60 hashes over ~84 words -> symbol ratio > 0.1
     assert rows[4]["symbol_ratio"] > 0.1 and rows[4]["keep"] == 0
+
+
+def test_c4_clean_rules():
+    from igraph_ray.functions.text import c4_clean
+
+    texts = [
+        "Good line has five words here.\nshort.\nno punct five words here\n"
+        "Another good sentence with words. And more! Yes?\n",
+        "lorem ipsum dolor sit amet. This is a fine sentence. "
+        "Another one here too. Third sentence is fine.",
+        "code { x = 1; }",
+        "",
+        "Use javascript for this page today.\n"
+        'He said "hello there my friend."\n'
+        "One more good sentence right here. Then another one follows! Ok?",
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    tbl = pa.concat_tables(
+        c4_clean(ds).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in tbl.to_pylist()}
+    # doc 0: trailing newline -> 5 lines, 2 survive (short./no-punct dropped)
+    assert rows[0]["n_lines"] == 5 and rows[0]["n_kept_lines"] == 2
+    assert rows[0]["keep"] == 1 and rows[0]["n_sentences"] == 4
+    # lorem ipsum page: lines may survive but page is dropped
+    assert rows[1]["has_lorem"] == 1 and rows[1]["keep"] == 0
+    # curly-brace page dropped
+    assert rows[2]["has_brace"] == 1 and rows[2]["keep"] == 0
+    # empty doc: one empty line, nothing kept
+    assert rows[3]["n_lines"] == 1 and rows[3]["cleaned_text"] == ""
+    # javascript line dropped; quote-terminated line kept
+    assert rows[4]["n_kept_lines"] == 2
+    assert "javascript" not in rows[4]["cleaned_text"]
+    assert '"' in rows[4]["cleaned_text"]
