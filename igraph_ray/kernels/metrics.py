@@ -682,3 +682,114 @@ def attribute_assortativity(
     if denom == 0:
         return 1.0, {"n": n, "tr": tr, "ab": ab}
     return (n * tr - ab) / denom, {"n": n, "tr": tr, "ab": ab}
+
+
+# ---------------------------------------------------------------------------
+# Eulerian circuit / path existence
+# ---------------------------------------------------------------------------
+def eulerian_summary(
+    pairs: ray.data.Dataset, comp_state: ray.data.Dataset
+) -> pa.Table:
+    """One row ``(n_nonzero_vertices, n_odd_degree, n_edge_components,
+    has_euler_circuit, has_euler_path)`` — igraph
+    ``has_eulerian_cycle`` / ``has_eulerian_path`` semantics on the
+    nonzero-degree subgraph (isolated vertices are ignored, matching
+    igraph; networkx ``is_eulerian`` additionally requires no isolated
+    vertices — tests compare on graphs without isolates).
+
+    A connected multigraph has an Eulerian circuit iff every vertex
+    has even degree, and an Eulerian path iff it has exactly 0 or 2
+    odd-degree vertices (Euler 1736 / Hierholzer 1873).
+
+    ``pairs``: unordered unique vid pairs ``(src, dst)``;
+    ``comp_state``: ``(vid, comp)`` from the components kernel.
+    Fully distributed: one endpoint groupby for degrees, one tagged
+    groupby to intersect component labels with nonzero-degree
+    vertices, one tiny groupby over component labels — no O(V)
+    driver gather.
+    """
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks()
+        d = batch.column("dst").combine_chunks()
+        return pa.table({"vid": pa.concat_arrays([s, d])})
+
+    deg = (
+        pairs.map_batches(
+            endpoints, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("vid")
+        .aggregate(Count("vid", alias_name="degree"))
+    )
+
+    def parity(batch: pa.Table) -> pa.Table:
+        d = batch.column("degree").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_odd": pa.array([int((d % 2).sum())], pa.int64()),
+                "n_nonzero": pa.array([len(d)], pa.int64()),
+            }
+        )
+
+    sums = (
+        deg.map_batches(parity, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n_odd", alias_name="n_odd"),
+                   Sum("n_nonzero", alias_name="n_nonzero"))
+    )
+    n_odd = int(sums["n_odd"] or 0)
+    n_nonzero = int(sums["n_nonzero"] or 0)
+
+    def tag_deg(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "comp": pa.array(np.full(n, -1, np.int64)),
+                "is_deg": pa.array(np.ones(n, np.int64)),
+            }
+        )
+
+    def tag_comp(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "comp": pc.cast(batch.column("comp"), pa.int64()),
+                "is_deg": pa.array(np.zeros(n, np.int64)),
+            }
+        )
+
+    tagged = deg.map_batches(
+        tag_deg, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        comp_state.select_columns(["vid", "comp"]).map_batches(
+            tag_comp, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    merged = tagged.groupby("vid").aggregate(
+        Max("comp", alias_name="comp"),
+        Sum("is_deg", alias_name="is_deg"),
+    )
+
+    def keep_nonzero(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column("is_deg"), 0))
+
+    n_comp = (
+        merged.map_batches(
+            keep_nonzero, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("comp")
+        .aggregate(Count("comp", alias_name="n"))
+        .count()
+    )
+    circuit = int(n_odd == 0 and n_comp <= 1 and n_nonzero > 0)
+    path = int(n_odd in (0, 2) and n_comp <= 1 and n_nonzero > 0)
+    return pa.table(
+        {
+            "n_nonzero_vertices": pa.array([n_nonzero], pa.int64()),
+            "n_odd_degree": pa.array([n_odd], pa.int64()),
+            "n_edge_components": pa.array([int(n_comp)], pa.int64()),
+            "has_euler_circuit": pa.array([circuit], pa.int64()),
+            "has_euler_path": pa.array([path], pa.int64()),
+        }
+    )

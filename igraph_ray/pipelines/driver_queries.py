@@ -1162,6 +1162,25 @@ def q_rich_club(sf_dir: str):
     return rich_club(edges)
 
 
+def q_eulerian(sf_dir: str):
+    """One row (n_nonzero_vertices, n_odd_degree, n_edge_components,
+    has_euler_circuit, has_euler_path) over the E1∪E2 key graph —
+    igraph has_eulerian_cycle/has_eulerian_path semantics on the
+    nonzero-degree subgraph (kernels/metrics.py::eulerian_summary;
+    NX-exact in tests/test_metrics.py)."""
+    import tempfile
+
+    from igraph_ray.kernels.metrics import eulerian_summary
+
+    graph_dir = tempfile.mkdtemp(prefix="igr_eul_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = connected_components(graph)
+    pairs = _link_graph_edges_cached(sf_dir)
+    vertices_ds = ray.data.from_arrow(vtbl)
+    edges = attach_vids(pairs, vertices_ds).select_columns(["src", "dst"])
+    return eulerian_summary(edges, run.state.select_columns(["vid", "comp"]))
+
+
 def _rule_edge_sets(sf_dir: str):
     """Distinct canonical E1 (shared-path) and E2 (commit) pair sets."""
     files = files_from_documents(sf_dir)

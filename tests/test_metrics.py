@@ -286,3 +286,64 @@ def test_attribute_assortativity_perfect():
     )
     r, _ = attribute_assortativity(ds)
     assert r == 1.0
+
+
+def test_eulerian_summary_vs_nx():
+    from igraph_ray.kernels.metrics import eulerian_summary
+    from tests.util import min_vid_components
+
+    def run(G):
+        comp = min_vid_components(G)
+        vs = sorted(G.nodes())
+        st = ray.data.from_arrow(
+            pa.table(
+                {
+                    "vid": pa.array(vs, pa.int64()),
+                    "comp": pa.array([comp[v] for v in vs], pa.int64()),
+                }
+            )
+        )
+        return eulerian_summary(_pairs_ds(G), st).to_pylist()[0]
+
+    cases = [
+        nx.cycle_graph(6),
+        nx.path_graph(5),
+        nx.star_graph(3),
+        nx.complete_graph(5),  # all even -> circuit
+        nx.complete_graph(4),  # all odd -> neither
+    ]
+    for seed in (7, 8):
+        cases.append(nx.gnm_random_graph(40, 60, seed=seed))
+    for G in cases:
+        G.remove_nodes_from(list(nx.isolates(G)))
+        if G.number_of_edges() == 0:
+            continue
+        row = run(G)
+        assert bool(row["has_euler_circuit"]) == nx.is_eulerian(G), G
+        assert bool(row["has_euler_path"]) == nx.has_eulerian_path(G), G
+        odd = sum(1 for _, d in G.degree() if d % 2)
+        assert row["n_odd_degree"] == odd
+        assert row["n_edge_components"] == nx.number_connected_components(G)
+
+
+def test_eulerian_summary_disconnected():
+    from igraph_ray.kernels.metrics import eulerian_summary
+    from tests.util import min_vid_components
+
+    G = nx.union(
+        nx.cycle_graph(3),
+        nx.relabel_nodes(nx.cycle_graph(3), {0: 10, 1: 11, 2: 12}),
+    )
+    comp = min_vid_components(G)
+    vs = sorted(G.nodes())
+    st = ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(vs, pa.int64()),
+                "comp": pa.array([comp[v] for v in vs], pa.int64()),
+            }
+        )
+    )
+    row = eulerian_summary(_pairs_ds(G), st).to_pylist()[0]
+    assert row["n_edge_components"] == 2
+    assert row["has_euler_circuit"] == 0 and row["has_euler_path"] == 0
