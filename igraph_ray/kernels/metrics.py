@@ -239,11 +239,12 @@ def _wedge_pair_weights(
     pairs: ray.data.Dataset,
     num_parts: int | None,
     max_degree: int | None,
-    log_weighted: bool,
+    center_weight: str,
 ) -> ray.data.Dataset:
     """Rows (a, b, common, is_edge=0) — for every unordered vertex
     pair with ≥1 common neighbour, the sum over common neighbours w of
-    1 (``log_weighted=False``) or 1/ln(deg(w)) (Adamic–Adar).
+    1 (``center_weight="one"``), 1/ln(deg(w)) (``"invlog"``,
+    Adamic–Adar) or 1/deg(w) (``"inv"``, Burt's constraint).
 
     Wedge volume is Σ deg(w)² — the triangle-counting bound;
     ``max_degree`` caps hub centres for the estimate-at-scale mode.
@@ -288,7 +289,12 @@ def _wedge_pair_weights(
             ii, jj = np.triu_indices(d, k=1)
             out_a.append(nb[ii])
             out_b.append(nb[jj])
-            w = 1.0 / math.log(d) if log_weighted else 1.0
+            if center_weight == "invlog":
+                w = 1.0 / math.log(d)
+            elif center_weight == "inv":
+                w = 1.0 / d
+            else:
+                w = 1.0
             out_w.append(np.full(len(ii), w))
         if out_a:
             a = np.concatenate(out_a)
@@ -362,7 +368,7 @@ def jaccard_edge_similarity(
     leave ``None`` for exact results.
     """
     wedge_pairs = _wedge_pair_weights(
-        pairs, num_parts, max_degree, log_weighted=False
+        pairs, num_parts, max_degree, center_weight="one"
     )
     only_edges = _merge_onto_edges(pairs, wedge_pairs)
     degs = _degree_map(pairs)
@@ -406,7 +412,7 @@ def adamic_adar_edges(
     ``(src, dst, adamic_adar)``; float sums, so oracle checks are
     tolerance-based rather than bitwise."""
     wedge_pairs = _wedge_pair_weights(
-        pairs, num_parts, max_degree, log_weighted=True
+        pairs, num_parts, max_degree, center_weight="invlog"
     )
     only_edges = _merge_onto_edges(pairs, wedge_pairs)
 
@@ -792,4 +798,64 @@ def eulerian_summary(
             "has_euler_circuit": pa.array([circuit], pa.int64()),
             "has_euler_path": pa.array([path], pa.int64()),
         }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burt's constraint (structural holes)
+# ---------------------------------------------------------------------------
+def burt_constraint(
+    pairs: ray.data.Dataset,
+    num_parts: int | None = None,
+    max_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Per-vertex Burt's constraint over the undirected unweighted
+    graph (Burt 2004 "Structural Holes and Good Ideas"; igraph
+    ``constraint`` / ``nx.constraint`` parity)::
+
+        c(i) = Σ_{j∈N(i)} ( p_ij + Σ_{q∈N(i)∩N(j)} p_iq · p_qj )²
+
+    with ``p_ij = 1/deg(i)`` (normalized mutual weight).  Factoring
+    out ``1/deg(i)`` this is ``Σ_j ((1 + S_ij)/deg(i))²`` with the
+    symmetric ``S_ij = Σ_{q∈N(i)∩N(j)} 1/deg(q)`` — exactly the
+    Adamic–Adar wedge pipeline with ``1/deg`` centre weights, so the
+    cost is the triangle-counting bound ``Σ deg(w)²`` and the only
+    shuffles are the wedge groupby and one final per-vertex groupby.
+    ``max_degree`` caps hub wedge-centres (estimate mode); ``None``
+    is exact.  Rows ``(vid, constraint)`` for every nonzero-degree
+    vertex; float sums, so oracle checks are tolerance-based.
+    """
+    wedge_pairs = _wedge_pair_weights(
+        pairs, num_parts, max_degree, center_weight="inv"
+    )
+    only_edges = _merge_onto_edges(pairs, wedge_pairs)
+    degs = _degree_map(pairs)
+    with_deg = attach_degrees(
+        only_edges.select_columns(["src", "dst", "common"]), degs
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        s = batch.column("common").to_numpy(zero_copy_only=False)
+        a = batch.column("src").to_numpy(zero_copy_only=False)
+        b = batch.column("dst").to_numpy(zero_copy_only=False)
+        da = batch.column("deg_src").to_numpy(zero_copy_only=False)
+        db = batch.column("deg_dst").to_numpy(zero_copy_only=False)
+        one_s = 1.0 + s
+        return pa.table(
+            {
+                "vid": pa.array(np.concatenate([a, b])),
+                "c": pa.array(
+                    np.concatenate(
+                        [(one_s / da) ** 2, (one_s / db) ** 2]
+                    )
+                ),
+            }
+        )
+
+    return (
+        with_deg.map_batches(
+            emit, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("vid")
+        .aggregate(Sum("c", alias_name="constraint"))
     )

@@ -1181,6 +1181,33 @@ def q_eulerian(sf_dir: str):
     return eulerian_summary(edges, run.state.select_columns(["vid", "comp"]))
 
 
+def q_burt_constraint(sf_dir: str):
+    """(key, constraint) — Burt's structural-holes constraint per
+    nonzero-degree vertex of the E1∪E2 key graph (igraph constraint /
+    nx.constraint parity; NX-exact in tests/test_metrics.py; float
+    wedge sums, so rows-only at the driver)."""
+    from igraph_ray.kernels.metrics import burt_constraint
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = burt_constraint(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
 def _rule_edge_sets(sf_dir: str):
     """Distinct canonical E1 (shared-path) and E2 (commit) pair sets."""
     files = files_from_documents(sf_dir)

@@ -347,3 +347,27 @@ def test_eulerian_summary_disconnected():
     row = eulerian_summary(_pairs_ds(G), st).to_pylist()[0]
     assert row["n_edge_components"] == 2
     assert row["has_euler_circuit"] == 0 and row["has_euler_path"] == 0
+
+
+def test_burt_constraint_vs_nx():
+    from igraph_ray.kernels.metrics import burt_constraint
+
+    for G in (
+        nx.gnm_random_graph(80, 200, seed=11),
+        nx.star_graph(5),
+        nx.complete_graph(6),
+        nx.path_graph(4),
+    ):
+        out = ds_to_table(burt_constraint(_pairs_ds(G)))
+        got = dict(
+            zip(
+                out.column("vid").to_pylist(),
+                out.column("constraint").to_pylist(),
+            )
+        )
+        want = nx.constraint(G)
+        for v, w in want.items():
+            if np.isnan(w):
+                assert v not in got  # isolated vertices have no rows
+            else:
+                assert got[v] == pytest.approx(w, abs=1e-9), v
