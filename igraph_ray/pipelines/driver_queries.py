@@ -1208,6 +1208,28 @@ def q_burt_constraint(sf_dir: str):
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
 
 
+def q_girth(sf_dir: str):
+    """One row (girth) — length of the shortest cycle of the E1∪E2 key
+    graph (igraph girth / nx.girth; exact, all-vertex pivots;
+    kernels/girth.py; NX-exact in tests/test_girth.py).  -1 encodes
+    'no cycle' so the column stays integral."""
+    import tempfile
+
+    from igraph_ray.kernels.girth import girth
+
+    graph_dir = tempfile.mkdtemp(prefix="igr_gir_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vids = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    g = girth(graph, vids)
+    return pa.table(
+        {
+            "girth": pa.array(
+                [int(g) if np.isfinite(g) else -1], pa.int64()
+            )
+        }
+    )
+
+
 def _rule_edge_sets(sf_dir: str):
     """Distinct canonical E1 (shared-path) and E2 (commit) pair sets."""
     files = files_from_documents(sf_dir)
