@@ -38,7 +38,7 @@ import numpy as np
 import pyarrow as pa
 
 from igraph_ray.kernels.base import run_kernel
-from igraph_ray.kernels.multibfs import pivot_distances
+from igraph_ray.kernels.multibfs import MultiBFSKernel, pivot_distances
 from igraph_ray.stages.partition import GraphMeta
 
 _INF = np.inf
@@ -186,12 +186,12 @@ class GirthProbeKernel:
         finite = np.isfinite(d_v)
         even = np.where(finite & (parents >= 2), 2.0 * d_v, _INF)
         odd = np.where(finite & (same >= 1), 2.0 * d_v + 1.0, _INF)
-        cand = np.minimum(even, odd).min(axis=1)
         return pa.table(
             {
                 "part": pa.array(np.full(len(vids), part, np.int32)),
                 "vid": pa.array(vids),
-                "cand": pa.array(cand),
+                "cand": pa.array(np.minimum(even, odd).min(axis=1)),
+                "cand_odd": pa.array(odd.min(axis=1)),
             }
         )
 
@@ -221,3 +221,71 @@ def girth(
         if best <= 3.0:
             break
     return best
+
+
+# ---------------------------------------------------------------------------
+# Bipartiteness / 2-coloring
+# ---------------------------------------------------------------------------
+@dataclass
+class MultiSourceBFSKernel(MultiBFSKernel):
+    """One BFS lane with MANY simultaneous sources (one per connected
+    component) — hop distance to the nearest source.  Parity of that
+    distance 2-colors each component; an edge between equal-parity
+    (== equal-level, since BFS levels differ by at most 1 across an
+    edge) endpoints certifies an odd cycle."""
+
+    sources: np.ndarray = None  # type: ignore[assignment]
+
+    def init_state(self, csr, part: int):
+        vids = csr.get("vids", np.empty(0, np.int64))
+        n = len(vids)
+        d = np.full(n, _INF, np.float64)
+        changed = np.zeros(n, np.int64)
+        pos = np.searchsorted(vids, self.sources)
+        pos = pos[(pos < n)]
+        hit = pos[np.isin(vids[pos], self.sources)]
+        d[hit] = 0.0
+        changed[hit] = 1
+        return {"d0": d, "changed": changed}
+
+
+def bipartite_check(
+    graph: GraphMeta, roots: np.ndarray, max_iter: int = 10_000
+):
+    """(is_bipartite, colors) — igraph ``is_bipartite`` /
+    ``nx.bipartite.color`` semantics.  ``roots`` must contain one
+    vertex per connected component (e.g. the min-vid component labels
+    from the components kernel).  Returns the final parity state
+    dataset ``(part, vid, color)`` (color = BFS level mod 2, a valid
+    2-coloring iff bipartite) and the bipartite flag — detected by the
+    same one-superstep probe as girth, restricted to odd candidates.
+    """
+    roots = np.unique(np.asarray(roots, np.int64))
+    kernel = MultiSourceBFSKernel(
+        num_parts=graph.num_parts,
+        pivots=np.array([roots[0]], np.int64),
+        sources=roots,
+    )
+    run = run_kernel(kernel, graph, max_iter=max_iter)
+    if not run.converged:
+        raise RuntimeError("bipartite_check BFS did not converge")
+    probe = GirthProbeKernel(num_parts=graph.num_parts, k=1)
+    probe_run = run_kernel(probe, graph, max_iter=1, initial_state=run.state)
+    odd_min = probe_run.state.min("cand_odd")
+    is_bip = odd_min is None or not np.isfinite(odd_min)
+
+    def parity(batch: pa.Table) -> pa.Table:
+        d = batch.column("d0").to_numpy(zero_copy_only=False)
+        color = np.where(np.isfinite(d), d.astype(np.int64) % 2, -1)
+        return pa.table(
+            {
+                "part": batch.column("part"),
+                "vid": batch.column("vid"),
+                "color": pa.array(color.astype(np.int64)),
+            }
+        )
+
+    colors = run.state.map_batches(
+        parity, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bool(is_bip), colors

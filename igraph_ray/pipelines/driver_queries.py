@@ -1230,6 +1230,44 @@ def q_girth(sf_dir: str):
     )
 
 
+def q_bipartite(sf_dir: str):
+    """(key, color) + summary via color=-1 sentinel absent — per-vertex
+    2-coloring of the E1∪E2 key graph when bipartite, or the single
+    row ('__is_bipartite__', 0) when an odd cycle exists (igraph
+    is_bipartite / nx.bipartite.color; kernels/girth.py::
+    bipartite_check; NX-exact in tests/test_girth.py)."""
+    import tempfile
+
+    from igraph_ray.kernels.girth import bipartite_check
+
+    graph_dir = tempfile.mkdtemp(prefix="igr_bip_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = connected_components(graph)
+    roots = np.unique(
+        pa.concat_tables(
+            run.state.select_columns(["comp"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        .column("comp")
+        .to_numpy(zero_copy_only=False)
+    ).astype(np.int64)
+    is_bip, colors = bipartite_check(graph, roots)
+    if not is_bip:
+        return pa.table(
+            {
+                "key": pa.array(["__is_bipartite__"]),
+                "color": pa.array([0], pa.int64()),
+            }
+        )
+    tbl = pa.concat_tables(
+        colors.select_columns(["vid", "color"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
 def _rule_edge_sets(sf_dir: str):
     """Distinct canonical E1 (shared-path) and E2 (commit) pair sets."""
     files = files_from_documents(sf_dir)
