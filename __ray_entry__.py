@@ -198,7 +198,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q.q_simhash_pairs,  # rows-only
         "near_dedup_clusters": q.q_near_dedup_clusters,  # rows-only
         "ann_brute_topk": q.q_ann_brute,  # SQL oracle: list_cosine_similarity
-        "ann_ivf_topk": q.q_ann_ivf,  # full-probe IVF == brute force; same SQL oracle
+        "ann_ivf_topk": q.q_ann_ivf,
+        "ann_pq_topk": q.q_ann_pq,  # rows-only (approximate ADC scores)  # full-probe IVF == brute force; same SQL oracle
         "embedding_near_dup": q.q_embedding_near_dup,  # rows-only (LSH recall)
         "pca_embeddings": q.q_pca_embeddings,  # rows-only (numpy dense pytest oracle)
         "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)

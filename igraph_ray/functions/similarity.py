@@ -483,3 +483,193 @@ def ivf_topk(
     return scored.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — memory-compressed ANN (Jégou, Douze,
+# Schmid 2011, "Product Quantization for Nearest Neighbor Search")
+# ---------------------------------------------------------------------------
+def pq_train(
+    ds: ray.data.Dataset,
+    m: int = 4,
+    nbits: int = 6,
+    iters: int = 8,
+    vec_col: str = "embedding",
+    tol: float = 1e-6,
+) -> np.ndarray:
+    """Train per-subspace PQ codebooks: split the (L2-normalized)
+    vectors into ``m`` contiguous subvectors and run Lloyd's k-means
+    with ``K = 2**nbits`` centroids in EACH subspace — all ``m``
+    subspace updates ride ONE ``map_batches`` pass per iteration
+    (pre-combined (subspace, centroid) partial rows, broadcast
+    codebook), the same aggregate shape as ``kmeans``.  Deterministic
+    maximin seeding per subspace over the first sample rows — no RNG.
+    Returns codebooks ``(m, K, dim//m)``.
+    """
+    K = 1 << nbits
+    n_sample = max(64 * K, 1024)
+    first = ds.select_columns([vec_col]).limit(n_sample).take_all()
+    sample = _normalize(
+        np.asarray([r[vec_col] for r in first], dtype=np.float64)
+    )
+    if len(sample) < K:
+        raise ValueError(f"pq_train needs >= K={K} rows, got {len(sample)}")
+    dim = sample.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    subs = sample.reshape(len(sample), m, dsub)
+
+    cents = np.empty((m, K, dsub), dtype=np.float64)
+    for j in range(m):
+        s = subs[:, j]
+        chosen = [0]
+        d2 = ((s - s[0]) ** 2).sum(axis=1)
+        for _ in range(1, K):
+            nxt = int(np.argmax(d2))
+            chosen.append(nxt)
+            d2 = np.minimum(d2, ((s - s[nxt]) ** 2).sum(axis=1))
+        cents[j] = s[chosen]
+
+    vecs = ds.select_columns([vec_col]).materialize()
+    for _it in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table, _cr=cref) -> pa.Table:
+            c = ray.get(_cr)  # (m, K, dsub)
+            e = _normalize(_batch_matrix(batch, vec_col).astype(np.float64))
+            es = e.reshape(len(e), m, dsub)
+            out_j, out_cid, out_n, out_s = [], [], [], []
+            for j in range(m):
+                ej = es[:, j]
+                cj = c[j]
+                aff = ej @ cj.T - 0.5 * (cj * cj).sum(axis=1)
+                assign = np.argmax(aff, axis=1)
+                order = np.argsort(assign, kind="stable")
+                a_s, e_s = assign[order], ej[order]
+                fst = np.empty(len(a_s), dtype=bool)
+                fst[0] = True
+                fst[1:] = a_s[1:] != a_s[:-1]
+                seg = np.flatnonzero(fst)
+                out_j.append(np.full(len(seg), j, np.int64))
+                out_cid.append(a_s[seg].astype(np.int64))
+                out_n.append(np.diff(np.append(seg, len(a_s))))
+                out_s.append(np.add.reduceat(e_s, seg, axis=0))
+            return pa.table(
+                {
+                    "j": pa.array(np.concatenate(out_j)),
+                    "cid": pa.array(np.concatenate(out_cid)),
+                    "n": pa.array(
+                        np.concatenate(out_n).astype(np.int64)
+                    ),
+                    "s": pa.array(
+                        list(np.concatenate(out_s, axis=0)),
+                        pa.list_(pa.float64()),
+                    ),
+                }
+            )
+
+        counts = np.zeros((m, K), dtype=np.int64)
+        sums = np.zeros((m, K, dsub), dtype=np.float64)
+        for b in vecs.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            jj = b.column("j").to_numpy(zero_copy_only=False)
+            cid = b.column("cid").to_numpy(zero_copy_only=False)
+            n = b.column("n").to_numpy(zero_copy_only=False)
+            s = _batch_matrix(b, "s")
+            np.add.at(counts, (jj, cid), n)
+            np.add.at(sums, (jj, cid), s * 1.0)
+        # weight the sums correctly: s rows are already sums, n counts
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < tol:
+            break
+    return cents
+
+
+def pq_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    m: int = 4,
+    nbits: int = 6,
+    iters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks: np.ndarray | None = None,
+) -> ray.data.Dataset:
+    """Approximate cosine top-k by asymmetric distance computation
+    (ADC) over PQ codes — the memory-bound scale path: each database
+    vector is summarized by ``m`` uint8 codes (``m·nbits`` bits
+    instead of ``dim·32``), and scoring a batch is ``m`` table
+    lookups + a sum instead of a ``dim``-wide matmul.
+
+    Per batch: encode (nearest centroid per subspace, broadcast
+    codebooks) then score every query against the codes via its
+    per-subspace lookup table ``LUT[q, j, c] = q_j · c_{j,c}`` —
+    approx score = Σ_j LUT[q, j, code_j].  Partial top-k per batch,
+    merged by the same final ``map_groups`` as ``brute_force_topk``.
+    Returns ``(query_id, vec_id, score)`` with the ADC-approximate
+    cosine score; recall is pinned in tests (the standard PQ trade).
+    """
+    if codebooks is None:
+        codebooks = pq_train(
+            ds, m=m, nbits=nbits, iters=iters, vec_col=vec_col
+        )
+    m = codebooks.shape[0]
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    nq, dim = qn.shape
+    dsub = dim // m
+    # LUT[q, j, c] = q_subj · cent_{j,c}
+    lut = np.einsum("qjd,jcd->qjc", qn.reshape(nq, m, dsub), codebooks)
+    cref = ray.put(codebooks)
+    lref = ray.put(lut)
+
+    class _AdcScore:
+        def __init__(self):
+            self.c = ray.get(cref)
+            self.lut = ray.get(lref)
+            self.nq = self.lut.shape[0]
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            e = _normalize(
+                _batch_matrix(batch, vec_col).astype(np.float64)
+            )
+            es = e.reshape(len(e), m, dsub)
+            codes = np.empty((len(e), m), dtype=np.int64)
+            for j in range(m):
+                cj = self.c[j]
+                aff = es[:, j] @ cj.T - 0.5 * (cj * cj).sum(axis=1)
+                codes[:, j] = np.argmax(aff, axis=1)
+            # scores (n, nq): sum of LUT lookups over subspaces
+            scores = np.zeros((len(e), self.nq), dtype=np.float64)
+            for j in range(m):
+                scores += self.lut[:, j, codes[:, j]].T
+            n = len(ids)
+            kk = min(k, n)
+            top = np.argpartition(-scores, kk - 1, axis=0)[:kk]
+            qid = np.repeat(np.arange(self.nq, dtype=np.int64), kk)
+            vid = ids[top.T.reshape(-1)]
+            sc = np.take_along_axis(scores, top, axis=0).T.reshape(-1)
+            return pa.table(
+                {
+                    "query_id": pa.array(qid),
+                    "vec_id": pa.array(vid),
+                    "score": pa.array(sc),
+                }
+            )
+
+    partial = ds.select_columns([id_col, vec_col]).map_batches(
+        _AdcScore,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return partial.groupby("query_id").map_groups(
+        _final_topk(k), batch_format="pyarrow"
+    )

@@ -952,6 +952,28 @@ def q_ann_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def q_ann_pq(sf_dir: str):
+    """(query_id, vec_id) — product-quantization ADC approximate
+    top-k over the embeddings table (Jégou et al. 2011); recall vs
+    brute force pinned in tests/test_similarity_ivf.py; deterministic
+    maximin-seeded training, rows-only driver check (approximate
+    operator)."""
+    from igraph_ray.functions.similarity import pq_topk
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtbl = pa.concat_tables(
+        emb.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("vec_id")
+    queries = np.stack(
+        [
+            np.asarray(qtbl.column("embedding")[i].as_py(), dtype=np.float64)
+            for i in range(2)
+        ]
+    )
+    out = pq_topk(emb, queries, k=5, m=4, nbits=4, iters=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def q_scc(sf_dir: str, graph_dir: str | None = None):
     """(key, scc_key) — strongly connected components over a directed
     graph of per-commit member rings (igraph IGRAPH_STRONG mode

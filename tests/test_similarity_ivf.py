@@ -86,3 +86,41 @@ def test_ivf_partial_probe_recall(ray_session):
     hits = sum(len(ex[q] & ap.get(q, set())) for q in ex)
     total = sum(len(s) for s in ex.values())
     assert hits / total >= 0.7, hits / total
+
+
+def test_pq_topk_recall_and_determinism():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.functions.similarity import brute_force_topk, pq_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((1500, 16))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(
+                    [v.tolist() for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        )
+    ).repartition(num_blocks=4)
+    q = vecs[[5, 100, 777]]
+
+    def collect(out):
+        got = {}
+        for r in out.iter_rows():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return got
+
+    exact = collect(brute_force_topk(ds, q, k=10))
+    got = collect(pq_topk(ds, q, k=10, m=8, nbits=6))
+    recalls = [len(exact[i] & got[i]) / 10 for i in exact]
+    # 48-bit codes on 16-dim gaussians: recall well above chance
+    # (chance ~ 10/1500); pin a conservative floor
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    # deterministic: same training + scoring → identical result sets
+    got2 = collect(pq_topk(ds, q, k=10, m=8, nbits=6))
+    assert got == got2
