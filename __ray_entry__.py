@@ -102,6 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_independent_set": q.q_mis,  # rows-only (Luby; property oracle)
         "maximal_matching": q.q_maximal_matching,  # rows-only (property oracle)
         "generated_rmat": q.q_generated_rmat,  # rows-only (generator source; pytest oracles)
+        "generated_ba": q.q_generated_ba,  # rows-only (generator source; pytest oracles)
         "clustering": q.q_clustering,  # SQL oracle (exact ints + IEEE replay)
         "degree_histogram": q.q_degree_histogram,  # SQL oracle
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)

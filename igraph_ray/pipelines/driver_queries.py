@@ -3371,6 +3371,46 @@ def q_widest_paths(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(out, vtbl, {"vid": "key"})
 
 
+def q_generated_ba(sf_dir: str):
+    """(degree_bucket, n_vertices) — log2-bucketed degree histogram of
+    a deterministic Barabási–Albert graph (n = n_docs x 10, d = 3,
+    fixed seed): exercises the communication-free preferential-
+    attachment generator (sources/generators.py::barabasi_albert_edges,
+    Batagelj–Brandes via stateless hash-pointer chase); rows-only
+    driver check, structural oracles in tests/test_generators.py."""
+    from igraph_ray.sources.generators import barabasi_albert_edges
+
+    n_docs = documents(sf_dir).count()
+    edges = barabasi_albert_edges(n_docs * 10, 3, seed=7)
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"vid": pa.array(np.concatenate([src, dst]))})
+
+    degs = (
+        edges.map_batches(deg_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("vid")
+        .aggregate(Count(alias_name="degree"))
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("degree").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "degree_bucket": pa.array(
+                    np.floor(np.log2(np.maximum(d, 1))).astype(np.int64)
+                )
+            }
+        )
+
+    return (
+        degs.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("degree_bucket")
+        .aggregate(Count(alias_name="n_vertices"))
+    )
+
+
 def q_generated_rmat(sf_dir: str):
     """(degree_bucket, n_vertices) — log2-bucketed degree histogram of
     a deterministic scale-12 R-MAT graph (m = 16 x n_docs edges, seed

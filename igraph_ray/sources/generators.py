@@ -40,9 +40,11 @@ _U64 = np.uint64
 
 def _hash2(x: np.ndarray, salt: int, seed: int) -> np.ndarray:
     """Stateless uniform uint64 per element: splitmix of (x, salt, seed)."""
-    z = x.astype(np.uint64) ^ (
-        _U64(salt) * _U64(0x9E3779B97F4A7C15) ^ _U64(seed) * _U64(0xC2B2AE3D27D4EB4F)
-    )
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) ^ (
+            _U64(salt) * _U64(0x9E3779B97F4A7C15)
+            ^ _U64(seed) * _U64(0xC2B2AE3D27D4EB4F)
+        )
     return hash_int64(z.view(np.int64))
 
 
@@ -249,6 +251,69 @@ def watts_strogatz_edges(
         target = np.where((t1 == src) | (t1 == dst), t2, t1)
         dst = np.where(rewire, target, dst)
         return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    rng = ray.data.range(m, override_num_blocks=override_num_blocks)
+    return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------
+# Barabási–Albert preferential attachment
+# --------------------------------------------------------------------
+
+
+def barabasi_albert_edges(
+    n: int,
+    d: int,
+    seed: int = 0,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Barabási–Albert preferential-attachment graph (igraph
+    ``igraph_barabasi_game`` / ``nx.barabasi_albert_graph``
+    semantics): ``n`` vertices, each new vertex attaching ``d`` edges
+    to existing vertices with probability proportional to degree.
+
+    Uses the Batagelj–Brandes (2005) linear-time construction: edge
+    slot ``e`` writes ``M[2e] = e // d`` (its source) and ``M[2e+1] =
+    M[r_e]`` with ``r_e`` uniform in ``[0, 2e)`` — picking a uniform
+    earlier *endpoint* IS degree-proportional sampling.  Because
+    ``r_e`` here is a pure splitmix64 function of ``e``, the
+    recursion resolves by a stateless pointer chase (expected
+    O(log) hops), so every edge is generated independently of all
+    others — communication-free and scale-invariant under any
+    partitioning (the same trick as Sanders–Schulz communication-free
+    generators).  Self-loops and duplicate edges are possible exactly
+    as in Batagelj–Brandes; collapse downstream for a simple graph.
+    """
+    if d <= 0:
+        raise ValueError("d must be positive")
+    m = n * d
+
+    def gen(batch: pa.Table) -> pa.Table:
+        ids = _ids(batch)
+        src = ids // d
+        s = 2 * ids + 1
+        out = np.full(len(ids), -1, np.int64)
+        while True:
+            undone = out < 0
+            if not undone.any():
+                break
+            even = undone & (s % 2 == 0)
+            out[even] = (s[even] // 2) // d
+            undone = out < 0
+            idx = np.flatnonzero(undone)
+            if len(idx) == 0:
+                break
+            e = (s[idx] - 1) // 2
+            zero = e == 0
+            out[idx[zero]] = 0  # edge 0 has no earlier slot: loop on 0
+            rem = idx[~zero]
+            enz = e[~zero]
+            s[rem] = (
+                _hash2(enz, 32452843, seed) % (2 * enz).astype(np.uint64)
+            ).astype(np.int64)
+        return pa.table(
+            {"src": pa.array(src.astype(np.int64)), "dst": pa.array(out)}
+        )
 
     rng = ray.data.range(m, override_num_blocks=override_num_blocks)
     return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)

@@ -108,3 +108,36 @@ def test_watts_strogatz_ring_and_rewire():
         watts_strogatz_edges(n, k, beta=0.3, seed=7, override_num_blocks=9)
     )
     assert sorted(zip(t3.column("src").to_pylist(), t3.column("dst").to_pylist())) == sorted(zip(src.tolist(), dst.tolist()))
+
+
+def test_barabasi_albert_structure():
+    from igraph_ray.sources.generators import barabasi_albert_edges
+
+    n, d = 2000, 3
+    t = ds_to_table(barabasi_albert_edges(n, d, seed=1))
+    src = t.column("src").to_numpy().astype(np.int64)
+    dst = t.column("dst").to_numpy().astype(np.int64)
+    assert len(src) == n * d
+    # every target is an already-existing vertex
+    assert (dst <= src).all()
+    deg = np.bincount(np.concatenate([src, dst]), minlength=n)
+    assert deg.mean() == 2 * d
+    # preferential attachment: heavy tail + rich-get-richer
+    assert deg.max() >= 20 * d
+    assert deg[:100].mean() > 3 * deg[-1000:].mean()
+
+
+def test_barabasi_albert_deterministic_partition_invariant():
+    from igraph_ray.sources.generators import barabasi_albert_edges
+
+    a = ds_to_table(barabasi_albert_edges(500, 2, seed=9)).sort_by(
+        [("src", "ascending"), ("dst", "ascending")]
+    )
+    b = ds_to_table(
+        barabasi_albert_edges(500, 2, seed=9, override_num_blocks=7)
+    ).sort_by([("src", "ascending"), ("dst", "ascending")])
+    assert a.equals(b)
+    c = ds_to_table(barabasi_albert_edges(500, 2, seed=10)).sort_by(
+        [("src", "ascending"), ("dst", "ascending")]
+    )
+    assert not a.equals(c)
