@@ -193,6 +193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "burt_constraint": q.q_burt_constraint,  # rows-only (float wedge sums)
         "girth": q.q_girth,  # rows-only (BFS cycle probe not SQL-expressible)
         "bipartite": q.q_bipartite,  # rows-only (BFS parity not SQL-expressible)
+        "feedback_arc_set": q.q_feedback_arc_set,  # rows-only (sequential ELS order)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
         "minhash_pairs": q.q_minhash_pairs,  # rows-only
         "ngram_jaccard": q.q_ngram_jaccard,  # SQL oracle (inverted-index twin)

@@ -1118,6 +1118,39 @@ def q_reciprocity(sf_dir: str):
     )
 
 
+def q_feedback_arc_set(sf_dir: str):
+    """(src, dst) — the Eades–Lin–Smyth feedback arc set of the
+    deterministic directed doc graph (same derivation as reciprocity,
+    integer vids, distinct arcs, loops kept: they are always feedback
+    arcs).  Removing these rows provably leaves a DAG
+    (kernels/fas.py; acyclicity + m/2 bound pinned in
+    tests/test_fas.py); rows-only — the sequential ELS ordering has
+    no SQL twin."""
+    from igraph_ray.kernels.fas import feedback_arc_set
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array((doc_id % 101).astype(np.int64)),
+                "dst": pa.array(((doc_id * 37 + 11) % 101).astype(np.int64)),
+            }
+        )
+
+    arcs = (
+        documents(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["src", "dst"])
+    )
+    order, fas = feedback_arc_set(arcs)
+    return pa.concat_tables(
+        fas.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by([("src", "ascending"), ("dst", "ascending")])
+
+
 def q_density(sf_dir: str):
     """One row (n_vertices, n_edges, density) of the E1∪E2 key graph
     (vertices = all file keys, including isolated ones)."""
