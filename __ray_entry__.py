@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": q.q_reciprocity,  # SQL oracle
         "density": q.q_density,  # SQL oracle
         "jaccard_similarity": q.q_jaccard_similarity,  # SQL oracle
+        "jaccard_pairs": q.q_jaccard_pairs,  # SQL oracle (all-pairs variant)
         "assortativity": q.q_assortativity,  # SQL oracle
         "rich_club": q.q_rich_club,  # SQL oracle (exact-int suffix sums)
         "avg_neighbor_degree": q.q_avg_neighbor_degree,  # SQL oracle
@@ -1992,6 +1993,30 @@ FROM link_pairs e
 JOIN deg d1 ON d1.key = e.src_key
 JOIN deg d2 ON d2.key = e.dst_key
 LEFT JOIN common c ON c.src_key = e.src_key AND c.dst_key = e.dst_key
+""",
+        # all-pairs variant: every unordered pair (lexicographic key
+        # order == vid order) with >= 1 common neighbour
+        "jaccard_pairs": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS u, dst_key AS v FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key FROM link_pairs
+),
+deg AS (SELECT u AS key, COUNT(*) AS degree FROM arcs GROUP BY u),
+common AS (
+  SELECT a1.u AS a, a2.u AS b, COUNT(*) AS c
+  FROM arcs a1 JOIN arcs a2 ON a1.v = a2.v AND a1.u < a2.u
+  GROUP BY 1, 2
+)
+SELECT a AS src_key, b AS dst_key, CAST(c AS BIGINT) AS common,
+       CAST(c AS DOUBLE)
+         / CAST(d1.degree + d2.degree - c AS DOUBLE) AS jaccard,
+       CAST(2 * c AS DOUBLE)
+         / CAST(d1.degree + d2.degree AS DOUBLE) AS dice
+FROM common
+JOIN deg d1 ON d1.key = a
+JOIN deg d2 ON d2.key = b
 """,
         # HUGEINT-exact sufficient statistics; the coefficient replays
         # the engine's float(cov) / sqrt(float(vx) * float(vy))

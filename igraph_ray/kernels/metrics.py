@@ -859,3 +859,49 @@ def burt_constraint(
         .groupby("vid")
         .aggregate(Sum("c", alias_name="constraint"))
     )
+
+
+def jaccard_all_pairs(
+    pairs: ray.data.Dataset,
+    num_parts: int | None = None,
+    max_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Jaccard AND Dice similarity for EVERY unordered vertex pair
+    with at least one common neighbour — igraph ``similarity_jaccard``
+    / ``similarity_dice`` over the full pair list (the edge-restricted
+    variant is ``jaccard_edge_similarity``; pairs with zero common
+    neighbours score 0 and are omitted, keeping output linear in the
+    wedge count rather than quadratic in V).  Rows ``(src, dst,
+    common, jaccard, dice)`` with ``src < dst``; exact-int counts +
+    one IEEE division each, so a SQL twin matches bitwise."""
+    wedge_pairs = _wedge_pair_weights(
+        pairs, num_parts, max_degree, center_weight="one"
+    )
+    agg = (
+        wedge_pairs.select_columns(["a", "b", "common"])
+        .groupby(["a", "b"])
+        .aggregate(Sum("common", alias_name="common"))
+        .rename_columns({"a": "src", "b": "dst"})
+    )
+    degs = _degree_map(pairs)
+    with_deg = attach_degrees(agg, degs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        c = batch.column("common").to_numpy(zero_copy_only=False)
+        c = c.astype(np.int64)
+        du = batch.column("deg_src").to_numpy(zero_copy_only=False)
+        dv = batch.column("deg_dst").to_numpy(zero_copy_only=False)
+        union = du + dv - c
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "common": pa.array(c),
+                "jaccard": pa.array((c / union).astype(np.float64)),
+                "dice": pa.array(((2 * c) / (du + dv)).astype(np.float64)),
+            }
+        )
+
+    return with_deg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1199,6 +1199,34 @@ def q_jaccard_similarity(sf_dir: str):
     return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
 
 
+def q_jaccard_pairs(sf_dir: str):
+    """(src_key, dst_key, common, jaccard, dice) for EVERY unordered
+    pair with >= 1 common neighbour in the E1∪E2 key graph (igraph
+    similarity_jaccard/similarity_dice over the full pair list) —
+    exact-int counts + one IEEE division each, bitwise SQL twin.
+    Pair orientation follows vid order == lexicographic key order."""
+    from igraph_ray.kernels.metrics import jaccard_all_pairs
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = jaccard_all_pairs(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+
+
 def q_rich_club(sf_dir: str):
     """(k, phi) rich-club coefficient per degree threshold over the
     E1∪E2 graph — nx.rich_club_coefficient(normalized=False) parity

@@ -371,3 +371,35 @@ def test_burt_constraint_vs_nx():
                 assert v not in got  # isolated vertices have no rows
             else:
                 assert got[v] == pytest.approx(w, abs=1e-9), v
+
+
+def test_jaccard_all_pairs_vs_nx():
+    import itertools
+
+    from igraph_ray.kernels.metrics import jaccard_all_pairs
+
+    G = nx.gnm_random_graph(60, 150, seed=12)
+    out = ds_to_table(jaccard_all_pairs(_pairs_ds(G)))
+    got = {
+        (s, d): (c, j, dc)
+        for s, d, c, j, dc in zip(
+            out.column("src").to_pylist(),
+            out.column("dst").to_pylist(),
+            out.column("common").to_pylist(),
+            out.column("jaccard").to_pylist(),
+            out.column("dice").to_pylist(),
+        )
+    }
+    n_pos = 0
+    for u, v in itertools.combinations(sorted(G.nodes()), 2):
+        c = len(set(G[u]) & set(G[v]))
+        if c == 0:
+            assert (u, v) not in got
+            continue
+        n_pos += 1
+        j = c / len(set(G[u]) | set(G[v]))
+        dice = 2 * c / (G.degree(u) + G.degree(v))
+        gc, gj, gd = got[(u, v)]
+        assert gc == c and gj == pytest.approx(j, abs=1e-15)
+        assert gd == pytest.approx(dice, abs=1e-15)
+    assert len(got) == n_pos
