@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_center": q.q_graph_center,  # SQL oracle (ecc == radius)
         "centralization": q.q_centralization,  # SQL oracle (Freeman degree)
         "hop_histogram": q.q_hop_histogram,  # SQL oracle (all-pairs CTE, int counts)
+        "avg_path_length": q.q_avg_path_length,  # SQL oracle (same CTE, reduced)
         "global_efficiency": q.q_global_efficiency,  # rows-only (float mean of 1/d)
         "topo_layers": q.q_topo_layers,  # SQL oracle (longest-walk CTE)
         "condensation_layers": q.q_condensation_layers,  # SQL oracle (closure + longest-walk CTE)
@@ -1579,6 +1580,34 @@ walk AS (
 )
 SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS pairs
 FROM walk WHERE dist > 0 GROUP BY dist ORDER BY dist
+""",
+        # same all-pairs CTE, reduced to the Wiener/avg-path summary
+        "avg_path_length": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, 0 FROM keys
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_reachable_pairs,
+         CAST(SUM(dist) AS BIGINT) AS total
+  FROM walk WHERE dist > 0
+)
+SELECT n_reachable_pairs,
+       total // 2 AS wiener_index,
+       CAST(total AS DOUBLE) / CAST(n_reachable_pairs AS DOUBLE)
+         AS avg_path_length
+FROM agg
 """,
         "topo_layers": """
 WITH arcs AS (

@@ -2265,6 +2265,40 @@ def q_hop_histogram(sf_dir: str, graph_dir: str | None = None):
     )
 
 
+def q_avg_path_length(sf_dir: str, graph_dir: str | None = None):
+    """One row (n_reachable_pairs, wiener_index, avg_path_length) of
+    the E1∪E2 key graph — igraph average_path_length(unconn=True) /
+    nx.wiener_index semantics over REACHABLE ordered pairs (NX-exact
+    in tests/test_multibfs.py); exact-int sums from the distance
+    histogram + one IEEE division, so the recursive-CTE SQL twin
+    matches bitwise."""
+    import tempfile
+
+    from igraph_ray.kernels.multibfs import distance_histogram
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_apl_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vids = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    hist = pa.concat_tables(
+        distance_histogram(graph, vids).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    d = hist.column("dist").to_numpy(zero_copy_only=False)
+    p = hist.column("pairs").to_numpy(zero_copy_only=False)
+    n_pairs = int(p.sum())
+    total = int((d * p).sum())
+    return pa.table(
+        {
+            "n_reachable_pairs": pa.array([n_pairs], pa.int64()),
+            "wiener_index": pa.array([total // 2], pa.int64()),
+            "avg_path_length": pa.array(
+                [total / n_pairs if n_pairs else 0.0], pa.float64()
+            ),
+        }
+    )
+
+
 def q_global_efficiency(sf_dir: str, graph_dir: str | None = None):
     """One row (n_vertices, efficiency) — nx.global_efficiency of the
     E1∪E2 key graph (rows-only: float mean of 1/d; the underlying int

@@ -105,3 +105,31 @@ def test_eccentricity_isolated_vertex(tmp_graph_dir):
     )
     assert got[10] == 0
     assert got[0] == 4 and got[2] == 2
+
+
+def test_distance_histogram_wiener_vs_nx(tmp_graph_dir):
+    from igraph_ray.kernels.multibfs import distance_histogram
+
+    G = nx.gnm_random_graph(40, 70, seed=17)
+    g = graph_from_nx(G, tmp_graph_dir)
+    hist = ds_to_table(
+        distance_histogram(g, np.array(sorted(G.nodes()), np.int64))
+    )
+    d = np.array(hist.column("dist").to_pylist())
+    p = np.array(hist.column("pairs").to_pylist())
+    total = int((d * p).sum())
+    # ordered reachable pairs halve to the Wiener index
+    want = sum(
+        nx.wiener_index(G.subgraph(c)) for c in nx.connected_components(G)
+    )
+    assert total // 2 == int(want)
+    # average over reachable ordered pairs == nx on a connected graph
+    H = nx.connected_watts_strogatz_graph(30, 4, 0.3, seed=4)
+    g2 = graph_from_nx(H, tmp_graph_dir + "_h")
+    hist2 = ds_to_table(
+        distance_histogram(g2, np.array(sorted(H.nodes()), np.int64))
+    )
+    d2 = np.array(hist2.column("dist").to_pylist())
+    p2 = np.array(hist2.column("pairs").to_pylist())
+    apl = float((d2 * p2).sum() / p2.sum())
+    assert apl == pytest.approx(nx.average_shortest_path_length(H), abs=1e-12)
