@@ -191,6 +191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
         "gopher_rules": q.q_gopher_rules,  # SQL oracle (bitwise IEEE replay)
         "c4_clean": q.q_c4_clean,  # SQL oracle (exact string/int rebuild)
+        "duplicate_spans": q.q_duplicate_spans,  # SQL oracle (window unnest twin)
         "eulerian": q.q_eulerian,  # rows-only (components not SQL-expressible)
         "burt_constraint": q.q_burt_constraint,  # rows-only (float wedge sums)
         "girth": q.q_girth,  # rows-only (BFS cycle probe not SQL-expressible)
@@ -870,6 +871,33 @@ SELECT doc_id, n_lines, n_kept_lines,
        AND len(regexp_extract_all(cleaned_text, '[.!?]')) >= 3
        THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM c"""
+
+# ExactSubstr duplication diagnostic (functions/dedup.py::
+# duplicate_span_stats): word-8-gram windows, duplicated = gram with
+# corpus count >= 2; docs with < 8 words have no windows (omitted).
+_DUP_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, array_to_string(w[i:i + 7], ' ') AS gram
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+    FROM toks WHERE len(w) >= 8
+  )
+),
+cnt AS (SELECT gram, COUNT(*) AS c FROM wins GROUP BY gram)
+SELECT w.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_windows,
+  CAST(SUM(CASE WHEN cnt.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+FROM wins w JOIN cnt ON w.gram = cnt.gram
+GROUP BY w.doc_id"""
 
 # Winnowing fingerprint COUNT (functions/text._winnow_row: k=8 rolling
 # polynomial base-257 hash mod 2^64, window-16 sliding min, distinct).
@@ -2770,6 +2798,7 @@ FROM v GROUP BY 1, 2
         "quality_score": _QUALITY_SQL,
         "gopher_rules": _GOPHER_SQL,
         "c4_clean": _C4_SQL,
+        "duplicate_spans": _DUP_SPANS_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         # exact word-3-gram Jaccard over the df<=128 shingle universe;
         # mirror of functions/dedup.py::ngram_jaccard_pairs (trim+split

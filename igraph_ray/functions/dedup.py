@@ -9,13 +9,14 @@ to pick a canonical representative (min id) per cluster, the same
 
 from __future__ import annotations
 
+import math
 import zlib
 
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
-from ray.data.aggregate import Min
+from ray.data.aggregate import Min, Sum
 
 from igraph_ray.stages.sha import with_content_sha
 
@@ -1055,4 +1056,103 @@ def ngram_contamination(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=(1, 8),
+    )
+
+
+def duplicate_span_stats(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, n_windows, n_dup_windows, dup_ratio) — for every
+    document, the fraction of its word-``n``-gram window POSITIONS
+    whose gram occurs at least twice in the whole corpus (the
+    ExactSubstr duplication diagnostic of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better":
+    spans repeated anywhere in the corpus, including within the same
+    document, are dedup candidates).
+
+    Pipeline: vectorized window extraction per batch
+    (``_word_ngrams``), ONE hash shuffle of (gram → doc) rows into a
+    rows-sized partition key-space, per-group corpus counts and
+    per-doc duplicated-position counts, then a per-doc groupby sum —
+    never an all-pairs comparison, and gram strings can be swapped
+    for 64-bit hashes at scale (documented delta, as in
+    ``ngram_contamination``).  Documents with fewer than ``n`` words
+    have no windows and emit no row.  Exact integers + one IEEE
+    division, so the SQL twin matches bitwise.
+    """
+    n_docs = ds.count()
+    if num_parts is None:
+        num_parts = int(max(2, min(256, math.ceil(n_docs / 50_000))))
+
+    def windows(batch: pa.Table) -> pa.Table:
+        did, gram = _word_ngrams(batch, text_col, id_col, n)
+        # partition on a stable string hash; the per-gram crc32 loop is
+        # C-speed and off the per-character hot path
+        part = np.fromiter(
+            (zlib.crc32(g.encode()) % num_parts for g in gram),
+            np.int64,
+            len(gram),
+        )
+        return pa.table(
+            {
+                "hpart": pa.array(part),
+                "did": pa.array(did),
+                "gram": pa.array(gram.astype(object), pa.string()),
+            }
+        )
+
+    def per_gram(group: pa.Table) -> pa.Table:
+        did = group.column("did").to_numpy(zero_copy_only=False)
+        gram = group.column("gram").to_pandas().to_numpy()
+        order = np.lexsort((did, gram))
+        did, gram = did[order], gram[order]
+        first = np.empty(len(gram), dtype=bool)
+        if len(gram):
+            first[0] = True
+            first[1:] = gram[1:] != gram[:-1]
+        starts = np.flatnonzero(first)
+        total = np.diff(np.append(starts, len(gram)))
+        gram_of = np.repeat(np.arange(len(starts)), total)
+        dup_gram = total[gram_of] >= 2
+        # per (doc) sums of duplicated / total positions
+        return pa.table(
+            {
+                "did": pa.array(did),
+                "dup": pa.array(dup_gram.astype(np.int64)),
+                "tot": pa.array(np.ones(len(did), np.int64)),
+            }
+        )
+
+    stats = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hpart")
+        .map_groups(per_gram, batch_format="pyarrow")
+        .groupby("did")
+        .aggregate(
+            Sum("dup", alias_name="n_dup_windows"),
+            Sum("tot", alias_name="n_windows"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        d = batch.column("n_dup_windows").to_numpy(zero_copy_only=False)
+        t = batch.column("n_windows").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column("did"),
+                "n_windows": pa.array(t.astype(np.int64)),
+                "n_dup_windows": pa.array(d.astype(np.int64)),
+                "dup_ratio": pa.array(
+                    np.where(t > 0, d / np.maximum(t, 1), 0.0)
+                ),
+            }
+        )
+
+    return stats.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
     )

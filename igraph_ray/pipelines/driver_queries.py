@@ -886,6 +886,19 @@ def q_c4_clean(sf_dir: str):
     return c4_clean(documents(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def q_duplicate_spans(sf_dir: str):
+    """(doc_id, n_windows, n_dup_windows, dup_ratio) — ExactSubstr
+    duplication diagnostic (Lee et al. 2022): fraction of each doc's
+    word-8-gram window positions whose gram occurs >= 2 times in the
+    corpus; docs with < 8 words omitted
+    (functions/dedup.py::duplicate_span_stats, bitwise SQL twin)."""
+    from igraph_ray.functions.dedup import duplicate_span_stats
+
+    return duplicate_span_stats(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def q_fingerprints(sf_dir: str):
     out = winnow_fingerprints(
         documents(sf_dir).select_columns(["doc_id", "text"])

@@ -425,3 +425,31 @@ def test_c4_clean_rules():
     assert rows[4]["n_kept_lines"] == 2
     assert "javascript" not in rows[4]["cleaned_text"]
     assert '"' in rows[4]["cleaned_text"]
+
+
+def test_duplicate_span_stats():
+    from igraph_ray.functions.dedup import duplicate_span_stats
+
+    texts = [
+        "a b c d e f g h i j",  # 3 windows; first shared with doc 1
+        "a b c d e f g h x y",
+        "unique words only here nothing repeats at all ever done",
+        "short doc",  # < 8 words -> no row
+        "r r r r r r r r r r r r r r r r",  # all windows identical
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    ).repartition(num_blocks=3)
+    rows = {
+        r["doc_id"]: r for r in duplicate_span_stats(ds, n=8).iter_rows()
+    }
+    assert set(rows) == {0, 1, 2, 4}
+    assert rows[0]["n_windows"] == 3 and rows[0]["n_dup_windows"] == 1
+    assert rows[1]["n_dup_windows"] == 1
+    assert rows[2]["n_dup_windows"] == 0 and rows[2]["dup_ratio"] == 0.0
+    assert rows[4]["n_windows"] == 9 and rows[4]["dup_ratio"] == 1.0
