@@ -1089,14 +1089,13 @@ def duplicate_span_stats(
         num_parts = int(max(2, min(256, math.ceil(n_docs / 50_000))))
 
     def windows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
         did, gram = _word_ngrams(batch, text_col, id_col, n)
-        # partition on a stable string hash; the per-gram crc32 loop is
-        # C-speed and off the per-character hot path
-        part = np.fromiter(
-            (zlib.crc32(g.encode()) % num_parts for g in gram),
-            np.int64,
-            len(gram),
-        )
+        # vectorized stable string hash (same scheme as the shingle
+        # partitioner above) — no per-gram Python loop
+        h = pd.util.hash_array(np.asarray(gram, object), categorize=False)
+        part = (h % np.uint64(num_parts)).astype(np.int64)
         return pa.table(
             {
                 "hpart": pa.array(part),
