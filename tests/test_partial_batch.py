@@ -92,3 +92,19 @@ def test_voterank_weaken_partial_batch(tmp_graph_dir):
     for v in nbrs:
         assert full[v][0] == 0.75
     assert full[10][0] == 0.0
+
+
+def test_girth_probe_scatter_partial_batch(tmp_graph_dir):
+    from igraph_ray.kernels.girth import GirthProbeKernel
+    from igraph_ray.kernels.multibfs import pivot_distances
+
+    G = nx.petersen_graph()
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=2)
+    pivots = np.array([0, 3, 7], np.int64)
+    dk = pivot_distances(g, pivots)
+    kernel = GirthProbeKernel(num_parts=g.num_parts, k=len(pivots))
+    state = ds_to_table(dk.state)
+    rng = np.random.default_rng(1)
+    state = state.take(pa.array(rng.permutation(state.num_rows)))
+    full, split = _split_vs_full(kernel, g, state)
+    assert full == split  # exact candidate values under re-blocking
