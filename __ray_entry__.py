@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centralization": q.q_centralization,  # SQL oracle (Freeman degree)
         "hop_histogram": q.q_hop_histogram,  # SQL oracle (all-pairs CTE, int counts)
         "avg_path_length": q.q_avg_path_length,  # SQL oracle (same CTE, reduced)
+        "diameter_weighted": q.q_diameter_weighted,  # SQL oracle (min-plus CTE)
         "global_efficiency": q.q_global_efficiency,  # rows-only (float mean of 1/d)
         "topo_layers": q.q_topo_layers,  # SQL oracle (longest-walk CTE)
         "condensation_layers": q.q_condensation_layers,  # SQL oracle (closure + longest-walk CTE)
@@ -1608,6 +1609,28 @@ walk AS (
 )
 SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS pairs
 FROM walk WHERE dist > 0 GROUP BY dist ORDER BY dist
+""",
+        # all-source weighted min-plus walk → per-vertex weighted
+        # eccentricity (self rows give isolated keys ecc 0) → max/min
+        "diameter_weighted": f"""
+{_LINK_PAIRS},
+warcs AS (
+  SELECT src_key AS s, dst_key AS d, CAST(weight AS BIGINT) AS w
+  FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key, CAST(weight AS BIGINT) FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, CAST(0 AS BIGINT) FROM keys
+    UNION
+    SELECT r.s, a.d, r.dist + a.w FROM r JOIN warcs a ON r.k = a.s
+    WHERE r.dist < 2000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+),
+ecc AS (SELECT s, CAST(MAX(dist) AS BIGINT) AS e FROM walk GROUP BY s)
+SELECT MAX(e) AS weighted_diameter, MIN(e) AS weighted_radius FROM ecc
 """,
         # same all-pairs CTE, reduced to the Wiener/avg-path summary
         "avg_path_length": f"""

@@ -323,13 +323,18 @@ def closeness_centrality(
 def eccentricity(
     graph: GraphMeta,
     pivots: np.ndarray | list[int],
+    weighted: bool = False,
 ) -> ray.data.Dataset:
     """Rows ``(vid, eccentricity)`` — max finite hop distance from any
     pivot (undirected symmetry: d(p,v) = d(v,p), so with pivots = all
     vertices this is exact ``igraph_eccentricity`` / nx.eccentricity
     within each component; with sampled pivots it is the standard
-    lower-bound estimate).  Isolated vertices get 0."""
-    run = pivot_distances(graph, np.asarray(pivots, np.int64))
+    lower-bound estimate).  Isolated vertices get 0.  With
+    ``weighted=True`` distances are integer edge-weight sums (exact in
+    float64 below 2**53), matching ``nx.eccentricity(weight=...)``."""
+    run = pivot_distances(
+        graph, np.asarray(pivots, np.int64), weighted=weighted
+    )
     k = len(np.unique(np.asarray(pivots, np.int64)))
 
     def finish(batch: pa.Table) -> pa.Table:

@@ -1764,6 +1764,34 @@ def q_diameter(sf_dir: str):
     )
 
 
+def q_diameter_weighted(sf_dir: str, graph_dir: str | None = None):
+    """One row (weighted_diameter, weighted_radius) of the E1∪E2 key
+    graph — per-component max/min weighted eccentricity with edge
+    weights as distances (igraph_diameter weights= / nx.eccentricity
+    weight= semantics); integer weight sums, so the all-source
+    min-plus recursive-CTE twin matches bitwise."""
+    import tempfile
+
+    from igraph_ray.kernels.multibfs import eccentricity
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_wecc_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vids = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    out = eccentricity(graph, vids, weighted=True)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    ecc = tbl.column("eccentricity").to_numpy(zero_copy_only=False)
+    d = int(ecc.max()) if len(ecc) else 0
+    r = int(ecc.min()) if len(ecc) else 0
+    return pa.table(
+        {
+            "weighted_diameter": pa.array([d], pa.int64()),
+            "weighted_radius": pa.array([r], pa.int64()),
+        }
+    )
+
+
 def q_random_walks(sf_dir: str, graph_dir: str | None = None):
     """(walk_id, p0..p8) — deterministic 8-step walk corpus from every
     key of the E1∪E2 graph (DeepWalk-style corpus generation);

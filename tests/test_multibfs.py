@@ -133,3 +133,40 @@ def test_distance_histogram_wiener_vs_nx(tmp_graph_dir):
     p2 = np.array(hist2.column("pairs").to_pylist())
     apl = float((d2 * p2).sum() / p2.sum())
     assert apl == pytest.approx(nx.average_shortest_path_length(H), abs=1e-12)
+
+
+def test_weighted_eccentricity_vs_nx(tmp_graph_dir):
+    from igraph_ray.kernels.multibfs import eccentricity
+
+    G = nx.gnm_random_graph(30, 60, seed=23)
+    rng = np.random.default_rng(2)
+    for u, v in G.edges():
+        G[u][v]["weight"] = int(rng.integers(1, 6))
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.api import build_graph, edges_dataset
+
+    src = np.array([u for u, v in G.edges()], np.int64)
+    dst = np.array([v for u, v in G.edges()], np.int64)
+    w = np.array([G[u][v]["weight"] for u, v in G.edges()], np.float64)
+    vertices = ray.data.from_arrow(
+        pa.table({"vid": pa.array(sorted(G.nodes()), pa.int64())})
+    )
+    g = build_graph(
+        edges_dataset(src, dst, w),
+        tmp_graph_dir,
+        num_parts=3,
+        symmetrize=True,
+        vertices=vertices,
+    )
+    got = _col_dict(
+        eccentricity(g, np.array(sorted(G.nodes()), np.int64), weighted=True),
+        "eccentricity",
+    )
+    ecc = {}
+    for comp in nx.connected_components(G):
+        sub = G.subgraph(comp)
+        ecc.update(nx.eccentricity(sub, weight="weight"))
+    for v, e in ecc.items():
+        assert got[v] == e, v
