@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "density": q.q_density,  # SQL oracle
         "jaccard_similarity": q.q_jaccard_similarity,  # SQL oracle
         "jaccard_pairs": q.q_jaccard_pairs,  # SQL oracle (all-pairs variant)
+        "graphlet_census": q.q_graphlet_census,  # SQL oracle (PGD transform, ints)
         "assortativity": q.q_assortativity,  # SQL oracle
         "rich_club": q.q_rich_club,  # SQL oracle (exact-int suffix sums)
         "avg_neighbor_degree": q.q_avg_neighbor_degree,  # SQL oracle
@@ -1609,6 +1610,94 @@ walk AS (
 )
 SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS pairs
 FROM walk WHERE dist > 0 GROUP BY dist ORDER BY dist
+""",
+        # induced 4-graphlet census: non-induced counts from degree /
+        # codegree statistics + K4 (6-way self-join) + rectangles
+        # (diagonal-codegree identity), then the PGD containment
+        # transform — all exact BIGINT
+        "graphlet_census": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS u, dst_key AS v FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key FROM link_pairs
+),
+deg AS (SELECT u AS key, COUNT(*) AS d FROM arcs GROUP BY u),
+ecomm AS (
+  SELECT e.src_key AS a, e.dst_key AS b,
+         CAST(COALESCE(c.c, 0) AS BIGINT) AS c
+  FROM link_pairs e
+  LEFT JOIN (
+    SELECT a1.u AS a, a2.u AS b, COUNT(*) AS c
+    FROM arcs a1 JOIN arcs a2 ON a1.v = a2.v AND a1.u < a2.u
+    GROUP BY 1, 2
+  ) c ON c.a = LEAST(e.src_key, e.dst_key)
+     AND c.b = GREATEST(e.src_key, e.dst_key)
+),
+es AS (
+  SELECT SUM(c) AS sum_c,
+         SUM(c * (c - 1) // 2) AS sum_c2,
+         SUM((d1.d - 1) * (d2.d - 1)) AS sum_wpath
+  FROM ecomm
+  JOIN deg d1 ON d1.key = ecomm.a
+  JOIN deg d2 ON d2.key = ecomm.b
+),
+tv AS (
+  SELECT key, SUM(c) // 2 AS t
+  FROM (
+    SELECT a AS key, c FROM ecomm
+    UNION ALL
+    SELECT b, c FROM ecomm
+  ) GROUP BY key
+),
+ts AS (
+  SELECT SUM(tv.t * (deg.d - 2)) AS sum_tailed
+  FROM tv JOIN deg ON deg.key = tv.key
+),
+cl AS (
+  SELECT SUM(d * (d - 1) * (d - 2) // 6) AS sum_claw FROM deg
+),
+p AS (SELECT src_key AS a, dst_key AS b FROM link_pairs),
+k4 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k4
+  FROM p ab
+  JOIN p ac ON ac.a = ab.a AND ac.b > ab.b
+  JOIN p ad ON ad.a = ab.a AND ad.b > ac.b
+  JOIN p bc ON bc.a = ab.b AND bc.b = ac.b
+  JOIN p bd ON bd.a = ab.b AND bd.b = ad.b
+  JOIN p cd ON cd.a = ac.b AND cd.b = ad.b
+),
+allcomm AS (
+  SELECT a1.u AS a, a2.u AS b, COUNT(*) AS c
+  FROM arcs a1 JOIN arcs a2 ON a1.v = a2.v AND a1.u < a2.u
+  GROUP BY 1, 2
+),
+rect AS (
+  SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) // 2 AS BIGINT) AS r
+  FROM allcomm
+),
+base AS (
+  SELECT
+    (SELECT COUNT(*) FROM link_pairs) AS m,
+    CAST(es.sum_c // 3 AS BIGINT) AS t,
+    k4.k4 AS k4,
+    CAST(es.sum_c2 - 6 * k4.k4 AS BIGINT) AS diamond,
+    es.sum_c2 AS sum_c2, es.sum_wpath AS sum_wpath,
+    ts.sum_tailed AS sum_tailed, cl.sum_claw AS sum_claw,
+    rect.r AS r
+  FROM es, k4, ts, cl, rect
+)
+SELECT CAST(m AS BIGINT) AS n_edges, t AS triangles, k4,
+  diamond,
+  CAST(r - diamond - 3 * k4 AS BIGINT) AS c4,
+  CAST(sum_tailed - 4 * diamond - 12 * k4 AS BIGINT) AS tailed_triangle,
+  CAST(sum_wpath - 3 * t
+       - 2 * (sum_tailed - 4 * diamond - 12 * k4)
+       - 4 * (r - diamond - 3 * k4)
+       - 6 * diamond - 12 * k4 AS BIGINT) AS path4,
+  CAST(sum_claw - (sum_tailed - 4 * diamond - 12 * k4)
+       - 2 * diamond - 4 * k4 AS BIGINT) AS claw
+FROM base
 """,
         # all-source weighted min-plus walk → per-vertex weighted
         # eccentricity (self rows give isolated keys ecc 0) → max/min

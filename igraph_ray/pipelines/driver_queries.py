@@ -1240,6 +1240,25 @@ def q_jaccard_pairs(sf_dir: str):
     return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
 
 
+def q_graphlet_census(sf_dir: str):
+    """One row (n_edges, triangles, k4, diamond, c4, tailed_triangle,
+    path4, claw) — induced connected 4-graphlet census of the E1∪E2
+    key graph (igraph motifs_randesu size-4 connected classes; PGD
+    transform, kernels/graphlets.py; brute-force 4-subset oracle in
+    tests/test_graphlets.py).  All exact int64, bitwise SQL twin."""
+    from igraph_ray.kernels.graphlets import graphlet_census4
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    return graphlet_census4(edges)
+
+
 def q_rich_club(sf_dir: str):
     """(k, phi) rich-club coefficient per degree threshold over the
     E1∪E2 graph — nx.rich_club_coefficient(normalized=False) parity
