@@ -899,6 +899,20 @@ def q_duplicate_spans(sf_dir: str):
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """(rank, left, right, merged, count) — first 30 BPE merge rules
+    learned over the documents corpus (Sennrich et al. 2016;
+    functions/bpe.py; sequential-replay oracle in tests/test_bpe.py).
+    Deterministic (max count, lexicographic tie-break) but iterative —
+    rows-only at the driver."""
+    from igraph_ray.functions.bpe import bpe_train
+
+    return bpe_train(
+        documents(sf_dir).select_columns(["doc_id", "text"]),
+        num_merges=30,
+    )
+
+
 def q_fingerprints(sf_dir: str):
     out = winnow_fingerprints(
         documents(sf_dir).select_columns(["doc_id", "text"])
