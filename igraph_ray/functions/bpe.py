@@ -217,3 +217,88 @@ def bpe_train(
             "count": pa.array([m[4] for m in merges], pa.int64()),
         }
     )
+
+
+def bpe_encode_lengths(
+    ds: ray.data.Dataset,
+    merges: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """(id_col, n_words, n_bpe_tokens) — per-document subword token
+    counts under a learned merge list (the encode side of
+    ``bpe_train``).
+
+    Scale shape: merges are applied ONCE per word TYPE (the same
+    vocabulary-sized table the trainer used — rank-ordered passes over
+    word types, not over the corpus), yielding a (word →
+    n_subwords) table; the corpus then joins to it with the native
+    hash join (corpus-sized shuffle on the word key) and reduces per
+    document.  No broadcast of the unbounded vocabulary.
+    """
+    from igraph_ray.stages.join import hash_join
+
+    vocab = word_type_table(ds, text_col)
+    toks = vocab.map_batches(
+        lambda b: pa.table(
+            {
+                "word": b.column("word"),
+                "toks": _init_tokens(b).column("toks"),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    for row in merges.to_pylist():
+        fn = _apply_merge(row["left"], row["right"], row["merged"])
+
+        def apply_row(batch: pa.Table, _fn=fn) -> pa.Table:
+            out = _fn(
+                pa.table(
+                    {"toks": batch.column("toks"), "n": batch.column("word")}
+                )
+            )
+            return pa.table(
+                {"word": batch.column("word"), "toks": out.column("toks")}
+            )
+
+        toks = toks.map_batches(
+            apply_row, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    def word_len(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "word": batch.column("word"),
+                "n_sub": pc.cast(
+                    pc.list_value_length(batch.column("toks")), pa.int64()
+                ),
+            }
+        )
+
+    word_lens = toks.map_batches(
+        word_len, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def doc_words(batch: pa.Table) -> pa.Table:
+        t = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), r"\s+"
+        ).combine_chunks()
+        lens = pc.list_value_length(t).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        flat = t.flatten()
+        doc = np.repeat(ids, lens)
+        keep = pc.not_equal(flat, "")
+        return pa.table(
+            {id_col: pa.array(doc), "word": flat}
+        ).filter(keep)
+
+    pairs = ds.select_columns([id_col, text_col]).map_batches(
+        doc_words, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = hash_join(pairs, word_lens, on="word")
+    agg = joined.groupby(id_col).aggregate(
+        Count(id_col, alias_name="n_words"),
+        Sum("n_sub", alias_name="n_bpe_tokens"),
+    )
+    return agg

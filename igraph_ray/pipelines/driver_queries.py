@@ -913,6 +913,18 @@ def q_bpe_merges(sf_dir: str):
     )
 
 
+def q_bpe_token_counts(sf_dir: str):
+    """(doc_id, n_words, n_bpe_tokens) — per-document subword counts
+    under the 30 learned BPE merges (functions/bpe.py::
+    bpe_encode_lengths; per-word replay oracle in tests/test_bpe.py);
+    rows-only (iterative training has no SQL twin)."""
+    from igraph_ray.functions.bpe import bpe_encode_lengths, bpe_train
+
+    docs = documents(sf_dir).select_columns(["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=30)
+    return bpe_encode_lengths(docs, merges)
+
+
 def q_fingerprints(sf_dir: str):
     out = winnow_fingerprints(
         documents(sf_dir).select_columns(["doc_id", "text"])

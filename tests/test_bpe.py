@@ -72,3 +72,48 @@ def test_bpe_overlapping_runs_leftmost_first():
     # 'aaaa' exercises the aaa-chain: merge (a,a) applies leftmost-
     # first non-overlapping, exactly like the sequential scan
     _check(["aaaa aaa aa baaab"] * 4, 5)
+
+
+def test_bpe_encode_lengths_matches_per_word_replay():
+    from igraph_ray.functions.bpe import bpe_encode_lengths
+
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat",
+        "a mat and a hat",
+    ] * 2
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+            }
+        )
+    )
+    merges = ray.data.from_arrow
+    from igraph_ray.functions.bpe import bpe_train
+
+    mt = bpe_train(ds, num_merges=6)
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_encode_lengths(ds, mt).iter_rows()
+    }
+    mlist = [(r["left"], r["right"], r["merged"]) for r in mt.to_pylist()]
+
+    def enc(w):
+        t = list(w) + [_EOW]
+        for left, right, m in mlist:
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == left and t[i + 1] == right:
+                    out.append(m)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            t = out
+        return len(t)
+
+    for i, t in enumerate(texts):
+        ws = t.lower().split()
+        assert got[i] == (len(ws), sum(enc(w) for w in ws)), i
