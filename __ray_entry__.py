@@ -119,6 +119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_similarity": q.q_jaccard_similarity,  # SQL oracle
         "jaccard_pairs": q.q_jaccard_pairs,  # SQL oracle (all-pairs variant)
         "graphlet_census": q.q_graphlet_census,  # SQL oracle (PGD transform, ints)
+        "maximal_cliques": q.q_maximal_cliques,  # rows-only (BK enumeration)
         "assortativity": q.q_assortativity,  # SQL oracle
         "rich_club": q.q_rich_club,  # SQL oracle (exact-int suffix sums)
         "avg_neighbor_degree": q.q_avg_neighbor_degree,  # SQL oracle

@@ -1285,6 +1285,46 @@ def q_graphlet_census(sf_dir: str):
     return graphlet_census4(edges)
 
 
+def q_maximal_cliques(sf_dir: str):
+    """(clique, size) with clique = ordered '|'-joined key list — every
+    maximal clique of the E1∪E2 key graph exactly once (igraph
+    maximal_cliques / nx.find_cliques; ELS per-vertex BK subproblems,
+    kernels/maxcliques.py; NX-exact in tests/test_cliques.py).
+    Rows-only (backtracking enumeration has no SQL twin)."""
+    from igraph_ray.kernels.maxcliques import maximal_cliques
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = maximal_cliques(
+        edges, vertices=vertices.select_columns(["vid"])
+    )
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    keys_arr = vtbl.column("key").combine_chunks()
+    joined = [
+        "|".join(keys_arr[i].as_py() for i in c)
+        for c in tbl.column("clique").to_pylist()
+    ]
+    return pa.table(
+        {
+            "clique": pa.array(joined, pa.string()),
+            "size": tbl.column("size"),
+        }
+    ).sort_by([("clique", "ascending")])
+
+
 def q_rich_club(sf_dir: str):
     """(k, phi) rich-club coefficient per degree threshold over the
     E1∪E2 graph — nx.rich_club_coefficient(normalized=False) parity

@@ -131,3 +131,52 @@ def test_four_cycle_count_known_graphs():
         got = four_cycle_count(arcs_of(G))
         want = dense_c4(G) if known is None else known
         assert got == want, (G, got, want)
+
+
+def test_maximal_cliques_vs_nx():
+    import networkx as nx
+    import ray.data
+
+    from igraph_ray.kernels.maxcliques import maximal_cliques
+
+    for seed, n, m in ((3, 30, 90), (7, 40, 160), (11, 25, 120)):
+        G = nx.gnm_random_graph(n, m, seed=seed)
+        ds = _edges_ds(G)
+        verts = ray.data.from_arrow(
+            pa.table({"vid": pa.array(sorted(G.nodes()), pa.int64())})
+        )
+        got = {
+            frozenset(r["clique"])
+            for r in maximal_cliques(ds, vertices=verts).iter_rows()
+        }
+        want = {frozenset(c) for c in nx.find_cliques(G)}
+        assert got == want, seed
+
+
+def test_maximal_cliques_isolated_and_min_size():
+    import networkx as nx
+    import ray.data
+
+    from igraph_ray.kernels.maxcliques import maximal_cliques
+
+    G = nx.complete_graph(4)
+    G.add_edge(10, 11)
+    G.add_node(42)  # isolated -> maximal singleton
+    ds = _edges_ds(G)
+    verts = ray.data.from_arrow(
+        pa.table({"vid": pa.array(sorted(G.nodes()), pa.int64())})
+    )
+    got = {
+        frozenset(r["clique"])
+        for r in maximal_cliques(ds, vertices=verts).iter_rows()
+    }
+    assert got == {
+        frozenset({0, 1, 2, 3}),
+        frozenset({10, 11}),
+        frozenset({42}),
+    }
+    big = {
+        frozenset(r["clique"])
+        for r in maximal_cliques(ds, vertices=verts, min_size=3).iter_rows()
+    }
+    assert big == {frozenset({0, 1, 2, 3})}
