@@ -120,6 +120,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q.q_jaccard_pairs,  # SQL oracle (all-pairs variant)
         "graphlet_census": q.q_graphlet_census,  # SQL oracle (PGD transform, ints)
         "maximal_cliques": q.q_maximal_cliques,  # rows-only (BK enumeration)
+        "line_graph": q.q_line_graph,  # SQL oracle (incidence self-join twin)
         "assortativity": q.q_assortativity,  # SQL oracle
         "rich_club": q.q_rich_club,  # SQL oracle (exact-int suffix sums)
         "avg_neighbor_degree": q.q_avg_neighbor_degree,  # SQL oracle
@@ -1613,6 +1614,16 @@ walk AS (
 )
 SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS pairs
 FROM walk WHERE dist > 0 GROUP BY dist ORDER BY dist
+""",
+        # line graph: edges sharing an endpoint, canonical pair-of-
+        # pairs ordering (a_src,a_dst) < (b_src,b_dst)
+        "line_graph": f"""
+{_LINK_PAIRS},
+e AS (SELECT src_key AS s, dst_key AS d FROM link_pairs)
+SELECT e1.s AS a_src, e1.d AS a_dst, e2.s AS b_src, e2.d AS b_dst
+FROM e e1 JOIN e e2
+  ON (e1.s = e2.s OR e1.s = e2.d OR e1.d = e2.s OR e1.d = e2.d)
+ AND (e1.s < e2.s OR (e1.s = e2.s AND e1.d < e2.d))
 """,
         # induced 4-graphlet census: non-induced counts from degree /
         # codegree statistics + K4 (6-way self-join) + rectangles

@@ -1486,6 +1486,43 @@ def q_graph_difference(sf_dir: str):
     return _q_graph_setop(sf_dir, graph_difference)
 
 
+def q_line_graph(sf_dir: str):
+    """(a_src, a_dst, b_src, b_dst) — the line graph L(G) of the E1∪E2
+    key graph (igraph linegraph / nx.line_graph; per-endpoint wedge
+    expansion, stages/graph_ops.py::line_graph; NX-exact in
+    tests/test_graph_ops.py).  Canonical ordering matches the SQL
+    self-join twin (vid order == lexicographic key order)."""
+    from igraph_ray.stages.graph_ops import line_graph
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = line_graph(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        tbl,
+        vtbl,
+        {
+            "a_src": "a_src",
+            "a_dst": "a_dst",
+            "b_src": "b_src",
+            "b_dst": "b_dst",
+        },
+    )
+
+
 def q_avg_neighbor_degree(sf_dir: str):
     """(key, degree, sum_nbr_deg, knn) per vertex of the E1∪E2 graph —
     nx.average_neighbor_degree / igraph knn parity (exact in

@@ -233,3 +233,104 @@ def quotient_graph(
     return contracted.groupby(["c_src", "c_dst"]).aggregate(
         Sum(weight, alias_name="weight"), Count(alias_name="n_edges")
     )
+
+
+def line_graph(
+    pairs: ray.data.Dataset,
+    src: str = "src",
+    dst: str = "dst",
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Line graph L(G) of the simple undirected graph given as
+    canonical unordered pairs — igraph ``linegraph`` / nx.line_graph
+    semantics: one L(G)-vertex per edge of G, an L(G)-edge between two
+    G-edges iff they share an endpoint.
+
+    Construction is one incidence self-join expressed as the standard
+    per-endpoint wedge expansion (each vertex emits all C(d, 2) pairs
+    of its incident edges — Σ d(v)² work, the triangle-counting
+    bound), hash-partitioned into a rows-sized key-space.  Output rows
+    ``(a_src, a_dst, b_src, b_dst)`` with the edge pair canonically
+    ordered ((a_src,a_dst) < (b_src,b_dst) lexicographically), distinct
+    — two edges sharing BOTH endpoints cannot occur in a simple graph,
+    and sharing one endpoint yields exactly one row emitted at that
+    endpoint.
+    """
+    import math
+
+    from igraph_ray.utils import hash_int64
+
+    n_edges = pairs.count()
+    if num_parts is None:
+        num_parts = int(max(2, min(256, math.ceil(max(1, n_edges) / 250_000))))
+
+    def incidence(batch: pa.Table) -> pa.Table:
+        s = batch.column(src).to_numpy(zero_copy_only=False)
+        d = batch.column(dst).to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        # one incidence row per endpoint: (endpoint, edge-lo, edge-hi)
+        v = np.concatenate([lo, hi])
+        el = np.concatenate([lo, lo])
+        eh = np.concatenate([hi, hi])
+        part = (hash_int64(v) % np.uint64(num_parts)).astype(np.int32)
+        return pa.table(
+            {
+                "hpart": pa.array(part),
+                "v": pa.array(v),
+                "el": pa.array(el),
+                "eh": pa.array(eh),
+            }
+        )
+
+    inc = pairs.map_batches(
+        incidence, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def edge_pairs(group: pa.Table) -> pa.Table:
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        el = group.column("el").to_numpy(zero_copy_only=False)
+        eh = group.column("eh").to_numpy(zero_copy_only=False)
+        # sort by (v, el, eh) so each vertex's incident edges are a
+        # contiguous, canonically ordered run
+        order = np.lexsort((eh, el, v))
+        v, el, eh = v[order], el[order], eh[order]
+        boundary = np.empty(len(v), dtype=bool)
+        if len(v):
+            boundary[0] = True
+            boundary[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(v))
+        out = []
+        for s0, e0 in zip(starts, ends):
+            deg = e0 - s0
+            if deg < 2:
+                continue
+            ii, jj = np.triu_indices(deg, k=1)
+            out.append(
+                (
+                    el[s0:e0][ii],
+                    eh[s0:e0][ii],
+                    el[s0:e0][jj],
+                    eh[s0:e0][jj],
+                )
+            )
+        if out:
+            a_s = np.concatenate([o[0] for o in out])
+            a_d = np.concatenate([o[1] for o in out])
+            b_s = np.concatenate([o[2] for o in out])
+            b_d = np.concatenate([o[3] for o in out])
+        else:
+            a_s = a_d = b_s = b_d = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "a_src": pa.array(a_s),
+                "a_dst": pa.array(a_d),
+                "b_src": pa.array(b_s),
+                "b_dst": pa.array(b_d),
+            }
+        )
+
+    return inc.groupby("hpart").map_groups(
+        edge_pairs, batch_format="pyarrow"
+    )

@@ -107,3 +107,31 @@ def test_quotient_graph_modes():
     want = {k: (v[0], v[1]) for k, v in want.items()}
     assert got_b == want
     assert got_j == want
+
+
+def test_line_graph_vs_nx():
+    import networkx as nx
+
+    from igraph_ray.stages.graph_ops import line_graph
+
+    for seed, n, m in ((3, 30, 70), (9, 40, 120)):
+        G = nx.gnm_random_graph(n, m, seed=seed)
+        src = [u for u, v in G.edges()]
+        dst = [v for u, v in G.edges()]
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                }
+            )
+        ).repartition(3)
+        got = {
+            ((r["a_src"], r["a_dst"]), (r["b_src"], r["b_dst"]))
+            for r in line_graph(ds).iter_rows()
+        }
+        want = set()
+        for e1, e2 in nx.line_graph(G).edges():
+            a, b = tuple(sorted(e1)), tuple(sorted(e2))
+            want.add(tuple(sorted([a, b])))
+        assert got == want, seed
