@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graphlet_census": q.q_graphlet_census,  # SQL oracle (PGD transform, ints)
         "maximal_cliques": q.q_maximal_cliques,  # rows-only (BK enumeration)
         "line_graph": q.q_line_graph,  # SQL oracle (incidence self-join twin)
+        "k_shortest_paths": q.q_k_shortest_paths,  # rows-only (Yen recursion)
         "assortativity": q.q_assortativity,  # SQL oracle
         "rich_club": q.q_rich_club,  # SQL oracle (exact-int suffix sums)
         "avg_neighbor_degree": q.q_avg_neighbor_degree,  # SQL oracle

@@ -1914,6 +1914,68 @@ def q_diameter_weighted(sf_dir: str, graph_dir: str | None = None):
     )
 
 
+def q_k_shortest_paths(sf_dir: str):
+    """(rank, cost, route) — the 5 cheapest simple routes between the
+    lexicographically smallest key and the largest key of ITS
+    component in the E1∪E2 graph (igraph get_k_shortest_paths /
+    nx.shortest_simple_paths; Yen, bounded gather, kernels/kpaths.py;
+    NX-exact in tests/test_kpaths.py).  Rows-only (sequential spur
+    recursion)."""
+    import tempfile
+
+    from igraph_ray.kernels.kpaths import k_shortest_paths
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks()
+        d = batch.column("dst").combine_chunks()
+        return pa.table(
+            {
+                "src": pa.concat_arrays([s, d]),
+                "dst": pa.concat_arrays([d, s]),
+            }
+        )
+
+    arcs = edges.map_batches(both, batch_format="pyarrow", zero_copy_batch=True)
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    graph, _ = _build_key_graph(sf_dir, tempfile.mkdtemp(prefix="igr_ksp_"))
+    run = connected_components(graph)
+    comp = pa.concat_tables(
+        run.state.select_columns(["vid", "comp"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    cv = comp.column("vid").to_numpy(zero_copy_only=False)
+    cc = comp.column("comp").to_numpy(zero_copy_only=False)
+    comp0 = cc[np.argmin(cv)]
+    target = int(cv[cc == comp0].max())
+    out = k_shortest_paths(arcs, 0, target, k=5)
+    keys_arr = vtbl.column("key").combine_chunks()
+    routes = [
+        "|".join(keys_arr[i].as_py() for i in p)
+        for p in out.column("path").to_pylist()
+    ]
+    return pa.table(
+        {
+            "rank": out.column("rank"),
+            "cost": pc.cast(out.column("cost"), pa.int64()),
+            "route": pa.array(routes, pa.string()),
+        }
+    )
+
+
 def q_random_walks(sf_dir: str, graph_dir: str | None = None):
     """(walk_id, p0..p8) — deterministic 8-step walk corpus from every
     key of the E1∪E2 graph (DeepWalk-style corpus generation);
