@@ -1976,6 +1976,24 @@ def q_k_shortest_paths(sf_dir: str):
     )
 
 
+def q_fr_layout(sf_dir: str, graph_dir: str | None = None):
+    """(key, x, y) — deterministic Fruchterman–Reingold layout of the
+    E1∪E2 key graph (igraph layout_fruchterman_reingold;
+    kernels/layout.py; structural + determinism oracles in
+    tests/test_layout.py).  Rows-only (float force simulation)."""
+    import tempfile
+
+    from igraph_ray.kernels.layout import fruchterman_reingold
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_fr_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = fruchterman_reingold(graph, iterations=30)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
 def q_random_walks(sf_dir: str, graph_dir: str | None = None):
     """(walk_id, p0..p8) — deterministic 8-step walk corpus from every
     key of the E1∪E2 graph (DeepWalk-style corpus generation);
