@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_matching": q.q_maximal_matching,  # rows-only (property oracle)
         "generated_rmat": q.q_generated_rmat,  # rows-only (generator source; pytest oracles)
         "generated_ba": q.q_generated_ba,  # rows-only (generator source; pytest oracles)
+        "generated_config_model": q.q_generated_config_model,  # SQL oracle (degree hist invariant)
         "clustering": q.q_clustering,  # SQL oracle (exact ints + IEEE replay)
         "degree_histogram": q.q_degree_histogram,  # SQL oracle
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
@@ -2448,6 +2449,21 @@ endpoints AS (
 deg AS (SELECT key, COUNT(*) AS degree FROM endpoints GROUP BY key)
 SELECT CAST(degree AS BIGINT) AS degree,
        CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM deg GROUP BY degree
+""",
+        # the configuration model preserves the degree sequence by
+        # construction, so its degree histogram equals the source
+        # graph's — recomputed here independently
+        "generated_config_model": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT key, COUNT(*) AS degree FROM endpoints GROUP BY key)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM deg GROUP BY degree
 """,
         "transitivity": f"""

@@ -3749,6 +3749,42 @@ def q_generated_ba(sf_dir: str):
     )
 
 
+def q_generated_config_model(sf_dir: str):
+    """(degree, n_vertices) — degree histogram of a configuration-model
+    graph seeded with the E1∪E2 key graph's own degree sequence
+    (igraph degree_sequence_game / rewiring null model; the histogram
+    equals the original's BY CONSTRUCTION — the bitwise SQL twin
+    recomputes the original degree histogram).  Exercises
+    sources/generators.py::configuration_model_edges."""
+    from igraph_ray.sources.generators import configuration_model_edges
+
+    degs = q_degrees(sf_dir)
+    tbl = pa.concat_tables(
+        degs.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("key")
+    d = tbl.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+    if d.sum() % 2:  # guard (cannot happen: sum = 2|E|)
+        d = d.copy()
+        d[0] += 1
+    edges = configuration_model_edges(d, seed=11)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").combine_chunks()
+        t = batch.column("dst").combine_chunks()
+        return pa.table({"vid": pa.concat_arrays([s, t])})
+
+    out = (
+        edges.map_batches(
+            endpoints, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("vid")
+        .aggregate(Count(alias_name="degree"))
+        .groupby("degree")
+        .aggregate(Count(alias_name="n_vertices"))
+    )
+    return out
+
+
 def q_generated_rmat(sf_dir: str):
     """(degree_bucket, n_vertices) — log2-bucketed degree histogram of
     a deterministic scale-12 R-MAT graph (m = 16 x n_docs edges, seed

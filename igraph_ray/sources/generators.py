@@ -317,3 +317,57 @@ def barabasi_albert_edges(
 
     rng = ray.data.range(m, override_num_blocks=override_num_blocks)
     return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------
+# Configuration model (degree-sequence game)
+# --------------------------------------------------------------------
+
+
+def configuration_model_edges(
+    degrees: np.ndarray,
+    vids: np.ndarray | None = None,
+    seed: int = 0,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Configuration-model random multigraph with EXACTLY the given
+    degree sequence (igraph ``degree_sequence_game`` /
+    ``nx.configuration_model`` semantics — self-loops and parallel
+    edges possible, as in the reference; simplify downstream).
+
+    Construction: vertex ``v`` owns ``deg(v)`` stubs at global indices
+    ``[off(v), off(v)+deg(v))``; a Feistel permutation π of the stub
+    domain pairs stub ``π(2j)`` with ``π(2j+1)`` — a uniform perfect
+    matching, with edge ``j`` computed independently of all others
+    (communication-free, partition-invariant, deterministic).  Stub →
+    owner is one ``searchsorted`` against the broadcast offset array
+    (O(V) — the generator's documented bound, same class as the
+    vertex-id broadcast).
+    """
+    degrees = np.asarray(degrees, np.int64)
+    if vids is None:
+        vids = np.arange(len(degrees), dtype=np.int64)
+    vids = np.asarray(vids, np.int64)
+    total = int(degrees.sum())
+    if total % 2:
+        raise ValueError("degree sequence must have an even sum")
+    offsets = np.concatenate([[0], np.cumsum(degrees)])
+    oref = ray.put((offsets, vids))
+    m = total // 2
+
+    def gen(batch: pa.Table) -> pa.Table:
+        offs, vv = ray.get(oref)
+        j = _ids(batch)
+        s1 = _feistel_permute(2 * j, total, seed)
+        s2 = _feistel_permute(2 * j + 1, total, seed)
+        src = vv[np.searchsorted(offs, s1.astype(np.int64), "right") - 1]
+        dst = vv[np.searchsorted(offs, s2.astype(np.int64), "right") - 1]
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.int64)),
+                "dst": pa.array(dst.astype(np.int64)),
+            }
+        )
+
+    rng = ray.data.range(m, override_num_blocks=override_num_blocks)
+    return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)

@@ -141,3 +141,29 @@ def test_barabasi_albert_deterministic_partition_invariant():
         [("src", "ascending"), ("dst", "ascending")]
     )
     assert not a.equals(c)
+
+
+def test_configuration_model_degree_sequence_exact():
+    from igraph_ray.sources.generators import configuration_model_edges
+
+    rng = np.random.default_rng(3)
+    deg = rng.integers(1, 8, size=200)
+    if deg.sum() % 2:
+        deg[0] += 1
+    t = ds_to_table(configuration_model_edges(deg, seed=5))
+    src = t.column("src").to_numpy()
+    dst = t.column("dst").to_numpy()
+    got = np.bincount(np.concatenate([src, dst]), minlength=200)
+    assert np.array_equal(got, deg)  # exact sequence, loops count 2
+    # deterministic + partition-invariant
+    t2 = ds_to_table(
+        configuration_model_edges(deg, seed=5, override_num_blocks=7)
+    )
+    a = t.sort_by([("src", "ascending"), ("dst", "ascending")])
+    b = t2.sort_by([("src", "ascending"), ("dst", "ascending")])
+    assert a.equals(b)
+    # odd sum rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        configuration_model_edges(np.array([1, 1, 1]))
