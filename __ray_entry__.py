@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicate_spans": q.q_duplicate_spans,  # SQL oracle (window unnest twin)
         "bpe_merges": q.q_bpe_merges,  # rows-only (iterative; sequential replay pytest)
         "bpe_token_counts": q.q_bpe_token_counts,  # rows-only (encode side)
+        "quality_model": q.q_quality_model,  # rows-only (trained classifier)
         "eulerian": q.q_eulerian,  # rows-only (components not SQL-expressible)
         "burt_constraint": q.q_burt_constraint,  # rows-only (float wedge sums)
         "girth": q.q_girth,  # rows-only (BFS cycle probe not SQL-expressible)

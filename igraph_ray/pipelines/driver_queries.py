@@ -925,6 +925,32 @@ def q_bpe_token_counts(sf_dir: str):
     return bpe_encode_lengths(docs, merges)
 
 
+def q_quality_model(sf_dir: str):
+    """(doc_id, quality_prob) — model-based quality score: logistic
+    regression trained ON THE CORPUS (features = Gopher-rule
+    statistics, label = the Gopher keep flag) by distributed
+    full-batch GD, then applied in one streaming map
+    (functions/quality_model.py; local-replay + separability oracles
+    in tests/test_quality_model.py).  Rows-only (float GD)."""
+    from igraph_ray.functions.quality_model import score_logreg, train_logreg
+    from igraph_ray.functions.text import gopher_rules
+
+    feats = [
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_line_ratio",
+        "ellipsis_line_ratio",
+        "alpha_word_ratio",
+    ]
+    g = gopher_rules(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    ).materialize()
+    w, _ = train_logreg(g, feats, "keep", iters=80, lr=0.5)
+    return score_logreg(g, w, feats).select_columns(
+        ["doc_id", "quality_prob"]
+    )
+
+
 def q_fingerprints(sf_dir: str):
     out = winnow_fingerprints(
         documents(sf_dir).select_columns(["doc_id", "text"])
