@@ -145,26 +145,46 @@ def maximal_cliques(
     def edge_rows(batch: pa.Table) -> pa.Table:
         s = batch.column("src").to_numpy(zero_copy_only=False)
         d = batch.column("dst").to_numpy(zero_copy_only=False)
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        part = (
+            (hash_int64(lo) ^ hash_int64(hi)) % np.uint64(num_parts)
+        ).astype(np.int32)
         return pa.table(
             {
-                "a": pa.array(np.minimum(s, d)),
-                "b": pa.array(np.maximum(s, d)),
+                "ppart": pa.array(part),
+                "a": pa.array(lo),
+                "b": pa.array(hi),
                 "center": pa.array(np.full(len(s), -1, np.int64)),
                 "is_edge": pa.array(np.ones(len(s), np.int8)),
             }
         )
 
-    tagged = wedge_rows.union(
+    def wedge_part(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        part = (
+            (hash_int64(a) ^ hash_int64(b)) % np.uint64(num_parts)
+        ).astype(np.int32)
+        return batch.append_column("ppart", pa.array(part))
+
+    tagged = wedge_rows.map_batches(
+        wedge_part, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
         simple.map_batches(
             edge_rows, batch_format="pyarrow", zero_copy_batch=True
         )
     )
 
     def close_triangles(group: pa.Table) -> pa.Table:
-        """Per (a, b) group: if an edge row is present, every center
-        row is a triangle (center, a, b)."""
+        """ONE vectorized pass per (a, b)-hash partition — not one
+        Python call per distinct pair: sort by (a, b), mark runs that
+        contain an edge row, keep their wedge rows as triangles."""
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        c = group.column("center").to_numpy(zero_copy_only=False)
         is_e = group.column("is_edge").to_numpy(zero_copy_only=False)
-        if not (is_e == 1).any():
+        if len(a) == 0:
             return pa.table(
                 {
                     "v": pa.array([], pa.int64()),
@@ -172,10 +192,16 @@ def maximal_cliques(
                     "y": pa.array([], pa.int64()),
                 }
             )
-        keep = group.filter(pa.array(is_e == 0))
-        c = keep.column("center").to_numpy(zero_copy_only=False)
-        a = keep.column("a").to_numpy(zero_copy_only=False)
-        b = keep.column("b").to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b, c, is_e = a[order], b[order], c[order], is_e[order]
+        first = np.empty(len(a), dtype=bool)
+        first[0] = True
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        run_id = np.cumsum(first) - 1
+        has_edge = np.zeros(run_id[-1] + 1, dtype=bool)
+        np.logical_or.at(has_edge, run_id[is_e == 1], True)
+        keep = has_edge[run_id] & (is_e == 0)
+        a, b, c = a[keep], b[keep], c[keep]
         return pa.table(
             {
                 "v": pa.array(np.concatenate([c, a, b])),
@@ -184,7 +210,7 @@ def maximal_cliques(
             }
         )
 
-    tri = tagged.groupby(["a", "b"]).map_groups(
+    tri = tagged.groupby("ppart").map_groups(
         close_triangles, batch_format="pyarrow"
     )
 
