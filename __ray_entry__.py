@@ -202,7 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": q.q_bpe_merges,  # rows-only (iterative; sequential replay pytest)
         "bpe_token_counts": q.q_bpe_token_counts,  # rows-only (encode side)
         "quality_model": q.q_quality_model,  # rows-only (trained classifier)
-        "eulerian": q.q_eulerian,  # rows-only (components not SQL-expressible)
+        "eulerian": q.q_eulerian,  # SQL oracle (degree parity + recursive CC)
         "burt_constraint": q.q_burt_constraint,  # rows-only (float wedge sums)
         "girth": q.q_girth,  # rows-only (BFS cycle probe not SQL-expressible)
         "bipartite": q.q_bipartite,  # rows-only (BFS parity not SQL-expressible)
@@ -1738,6 +1738,46 @@ walk AS (
 ),
 ecc AS (SELECT s, CAST(MAX(dist) AS BIGINT) AS e FROM walk GROUP BY s)
 SELECT MAX(e) AS weighted_diameter, MIN(e) AS weighted_radius FROM ecc
+""",
+        # Euler circuit/path existence: degree parity over the unique
+        # unordered pair list + component count via a recursive
+        # reachability CTE (min-reachable label per endpoint) — exact
+        # integer twin of kernels/metrics.py::eulerian_summary.
+        "eulerian": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+deg AS (SELECT s AS k, COUNT(*) AS degree FROM arcs GROUP BY s),
+par AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nonzero,
+         CAST(COALESCE(SUM(CASE WHEN degree % 2 = 1 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_odd
+  FROM deg
+),
+walk AS (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT k, k FROM deg
+    UNION
+    SELECT r.s, a.d FROM r JOIN arcs a ON r.k = a.s
+  )
+  SELECT s, MIN(k) AS lbl FROM r GROUP BY s
+),
+ncomp AS (
+  SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) AS n_comp FROM walk
+)
+SELECT par.n_nonzero AS n_nonzero_vertices,
+       par.n_odd AS n_odd_degree,
+       ncomp.n_comp AS n_edge_components,
+       CAST(CASE WHEN par.n_odd = 0 AND ncomp.n_comp <= 1
+                      AND par.n_nonzero > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS has_euler_circuit,
+       CAST(CASE WHEN par.n_odd IN (0, 2) AND ncomp.n_comp <= 1
+                      AND par.n_nonzero > 0
+            THEN 1 ELSE 0 END AS BIGINT) AS has_euler_path
+FROM par, ncomp
 """,
         # same all-pairs CTE, reduced to the Wiener/avg-path summary
         "avg_path_length": f"""
