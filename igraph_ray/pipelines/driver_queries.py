@@ -1115,6 +1115,21 @@ def q_embedding_near_dup(sf_dir: str):
     ).select_columns(["a", "b"])
 
 
+def q_semdedup(sf_dir: str):
+    """(vec_id, cluster, keep) — SemDeDup semantic dedup over the
+    embeddings table (Abbas et al. 2023; functions/semdedup.py:
+    spherical k-means + per-cluster greedy keeper; brute-replay
+    oracle in tests/test_semdedup.py).  Rows-only at the driver
+    (float k-means assignments)."""
+    from igraph_ray.functions.semdedup import semdedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    # random testdata embeddings are far apart → low threshold so the
+    # duplicate path is exercised with non-empty removals
+    return semdedup(emb, threshold=0.25, target_cluster_size=256)\
+        .select_columns(["vec_id", "cluster", "keep"])
+
+
 def q_multimodal_decode(sf_dir: str):
     from igraph_ray.functions.multimodal import (
         decode_images,
