@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_topk": q.q_ann_pq,  # rows-only (approximate ADC scores)  # full-probe IVF == brute force; same SQL oracle
         "embedding_near_dup": q.q_embedding_near_dup,  # rows-only (LSH recall)
         "semdedup": q.q_semdedup,  # rows-only (float k-means assignments)
+        "dsir_select": q.q_dsir_select,  # rows-only (float log-weights)
         "pca_embeddings": q.q_pca_embeddings,  # rows-only (numpy dense pytest oracle)
         "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)
     }

@@ -1130,6 +1130,32 @@ def q_semdedup(sf_dir: str):
         .select_columns(["vec_id", "cluster", "keep"])
 
 
+def q_dsir_select(sf_dir: str):
+    """(doc_id, logw, gumbel_key) — DSIR importance resampling (Xie
+    et al. 2023; functions/dsir.py): target = the 'en' documents,
+    raw = the whole corpus; hashed unigram+bigram LLR scores + Gumbel
+    top-k selection of 50 docs.  Sequential-replay oracle in
+    tests/test_dsir.py; rows-only at the driver (float log-weights)."""
+    from igraph_ray.functions.dsir import (
+        dsir_logratio_lut,
+        dsir_scores,
+        dsir_select,
+        hashed_ngram_counts,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    target = docs.filter(expr="lang == 'en'")
+    tc = hashed_ngram_counts(target, n_buckets=16384)
+    rc = hashed_ngram_counts(docs, n_buckets=16384)
+    llr = dsir_logratio_lut(tc, rc)
+    scored = dsir_scores(
+        docs.select_columns(["doc_id", "text"]), llr, seed=11
+    )
+    return dsir_select(scored, k=50)
+
+
 def q_multimodal_decode(sf_dir: str):
     from igraph_ray.functions.multimodal import (
         decode_images,
