@@ -218,6 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": q.q_embedding_near_dup,  # rows-only (LSH recall)
         "semdedup": q.q_semdedup,  # rows-only (float k-means assignments)
         "dsir_select": q.q_dsir_select,  # rows-only (float log-weights)
+        "bigram_perplexity": q.q_bigram_perplexity,  # rows-only (float LM)
         "pca_embeddings": q.q_pca_embeddings,  # rows-only (numpy dense pytest oracle)
         "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)
     }

@@ -890,6 +890,167 @@ def unigram_logprob(
     )
 
 
+def corpus_bigram_lm(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_vocab: int = 65_536,
+    max_bigrams: int = 262_144,
+) -> tuple[pa.Table, int, pa.Table]:
+    """Train the interpolated bigram LM's sufficient statistics:
+    ``(unigram vocab (term, tf), total_tokens, bigram table
+    (bigram, n))`` — both tables frequency-capped (ties by term) so
+    the broadcast stays bounded at any corpus scale.  One token-keyed
+    and one pair-keyed pre-combined groupby; the model tables are the
+    only driver-side state."""
+    vocab, total = corpus_unigram_counts(
+        ds, text_col=text_col, id_col=id_col, max_vocab=max_vocab
+    )
+    big = (
+        bigram_counts(ds, text_col=text_col, id_col=id_col)
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(max_bigrams)
+    )
+    btbl = pa.concat_tables(
+        big.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).combine_chunks()
+    return vocab, total, btbl
+
+
+def bigram_logprob(
+    ds: ray.data.Dataset,
+    vocab: pa.Table,
+    total_tokens: int,
+    bigrams: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lam: float = 0.7,
+) -> ray.data.Dataset:
+    """Per-document interpolated bigram-LM score — the CCNet-style
+    (Wenzek et al. 2020) perplexity quality filter, order 2:
+
+    - ``p_uni(w) = (tf(w) + 1) / (total + |V| + 1)`` (add-one over the
+      capped vocab; OOV at the floor — same model as
+      :func:`unigram_logprob`),
+    - ``p_cond(w2|w1) = c(w1 w2) / tf(w1)`` from the capped bigram
+      table (0 when either is outside its table),
+    - the FIRST token of a doc scores ``log p_uni``; every later token
+      scores ``log(lam * p_cond + (1 - lam) * p_uni)``.
+
+    Appends ``(n_tokens, avg_logp, ppl = exp(-avg_logp))``; empty docs
+    score ``avg_logp = 0, ppl = 1``.  Both model tables ship ONCE via
+    ``ray.put``; per-batch lookups are binary searches over the
+    dictionary-encoded token / joined-pair streams — no per-token
+    Python."""
+    import ray as _ray
+
+    v = vocab.sort_by("term").combine_chunks()
+    vsize = len(v) + 1
+    denom = float(total_tokens + vsize)
+    b = bigrams.sort_by("bigram").combine_chunks()
+    ref = _ray.put(
+        (
+            np.asarray(v.column("term").to_pylist()),
+            v.column("tf").to_numpy(zero_copy_only=False).astype(np.float64),
+            np.asarray(b.column("bigram").to_pylist()),
+            b.column("n").to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+    )
+    floor_p = 1.0 / denom
+
+    def _lookup(sorted_keys: np.ndarray, vals: np.ndarray,
+                uniq: np.ndarray, miss: float) -> np.ndarray:
+        """vals[key] for each uniq key, `miss` where absent."""
+        if not len(sorted_keys) or not len(uniq):
+            return np.full(len(uniq), miss)
+        pos = np.searchsorted(sorted_keys, uniq)
+        pos_c = np.clip(pos, 0, len(sorted_keys) - 1)
+        hit = sorted_keys[pos_c] == uniq
+        return np.where(hit, vals[pos_c], miss)
+
+    class Score:
+        def __init__(self):
+            self.terms, self.tf, self.bkeys, self.bn = _ray.get(ref)
+            self.p_uni = (self.tf + 1.0) / denom
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch.column(text_col)), r"\s+"
+            ).combine_chunks()
+            flat = toks.flatten()
+            lens = pc.list_value_length(toks).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            flat = flat.filter(pa.array(keep))
+            doc_of = np.repeat(np.arange(len(lens)), lens)[keep]
+            n_tok = np.bincount(doc_of, minlength=len(lens))
+            n = len(doc_of)
+            if n == 0:
+                z = np.zeros(len(lens))
+                return pa.table(
+                    {
+                        id_col: batch.column(id_col),
+                        "n_tokens": pa.array(n_tok.astype(np.int64)),
+                        "avg_logp": pa.array(z),
+                        "ppl": pa.array(np.exp(z)),
+                    }
+                )
+            # per-token unigram prob
+            enc = flat.dictionary_encode()
+            uniq = np.asarray(enc.dictionary.to_pylist())
+            u_p = _lookup(
+                self.terms,
+                self.p_uni,
+                uniq,
+                floor_p,
+            )
+            # context count tf(w1) per unique token (0 = outside vocab)
+            u_ctx = _lookup(self.terms, self.tf, uniq, 0.0)
+            idx = enc.indices.to_numpy(zero_copy_only=False)
+            tok_p_uni = u_p[idx]
+            tok_ctx = u_ctx[idx]
+            # bigram conditional for positions 1.. within each doc
+            is_first = np.ones(n, bool)
+            if n > 1:
+                is_first[1:] = doc_of[1:] != doc_of[:-1]
+            tok_logp = np.empty(n)
+            tok_logp[is_first] = np.log(tok_p_uni[is_first])
+            rest = ~is_first
+            if rest.any():
+                pairs = pc.binary_join_element_wise(
+                    flat.slice(0, n - 1), flat.slice(1, n - 1), " "
+                )
+                pair_rows = np.flatnonzero(rest) - 1  # pair i = (i, i+1)
+                penc = pairs.take(pa.array(pair_rows)).dictionary_encode()
+                puniq = np.asarray(penc.dictionary.to_pylist())
+                p_c12 = _lookup(self.bkeys, self.bn, puniq, 0.0)
+                c12 = p_c12[penc.indices.to_numpy(zero_copy_only=False)]
+                ctx = tok_ctx[np.flatnonzero(rest) - 1]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cond = np.where(ctx > 0, c12 / np.maximum(ctx, 1.0), 0.0)
+                tok_logp[rest] = np.log(
+                    lam * cond + (1.0 - lam) * tok_p_uni[rest]
+                )
+            sums = np.bincount(doc_of, weights=tok_logp, minlength=len(lens))
+            avg = np.where(n_tok > 0, sums / np.maximum(n_tok, 1), 0.0)
+            return pa.table(
+                {
+                    id_col: batch.column(id_col),
+                    "n_tokens": pa.array(n_tok.astype(np.int64)),
+                    "avg_logp": pa.array(avg),
+                    "ppl": pa.array(np.exp(-avg)),
+                }
+            )
+
+    return ds.map_batches(
+        Score,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+
 _GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

@@ -4849,3 +4849,18 @@ def q_doc_perplexity(sf_dir: str):
     )
     vocab, total = corpus_unigram_counts(docs)
     return unigram_logprob(docs, vocab, total)
+
+
+def q_bigram_perplexity(sf_dir: str):
+    """(doc_id, n_tokens, avg_logp, ppl) — per-doc interpolated
+    bigram-LM perplexity (CCNet-style order-2 quality filter; Wenzek
+    et al. 2020; functions/text.py::bigram_logprob — both model
+    tables broadcast once, binary-search scoring).  Rows-only;
+    sequential-replay pytest oracle in tests/test_bigram_lm.py."""
+    from igraph_ray.functions.text import bigram_logprob, corpus_bigram_lm
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    vocab, total, btbl = corpus_bigram_lm(docs)
+    return bigram_logprob(docs, vocab, total, btbl)
