@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": q.q_gopher_rules,  # SQL oracle (bitwise IEEE replay)
         "c4_clean": q.q_c4_clean,  # SQL oracle (exact string/int rebuild)
         "duplicate_spans": q.q_duplicate_spans,  # SQL oracle (window unnest twin)
+        "remove_dup_spans": q.q_remove_dup_spans,  # SQL oracle (rewrite twin)
         "bpe_merges": q.q_bpe_merges,  # rows-only (iterative; sequential replay pytest)
         "bpe_token_counts": q.q_bpe_token_counts,  # rows-only (encode side)
         "quality_model": q.q_quality_model,  # rows-only (trained classifier)
@@ -911,6 +912,63 @@ SELECT w.doc_id,
     / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
 FROM wins w JOIN cnt ON w.gram = cnt.gram
 GROUP BY w.doc_id"""
+
+# ExactSubstr span REMOVAL (functions/dedup.remove_duplicate_spans):
+# lowercased word-8-gram windows, global first (doc_id, pos) kept,
+# later occurrences delete their 8 word positions; docs rebuilt from
+# surviving ORIGINAL-case words joined by single spaces.  Exact
+# strings + ints — hash-exact twin.
+_REMOVE_SPANS_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+  FROM documents
+),
+lw AS (
+  SELECT doc_id, w, list_transform(w, x -> lower(x)) AS lwords FROM toks
+),
+wins AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(lwords[i:i + 7], ' ') AS gram
+  FROM (
+    SELECT doc_id, lwords, unnest(generate_series(1, len(lwords) - 7)) AS i
+    FROM lw WHERE len(lwords) >= 8
+  )
+),
+firsts AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn
+  FROM wins
+),
+removals AS (SELECT doc_id, pos FROM firsts WHERE rn > 1),
+words AS (
+  SELECT doc_id, w[i] AS word, i - 1 AS widx
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+    FROM toks WHERE len(w) >= 1
+  )
+),
+covered AS (
+  SELECT DISTINCT wo.doc_id, wo.widx
+  FROM words wo
+  JOIN removals r
+    ON wo.doc_id = r.doc_id AND wo.widx BETWEEN r.pos AND r.pos + 7
+),
+kept AS (
+  SELECT wd.doc_id, wd.word, wd.widx
+  FROM words wd
+  LEFT JOIN covered c ON wd.doc_id = c.doc_id AND wd.widx = c.widx
+  WHERE c.doc_id IS NULL
+)
+SELECT t.doc_id,
+  COALESCE(
+    (SELECT string_agg(k.word, ' ' ORDER BY k.widx)
+     FROM kept k WHERE k.doc_id = t.doc_id), '') AS text_clean,
+  CAST(len(t.w) AS BIGINT) AS n_words,
+  CAST(len(t.w)
+       - COALESCE((SELECT COUNT(*) FROM kept k WHERE k.doc_id = t.doc_id),
+                  0) AS BIGINT) AS n_removed_words
+FROM toks t"""
 
 # Winnowing fingerprint COUNT (functions/text._winnow_row: k=8 rolling
 # polynomial base-257 hash mod 2^64, window-16 sliding min, distinct).
@@ -2987,6 +3045,7 @@ FROM v GROUP BY 1, 2
         "gopher_rules": _GOPHER_SQL,
         "c4_clean": _C4_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
+        "remove_dup_spans": _REMOVE_SPANS_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         # exact word-3-gram Jaccard over the df<=128 shingle universe;
         # mirror of functions/dedup.py::ngram_jaccard_pairs (trim+split

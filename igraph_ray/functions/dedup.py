@@ -969,6 +969,206 @@ def _word_ngrams(batch: pa.Table, text_col: str, id_col: str, n: int):
     return ids[g_doc], gram
 
 
+def remove_duplicate_spans(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """ExactSubstr span REMOVAL (Lee et al. 2022 §4.2, window
+    granularity): every word-``n``-gram window whose (lowercased)
+    gram occurs earlier in the corpus — "earlier" = the globally
+    smallest ``(doc_id, position)`` occurrence, which is kept — has
+    its ``n`` word positions deleted; each document is rebuilt from
+    the surviving original-case words joined by single spaces
+    (documented whitespace normalization: the untouched path also
+    splits/re-joins, so output formatting is uniform).
+
+    Emits ``(doc_id, text_clean, n_words, n_removed_words)`` for
+    EVERY input document (docs with < n words pass through
+    normalized).
+
+    Distributed shape: one rows-sized gram-hash shuffle (first-
+    occurrence election per gram, non-first occurrences become
+    ``(doc, pos)`` removal rows), then one doc-hash shuffle
+    co-partitioning removals with their texts; the per-group rebuild
+    is fully vectorized (interval-coverage diff+cumsum over the flat
+    word stream, Arrow list re-segmentation + ``binary_join``) — no
+    per-document Python.  Both key-spaces are rows-sized, as in
+    ``duplicate_span_stats``.
+    """
+    n_docs = ds.count()
+    if num_parts is None:
+        num_parts = int(max(2, min(256, math.ceil(n_docs / 50_000))))
+    nw = int(n)
+
+    def _split_filtered(text_arr: pa.Array):
+        """(flat original-case words pa.Array, doc_of, lens) with
+        empty tokens dropped — position space shared by gram
+        extraction and rebuild."""
+        toks = pc.split_pattern_regex(text_arr, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        lens0 = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(lens0)), lens0)[keep]
+        flat = flat.filter(pa.array(keep))
+        lens = np.bincount(doc_of, minlength=len(lens0)).astype(np.int64)
+        return flat, doc_of, lens
+
+    def windows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        flat, doc_of, lens = _split_filtered(
+            pc.fill_null(batch.column(text_col), "")
+        )
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        low = np.asarray(pc.utf8_lower(flat).to_pandas(), object)
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        g_per_doc = np.maximum(lens - (nw - 1), 0)
+        g_doc = np.repeat(np.arange(len(lens)), g_per_doc)
+        g_local = np.arange(len(g_doc)) - np.repeat(
+            np.concatenate([[0], np.cumsum(g_per_doc)[:-1]]), g_per_doc
+        )
+        empty = pa.table(
+            {
+                "hpart": pa.array([], pa.int64()),
+                "did": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "gram": pa.array([], pa.string()),
+            }
+        )
+        if len(g_doc) == 0:
+            return empty
+        g_start = g_local + starts[g_doc]
+        parts = [low[g_start + i].astype(np.str_) for i in range(nw)]
+        gram = parts[0]
+        for p in parts[1:]:
+            gram = np.char.add(np.char.add(gram, " "), p)
+        h = pd.util.hash_array(gram.astype(object), categorize=False)
+        return pa.table(
+            {
+                "hpart": pa.array(
+                    (h % np.uint64(num_parts)).astype(np.int64)
+                ),
+                "did": pa.array(ids[g_doc]),
+                "pos": pa.array(g_local.astype(np.int64)),
+                "gram": pa.array(gram.astype(object), pa.string()),
+            }
+        )
+
+    def non_first(group: pa.Table) -> pa.Table:
+        did = group.column("did").to_numpy(zero_copy_only=False)
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        gram = group.column("gram").to_pandas().to_numpy()
+        order = np.lexsort((pos, did, gram))
+        did, pos, gram = did[order], pos[order], gram[order]
+        first = np.empty(len(gram), bool)
+        if len(gram):
+            first[0] = True
+            first[1:] = gram[1:] != gram[:-1]
+        return pa.table(
+            {
+                "did": pa.array(did[~first]),
+                "pos": pa.array(pos[~first]),
+            }
+        )
+
+    removals = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hpart")
+        .map_groups(non_first, batch_format="pyarrow")
+    )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "dpart": pa.array(
+                    (ids % np.int64(num_parts)).astype(np.int64)
+                ),
+                "did": pa.array(ids),
+                "pos": pa.array(np.full(len(ids), -1, np.int64)),
+                "text": pc.cast(
+                    pc.fill_null(batch.column(text_col), ""), pa.string()
+                ),
+            }
+        )
+
+    def tag_removal(batch: pa.Table) -> pa.Table:
+        did = batch.column("did").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dpart": pa.array((did % np.int64(num_parts)).astype(np.int64)),
+                "did": batch.column("did"),
+                "pos": batch.column("pos"),
+                "text": pa.array([""] * len(did), pa.string()),
+            }
+        )
+
+    tagged = ds.select_columns([id_col, text_col]).map_batches(
+        tag_doc, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        removals.map_batches(
+            tag_removal, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        pos = group.column("pos").to_numpy(zero_copy_only=False)
+        is_doc = pos < 0
+        docs = group.filter(pa.array(is_doc))
+        rem = group.filter(pa.array(~is_doc))
+        dids = docs.column("did").to_numpy(zero_copy_only=False)
+        order = np.argsort(dids, kind="stable")
+        docs = docs.take(pa.array(order))
+        dids = dids[order]
+        flat, doc_of, lens = _split_filtered(
+            docs.column("text").combine_chunks()
+        )
+        total = int(lens.sum())
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        r_did = rem.column("did").to_numpy(zero_copy_only=False)
+        r_pos = rem.column("pos").to_numpy(zero_copy_only=False)
+        r_doc = np.searchsorted(dids, r_did)
+        delta = np.zeros(total + 1, np.int64)
+        if len(r_did):
+            fs = starts[r_doc] + r_pos
+            np.add.at(delta, fs, 1)
+            np.add.at(delta, fs + nw, -1)
+        covered = np.cumsum(delta[:total]) > 0
+        kept = ~covered
+        kept_words = flat.filter(pa.array(kept))
+        new_lens = np.bincount(doc_of[kept], minlength=len(dids)).astype(
+            np.int64
+        )
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(new_lens)]).astype(np.int32)
+        )
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, kept_words), " "
+        )
+        return pa.table(
+            {
+                id_col: pa.array(dids),
+                "text_clean": joined,
+                "n_words": pa.array(lens),
+                "n_removed_words": pa.array(lens - new_lens),
+            }
+        )
+
+    return tagged.groupby("dpart").map_groups(
+        rebuild, batch_format="pyarrow"
+    )
+
+
 def ngram_contamination(
     ds: ray.data.Dataset,
     bench_filter,

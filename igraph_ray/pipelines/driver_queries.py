@@ -899,6 +899,19 @@ def q_duplicate_spans(sf_dir: str):
     )
 
 
+def q_remove_dup_spans(sf_dir: str):
+    """(doc_id, text_clean, n_words, n_removed_words) — ExactSubstr
+    span REMOVAL (Lee et al. 2022 §4.2, word-8-gram windows; global
+    first occurrence kept, later occurrences deleted, docs rebuilt
+    from surviving words; functions/dedup.py::remove_duplicate_spans,
+    sequential-replay pytest oracle + hash-exact SQL twin)."""
+    from igraph_ray.functions.dedup import remove_duplicate_spans
+
+    return remove_duplicate_spans(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def q_bpe_merges(sf_dir: str):
     """(rank, left, right, merged, count) — first 30 BPE merge rules
     learned over the documents corpus (Sennrich et al. 2016;
