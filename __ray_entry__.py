@@ -159,6 +159,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_cust": q.q_top_orders_per_cust,  # SQL oracle (rn<=3)
         "hourly_windows": q.q_hourly_windows,  # SQL oracle (epoch floor)
         "running_totals": q.q_running_totals,  # SQL oracle (SUM OVER)
+        "event_ranks": q.q_event_ranks,  # SQL oracle (RANK/NTILE window family)
         "moving_totals": q.q_moving_totals,  # SQL oracle (LAG/LEAD/ROWS BETWEEN)
         "distinct_users_exact": q.q_distinct_users_exact,  # SQL oracle (COUNT DISTINCT)
         "user_journeys": q.q_user_journeys,  # SQL oracle (ordered string_agg)
@@ -2800,6 +2801,24 @@ FROM v p JOIN v c
             "CAST(MAX(k) AS BIGINT) AS max_k "
             "FROM v GROUP BY event_type"
         ),
+        # rank window family over event cents — bitwise (ints + one
+        # IEEE division in PERCENT_RANK)
+        "event_ranks": """
+WITH v AS (
+  SELECT user_id, event_id,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT user_id, cents, event_id,
+  CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS row_number,
+  CAST(RANK() OVER w1 AS BIGINT) AS rnk,
+  CAST(DENSE_RANK() OVER w1 AS BIGINT) AS dense_rank,
+  PERCENT_RANK() OVER w1 AS percent_rank,
+  CAST(NTILE(4) OVER w2 AS BIGINT) AS ntile
+FROM v
+WINDOW w1 AS (PARTITION BY user_id ORDER BY cents),
+       w2 AS (PARTITION BY user_id ORDER BY cents, event_id)
+""",
         "running_totals": """
 WITH v AS (
   SELECT user_id, epoch_us(ts) AS ts, event_id,

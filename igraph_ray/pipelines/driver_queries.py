@@ -3216,6 +3216,39 @@ def q_sessions(sf_dir: str):
     )
 
 
+def q_event_ranks(sf_dir: str):
+    """(user_id, cents, event_id, row_number, rnk, dense_rank,
+    percent_rank, ntile) — per-user RANK/DENSE_RANK/PERCENT_RANK/
+    NTILE(4) over event cents (stages/window.py::rank_functions;
+    bitwise DuckDB window twin — exact ints + one IEEE division)."""
+    from igraph_ray.stages.window import rank_functions
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_id", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "event_id": batch.column("event_id"),
+                "cents": pa.array(
+                    np.floor(v * 100.0 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return rank_functions(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        "cents",
+        "event_id",
+        ntiles=4,
+    )
+
+
 def q_running_totals(sf_dir: str):
     """(user_id, ts, event_id, row_number, run_sum) — per-user running
     cents total in (ts, event_id) order: the SUM-OVER / ROW_NUMBER

@@ -455,3 +455,133 @@ def moving_agg(
         )
 
     return tagged.groupby("hpart").map_groups(merge, batch_format="pyarrow")
+
+
+def rank_functions(
+    ds: ray.data.Dataset,
+    key_col: str,
+    value_col: str,
+    tie_col: str,
+    ntiles: int = 4,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Per-key SQL rank family over an int64 value column — the
+    ``RANK() / DENSE_RANK() / PERCENT_RANK() / NTILE(b) OVER
+    (PARTITION BY key ORDER BY value [, tie])`` window surface.
+
+    Output one row per input row: ``(key, value, tie, row_number,
+    rnk, dense_rank, percent_rank, ntile)``.
+
+    Semantics (ANSI / DuckDB):
+
+    - ``row_number`` and ``ntile`` order by ``(value, tie)`` (the tie
+      column must make that order unique for determinism);
+    - ``rnk`` / ``dense_rank`` / ``percent_rank`` order by ``value``
+      alone, so equal values share a rank;
+    - ``percent_rank = (rnk - 1) / (n_key - 1)`` (0.0 for singleton
+      keys) — one IEEE division over exact ints, so the SQL twin
+      matches bitwise;
+    - ``ntile`` hands the first ``n_key % ntiles`` buckets one extra
+      row each (DuckDB's distribution).
+
+    One hash shuffle on the key, then a per-group lexsort + segment
+    algebra — no per-row Python, same scale shape as
+    :func:`running_agg`.
+    """
+    if num_parts is None:
+        num_parts = _np_parts(ds.count())
+    np_parts = np.uint64(num_parts)
+    nt = np.int64(ntiles)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = (
+            batch.column(key_col)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "hpart": pa.array(
+                    (hash_int64(k) % np_parts).astype(np.int32)
+                ),
+                "k": pa.array(k),
+                "v": pa.array(
+                    batch.column(value_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "tie": pa.array(
+                    batch.column(tie_col)
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        k = group.column("k").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        tie = group.column("tie").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, v, k))
+        k, v, tie = k[order], v[order], tie[order]
+        m = len(k)
+        if m == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    value_col: pa.array([], pa.int64()),
+                    tie_col: pa.array([], pa.int64()),
+                    "row_number": pa.array([], pa.int64()),
+                    "rnk": pa.array([], pa.int64()),
+                    "dense_rank": pa.array([], pa.int64()),
+                    "percent_rank": pa.array([], pa.float64()),
+                    "ntile": pa.array([], pa.int64()),
+                }
+            )
+        gpos = np.arange(m, dtype=np.int64)
+        new_key = np.empty(m, bool)
+        new_key[0] = True
+        new_key[1:] = k[1:] != k[:-1]
+        seg_start = np.maximum.accumulate(np.where(new_key, gpos, 0))
+        rn = gpos - seg_start + 1
+        seg_len = np.diff(
+            np.append(np.flatnonzero(new_key), m)
+        )
+        n_of_row = np.repeat(seg_len, seg_len)
+        new_val = new_key | np.concatenate([[True], v[1:] != v[:-1]])
+        first_eq = np.maximum.accumulate(np.where(new_val, gpos, 0))
+        rnk = first_eq - seg_start + 1
+        dr_global = np.cumsum(new_val)
+        dense = dr_global - np.repeat(
+            dr_global[np.flatnonzero(new_key)] - 1, seg_len
+        )
+        pct = np.where(
+            n_of_row > 1, (rnk - 1) / np.maximum(n_of_row - 1, 1), 0.0
+        )
+        # DuckDB NTILE: q = n // b, r = n % b; first r buckets get q+1
+        q, r = n_of_row // nt, n_of_row % nt
+        big = r * (q + 1)
+        rn0 = rn - 1
+        in_big = rn0 < big
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bucket = np.where(
+                in_big,
+                rn0 // np.maximum(q + 1, 1) + 1,
+                r + (rn0 - big) // np.maximum(q, 1) + 1,
+            )
+        return pa.table(
+            {
+                key_col: pa.array(k),
+                value_col: pa.array(v),
+                tie_col: pa.array(tie),
+                "row_number": pa.array(rn),
+                "rnk": pa.array(rnk),
+                "dense_rank": pa.array(dense.astype(np.int64)),
+                "percent_rank": pa.array(pct),
+                "ntile": pa.array(bucket.astype(np.int64)),
+            }
+        )
+
+    return tagged.groupby("hpart").map_groups(merge, batch_format="pyarrow")
