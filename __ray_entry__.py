@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_model": q.q_quality_model,  # rows-only (trained classifier)
         "eulerian": q.q_eulerian,  # SQL oracle (degree parity + recursive CC)
         "burt_constraint": q.q_burt_constraint,  # rows-only (float wedge sums)
+        "diversity": q.q_diversity,  # rows-only (float entropy)
         "girth": q.q_girth,  # rows-only (BFS cycle probe not SQL-expressible)
         "bipartite": q.q_bipartite,  # rows-only (BFS parity not SQL-expressible)
         "feedback_arc_set": q.q_feedback_arc_set,  # rows-only (sequential ELS order)

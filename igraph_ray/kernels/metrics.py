@@ -525,6 +525,89 @@ def rich_club(pairs: ray.data.Dataset) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
+# structural diversity (igraph_diversity)
+# ---------------------------------------------------------------------------
+def diversity(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-vertex structural diversity — ``igraph_diversity``: the
+    Shannon entropy of the vertex's incident edge-weight distribution,
+    normalized by the entropy of the uniform distribution over its
+    degree:
+
+        ``H(v) = (ln S − Σ w·ln w / S) / ln k``,  ``S = Σ w``
+
+    (= ``−Σ p·log p / log k`` with ``p = w/S``; base-independent).
+    Degree-1 vertices score 0 by convention (igraph parity); isolated
+    vertices never appear in the pair table and emit no row.
+
+    ``pairs``: unique unordered ``(src_key, dst_key, weight)`` rows.
+    Fully distributed and decomposable: the per-batch pre-combine
+    emits exact partials ``(key, cnt, sum_w, sum_wlnw)`` — entropy is
+    an algebra over those three sums — so the only shuffle is one
+    key-sized groupby; the finish pass is map-only.
+    """
+
+    def partials(batch: pa.Table) -> pa.Table:
+        s = batch.column("src_key").combine_chunks()
+        d = batch.column("dst_key").combine_chunks()
+        w = batch.column("weight").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        keys = pa.concat_arrays([s, d])
+        ww = np.concatenate([w, w])
+        t = pa.table(
+            {
+                "key": keys,
+                "cnt": pa.array(np.ones(len(ww), np.int64)),
+                "sum_w": pa.array(ww),
+                # x·ln x → 0 as x→0 (zero-weight edges contribute 0)
+                "sum_wlnw": pa.array(
+                    np.where(
+                        ww > 0,
+                        ww * np.log(np.where(ww > 0, ww, 1.0)),
+                        0.0,
+                    )
+                ),
+            }
+        )
+        part = t.group_by("key").aggregate(
+            [("cnt", "sum"), ("sum_w", "sum"), ("sum_wlnw", "sum")]
+        )
+        return part.rename_columns(["key", "cnt", "sum_w", "sum_wlnw"])
+
+    agg = (
+        pairs.select_columns(["src_key", "dst_key", "weight"])
+        .map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(
+            Sum("cnt", alias_name="degree"),
+            Sum("sum_w", alias_name="sum_w"),
+            Sum("sum_wlnw", alias_name="sum_wlnw"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        k = batch.column("degree").to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        s = batch.column("sum_w").to_numpy(zero_copy_only=False)
+        wl = batch.column("sum_wlnw").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            h = (np.log(s) - wl / s) / np.log(k)
+        h = np.where(k <= 1, 0.0, h)
+        return pa.table(
+            {
+                "key": batch.column("key"),
+                "degree": pc.cast(batch.column("degree"), pa.int64()),
+                "diversity": pa.array(h),
+            }
+        )
+
+    return agg.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
 # average neighbor degree / degree connectivity (igraph knn / knnk)
 # ---------------------------------------------------------------------------
 def avg_neighbor_degree(pairs: ray.data.Dataset) -> ray.data.Dataset:

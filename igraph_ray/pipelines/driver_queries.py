@@ -1442,6 +1442,16 @@ def q_eulerian(sf_dir: str):
     return eulerian_summary(edges, run.state.select_columns(["vid", "comp"]))
 
 
+def q_diversity(sf_dir: str):
+    """(key, degree, diversity) — igraph_diversity per vertex of the
+    weighted E1∪E2 key graph (kernels/metrics.py::diversity; entropy
+    of incident weights / log degree; pure-Python replay oracle in
+    tests/test_diversity.py; rows-only — float logs)."""
+    from igraph_ray.kernels.metrics import diversity
+
+    return diversity(_link_graph_edges_cached(sf_dir))
+
+
 def q_burt_constraint(sf_dir: str):
     """(key, constraint) — Burt's structural-holes constraint per
     nonzero-degree vertex of the E1∪E2 key graph (igraph constraint /
