@@ -199,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": q.q_quality,  # SQL oracle (bitwise IEEE replay)
         "gopher_rules": q.q_gopher_rules,  # SQL oracle (bitwise IEEE replay)
         "c4_clean": q.q_c4_clean,  # SQL oracle (exact string/int rebuild)
+        "curation_funnel": q.q_curation_funnel,  # SQL oracle (exact int counts)
         "duplicate_spans": q.q_duplicate_spans,  # SQL oracle (window unnest twin)
         "remove_dup_spans": q.q_remove_dup_spans,  # SQL oracle (rewrite twin)
         "bpe_merges": q.q_bpe_merges,  # rows-only (iterative; sequential replay pytest)
@@ -887,6 +888,37 @@ SELECT doc_id, n_lines, n_kept_lines,
        AND len(regexp_extract_all(cleaned_text, '[.!?]')) >= 3
        THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM c"""
+
+# Curation funnel (functions/curation.py): Gopher keep -> C4 keep ->
+# exact sha256 dedup; per-stage survivor counts are exact integers, so
+# the twin replays the two rule subqueries (CTE-in-subquery) and a
+# conditional COUNT(DISTINCT sha256(text)) bitwise.
+_FUNNEL_SQL = """
+WITH g AS (SELECT doc_id, keep AS kg FROM ({GOPHER}) gsub),
+c AS (SELECT doc_id, keep AS kc FROM ({C4}) csub),
+f AS (
+  SELECT d.doc_id, d.text, g.kg, c.kc
+  FROM documents d
+  JOIN g ON d.doc_id = g.doc_id
+  JOIN c ON c.doc_id = d.doc_id
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+         CAST(SUM(kg) AS BIGINT) AS n1,
+         CAST(SUM(kg * kc) AS BIGINT) AS n2,
+         CAST(COUNT(DISTINCT CASE WHEN kg = 1 AND kc = 1
+              THEN sha256(text) END) AS BIGINT) AS n3
+  FROM f
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'gopher' AS stage_name,
+       n0 AS n_in, n1 AS n_out FROM a
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'c4', n1, n2 FROM a
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'exact_dedup', n2, n3 FROM a"""
+_FUNNEL_SQL = _FUNNEL_SQL.replace("{GOPHER}", _GOPHER_SQL).replace(
+    "{C4}", _C4_SQL
+)
 
 # ExactSubstr duplication diagnostic (functions/dedup.py::
 # duplicate_span_stats): word-8-gram windows, duplicated = gram with
@@ -3064,6 +3096,7 @@ FROM v GROUP BY 1, 2
         "quality_score": _QUALITY_SQL,
         "gopher_rules": _GOPHER_SQL,
         "c4_clean": _C4_SQL,
+        "curation_funnel": _FUNNEL_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "remove_dup_spans": _REMOVE_SPANS_SQL,
         "fingerprints": _FINGERPRINTS_SQL,

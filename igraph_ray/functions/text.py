@@ -1079,73 +1079,78 @@ def gopher_rules(
     shuffle.
     """
 
-    def _f(batch: pa.Table) -> pa.Table:
-        text = batch.column(text_col)
-        nw = pc.count_substring_regex(text, r"\S+").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        word_chars = pc.utf8_length(
-            pc.replace_substring_regex(text, r"\s", "")
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_hash = pc.count_substring(text, "#").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        n_dots = pc.count_substring(text, "...").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        n_lines = pc.count_substring(text, "\n").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64) + 1
-        n_bullet = pc.count_substring_regex(
-            text, r"(?m)^[ \t]*[•\-\*]"
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_ellipsis = pc.count_substring_regex(
-            text, r"(?m)(\.\.\.|…)[ \t]*$"
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_alpha = pc.count_substring_regex(
-            text, r"\S*[A-Za-z]\S*"
-        ).to_numpy(zero_copy_only=False).astype(np.int64)
-        stop_hits = np.zeros(len(nw), dtype=np.int64)
-        for sw in _GOPHER_STOPWORDS:
-            hit = pc.match_substring_regex(
-                text, rf"(?i)\b{sw}\b"
-            ).to_numpy(zero_copy_only=False)
-            stop_hits += hit.astype(np.int64)
-        nwf = nw.astype(np.float64)
-        nlf = n_lines.astype(np.float64)
-        mean_wl = np.where(nw > 0, word_chars / np.maximum(nwf, 1.0), 0.0)
-        sym_r = np.where(
-            nw > 0, (n_hash + n_dots) / np.maximum(nwf, 1.0), 0.0
-        )
-        bul_r = n_bullet / nlf
-        ell_r = n_ellipsis / nlf
-        alp_r = np.where(nw > 0, n_alpha / np.maximum(nwf, 1.0), 0.0)
-        keep = (
-            (nw >= 50)
-            & (nw <= 100_000)
-            & (mean_wl >= 3.0)
-            & (mean_wl <= 10.0)
-            & (sym_r <= 0.1)
-            & (bul_r <= 0.9)
-            & (ell_r <= 0.3)
-            & (alp_r >= 0.8)
-            & (stop_hits >= 2)
-        )
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_words": pa.array(nw),
-                "mean_word_len": pa.array(mean_wl),
-                "symbol_ratio": pa.array(sym_r),
-                "bullet_line_ratio": pa.array(bul_r),
-                "ellipsis_line_ratio": pa.array(ell_r),
-                "alpha_word_ratio": pa.array(alp_r),
-                "n_stop_hits": pa.array(stop_hits),
-                "keep": pa.array(keep.astype(np.int64)),
-            }
-        )
+    return ds.map_batches(
+        lambda b: _gopher_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
-    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+def _gopher_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    text = batch.column(text_col)
+    nw = pc.count_substring_regex(text, r"\S+").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    word_chars = pc.utf8_length(
+        pc.replace_substring_regex(text, r"\s", "")
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_hash = pc.count_substring(text, "#").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_dots = pc.count_substring(text, "...").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    n_lines = pc.count_substring(text, "\n").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64) + 1
+    n_bullet = pc.count_substring_regex(
+        text, r"(?m)^[ \t]*[•\-\*]"
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_ellipsis = pc.count_substring_regex(
+        text, r"(?m)(\.\.\.|…)[ \t]*$"
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    n_alpha = pc.count_substring_regex(
+        text, r"\S*[A-Za-z]\S*"
+    ).to_numpy(zero_copy_only=False).astype(np.int64)
+    stop_hits = np.zeros(len(nw), dtype=np.int64)
+    for sw in _GOPHER_STOPWORDS:
+        hit = pc.match_substring_regex(
+            text, rf"(?i)\b{sw}\b"
+        ).to_numpy(zero_copy_only=False)
+        stop_hits += hit.astype(np.int64)
+    nwf = nw.astype(np.float64)
+    nlf = n_lines.astype(np.float64)
+    mean_wl = np.where(nw > 0, word_chars / np.maximum(nwf, 1.0), 0.0)
+    sym_r = np.where(
+        nw > 0, (n_hash + n_dots) / np.maximum(nwf, 1.0), 0.0
+    )
+    bul_r = n_bullet / nlf
+    ell_r = n_ellipsis / nlf
+    alp_r = np.where(nw > 0, n_alpha / np.maximum(nwf, 1.0), 0.0)
+    keep = (
+        (nw >= 50)
+        & (nw <= 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (sym_r <= 0.1)
+        & (bul_r <= 0.9)
+        & (ell_r <= 0.3)
+        & (alp_r >= 0.8)
+        & (stop_hits >= 2)
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_words": pa.array(nw),
+            "mean_word_len": pa.array(mean_wl),
+            "symbol_ratio": pa.array(sym_r),
+            "bullet_line_ratio": pa.array(bul_r),
+            "ellipsis_line_ratio": pa.array(ell_r),
+            "alpha_word_ratio": pa.array(alp_r),
+            "n_stop_hits": pa.array(stop_hits),
+            "keep": pa.array(keep.astype(np.int64)),
+        }
+    )
 
 
 def c4_clean(
@@ -1174,58 +1179,63 @@ def c4_clean(
     prefix-sum re-segmentation -> ``binary_join``.
     """
 
-    def _f(batch: pa.Table) -> pa.Table:
-        text = batch.column(text_col).combine_chunks()
-        if isinstance(text, pa.ChunkedArray):
-            text = pa.concat_arrays(text.chunks) if text.num_chunks else (
-                pa.array([], pa.string())
-            )
-        lines = pc.split_pattern(text, "\n")
-        counts = pc.list_value_length(lines).to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        offsets = np.concatenate([[0], np.cumsum(counts)])
-        flat = pc.list_flatten(lines)
-        keep_line = pc.and_(
-            pc.and_(
-                pc.match_substring_regex(flat, r'[.!?"][ \t]*$'),
-                pc.greater_equal(
-                    pc.count_substring_regex(flat, r"\S+"), 5
-                ),
-            ),
-            pc.invert(pc.match_substring_regex(flat, r"(?i)javascript")),
-        )
-        k = keep_line.to_numpy(zero_copy_only=False).astype(np.int64)
-        csum = np.concatenate([[0], np.cumsum(k)])
-        kept_per_doc = csum[offsets[1:]] - csum[offsets[:-1]]
-        new_offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
-        kept_flat = flat.filter(keep_line)
-        if isinstance(kept_flat, pa.ChunkedArray):
-            kept_flat = kept_flat.combine_chunks()
-        cleaned_list = pa.LargeListArray.from_arrays(
-            pa.array(new_offsets, pa.int64()), kept_flat
-        )
-        cleaned = pc.binary_join(cleaned_list, "\n")
-        n_sent = pc.cast(
-            pc.count_substring_regex(cleaned, r"[.!?]"), pa.int64()
-        )
-        has_lorem = pc.match_substring_regex(text, r"(?i)lorem ipsum")
-        has_brace = pc.match_substring(text, "{")
-        keep = pc.and_(
-            pc.and_(pc.invert(has_lorem), pc.invert(has_brace)),
-            pc.greater_equal(n_sent, 3),
-        )
-        return pa.table(
-            {
-                id_col: batch.column(id_col),
-                "n_lines": pa.array(counts),
-                "n_kept_lines": pa.array(kept_per_doc),
-                "n_sentences": n_sent,
-                "has_lorem": pc.cast(has_lorem, pa.int64()),
-                "has_brace": pc.cast(has_brace, pa.int64()),
-                "cleaned_text": cleaned,
-                "keep": pc.cast(keep, pa.int64()),
-            }
-        )
+    return ds.map_batches(
+        lambda b: _c4_batch(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
-    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+def _c4_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    text = batch.column(text_col).combine_chunks()
+    if isinstance(text, pa.ChunkedArray):
+        text = pa.concat_arrays(text.chunks) if text.num_chunks else (
+            pa.array([], pa.string())
+        )
+    lines = pc.split_pattern(text, "\n")
+    counts = pc.list_value_length(lines).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    flat = pc.list_flatten(lines)
+    keep_line = pc.and_(
+        pc.and_(
+            pc.match_substring_regex(flat, r'[.!?"][ \t]*$'),
+            pc.greater_equal(
+                pc.count_substring_regex(flat, r"\S+"), 5
+            ),
+        ),
+        pc.invert(pc.match_substring_regex(flat, r"(?i)javascript")),
+    )
+    k = keep_line.to_numpy(zero_copy_only=False).astype(np.int64)
+    csum = np.concatenate([[0], np.cumsum(k)])
+    kept_per_doc = csum[offsets[1:]] - csum[offsets[:-1]]
+    new_offsets = np.concatenate([[0], np.cumsum(kept_per_doc)])
+    kept_flat = flat.filter(keep_line)
+    if isinstance(kept_flat, pa.ChunkedArray):
+        kept_flat = kept_flat.combine_chunks()
+    cleaned_list = pa.LargeListArray.from_arrays(
+        pa.array(new_offsets, pa.int64()), kept_flat
+    )
+    cleaned = pc.binary_join(cleaned_list, "\n")
+    n_sent = pc.cast(
+        pc.count_substring_regex(cleaned, r"[.!?]"), pa.int64()
+    )
+    has_lorem = pc.match_substring_regex(text, r"(?i)lorem ipsum")
+    has_brace = pc.match_substring(text, "{")
+    keep = pc.and_(
+        pc.and_(pc.invert(has_lorem), pc.invert(has_brace)),
+        pc.greater_equal(n_sent, 3),
+    )
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_lines": pa.array(counts),
+            "n_kept_lines": pa.array(kept_per_doc),
+            "n_sentences": n_sent,
+            "has_lorem": pc.cast(has_lorem, pa.int64()),
+            "has_brace": pc.cast(has_brace, pa.int64()),
+            "cleaned_text": cleaned,
+            "keep": pc.cast(keep, pa.int64()),
+        }
+    )

@@ -886,6 +886,19 @@ def q_c4_clean(sf_dir: str):
     return c4_clean(documents(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def q_curation_funnel(sf_dir: str):
+    """(stage, stage_name, n_in, n_out) — composite curation funnel:
+    Gopher quality rules → C4 page rules → exact sha256 dedup, with
+    per-stage survivor counts as exact integers (functions/
+    curation.py::curation_funnel; single-pass flag map + one digest
+    groupby, bitwise SQL twin)."""
+    from igraph_ray.functions.curation import curation_funnel
+
+    return curation_funnel(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def q_duplicate_spans(sf_dir: str):
     """(doc_id, n_windows, n_dup_windows, dup_ratio) — ExactSubstr
     duplication diagnostic (Lee et al. 2022): fraction of each doc's

@@ -427,6 +427,29 @@ def test_c4_clean_rules():
     assert '"' in rows[4]["cleaned_text"]
 
 
+def test_curation_funnel_counts():
+    from igraph_ray.functions.curation import curation_funnel
+
+    good = (
+        "The quick brown fox jumps over that lazy dog and it will have "
+        "been with us for quite some time. And it keeps running today! "
+        "Surely we have to be of and with it for a while now you see. "
+    ) * 2  # passes Gopher (words/stopwords) and C4 (3+ sentences)
+    docs = [{"doc_id": i, "text": good} for i in range(4)]  # 4 exact dupes
+    docs.append({"doc_id": 10, "text": good + "A distinct closing line."})
+    docs.append({"doc_id": 11, "text": "too short"})  # fails Gopher
+    docs.append(
+        {"doc_id": 12, "text": good + " brace { kills the page."}
+    )  # passes Gopher, fails C4
+    df = curation_funnel(ray.data.from_items(docs)).sort_values("stage")
+    assert list(df["stage"]) == [1, 2, 3]
+    assert list(df["stage_name"]) == ["gopher", "c4", "exact_dedup"]
+    # gopher: 7 in, 6 out (doc 11 rejected)
+    assert list(df["n_in"]) == [7, 6, 5]
+    # c4: doc 12 rejected; dedup: 4 copies of `good` collapse to 1
+    assert list(df["n_out"]) == [6, 5, 2]
+
+
 def test_duplicate_span_stats():
     from igraph_ray.functions.dedup import duplicate_span_stats
 
