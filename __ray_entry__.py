@@ -200,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_rules": q.q_gopher_rules,  # SQL oracle (bitwise IEEE replay)
         "c4_clean": q.q_c4_clean,  # SQL oracle (exact string/int rebuild)
         "curation_funnel": q.q_curation_funnel,  # SQL oracle (exact int counts)
+        "partition_compare": q.q_partition_compare,  # SQL oracle (exact ints + single-division Rand/ARI)
+        "partition_compare_info": q.q_partition_compare_info,  # rows-only (NMI/VI ln-sums; numpy oracle pytest)
         "duplicate_spans": q.q_duplicate_spans,  # SQL oracle (window unnest twin)
         "remove_dup_spans": q.q_remove_dup_spans,  # SQL oracle (rewrite twin)
         "bpe_merges": q.q_bpe_merges,  # rows-only (iterative; sequential replay pytest)
@@ -919,6 +921,43 @@ SELECT CAST(3 AS BIGINT), 'exact_dedup', n2, n3 FROM a"""
 _FUNNEL_SQL = _FUNNEL_SQL.replace("{GOPHER}", _GOPHER_SQL).replace(
     "{C4}", _C4_SQL
 )
+
+# Partition comparison (kernels/partition_compare.py): contingency
+# table of the two documents labelings; Rand/ARI are single IEEE
+# divisions of HUGEINT-exact pair sums (cast order matches the Python
+# path: int -> double on each side, then one divide -> bitwise).
+_PARTITION_COMPARE_SQL = """
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS HUGEINT) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+ma AS (SELECT lang, SUM(cnt) AS a, MAX(cnt) AS mxa FROM c GROUP BY 1),
+mb AS (SELECT source, SUM(cnt) AS b, MAX(cnt) AS mxb FROM c GROUP BY 1),
+s AS (
+  SELECT (SELECT SUM(cnt) FROM c) AS n,
+         (SELECT COUNT(*) FROM ma) AS nla,
+         (SELECT COUNT(*) FROM mb) AS nlb,
+         (SELECT SUM(cnt * (cnt - 1) // 2) FROM c) AS pij,
+         (SELECT SUM(a * (a - 1) // 2) FROM ma) AS pa_,
+         (SELECT SUM(b * (b - 1) // 2) FROM mb) AS pb_,
+         (SELECT SUM(mxa) FROM ma) AS sma,
+         (SELECT SUM(mxb) FROM mb) AS smb
+),
+t AS (SELECT *, n * (n - 1) // 2 AS tp FROM s)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(nla AS BIGINT) AS n_labels_a,
+       CAST(nlb AS BIGINT) AS n_labels_b,
+       CAST(pij AS BIGINT) AS pairs_ij,
+       CAST(pa_ AS BIGINT) AS pairs_a,
+       CAST(pb_ AS BIGINT) AS pairs_b,
+       CAST(2 * n - sma - smb AS BIGINT) AS split_join,
+       CAST(tp + 2 * pij - pa_ - pb_ AS DOUBLE) / CAST(tp AS DOUBLE)
+         AS rand_index,
+       CASE WHEN (pa_ + pb_) * tp - 2 * pa_ * pb_ = 0 THEN 1.0
+            ELSE CAST(2 * (pij * tp - pa_ * pb_) AS DOUBLE)
+                 / CAST((pa_ + pb_) * tp - 2 * pa_ * pb_ AS DOUBLE)
+       END AS adjusted_rand
+FROM t"""
 
 # ExactSubstr duplication diagnostic (functions/dedup.py::
 # duplicate_span_stats): word-8-gram windows, duplicated = gram with
@@ -3097,6 +3136,7 @@ FROM v GROUP BY 1, 2
         "gopher_rules": _GOPHER_SQL,
         "c4_clean": _C4_SQL,
         "curation_funnel": _FUNNEL_SQL,
+        "partition_compare": _PARTITION_COMPARE_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "remove_dup_spans": _REMOVE_SPANS_SQL,
         "fingerprints": _FINGERPRINTS_SQL,

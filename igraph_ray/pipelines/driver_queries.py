@@ -899,6 +899,37 @@ def q_curation_funnel(sf_dir: str):
     )
 
 
+def q_partition_compare(sf_dir: str):
+    """One row — igraph ``compare_communities`` surface over the two
+    categorical labelings of `documents` (lang vs source): exact-int
+    pair invariants + split-join distance + Rand/ARI (each ONE IEEE
+    division of exactly-reduced integers → bitwise SQL twin;
+    kernels/partition_compare.py)."""
+    from igraph_ray.kernels.partition_compare import compare_partitions
+
+    df = compare_partitions(
+        documents(sf_dir).select_columns(["lang", "source"]),
+        "lang",
+        "source",
+    )
+    return df.drop(columns=["nmi", "vi"])
+
+
+def q_partition_compare_info(sf_dir: str):
+    """(n, nmi, vi) — the information-theoretic comparison metrics
+    (Danon NMI / Meilă VI) for the same labeling pair; float ln-sums
+    are accumulation-order sensitive, so rows-only with the brute
+    numpy oracle in tests/test_partition_compare.py."""
+    from igraph_ray.kernels.partition_compare import compare_partitions
+
+    df = compare_partitions(
+        documents(sf_dir).select_columns(["lang", "source"]),
+        "lang",
+        "source",
+    )
+    return df[["n", "nmi", "vi"]]
+
+
 def q_duplicate_spans(sf_dir: str):
     """(doc_id, n_windows, n_dup_windows, dup_ratio) — ExactSubstr
     duplication diagnostic (Lee et al. 2022): fraction of each doc's
