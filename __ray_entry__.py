@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_perplexity": q.q_bigram_perplexity,  # rows-only (float LM)
         "pca_embeddings": q.q_pca_embeddings,  # rows-only (numpy dense pytest oracle)
         "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)
+        "pattern_counts": q.q_pattern_counts,  # SQL oracle (multi-way self-join, exact ints)
+        "chordality": q.q_chordality,  # rows-only (MCS certificate; nx.is_chordal pytest oracle)
     }
 
 
@@ -3202,5 +3204,38 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, vec_id FROM ranked WHERE rn <= 5
+""",
+        # subgraph pattern counts: ordered injective embeddings via
+        # multi-way self-joins over symmetric arcs — the SQL form of
+        # the kernel's edge-join expansion (exact integers)
+        "pattern_counts": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS a, dst_key AS b FROM link_pairs WHERE src_key <> dst_key
+  UNION
+  SELECT dst_key, src_key FROM link_pairs WHERE src_key <> dst_key
+),
+p4 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_p4
+  FROM arcs e1
+  JOIN arcs e2 ON e2.a = e1.b AND e2.b <> e1.a
+  JOIN arcs e3 ON e3.a = e2.b AND e3.b <> e2.a AND e3.b <> e1.a
+),
+p4i AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_p4_induced
+  FROM arcs e1
+  JOIN arcs e2 ON e2.a = e1.b AND e2.b <> e1.a
+  JOIN arcs e3 ON e3.a = e2.b AND e3.b <> e2.a AND e3.b <> e1.a
+  WHERE NOT EXISTS (SELECT 1 FROM arcs x WHERE x.a = e1.a AND x.b = e2.b)
+    AND NOT EXISTS (SELECT 1 FROM arcs y WHERE y.a = e1.b AND y.b = e3.b)
+    AND NOT EXISTS (SELECT 1 FROM arcs z WHERE z.a = e1.a AND z.b = e3.b)
+),
+claw AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_claw
+  FROM arcs e1
+  JOIN arcs e2 ON e2.a = e1.a AND e2.b <> e1.b
+  JOIN arcs e3 ON e3.a = e1.a AND e3.b <> e1.b AND e3.b <> e2.b
+)
+SELECT n_p4, n_p4_induced, n_claw FROM p4, p4i, claw
 """,
     }

@@ -4964,3 +4964,67 @@ def q_bigram_perplexity(sf_dir: str):
     )
     vocab, total, btbl = corpus_bigram_lm(docs)
     return bigram_logprob(docs, vocab, total, btbl)
+
+
+def q_pattern_counts(sf_dir: str):
+    """(n_p4, n_p4_induced, n_claw) — subgraph pattern-match counts
+    over the E1∪E2 link graph: 4-path monomorphisms, induced 4-path
+    isomorphisms, and claw (K1,3) monomorphisms, via the distributed
+    edge-join expansion (kernels/pattern.py; igraph
+    count_subisomorphisms_vf2 surface).  Exact ints — SQL hash twin
+    is the same multi-way self-join with injectivity predicates."""
+    from igraph_ray.kernels.pattern import count_subgraph_matches
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    vertices = assign_vertex_ids(
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"}),
+        key_col="key",
+    )
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    edges = edges.materialize()
+    p4 = [(0, 1), (1, 2), (2, 3)]
+    claw = [(0, 1), (0, 2), (0, 3)]
+    return pa.table(
+        {
+            "n_p4": pa.array(
+                [count_subgraph_matches(edges, p4)], pa.int64()
+            ),
+            "n_p4_induced": pa.array(
+                [count_subgraph_matches(edges, p4, induced=True)],
+                pa.int64(),
+            ),
+            "n_claw": pa.array(
+                [count_subgraph_matches(edges, claw)], pa.int64()
+            ),
+        }
+    )
+
+
+def q_chordality(sf_dir: str):
+    """(chordal, witness_u, witness_p, witness_v) — chordality of the
+    E1∪E2 link graph via MCS + parent test (kernels/chordal.py;
+    igraph is_chordal surface).  Rows-only: the verdict is
+    certificate-based (PEO / failing triple), pytest oracle vs
+    nx.is_chordal in tests/test_chordal.py."""
+    from igraph_ray.kernels.chordal import is_chordal
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    vertices = assign_vertex_ids(
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"}),
+        key_col="key",
+    )
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    r = is_chordal(edges)
+    w = r["witness"] or (None, None, None)
+    return pa.table(
+        {
+            "chordal": pa.array([r["chordal"]], pa.bool_()),
+            "witness_u": pa.array([w[0]], pa.int64()),
+            "witness_p": pa.array([w[1]], pa.int64()),
+            "witness_v": pa.array([w[2]], pa.int64()),
+        }
+    )
