@@ -229,6 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)
         "pattern_counts": q.q_pattern_counts,  # SQL oracle (multi-way self-join, exact ints)
         "chordality": q.q_chordality,  # rows-only (MCS certificate; nx.is_chordal pytest oracle)
+        "circuit_rank": q.q_circuit_rank,  # SQL oracle (m - n + c, recursive-CC twin)
+        "complement_summary": q.q_complement_summary,  # SQL oracle (complement degree hist)
     }
 
 
@@ -3237,5 +3239,51 @@ claw AS (
   JOIN arcs e3 ON e3.a = e1.a AND e3.b <> e1.b AND e3.b <> e2.b
 )
 SELECT n_p4, n_p4_induced, n_claw FROM p4, p4i, claw
+""",
+        # cycle-space dimension m - n + c over ALL file keys (isolated
+        # keys are singleton components)
+        "circuit_rank": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT key, key FROM keys
+    UNION
+    SELECT r.s, a.d FROM r JOIN arcs a ON r.k = a.s
+  )
+  SELECT s, MIN(k) AS lbl FROM r GROUP BY s
+),
+stats AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_vertices,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM link_pairs) AS n_edges,
+         (SELECT CAST(COUNT(DISTINCT lbl) AS BIGINT) FROM walk)
+           AS n_components
+)
+SELECT n_vertices, n_edges, n_components,
+       n_edges - n_vertices + n_components AS circuit_rank
+FROM stats
+""",
+        # complement degree histogram: n-1-deg per key, zero-degree
+        # keys land in the n-1 bucket
+        "complement_summary": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT key, COUNT(*) AS degree FROM endpoints GROUP BY key),
+alldeg AS (
+  SELECT k.key, COALESCE(d.degree, 0) AS degree
+  FROM keys k LEFT JOIN deg d ON k.key = d.key
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys)
+SELECT CAST(nn.n - 1 - alldeg.degree AS BIGINT) AS comp_degree,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM alldeg, nn GROUP BY 1
 """,
     }

@@ -5028,3 +5028,70 @@ def q_chordality(sf_dir: str):
             "witness_v": pa.array([w[2]], pa.int64()),
         }
     )
+
+
+def q_circuit_rank(sf_dir: str, graph_dir: str | None = None):
+    """One row (n_vertices, n_edges, n_components, circuit_rank) of
+    the E1∪E2 key graph — cycle-space dimension m − n + c (igraph
+    ``girth``/cycle-basis family; every file key is a vertex, isolated
+    keys are singleton components).  Exact ints — recursive-CC SQL
+    twin; c comes from the distributed components kernel, m/n from
+    streaming counts."""
+    import tempfile
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_crank_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = connected_components(graph)
+    n_comp = int(
+        run.state.select_columns(["comp"]).groupby("comp").count().count()
+    )
+    n = int(vtbl.num_rows)
+    m = int(_link_graph_edges_cached(sf_dir).count())
+    return pa.table(
+        {
+            "n_vertices": pa.array([n], pa.int64()),
+            "n_edges": pa.array([m], pa.int64()),
+            "n_components": pa.array([n_comp], pa.int64()),
+            "circuit_rank": pa.array([m - n + n_comp], pa.int64()),
+        }
+    )
+
+
+def q_complement_summary(sf_dir: str):
+    """(comp_degree, n_keys) — degree histogram of the COMPLEMENT of
+    the E1∪E2 key graph over all file keys (igraph ``complementer``
+    surface without materializing the O(n²) complement edge set): a
+    vertex with d distinct neighbors has complement degree n−1−d,
+    keys with no link pairs get n−1.  The histogram is computed
+    distributed (endpoint explode → groupby); only the O(distinct
+    degrees) remap runs on the driver.  Exact ints."""
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    # distinct keys (one vertex per repo:path, not per document row)
+    n = int(keys.groupby("key").count().count())
+    hist = pa.concat_tables(
+        q_degree_histogram(sf_dir).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    deg = hist.column("degree").to_numpy(zero_copy_only=False).astype(np.int64)
+    cnt = hist.column("n_keys").to_numpy(zero_copy_only=False).astype(np.int64)
+    comp = (n - 1) - deg
+    n_zero = n - int(cnt.sum())
+    if n_zero > 0:
+        comp = np.concatenate([comp, np.array([n - 1], np.int64)])
+        cnt = np.concatenate([cnt, np.array([n_zero], np.int64)])
+    # merge buckets (only the n-1 bucket can collide with the zero-
+    # degree bucket; np.unique keeps it general)
+    uniq, inv = np.unique(comp, return_inverse=True)
+    out = np.zeros(len(uniq), np.int64)
+    np.add.at(out, inv, cnt)
+    return pa.table(
+        {
+            "comp_degree": pa.array(uniq, pa.int64()),
+            "n_keys": pa.array(out, pa.int64()),
+        }
+    )
