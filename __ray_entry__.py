@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chordality": q.q_chordality,  # rows-only (MCS certificate; nx.is_chordal pytest oracle)
         "circuit_rank": q.q_circuit_rank,  # SQL oracle (m - n + c, recursive-CC twin)
         "complement_summary": q.q_complement_summary,  # SQL oracle (complement degree hist)
+        "shortest_path_counts": q.q_shortest_path_counts,  # SQL oracle (walk-enumeration twin)
     }
 
 
@@ -3285,5 +3286,40 @@ nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM keys)
 SELECT CAST(nn.n - 1 - alldeg.degree AS BIGINT) AS comp_degree,
        CAST(COUNT(*) AS BIGINT) AS n_keys
 FROM alldeg, nn GROUP BY 1
+""",
+        # shortest-path counts from the smallest key: BFS dists via a
+        # recursive min, then sigma by enumerating every shortest path
+        # as a dist-increasing walk (each arrival row = one path)
+        "shortest_path_counts": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+srcv AS (SELECT MIN(key) AS s FROM keys),
+reach AS (
+  WITH RECURSIVE r(k, dist) AS (
+    SELECT s, 0 FROM srcv
+    UNION
+    SELECT a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT k, MIN(dist) AS dist FROM r GROUP BY k
+),
+walks AS (
+  WITH RECURSIVE w(k, dist) AS (
+    SELECT s, 0 FROM srcv
+    UNION ALL
+    SELECT a.d, w.dist + 1
+    FROM w
+    JOIN arcs a ON w.k = a.s
+    JOIN reach rv ON rv.k = a.d
+    WHERE rv.dist = w.dist + 1
+  )
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS sigma FROM w GROUP BY k
+)
+SELECT reach.k AS key, CAST(reach.dist AS BIGINT) AS dist, walks.sigma
+FROM reach JOIN walks ON reach.k = walks.k
 """,
     }

@@ -599,3 +599,48 @@ def betweenness_centrality(
     return summed.map_batches(
         rescale, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def shortest_path_counts(
+    graph: GraphMeta, source: int
+) -> ray.data.Dataset:
+    """(vid, dist, sigma) for every vertex reachable from ``source``
+    in the unweighted graph — ``sigma`` is the exact number of
+    distinct shortest source→vid paths (igraph
+    ``get_all_shortest_paths`` cardinality / the Brandes forward
+    phase exposed on its own).
+
+    Unreachable vertices are dropped.  Counts are accumulated in
+    float64 by the level-synchronous kernel and cast back to int64,
+    exact while every sigma < 2**53 (far beyond any real graph's
+    shortest-path multiplicity at the diameters this engine targets —
+    the cast raises if exactness would be lost).
+    """
+    fwd = run_kernel(
+        _BrandesForward(num_parts=graph.num_parts, source=source),
+        graph,
+        max_iter=100_000,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False)
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        s = batch.column("sigma").to_numpy(zero_copy_only=False)
+        keep = np.isfinite(d)
+        vid, d, s = vid[keep], d[keep], s[keep]
+        if len(s) and float(s.max()) >= 2.0**53:  # pragma: no cover
+            raise OverflowError(
+                "sigma exceeds float64 integer range; counts would "
+                "not be exact"
+            )
+        return pa.table(
+            {
+                "vid": pa.array(vid.astype(np.int64)),
+                "dist": pa.array(d.astype(np.int64)),
+                "sigma": pa.array(s.astype(np.int64)),
+            }
+        )
+
+    return fwd.state.map_batches(
+        project, batch_format="pyarrow", zero_copy_batch=True
+    )

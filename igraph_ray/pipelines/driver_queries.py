@@ -5095,3 +5095,25 @@ def q_complement_summary(sf_dir: str):
             "n_keys": pa.array(out, pa.int64()),
         }
     )
+
+
+def q_shortest_path_counts(sf_dir: str, graph_dir: str | None = None):
+    """(key, dist, sigma) for every key reachable from the
+    lexicographically smallest key of the E1∪E2 graph — sigma = exact
+    number of distinct shortest paths (igraph
+    ``get_all_shortest_paths`` cardinality; Brandes forward phase,
+    kernels/betweenness.py::shortest_path_counts).  Exact ints — the
+    SQL twin enumerates every shortest path with a dist-increasing
+    recursive walk and counts arrivals."""
+    import tempfile
+
+    from igraph_ray.kernels.betweenness import shortest_path_counts
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_spc_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = pa.concat_tables(
+        shortest_path_counts(graph, source=0).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return _vid_to_key(out, vtbl, {"vid": "key"})
