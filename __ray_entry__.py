@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "circuit_rank": q.q_circuit_rank,  # SQL oracle (m - n + c, recursive-CC twin)
         "complement_summary": q.q_complement_summary,  # SQL oracle (complement degree hist)
         "shortest_path_counts": q.q_shortest_path_counts,  # SQL oracle (walk-enumeration twin)
+        "bloom_semi_join": q.q_bloom_semi_join,  # SQL oracle (bitwise position replay)
     }
 
 
@@ -3321,5 +3322,43 @@ walks AS (
 )
 SELECT reach.k AS key, CAST(reach.dist AS BIGINT) AS dist, walks.sigma
 FROM reach JOIN walks ON reach.k = walks.k
+""",
+        # Bloom semi-join: replay the double-splitmix64 bit positions
+        # (Kirsch-Mitzenmacher pos_i = h1 + i*h2 mod m) with HUGEINT
+        # arithmetic; a probe key passes iff ALL k positions are set —
+        # exact pass set, deterministic false positives included
+        "bloom_semi_join": f"""
+WITH fk AS (SELECT DISTINCT o_orderkey AS key FROM orders
+            WHERE o_orderpriority = '1-URGENT'),
+fa0 AS (SELECT key, CAST(key AS HUGEINT) AS z0 FROM fk),
+{_splitmix_chain_sql('fa0', 'fa')},
+fb0 AS (SELECT key, CAST(xor(CAST(key AS UBIGINT),
+          CAST(15111065706836454659 AS UBIGINT)) AS HUGEINT) AS z0 FROM fk),
+{_splitmix_chain_sql('fb0', 'fb')},
+fh AS (SELECT fa4.key, fa4.z AS h1, (fb4.z | 1) AS h2
+       FROM fa4 JOIN fb4 USING (key)),
+iz AS (SELECT unnest([0, 1]) AS i),
+fpos AS (SELECT DISTINCT
+    CAST((CAST(h1 AS HUGEINT) + i * CAST(h2 AS HUGEINT))
+         % 18446744073709551616 % 8192 AS BIGINT) AS pos
+  FROM fh CROSS JOIN iz),
+pk AS (SELECT DISTINCT l_orderkey AS key FROM lineitem),
+ga0 AS (SELECT key, CAST(key AS HUGEINT) AS z0 FROM pk),
+{_splitmix_chain_sql('ga0', 'ga')},
+gb0 AS (SELECT key, CAST(xor(CAST(key AS UBIGINT),
+          CAST(15111065706836454659 AS UBIGINT)) AS HUGEINT) AS z0 FROM pk),
+{_splitmix_chain_sql('gb0', 'gb')},
+ph AS (SELECT ga4.key, ga4.z AS h1, (gb4.z | 1) AS h2
+       FROM ga4 JOIN gb4 USING (key)),
+ppos AS (SELECT key,
+    CAST((CAST(h1 AS HUGEINT) + i * CAST(h2 AS HUGEINT))
+         % 18446744073709551616 % 8192 AS BIGINT) AS pos
+  FROM ph CROSS JOIN iz),
+pass AS (SELECT key FROM ppos
+         WHERE pos IN (SELECT pos FROM fpos)
+         GROUP BY key HAVING COUNT(*) = 2)
+SELECT l.l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN pass p ON l.l_orderkey = p.key
+GROUP BY 1
 """,
     }

@@ -5117,3 +5117,28 @@ def q_shortest_path_counts(sf_dir: str, graph_dir: str | None = None):
         )
     )
     return _vid_to_key(out, vtbl, {"vid": "key"})
+
+
+def q_bloom_semi_join(sf_dir: str):
+    """(l_orderkey, n_items) for every lineitem order key that passes
+    a Bloom-filter semi-join against the URGENT order-key set — the
+    canonical 100-TB join-pruning stage (stages/bloom.py).  The filter
+    is deliberately small (m=8192 bits, k=2) so deterministic FALSE
+    POSITIVES survive into the output; the SQL twin replays the
+    double-splitmix64 positions with HUGEINT arithmetic and reproduces
+    the exact same pass set, false positives included."""
+    from igraph_ray.stages.bloom import bloom_semi_join, build_bloom
+
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    bits = build_bloom(urgent, "o_orderkey", m_bits=8192, k=2)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    return (
+        bloom_semi_join(li, "l_orderkey", bits, k=2)
+        .groupby("l_orderkey")
+        .aggregate(Count("l_orderkey", alias_name="n_items"))
+    )
