@@ -233,6 +233,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "complement_summary": q.q_complement_summary,  # SQL oracle (complement degree hist)
         "shortest_path_counts": q.q_shortest_path_counts,  # SQL oracle (walk-enumeration twin)
         "bloom_semi_join": q.q_bloom_semi_join,  # SQL oracle (bitwise position replay)
+        "cms_term_freq": q.q_cms_term_freq,  # SQL oracle (bitwise sha256 bucket replay)
     }
 
 
@@ -3360,5 +3361,40 @@ pass AS (SELECT key FROM ppos
 SELECT l.l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
 FROM lineitem l JOIN pass p ON l.l_orderkey = p.key
 GROUP BY 1
+""",
+        # count-min sketch: replay the (depth=3, width=1024) grid
+        # bitwise — bucket_j = (h1 + j*h2) mod 2^64 mod 1024 with
+        # h1/h2 = first/second 8 bytes of sha256(term), h2 forced odd;
+        # a cell is the exact SUM of corpus counts of every term that
+        # collides into it, and the estimate is the MIN across rows.
+        "cms_term_freq": """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS term
+  FROM documents
+),
+cnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term),
+h AS (SELECT term, c,
+        CAST(CAST('0x' || substr(sha256(term), 1, 16) AS UBIGINT)
+             AS HUGEINT) AS h1,
+        CAST(CAST('0x' || substr(sha256(term), 17, 16) AS UBIGINT) | 1
+             AS HUGEINT) AS h2
+      FROM cnt),
+jz AS (SELECT unnest([0, 1, 2]) AS j),
+cells AS (
+  SELECT j,
+         CAST((h1 + j * h2) % 18446744073709551616 % 1024 AS BIGINT) AS b,
+         SUM(c) AS cell
+  FROM h CROSS JOIN jz GROUP BY 1, 2
+),
+probe AS (SELECT DISTINCT term FROM toks WHERE doc_id % 199 = 0),
+pb AS (
+  SELECT p.term, jz.j,
+         CAST((h.h1 + jz.j * h.h2) % 18446744073709551616 % 1024
+              AS BIGINT) AS b
+  FROM probe p JOIN h ON h.term = p.term CROSS JOIN jz
+)
+SELECT pb.term, CAST(MIN(cells.cell) AS BIGINT) AS est
+FROM pb JOIN cells ON cells.j = pb.j AND cells.b = pb.b
+GROUP BY pb.term
 """,
     }

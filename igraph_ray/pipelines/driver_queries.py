@@ -5142,3 +5142,36 @@ def q_bloom_semi_join(sf_dir: str):
         .groupby("l_orderkey")
         .aggregate(Count("l_orderkey", alias_name="n_items"))
     )
+
+
+def q_cms_term_freq(sf_dir: str):
+    """(term, est) — count-min-sketch frequency estimates (depth=3,
+    width=1024, sha256 double hashing; stages/sketch.py::cms_build_text)
+    for every distinct token of the probe docs (doc_id % 199 == 0),
+    sketched over the WHOLE corpus.  Estimates are exact ints >= the
+    true counts; the SQL twin replays the sha256 bucket arithmetic and
+    the per-cell sums bitwise, collisions included."""
+    from igraph_ray.functions.text import _tokens_table
+    from igraph_ray.stages.sketch import cms_build_text, cms_estimate
+
+    docs = documents(sf_dir).select_columns(["doc_id", "text"])
+    grid = cms_build_text(docs, depth=3, width=1024)
+
+    def probe_only(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return _tokens_table(
+            batch.filter(pa.array(ids % 199 == 0)), "text", "doc_id"
+        ).select(["term"])
+
+    probe = pa.concat_tables(
+        docs.map_batches(
+            probe_only, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    terms = np.unique(probe.column("term").to_pandas().to_numpy())
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "est": pa.array(cms_estimate(grid, terms)),
+        }
+    )

@@ -153,3 +153,105 @@ def hll_distinct_by(
             ),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency estimation / heavy-hitter point queries)
+# ---------------------------------------------------------------------------
+#
+# The frequency sibling of HLL: a (depth × width) int64 counter grid.
+# Every token occurrence increments one counter per row at
+# ``bucket_j = (h1 + j*h2) mod width`` (Kirsch–Mitzenmacher double
+# hashing off sha256, so estimates are deterministic and replayable in
+# exact SQL); a point query reads the MIN across rows — an
+# overestimate by at most eps·N with probability 1-delta for
+# width=e/eps, depth=ln(1/delta) (Cormode–Muthukrishnan 2005).
+#
+# Scale shape: per-block partial grids (depth·width·8 bytes, fixed)
+# sum on the driver — one streaming pass, no shuffle, mergeable across
+# runs/partitions by plain addition.
+
+_CMS_HASH_CACHE: dict = {}
+
+
+def _cms_term_hashes(terms) -> "tuple[np.ndarray, np.ndarray]":
+    """(h1, h2) uint64 arrays for string terms: the first/second 8
+    bytes of sha256(term), h2 forced odd.  Memoized per worker (the
+    vocabulary is Zipfian — a tiny cache absorbs the hot head)."""
+    import hashlib
+
+    h1 = np.empty(len(terms), np.uint64)
+    h2 = np.empty(len(terms), np.uint64)
+    cache = _CMS_HASH_CACHE
+    for i, t in enumerate(terms):
+        hit = cache.get(t)
+        if hit is None:
+            d = hashlib.sha256(t.encode("utf-8")).hexdigest()
+            hit = (int(d[:16], 16), int(d[16:32], 16) | 1)
+            if len(cache) < (1 << 20):
+                cache[t] = hit
+        h1[i], h2[i] = hit
+    return h1, h2
+
+
+def cms_fold_terms(
+    terms: np.ndarray, counts: np.ndarray, depth: int, width: int
+) -> np.ndarray:
+    """(depth, width) int64 partial grid for one batch's (term, count)
+    pairs."""
+    grid = np.zeros((depth, width), np.int64)
+    if not len(terms):
+        return grid
+    h1, h2 = _cms_term_hashes(terms)
+    for j in range(depth):
+        with np.errstate(over="ignore"):
+            b = ((h1 + np.uint64(j) * h2) % np.uint64(width)).astype(
+                np.int64
+            )
+        np.add.at(grid[j], b, counts)
+    return grid
+
+
+def cms_build_text(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    depth: int = 3,
+    width: int = 1024,
+) -> np.ndarray:
+    """Count-min grid over the lowercase whitespace tokens of
+    ``text_col`` (the same tokenization as term_df/BM25).  One
+    streaming pass; per-block partial grids sum on the driver."""
+    from igraph_ray.functions.text import _tokens_table
+
+    def fold(batch: pa.Table) -> pa.Table:
+        toks = _tokens_table(batch, text_col, id_col)
+        terms, counts = np.unique(
+            toks.column("term").to_pandas().to_numpy(), return_counts=True
+        )
+        grid = cms_fold_terms(terms, counts.astype(np.int64), depth, width)
+        return pa.table({"grid": pa.array([grid.tobytes()], pa.binary())})
+
+    total = np.zeros((depth, width), np.int64)
+    for b in ds.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in b.column("grid").to_pylist():
+            total += np.frombuffer(blob, np.int64).reshape(depth, width)
+    return total
+
+
+def cms_estimate(grid: np.ndarray, terms) -> np.ndarray:
+    """Point-query estimates (int64, >= true count) for each term."""
+    depth, width = grid.shape
+    if not len(terms):
+        return np.zeros(0, np.int64)
+    h1, h2 = _cms_term_hashes(terms)
+    est = np.full(len(terms), np.iinfo(np.int64).max, np.int64)
+    for j in range(depth):
+        with np.errstate(over="ignore"):
+            b = ((h1 + np.uint64(j) * h2) % np.uint64(width)).astype(
+                np.int64
+            )
+        est = np.minimum(est, grid[j, b])
+    return est

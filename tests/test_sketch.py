@@ -51,3 +51,70 @@ def test_hll_by_group():
         true = len(np.unique(x[g == gv]))
         rel = abs(est[gv] - true) / true
         assert rel < 0.06, (gv, est[gv], true, rel)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _docs(texts, parts=4):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(parts)
+
+
+def test_cms_overestimates_and_is_tight_when_sparse():
+    from igraph_ray.stages.sketch import cms_build_text, cms_estimate
+
+    texts = ["apple banana apple", "banana cherry", "apple date date"]
+    grid = cms_build_text(_docs(texts), depth=3, width=4096)
+    terms = np.array(["apple", "banana", "cherry", "date", "missing"])
+    est = cms_estimate(grid, terms)
+    true = np.array([3, 2, 1, 2, 0])
+    assert (est >= true).all()
+    # 5 distinct terms in a 4096-wide grid: no collisions w.h.p. per row,
+    # and MIN across 3 rows makes exactness near-certain — assert it.
+    assert (est == true).all(), (est, true)
+
+
+def test_cms_partition_invariant_and_merge_additive():
+    from igraph_ray.stages.sketch import cms_build_text, cms_estimate
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 30)))
+        for _ in range(200)
+    ]
+    g1 = cms_build_text(_docs(texts, parts=2), depth=3, width=512)
+    g2 = cms_build_text(_docs(texts, parts=13), depth=3, width=512)
+    assert (g1 == g2).all()  # counter grid is order/partition independent
+    # additivity: grid(A+B) == grid(A) + grid(B)
+    ga = cms_build_text(_docs(texts[:90], parts=3), depth=3, width=512)
+    gb_ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    np.arange(90, len(texts), dtype=np.int64)
+                ),
+                "text": pa.array(texts[90:], pa.string()),
+            }
+        )
+    ).repartition(3)
+    from igraph_ray.stages.sketch import cms_build_text as _b
+
+    gb = _b(gb_ds, depth=3, width=512)
+    assert (ga + gb == g1).all()
+    # estimates bound truth for every vocab word
+    from collections import Counter
+
+    truth = Counter(w for t in texts for w in t.split())
+    est = cms_estimate(g1, np.array(vocab))
+    for w, e in zip(vocab, est):
+        assert e >= truth.get(w, 0)
