@@ -234,7 +234,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shortest_path_counts": q.q_shortest_path_counts,  # SQL oracle (walk-enumeration twin)
         "bloom_semi_join": q.q_bloom_semi_join,  # SQL oracle (bitwise position replay)
         "cms_term_freq": q.q_cms_term_freq,  # SQL oracle (bitwise sha256 bucket replay)
-        "avg_neighbor_degree": q.q_avg_neighbor_degree,  # SQL oracle (exact ints + one division)
     }
 
 
@@ -3397,29 +3396,5 @@ pb AS (
 SELECT pb.term, CAST(MIN(cells.cell) AS BIGINT) AS est
 FROM pb JOIN cells ON cells.j = pb.j AND cells.b = pb.b
 GROUP BY pb.term
-""",
-        # average neighbor degree: exact int64 sums, knn = one IEEE
-        # division of exact ints — bitwise
-        "avg_neighbor_degree": f"""
-{_LINK_PAIRS},
-endpoints AS (
-  SELECT src_key AS key FROM link_pairs
-  UNION ALL
-  SELECT dst_key FROM link_pairs
-),
-deg AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS degree
-        FROM endpoints GROUP BY key),
-arcs AS (
-  SELECT src_key AS a, dst_key AS b FROM link_pairs
-  UNION ALL
-  SELECT dst_key, src_key FROM link_pairs
-),
-s AS (
-  SELECT arcs.a AS key, CAST(SUM(d.degree) AS BIGINT) AS nbr_degree_sum
-  FROM arcs JOIN deg d ON arcs.b = d.key GROUP BY 1
-)
-SELECT s.key, deg.degree, s.nbr_degree_sum,
-       CAST(s.nbr_degree_sum AS DOUBLE) / deg.degree AS knn
-FROM s JOIN deg USING (key)
 """,
     }

@@ -988,62 +988,3 @@ def jaccard_all_pairs(
     return with_deg.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
-
-
-def avg_neighbor_degree(pairs: ray.data.Dataset) -> ray.data.Dataset:
-    """Average neighbor degree per vertex (igraph ``knn``'s per-vertex
-    vector / ``nx.average_neighbor_degree``) over an unordered-pair
-    edge table with ``src``/``dst`` columns.
-
-    Returns ``(key, degree, nbr_degree_sum, knn)``: ``degree`` and
-    ``nbr_degree_sum`` are exact int64 (one endpoint groupby + one
-    neighbor-degree groupby); ``knn = nbr_degree_sum / degree`` is a
-    single IEEE division of exact integers, so it replays bitwise in
-    SQL.  Degrees are O(V) — broadcast once (``attach_degrees``'s
-    small-side rule, join fallback documented there).
-    """
-    degs = _degree_map(pairs).materialize()
-    wd = attach_degrees(pairs, degs)
-
-    def emit(batch: pa.Table) -> pa.Table:
-        # each unordered pair feeds deg(dst) into src's neighbor sum
-        # and deg(src) into dst's
-        return pa.table(
-            {
-                "key": pa.concat_arrays(
-                    [
-                        batch.column("src").combine_chunks(),
-                        batch.column("dst").combine_chunks(),
-                    ]
-                ),
-                "nd": pa.concat_arrays(
-                    [
-                        batch.column("deg_dst").combine_chunks(),
-                        batch.column("deg_src").combine_chunks(),
-                    ]
-                ),
-            }
-        )
-
-    sums = (
-        wd.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("key")
-        .aggregate(Sum("nd", alias_name="nbr_degree_sum"))
-    )
-    out = attach_degrees(sums, degs, cols=("key",))
-
-    def finish(batch: pa.Table) -> pa.Table:
-        d = batch.column("deg_key").to_numpy(zero_copy_only=False)
-        s = batch.column("nbr_degree_sum").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "key": batch.column("key"),
-                "degree": pa.array(d.astype(np.int64)),
-                "nbr_degree_sum": pa.array(s.astype(np.int64)),
-                "knn": pa.array(s.astype(np.float64) / d),
-            }
-        )
-
-    return out.map_batches(
-        finish, batch_format="pyarrow", zero_copy_batch=True
-    )

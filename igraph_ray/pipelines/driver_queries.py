@@ -5175,19 +5175,3 @@ def q_cms_term_freq(sf_dir: str):
             "est": pa.array(cms_estimate(grid, terms)),
         }
     )
-
-
-def q_avg_neighbor_degree(sf_dir: str):
-    """(key, degree, nbr_degree_sum, knn) — average neighbor degree
-    (igraph knn / nx.average_neighbor_degree) over the E1∪E2 link
-    graph.  Exact int64 degree sums; knn is one IEEE division so the
-    SQL twin replays bitwise (kernels/metrics.py::avg_neighbor_degree;
-    nx parity in tests/test_metrics.py)."""
-    from igraph_ray.kernels.metrics import avg_neighbor_degree
-
-    pairs = (
-        _link_graph_edges_cached(sf_dir)
-        .select_columns(["src_key", "dst_key"])
-        .rename_columns({"src_key": "src", "dst_key": "dst"})
-    )
-    return avg_neighbor_degree(pairs)

@@ -403,25 +403,3 @@ def test_jaccard_all_pairs_vs_nx():
         assert gc == c and gj == pytest.approx(j, abs=1e-15)
         assert gd == pytest.approx(dice, abs=1e-15)
     assert len(got) == n_pos
-
-
-def test_avg_neighbor_degree_matches_nx():
-    from igraph_ray.kernels.metrics import avg_neighbor_degree
-
-    G = nx.gnm_random_graph(80, 260, seed=9)
-    G.remove_nodes_from(list(nx.isolates(G)))
-    got = ds_to_table(avg_neighbor_degree(_pairs_ds(G)))
-    knn = dict(
-        zip(got.column("key").to_pylist(), got.column("knn").to_pylist())
-    )
-    deg = dict(
-        zip(
-            got.column("key").to_pylist(),
-            got.column("degree").to_pylist(),
-        )
-    )
-    ref = nx.average_neighbor_degree(G)
-    assert set(knn) == set(ref)
-    for v, r in ref.items():
-        assert knn[v] == pytest.approx(r, abs=1e-12), v
-        assert deg[v] == G.degree(v)
