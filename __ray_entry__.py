@@ -234,6 +234,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shortest_path_counts": q.q_shortest_path_counts,  # SQL oracle (walk-enumeration twin)
         "bloom_semi_join": q.q_bloom_semi_join,  # SQL oracle (bitwise position replay)
         "cms_term_freq": q.q_cms_term_freq,  # SQL oracle (bitwise sha256 bucket replay)
+        "customer_urgent_outer": q.q_customer_urgent_outer,  # SQL oracle (LEFT OUTER, bitwise)
+        "nation_wealth_full_outer": q.q_nation_wealth_full_outer,  # SQL oracle (FULL OUTER, exact ints)
     }
 
 
@@ -3396,5 +3398,30 @@ pb AS (
 SELECT pb.term, CAST(MIN(cells.cell) AS BIGINT) AS est
 FROM pb JOIN cells ON cells.j = pb.j AND cells.b = pb.b
 GROUP BY pb.term
+""",
+        "customer_urgent_outer": """
+WITH agg AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_urgent,
+         MAX(o_totalprice) AS max_urgent_price
+  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_mktsegment,
+       COALESCE(a.n_urgent, 0) AS n_urgent,
+       COALESCE(a.max_urgent_price, 0.0) AS max_urgent_price
+FROM customer c LEFT OUTER JOIN agg a ON c.c_custkey = a.o_custkey
+""",
+        "nation_wealth_full_outer": """
+WITH rc AS (
+  SELECT c_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_rich_cust
+  FROM customer WHERE c_acctbal > 9900 GROUP BY 1
+),
+rs AS (
+  SELECT s_nationkey AS k, CAST(COUNT(*) AS BIGINT) AS n_rich_supp
+  FROM supplier WHERE s_acctbal > 8000 GROUP BY 1
+)
+SELECT COALESCE(rc.k, rs.k) AS nationkey,
+       COALESCE(rc.n_rich_cust, 0) AS n_rich_cust,
+       COALESCE(rs.n_rich_supp, 0) AS n_rich_supp
+FROM rc FULL OUTER JOIN rs ON rc.k = rs.k
 """,
     }

@@ -5175,3 +5175,86 @@ def q_cms_term_freq(sf_dir: str):
             "est": pa.array(cms_estimate(grid, terms)),
         }
     )
+
+
+def q_customer_urgent_outer(sf_dir: str):
+    """(c_custkey, c_mktsegment, n_urgent, max_urgent_price) — LEFT
+    OUTER join of every customer against per-customer URGENT-order
+    aggregates (203 customers have none at sf0.01 and 0-fill).  The
+    order side is pre-aggregated BEFORE the join (combine-first, then
+    a key-sized shuffle); COUNT and MAX are order-insensitive so the
+    SQL twin replays bitwise."""
+    from igraph_ray.stages.join import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_totalprice", "o_orderpriority"],
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    agg = orders.groupby("o_custkey").aggregate(
+        Count("o_custkey", alias_name="n_urgent"),
+        Max("o_totalprice", alias_name="max_urgent_price"),
+    )
+    j = hash_join(cust, agg, on="c_custkey", right_on="o_custkey",
+                  how="left_outer")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch.column("c_custkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "n_urgent": pc.fill_null(
+                    batch.column("n_urgent"), pa.scalar(0, pa.int64())
+                ),
+                "max_urgent_price": pc.fill_null(
+                    batch.column("max_urgent_price"),
+                    pa.scalar(0.0, pa.float64()),
+                ),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_nation_wealth_full_outer(sf_dir: str):
+    """(nationkey, n_rich_cust, n_rich_supp) — FULL OUTER join of
+    nations having customers with acctbal > 9900 against nations
+    having suppliers with acctbal > 8000 (both exclusive sides are
+    non-empty at sf0.01: 8 cust-only + 7 supp-only + 5 both).  Exact
+    integer counts, 0-filled — bitwise SQL twin."""
+    from igraph_ray.stages.join import hash_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    ).filter(expr="c_acctbal > 9900")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    ).filter(expr="s_acctbal > 8000")
+    rc = cust.groupby("c_nationkey").aggregate(
+        Count("c_custkey", alias_name="n_rich_cust")
+    )
+    rs = supp.groupby("s_nationkey").aggregate(
+        Count("s_suppkey", alias_name="n_rich_supp")
+    )
+    j = hash_join(rc, rs, on="c_nationkey", right_on="s_nationkey",
+                  how="full_outer")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        # Ray's full-outer coalesces the key into the left key column
+        return pa.table(
+            {
+                "nationkey": batch.column("c_nationkey"),
+                "n_rich_cust": pc.fill_null(
+                    batch.column("n_rich_cust"), pa.scalar(0, pa.int64())
+                ),
+                "n_rich_supp": pc.fill_null(
+                    batch.column("n_rich_supp"), pa.scalar(0, pa.int64())
+                ),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
