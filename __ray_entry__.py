@@ -236,6 +236,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_term_freq": q.q_cms_term_freq,  # SQL oracle (bitwise sha256 bucket replay)
         "customer_urgent_outer": q.q_customer_urgent_outer,  # SQL oracle (LEFT OUTER, bitwise)
         "nation_wealth_full_outer": q.q_nation_wealth_full_outer,  # SQL oracle (FULL OUTER, exact ints)
+        "pref_attachment": q.q_pref_attachment,  # SQL oracle (exact int degree products)
+        "resource_allocation": q.q_resource_allocation,  # rows-only (float 1/deg sums; nx pytest oracle)
     }
 
 
@@ -3423,5 +3425,22 @@ SELECT COALESCE(rc.k, rs.k) AS nationkey,
        COALESCE(rc.n_rich_cust, 0) AS n_rich_cust,
        COALESCE(rs.n_rich_supp, 0) AS n_rich_supp
 FROM rc FULL OUTER JOIN rs ON rc.k = rs.k
+""",
+        # preferential attachment: deg(u)*deg(v) exact int64 — bitwise
+        "pref_attachment": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM endpoints GROUP BY key)
+SELECT p.src_key, p.dst_key,
+       ds.degree AS deg_src, dd.degree AS deg_dst,
+       ds.degree * dd.degree AS pref_attachment
+FROM link_pairs p
+JOIN deg ds ON p.src_key = ds.key
+JOIN deg dd ON p.dst_key = dd.key
 """,
     }

@@ -430,6 +430,36 @@ def adamic_adar_edges(
     )
 
 
+def resource_allocation_edges(
+    pairs: ray.data.Dataset,
+    num_parts: int | None = None,
+    max_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Per-edge resource-allocation index ``Σ_{w ∈ N(u)∩N(v)}
+    1/deg(w)`` (``nx.resource_allocation_index(G, ebunch=G.edges())``)
+    — the Adamic–Adar wedge pipeline with 1/deg centre weights
+    (``center_weight="inv"``, the same weights Burt's constraint
+    uses).  Rows ``(src, dst, resource_allocation)``; float sums, so
+    oracle checks are tolerance-based rather than bitwise."""
+    wedge_pairs = _wedge_pair_weights(
+        pairs, num_parts, max_degree, center_weight="inv"
+    )
+    only_edges = _merge_onto_edges(pairs, wedge_pairs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "resource_allocation": batch.column("common"),
+            }
+        )
+
+    return only_edges.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ---------------------------------------------------------------------------
 # rich-club coefficient
 # ---------------------------------------------------------------------------

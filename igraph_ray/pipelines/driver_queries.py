@@ -5258,3 +5258,78 @@ def q_nation_wealth_full_outer(sf_dir: str):
         )
 
     return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_resource_allocation(sf_dir: str):
+    """(src_key, dst_key, resource_allocation) per E1∪E2 edge —
+    resource-allocation link-prediction index
+    (nx.resource_allocation_index); rows-only (float 1/deg sums are
+    summation-order-dependent), pytest oracle in tests/test_metrics.py
+    (kernels/metrics.py::resource_allocation_edges)."""
+    from igraph_ray.kernels.metrics import resource_allocation_edges
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = resource_allocation_edges(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+
+
+def q_pref_attachment(sf_dir: str):
+    """(src_key, dst_key, deg_src, deg_dst, pref_attachment) per E1∪E2
+    edge — preferential-attachment link-prediction score deg(u)·deg(v)
+    (nx.preferential_attachment).  Exact int64 products — bitwise SQL
+    twin (degrees broadcast onto the edge table,
+    kernels/metrics.py::attach_degrees)."""
+    from igraph_ray.kernels.metrics import _degree_map, attach_degrees
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    degs = _degree_map(edges).materialize()
+    wd = attach_degrees(edges, degs)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        ds_ = batch.column("deg_src").to_numpy(zero_copy_only=False)
+        dd = batch.column("deg_dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "deg_src": pa.array(ds_.astype(np.int64)),
+                "deg_dst": pa.array(dd.astype(np.int64)),
+                "pref_attachment": pa.array(
+                    ds_.astype(np.int64) * dd.astype(np.int64)
+                ),
+            }
+        )
+
+    tbl = pa.concat_tables(
+        wd.map_batches(
+            finish, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})

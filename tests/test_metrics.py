@@ -403,3 +403,45 @@ def test_jaccard_all_pairs_vs_nx():
         assert gc == c and gj == pytest.approx(j, abs=1e-15)
         assert gd == pytest.approx(dice, abs=1e-15)
     assert len(got) == n_pos
+
+
+def test_resource_allocation_matches_nx():
+    from igraph_ray.kernels.metrics import resource_allocation_edges
+
+    G = nx.gnm_random_graph(70, 240, seed=13)
+    got = ds_to_table(resource_allocation_edges(_pairs_ds(G)))
+    ours = {
+        (min(s, d), max(s, d)): v
+        for s, d, v in zip(
+            got.column("src").to_pylist(),
+            got.column("dst").to_pylist(),
+            got.column("resource_allocation").to_pylist(),
+        )
+    }
+    ref = {
+        (min(u, v), max(u, v)): r
+        for u, v, r in nx.resource_allocation_index(G, G.edges())
+    }
+    assert set(ours) == set(ref)
+    for k, r in ref.items():
+        assert ours[k] == pytest.approx(r, abs=1e-9), k
+
+
+def test_preferential_attachment_degree_products():
+    # exact-int check of the degree-product score on a pinned graph
+    from igraph_ray.kernels.metrics import _degree_map, attach_degrees
+
+    G = nx.gnm_random_graph(50, 140, seed=21)
+    ds = _pairs_ds(G)
+    degs = _degree_map(ds).materialize()
+    got = ds_to_table(attach_degrees(ds, degs))
+    for s, d, a, b in zip(
+        got.column("src").to_pylist(),
+        got.column("dst").to_pylist(),
+        got.column("deg_src").to_pylist(),
+        got.column("deg_dst").to_pylist(),
+    ):
+        assert a == G.degree(s) and b == G.degree(d)
+        assert a * b == next(
+            iter(nx.preferential_attachment(G, [(s, d)]))
+        )[2]
