@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_wealth_full_outer": q.q_nation_wealth_full_outer,  # SQL oracle (FULL OUTER, exact ints)
         "pref_attachment": q.q_pref_attachment,  # SQL oracle (exact int degree products)
         "resource_allocation": q.q_resource_allocation,  # rows-only (float 1/deg sums; nx pytest oracle)
+        "approx_price_quantiles": q.q_approx_price_quantiles,  # rows-only (DDSketch; accuracy pytest oracle)
     }
 
 

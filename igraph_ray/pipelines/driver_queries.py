@@ -5333,3 +5333,33 @@ def q_pref_attachment(sf_dir: str):
         )
     ).sort_by("vid")
     return _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+
+
+def q_approx_price_quantiles(sf_dir: str):
+    """(q, est) — DDSketch approximate quantiles of l_extendedprice
+    cents (alpha=0.005 relative-error guarantee, one streaming pass,
+    bucket-additive partials; stages/sketch.py::ddsketch_build).
+    Rows-only: estimates are within 0.5% of the exact quantiles the
+    `price_quantiles` query computes (accuracy property-tested in
+    tests/test_sketch.py)."""
+    from igraph_ray.stages.sketch import ddsketch_build, ddsketch_quantiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64))}
+        )
+
+    li = li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    sk = ddsketch_build(li, "c", alpha=0.005)
+    est = ddsketch_quantiles(sk, PRICE_QS)
+    return pa.table(
+        {
+            "q": pa.array(np.asarray(PRICE_QS, np.float64)),
+            "est": pa.array(est),
+        }
+    )

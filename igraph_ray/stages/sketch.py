@@ -255,3 +255,112 @@ def cms_estimate(grid: np.ndarray, terms) -> np.ndarray:
             )
         est = np.minimum(est, grid[j, b])
     return est
+
+
+# ---------------------------------------------------------------------------
+# DDSketch (mergeable relative-error quantile sketch)
+# ---------------------------------------------------------------------------
+#
+# The quantile sibling of HLL/CMS: logarithmic buckets
+# ``i = ceil(ln(v)/ln(gamma))`` with ``gamma = (1+alpha)/(1-alpha)``
+# guarantee every quantile estimate is within relative error ``alpha``
+# (Masson, Rim & Lee, "DDSketch", VLDB 2019).  A value's bucket
+# depends only on the value, so per-block partial histograms merge by
+# plain addition — deterministic and partition-invariant, unlike
+# t-digest's order-dependent centroid merging.
+#
+# Scale shape: one streaming pass; each block emits a tiny (idx, cnt)
+# table (bucket count is O(log(range)/alpha) — ~800 buckets for cents
+# up to 10^7 at alpha=0.01), summed on the driver.
+
+
+def ddsketch_build(
+    ds: ray.data.Dataset, col: str, alpha: float = 0.01
+) -> dict:
+    """Build a DDSketch over a positive int64/float column.  Values
+    <= 0 are counted in a dedicated zero bucket (estimated as 0.0).
+
+    Returns ``{"alpha", "gamma", "idx", "cnt", "n_zero", "total"}``
+    with ``idx`` sorted int64 bucket indices and ``cnt`` int64 counts.
+    """
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+    zero_sentinel = np.int64(-(2**62))  # below any real bucket index
+
+    def fold(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        pos = v > 0.0
+        idx = np.ceil(np.log(v[pos]) / lg).astype(np.int64)
+        u, c = np.unique(idx, return_counts=True)
+        nz = len(v) - int(pos.sum())
+        if nz:
+            u = np.r_[zero_sentinel, u]
+            c = np.r_[np.int64(nz), c]
+        return pa.table(
+            {"idx": pa.array(u), "cnt": pa.array(c.astype(np.int64))}
+        )
+
+    acc: dict[int, int] = {}
+    for b in ds.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for i, c in zip(
+            b.column("idx").to_pylist(), b.column("cnt").to_pylist()
+        ):
+            acc[i] = acc.get(i, 0) + c
+    n_zero = acc.pop(int(zero_sentinel), 0)
+    idx = np.array(sorted(acc), np.int64)
+    cnt = np.array([acc[i] for i in idx], np.int64)
+    return {
+        "alpha": alpha,
+        "gamma": gamma,
+        "idx": idx,
+        "cnt": cnt,
+        "n_zero": n_zero,
+        "total": int(cnt.sum()) + n_zero,
+    }
+
+
+def ddsketch_merge(a: dict, b: dict) -> dict:
+    """Merge two sketches with equal alpha (bucket-wise addition)."""
+    assert a["alpha"] == b["alpha"]
+    acc: dict[int, int] = dict(zip(a["idx"].tolist(), a["cnt"].tolist()))
+    for i, c in zip(b["idx"].tolist(), b["cnt"].tolist()):
+        acc[i] = acc.get(i, 0) + c
+    idx = np.array(sorted(acc), np.int64)
+    cnt = np.array([acc[i] for i in idx], np.int64)
+    return {
+        **a,
+        "idx": idx,
+        "cnt": cnt,
+        "n_zero": a["n_zero"] + b["n_zero"],
+        "total": int(cnt.sum()) + a["n_zero"] + b["n_zero"],
+    }
+
+
+def ddsketch_quantiles(sk: dict, qs) -> np.ndarray:
+    """Quantile estimates (lower-rank semantics: the value whose rank
+    is ``floor(q*(n-1))``), each within relative error alpha of the
+    true quantile."""
+    import math
+
+    n = sk["total"]
+    out = np.empty(len(qs), np.float64)
+    if n == 0:
+        out[:] = np.nan
+        return out
+    gamma = sk["gamma"]
+    cum = np.cumsum(sk["cnt"])
+    for j, q in enumerate(qs):
+        rank = int(math.floor(q * (n - 1)))
+        if rank < sk["n_zero"]:
+            out[j] = 0.0
+            continue
+        pos = int(np.searchsorted(cum, rank - sk["n_zero"] + 1))
+        i = int(sk["idx"][pos])
+        out[j] = 2.0 * gamma**i / (gamma + 1.0)
+    return out

@@ -118,3 +118,70 @@ def test_cms_partition_invariant_and_merge_additive():
     est = cms_estimate(g1, np.array(vocab))
     for w, e in zip(vocab, est):
         assert e >= truth.get(w, 0)
+
+
+# ---------------------------------------------------------------------------
+# DDSketch
+# ---------------------------------------------------------------------------
+
+
+def test_ddsketch_relative_error_bound():
+    from igraph_ray.stages.sketch import ddsketch_build, ddsketch_quantiles
+
+    rng = np.random.default_rng(5)
+    vals = np.exp(rng.normal(8, 2, 50_000))  # lognormal, wide range
+    ds = ray.data.from_arrow(
+        pa.table({"x": pa.array(vals, pa.float64())})
+    ).repartition(9)
+    alpha = 0.01
+    sk = ddsketch_build(ds, "x", alpha=alpha)
+    assert sk["total"] == len(vals)
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    est = ddsketch_quantiles(sk, qs)
+    srt = np.sort(vals)
+    for q, e in zip(qs, est):
+        true = srt[int(np.floor(q * (len(vals) - 1)))]
+        assert abs(e - true) <= alpha * true * 1.0001, (q, e, true)
+
+
+def test_ddsketch_partition_invariant_and_mergeable():
+    from igraph_ray.stages.sketch import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantiles,
+    )
+
+    rng = np.random.default_rng(8)
+    vals = rng.integers(1, 10**6, 20_000).astype(np.float64)
+
+    def mk(v, parts):
+        return ray.data.from_arrow(
+            pa.table({"x": pa.array(v, pa.float64())})
+        ).repartition(parts)
+
+    s1 = ddsketch_build(mk(vals, 3), "x")
+    s2 = ddsketch_build(mk(vals, 17), "x")
+    assert (s1["idx"] == s2["idx"]).all()
+    assert (s1["cnt"] == s2["cnt"]).all()
+    # merge(A, B) == build(A + B) bucket-exactly
+    sa = ddsketch_build(mk(vals[:7000], 2), "x")
+    sb = ddsketch_build(mk(vals[7000:], 5), "x")
+    sm = ddsketch_merge(sa, sb)
+    assert (sm["idx"] == s1["idx"]).all()
+    assert (sm["cnt"] == s1["cnt"]).all()
+    assert sm["total"] == s1["total"]
+    est = ddsketch_quantiles(sm, [0.5])
+    true = np.sort(vals)[int(np.floor(0.5 * (len(vals) - 1)))]
+    assert abs(est[0] - true) <= 0.01 * true * 1.0001
+
+
+def test_ddsketch_zero_bucket():
+    from igraph_ray.stages.sketch import ddsketch_build, ddsketch_quantiles
+
+    vals = np.r_[np.zeros(60), np.full(40, 1000.0)]
+    ds = ray.data.from_arrow(pa.table({"x": pa.array(vals)})).repartition(4)
+    sk = ddsketch_build(ds, "x")
+    assert sk["n_zero"] == 60
+    est = ddsketch_quantiles(sk, [0.25, 0.5, 0.9])
+    assert est[0] == 0.0 and est[1] == 0.0
+    assert abs(est[2] - 1000.0) <= 0.01 * 1000.0 * 1.0001
