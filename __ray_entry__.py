@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pref_attachment": q.q_pref_attachment,  # SQL oracle (exact int degree products)
         "resource_allocation": q.q_resource_allocation,  # rows-only (float 1/deg sums; nx pytest oracle)
         "approx_price_quantiles": q.q_approx_price_quantiles,  # rows-only (DDSketch; accuracy pytest oracle)
+        "rewired_degree_hist": q.q_rewired_degree_hist,  # SQL oracle (degree-sequence invariance, bitwise)
     }
 
 
@@ -3443,5 +3444,19 @@ SELECT p.src_key, p.dst_key,
 FROM link_pairs p
 JOIN deg ds ON p.src_key = ds.key
 JOIN deg dd ON p.dst_key = dd.key
+""",
+        # degree-preserving rewiring keeps the degree sequence exactly
+        # → the twin recomputes the ORIGINAL graph's degree histogram
+        "rewired_degree_hist": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM endpoints GROUP BY key)
+SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM deg GROUP BY degree
 """,
     }

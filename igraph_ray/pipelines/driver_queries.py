@@ -5363,3 +5363,61 @@ def q_approx_price_quantiles(sf_dir: str):
             "est": pa.array(est),
         }
     )
+
+
+def q_rewired_degree_hist(sf_dir: str):
+    """(degree, n_vertices) — degree histogram of the E1∪E2 graph
+    AFTER 2 rounds of deterministic degree-preserving rewiring
+    (stages/rewire.py::rewire_edges, igraph_rewire /
+    nx.double_edge_swap semantics).  Rewiring preserves every vertex
+    degree exactly, so the SQL twin recomputes the ORIGINAL graph's
+    histogram — a bitwise invariance check.  Simplicity/determinism
+    are property-tested in tests/test_rewire.py."""
+    from igraph_ray.stages.rewire import rewire_edges
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(s, d)),
+                "dst": pa.array(np.maximum(s, d)),
+            }
+        )
+
+    edges = edges.map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    )
+    rewired = rewire_edges(edges, rounds=2, seed=7)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.concat_arrays(
+                    [
+                        batch.column("src").combine_chunks(),
+                        batch.column("dst").combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    deg = (
+        rewired.map_batches(
+            endpoints, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("vid")
+        .aggregate(Count("vid", alias_name="degree"))
+    )
+    return deg.groupby("degree").aggregate(
+        Count("degree", alias_name="n_vertices")
+    )
