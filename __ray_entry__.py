@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "generated_rmat": q.q_generated_rmat,  # rows-only (generator source; pytest oracles)
         "generated_ba": q.q_generated_ba,  # rows-only (generator source; pytest oracles)
         "generated_config_model": q.q_generated_config_model,  # SQL oracle (degree hist invariant)
+        "generated_grg": q.q_generated_grg,  # SQL oracle (splitmix position replay, bitwise)
         "clustering": q.q_clustering,  # SQL oracle (exact ints + IEEE replay)
         "degree_histogram": q.q_degree_histogram,  # SQL oracle
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
@@ -479,6 +480,16 @@ def _splitmix_chain_sql(expr: str, pfx: str) -> str:
 {pfx}3 AS (SELECT * EXCLUDE (zb),
   CAST({_mul64_sql("CAST(xor(zb, zb >> 27) AS HUGEINT)", "10723151780598845931")} AS UBIGINT) AS zc FROM {pfx}2),
 {pfx}4 AS (SELECT * EXCLUDE (zc), xor(zc, zc >> 31) AS z FROM {pfx}3)"""
+
+
+def _grg_xor_const(salt: int, seed: int) -> int:
+    """The per-axis xor constant of generators._hash2: position z0 =
+    i XOR (salt·φ64 ^ seed·K) mod 2^64 — replayed here so the SQL twin
+    derives positions from the same splitmix64 stream bit-for-bit."""
+    m = 1 << 64
+    return ((salt * 0x9E3779B97F4A7C15) % m) ^ (
+        (seed * 0xC2B2AE3D27D4EB4F) % m
+    )
 
 
 # Symmetric unweighted arc CTE over link_pairs (MATERIALIZED: DuckDB
@@ -1125,6 +1136,8 @@ SELECT doc_id, redacted, email_n, ipv4_n, phone_n FROM s3
 
 
 def oracle_sql() -> dict[str, str]:
+    from igraph_ray.pipelines import driver_queries as q
+
     return {
         # Property twins: greedy coloring / Luby MIS / parallel
         # matching emit SOME valid witness (not canonical), so the
@@ -2653,6 +2666,32 @@ deg AS (SELECT key, COUNT(*) AS degree FROM endpoints GROUP BY key)
 SELECT CAST(degree AS BIGINT) AS degree,
        CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM deg GROUP BY degree
+""",
+        # geometric random graph: replay the splitmix64 position draws
+        # (x_i = splitmix64(i ^ Cx)·2^-64) in HUGEINT, then the O(n²)
+        # IEEE distance test — bitwise-identical to the grid-bucketed
+        # distributed join (which never materializes all pairs)
+        "generated_grg": f"""
+WITH ids AS (
+  SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS i
+  FROM documents CROSS JOIN (SELECT unnest([0, 1])) t
+),
+px0 AS (SELECT i, CAST(xor(CAST(i AS UBIGINT),
+          CAST({_grg_xor_const(1, q.GRG_SEED)} AS UBIGINT)) AS HUGEINT) AS z0 FROM ids),
+{_splitmix_chain_sql("px0", "px")},
+py0 AS (SELECT i, CAST(xor(CAST(i AS UBIGINT),
+          CAST({_grg_xor_const(2, q.GRG_SEED)} AS UBIGINT)) AS HUGEINT) AS z0 FROM ids),
+{_splitmix_chain_sql("py0", "py")},
+pts AS (
+  SELECT px4.i AS vid,
+         CAST(px4.z AS DOUBLE) * pow(2.0, -64) AS x,
+         CAST(py4.z AS DOUBLE) * pow(2.0, -64) AS y
+  FROM px4 JOIN py4 ON px4.i = py4.i
+)
+SELECT a.vid AS src, b.vid AS dst
+FROM pts a JOIN pts b ON a.vid < b.vid
+WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+      <= {q.GRG_RADIUS * q.GRG_RADIUS!r}
 """,
         "transitivity": f"""
 {_LINK_PAIRS},

@@ -3993,6 +3993,25 @@ def q_generated_rmat(sf_dir: str):
     )
 
 
+GRG_RADIUS = 0.04
+GRG_SEED = 5
+
+
+def q_generated_grg(sf_dir: str):
+    """(src, dst) — FULL edge list of a deterministic geometric random
+    graph (igraph ``grg_game``; n = 2 x n_docs points splitmix-uniform
+    in the unit square, undirected edge iff distance <= 0.04).
+    Distributed shape: grid-bucketed self-radius-join, ONE shuffle on
+    the cell id, per-cell work O(n·r²) — never an all-pairs product
+    (sources/generators.py::grg_edges).  The SQL twin replays the
+    splitmix64 position draws in HUGEINT and the IEEE distance test
+    bitwise, so the edge SET matches hash-exact."""
+    from igraph_ray.sources.generators import grg_edges
+
+    n = 2 * documents(sf_dir).count()
+    return grg_edges(n, GRG_RADIUS, seed=GRG_SEED)
+
+
 BAND_US = 60 * 60 * 1_000_000  # 60 min
 ATTR_US = 2 * 3_600 * 1_000_000  # 2 h attribution window
 

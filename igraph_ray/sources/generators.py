@@ -371,3 +371,105 @@ def configuration_model_edges(
 
     rng = ray.data.range(m, override_num_blocks=override_num_blocks)
     return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------
+# Geometric random graph (igraph grg_game)
+# --------------------------------------------------------------------
+
+
+def grg_edges(
+    n: int,
+    radius: float,
+    seed: int = 0,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Geometric random graph (igraph ``grg_game``): ``n`` points
+    hash-uniform in the unit square, undirected edge iff Euclidean
+    distance <= ``radius``.  Positions are stateless splitmix64 draws
+    (``x_i = splitmix64(i ⊕ KX) · 2⁻⁶⁴``), so the construction is
+    deterministic, communication-free, and bit-replayable in SQL.
+
+    Distributed shape — a grid-bucketed self-radius-join: the unit
+    square is cut into ``g×g`` cells of side ``1/g >= radius``; each
+    point is replicated to its home cell + 8 neighbours (bounded 9×
+    fanout); candidate pairs exist only inside a cell; a qualifying
+    pair is emitted by exactly ONE cell (the row-major minimum of the
+    two home cells), so no global dedup shuffle is needed.  ONE
+    shuffle on the cell id; per-cell occupancy is O(n·radius²) — the
+    broadcasted distance matrix stays tiny as n grows with constant
+    expected degree.
+    """
+    if not (0.0 < radius < 1.0):
+        raise ValueError("radius must be in (0, 1)")
+    g = max(1, int(1.0 / radius))  # cell side 1/g >= radius
+    r2 = radius * radius
+    scale = 2.0**-64
+
+    def points(batch: pa.Table) -> pa.Table:
+        i = _ids(batch)
+        x = _hash2(i, 1, seed).astype(np.float64) * scale
+        y = _hash2(i, 2, seed).astype(np.float64) * scale
+        cx = np.minimum((x * g).astype(np.int64), g - 1)
+        cy = np.minimum((y * g).astype(np.int64), g - 1)
+        home = cy * g + cx
+        # replicate to the 3x3 neighbourhood (clipped at the border)
+        outs = []
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                nx_, ny_ = cx + dx, cy + dy
+                ok = (nx_ >= 0) & (nx_ < g) & (ny_ >= 0) & (ny_ < g)
+                outs.append(
+                    (
+                        (ny_[ok] * g + nx_[ok]),
+                        home[ok],
+                        i[ok].astype(np.int64),
+                        x[ok],
+                        y[ok],
+                    )
+                )
+        cell = np.concatenate([o[0] for o in outs])
+        return pa.table(
+            {
+                "cell": pa.array(cell),
+                "home": pa.array(np.concatenate([o[1] for o in outs])),
+                "vid": pa.array(np.concatenate([o[2] for o in outs])),
+                "x": pa.array(np.concatenate([o[3] for o in outs])),
+                "y": pa.array(np.concatenate([o[4] for o in outs])),
+            }
+        )
+
+    def close_pairs(group: pa.Table) -> pa.Table:
+        cell = int(group.column("cell")[0].as_py())
+        vid = group.column("vid").to_numpy(zero_copy_only=False)
+        home = group.column("home").to_numpy(zero_copy_only=False)
+        x = group.column("x").to_numpy(zero_copy_only=False)
+        y = group.column("y").to_numpy(zero_copy_only=False)
+        k = len(vid)
+        if k < 2:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                }
+            )
+        ii, jj = np.triu_indices(k, k=1)
+        dx = x[ii] - x[jj]
+        dy = y[ii] - y[jj]
+        near = dx * dx + dy * dy <= r2
+        owner = np.minimum(home[ii], home[jj]) == cell
+        sel = near & owner & (vid[ii] != vid[jj])
+        a, b = vid[ii][sel], vid[jj][sel]
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(a, b)),
+                "dst": pa.array(np.maximum(a, b)),
+            }
+        )
+
+    pts = ray.data.range(
+        n, override_num_blocks=override_num_blocks
+    ).map_batches(points, batch_format="pyarrow", zero_copy_batch=True)
+    return pts.groupby("cell").map_groups(
+        close_pairs, batch_format="pyarrow"
+    )

@@ -167,3 +167,45 @@ def test_configuration_model_degree_sequence_exact():
 
     with pytest.raises(ValueError):
         configuration_model_edges(np.array([1, 1, 1]))
+
+
+def test_grg_exact_vs_bruteforce():
+    """grg_edges matches the O(n²) brute-force oracle exactly: same
+    splitmix positions, every pair within radius, none outside."""
+    from igraph_ray.sources.generators import _hash2, grg_edges
+
+    n, radius, seed = 400, 0.06, 9
+    ids = np.arange(n, dtype=np.uint64)
+    x = _hash2(ids, 1, seed).astype(np.float64) * 2.0**-64
+    y = _hash2(ids, 2, seed).astype(np.float64) * 2.0**-64
+    dx = x[:, None] - x[None, :]
+    dy = y[:, None] - y[None, :]
+    near = dx * dx + dy * dy <= radius * radius
+    ii, jj = np.nonzero(np.triu(near, k=1))
+    want = set(zip(ii.tolist(), jj.tolist()))
+    got = _pairs(ds_to_table(grg_edges(n, radius, seed=seed)))
+    assert got == want
+    assert len(got) > 50  # non-trivial fixture
+
+
+def test_grg_partition_invariant_and_canonical():
+    from igraph_ray.sources.generators import grg_edges
+
+    a = _pairs(ds_to_table(grg_edges(300, 0.07, seed=2, override_num_blocks=1)))
+    b = _pairs(ds_to_table(grg_edges(300, 0.07, seed=2, override_num_blocks=9)))
+    assert a == b
+    for u, v in a:
+        assert 0 <= u < v < 300  # canonical src<dst, no loops
+    c = _pairs(ds_to_table(grg_edges(300, 0.07, seed=3)))
+    assert a != c
+
+
+def test_grg_bad_radius_rejected():
+    import pytest
+
+    from igraph_ray.sources.generators import grg_edges
+
+    with pytest.raises(ValueError):
+        grg_edges(10, 0.0)
+    with pytest.raises(ValueError):
+        grg_edges(10, 1.5)
