@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resource_allocation": q.q_resource_allocation,  # rows-only (float 1/deg sums; nx pytest oracle)
         "approx_price_quantiles": q.q_approx_price_quantiles,  # rows-only (DDSketch; accuracy pytest oracle)
         "rewired_degree_hist": q.q_rewired_degree_hist,  # SQL oracle (degree-sequence invariance, bitwise)
+        "edit_distance_pairs": q.q_edit_distance_pairs,  # SQL oracle (levenshtein twin, exact ints)
     }
 
 
@@ -3497,5 +3498,15 @@ deg AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS degree
         FROM endpoints GROUP BY key)
 SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
 FROM deg GROUP BY degree
+""",
+        # fuzzy string self-join: DuckDB levenshtein over the (tiny)
+        # distinct-name dictionary is the exact oracle for the
+        # prefix-filtered q-gram index + Myers bit-parallel verify
+        "edit_distance_pairs": """
+WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+FROM names a JOIN names b ON a.name < b.name
+WHERE levenshtein(a.name, b.name) <= 2
 """,
     }

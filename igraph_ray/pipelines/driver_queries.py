@@ -5440,3 +5440,24 @@ def q_rewired_degree_hist(sf_dir: str):
     return deg.groupby("degree").aggregate(
         Count("degree", alias_name="n_vertices")
     )
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity self-join (fuzzy string dedup / entity
+# resolution; igraph has no counterpart — dedup-family operator)
+# ---------------------------------------------------------------------------
+def q_edit_distance_pairs(sf_dir: str):
+    """(name_a, name_b, dist) — every unordered pair of DISTINCT part
+    names within Levenshtein distance 2 (functions/fuzzy.py: prefix-
+    filtered q-gram inverted index + vectorized Myers bit-parallel
+    verify).  Distances are exact integers and names exact strings, so
+    the DuckDB ``levenshtein`` twin matches bitwise."""
+    from igraph_ray.functions.fuzzy import edit_distance_pairs
+
+    parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    out = edit_distance_pairs(parts, "p_name", k=2, q=2)
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
