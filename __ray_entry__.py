@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_price_quantiles": q.q_approx_price_quantiles,  # rows-only (DDSketch; accuracy pytest oracle)
         "rewired_degree_hist": q.q_rewired_degree_hist,  # SQL oracle (degree-sequence invariance, bitwise)
         "edit_distance_pairs": q.q_edit_distance_pairs,  # SQL oracle (levenshtein twin, exact ints)
+        "voronoi_cells": q.q_voronoi_cells,  # SQL oracle (recursive-CTE argmin twin, exact ints)
     }
 
 
@@ -3508,5 +3509,36 @@ SELECT a.name AS name_a, b.name AS name_b,
        CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
 FROM names a JOIN names b ON a.name < b.name
 WHERE levenshtein(a.name, b.name) <= 2
+""",
+        # Voronoi cells: BFS closure from the 3 smallest keys, then
+        # per-vertex argmin (dist, seed key) — vids are dense sorted
+        # key ranks, so min-vid == min-key on distance ties
+        "voronoi_cells": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+seeds AS (SELECT key FROM keys ORDER BY key LIMIT 3),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, 0 FROM seeds
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+),
+best AS (SELECT k, MIN(dist) AS dist FROM walk GROUP BY k),
+pick AS (
+  SELECT w.k, b.dist, MIN(w.s) AS cell
+  FROM best b JOIN walk w ON w.k = b.k AND w.dist = b.dist
+  GROUP BY w.k, b.dist
+)
+SELECT keys.key AS key,
+       CAST(COALESCE(p.dist, -1) AS BIGINT) AS dist,
+       COALESCE(p.cell, '') AS cell
+FROM keys LEFT JOIN pick p ON p.k = keys.key
 """,
     }

@@ -5461,3 +5461,43 @@ def q_edit_distance_pairs(sf_dir: str):
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# Voronoi cells (igraph_voronoi): nearest-generator assignment
+# ---------------------------------------------------------------------------
+def q_voronoi_cells(sf_dir: str, graph_dir: str | None = None):
+    """(key, dist, cell) over the E1∪E2 key graph — every vertex
+    assigned to the nearest of the 3 lexicographically-smallest keys
+    (kernels/voronoi.py lexicographic (dist, seed) min-plus; vids are
+    dense sorted key ranks so the min-vid tie-break IS the min-key
+    tie-break).  Hop distances are exact integers; unreachable rows
+    carry dist = -1 / cell = '' — bitwise vs the recursive-CTE twin."""
+    import tempfile
+
+    from igraph_ray.kernels.voronoi import voronoi_cells
+    from igraph_ray.api import state_to_table
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_vor_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    seeds = vtbl.column("vid").to_numpy(zero_copy_only=False)[:3]
+    run = voronoi_cells(graph, seeds)
+    tbl = state_to_table(run.state, ["vid", "dist", "cell"])
+    keys = vtbl.column("key").combine_chunks()
+    dist = tbl.column("dist").to_numpy(zero_copy_only=False)
+    cell = tbl.column("cell").to_numpy(zero_copy_only=False)
+    reach = np.isfinite(dist)
+    cell_key = pc.if_else(
+        pa.array(reach),
+        pc.take(keys, pa.array(np.where(reach, cell, 0))),
+        pa.scalar("", pa.string()),
+    )
+    return pa.table(
+        {
+            "key": pc.take(keys, tbl.column("vid")),
+            "dist": pa.array(
+                np.where(reach, dist, -1.0).astype(np.int64)
+            ),
+            "cell": cell_key,
+        }
+    )
