@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rewired_degree_hist": q.q_rewired_degree_hist,  # SQL oracle (degree-sequence invariance, bitwise)
         "edit_distance_pairs": q.q_edit_distance_pairs,  # SQL oracle (levenshtein twin, exact ints)
         "voronoi_cells": q.q_voronoi_cells,  # SQL oracle (recursive-CTE argmin twin, exact ints)
+        "domain_stats": q.q_domain_stats,  # SQL oracle (unnest/regexp twin, exact ints)
     }
 
 
@@ -3540,5 +3541,36 @@ SELECT keys.key AS key,
        CAST(COALESCE(p.dist, -1) AS BIGINT) AS dist,
        COALESCE(p.cell, '') AS cell
 FROM keys LEFT JOIN pick p ON p.k = keys.key
+""",
+        # URL extraction: identical deterministic URL-append on both
+        # sides, then tokenize → ^https?:// match → host capture
+        "domain_stats": r"""
+WITH docs AS (
+  SELECT doc_id,
+         text || ' see https://site' || CAST(doc_id % 23 AS VARCHAR)
+              || '.example.org/p/' || CAST(doc_id % 101 AS VARCHAR)
+              || CASE WHEN doc_id % 3 = 0
+                 THEN ' http://mirror' || CAST(doc_id % 7 AS VARCHAR)
+                      || '.example.net/x'
+                 ELSE '' END AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(regexp_split_to_array(t, '\s+'),
+                            x -> x <> '')) AS tok
+  FROM docs
+),
+urls AS (
+  SELECT doc_id, tok AS url,
+         regexp_extract(tok, '^https?://([^/]+)', 1) AS domain
+  FROM toks WHERE regexp_matches(tok, '^https?://[^/]')
+),
+per_doc AS (
+  SELECT domain, doc_id, COUNT(*) AS n FROM urls GROUP BY domain, doc_id
+)
+SELECT domain, CAST(SUM(n) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM per_doc GROUP BY domain
 """,
     }

@@ -1239,3 +1239,57 @@ def _c4_batch(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
             "keep": pc.cast(keep, pa.int64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# URL extraction + per-domain stats (web-pipeline provenance analysis)
+# ---------------------------------------------------------------------------
+def extract_urls(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """``(id_col, url, domain)`` — one row per http(s) URL token in the
+    text.  Fully vectorized: Arrow whitespace split → list flatten →
+    RE2 prefix match → RE2 host capture; no per-row Python.  Tokens
+    with an empty host (``https://``) are dropped."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        toks = pc.utf8_split_whitespace(
+            batch.column(text_col).combine_chunks()
+        )
+        flat = toks.flatten()
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        rep = np.repeat(ids, lens)
+        hit = pc.match_substring_regex(flat, r"^https?://[^/]")
+        idx = np.flatnonzero(
+            hit.to_numpy(zero_copy_only=False).astype(bool)
+        )
+        urls = pc.take(flat, pa.array(idx))
+        dom = pc.struct_field(
+            pc.extract_regex(urls, r"^https?://(?P<host>[^/]+)"), "host"
+        )
+        return pa.table(
+            {id_col: pa.array(rep[idx]), "url": urls, "domain": dom}
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def domain_stats(
+    urls: ray.data.Dataset, id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-domain ``(domain, n_urls, n_docs)`` — total URL mentions and
+    distinct documents.  Two chained groupbys: the first collapses to
+    (domain, doc) partials (output is bounded by the distinct-pair
+    count), the second is a small key-space aggregate."""
+    per_doc = urls.groupby(["domain", id_col]).aggregate(
+        Count(alias_name="n_urls")
+    )
+    return per_doc.groupby("domain").aggregate(
+        Sum("n_urls", alias_name="n_urls"),
+        Count(alias_name="n_docs"),
+    )

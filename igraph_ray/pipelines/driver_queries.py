@@ -5501,3 +5501,53 @@ def q_voronoi_cells(sf_dir: str, graph_dir: str | None = None):
             "cell": cell_key,
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# URL / domain extraction stats (web-pipeline provenance analysis)
+# ---------------------------------------------------------------------------
+def q_domain_stats(sf_dir: str):
+    """(domain, n_urls, n_docs) — the testdata text has no URLs, so
+    both engines append identical deterministic URL tokens (one per
+    doc, a second on every 3rd doc) and then EXTRACT them back with
+    the real tokenize→match→host-capture pipeline
+    (functions/text.py::extract_urls/domain_stats).  Exact int counts
+    — bitwise vs the unnest/regexp SQL twin."""
+    from igraph_ray.functions.text import domain_stats, extract_urls
+
+    def with_urls(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        site = np.char.mod("site%d.example.org", doc_id % 23)
+        page = np.char.mod("%d", doc_id % 101)
+        extra = np.where(
+            doc_id % 3 == 0,
+            np.char.mod(" http://mirror%d.example.net/x", doc_id % 7),
+            "",
+        )
+        text = batch.column("text").to_numpy(zero_copy_only=False)
+        t = (
+            np.char.add(
+                np.char.add(
+                    np.char.add(
+                        np.char.add(text.astype(str), " see https://"),
+                        site,
+                    ),
+                    "/p/",
+                ),
+                np.char.add(page, extra),
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text": pa.array(t, pa.string()),
+            }
+        )
+
+    docs = documents(sf_dir).map_batches(
+        with_urls, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = domain_stats(extract_urls(docs))
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )

@@ -476,3 +476,44 @@ def test_duplicate_span_stats():
     assert rows[1]["n_dup_windows"] == 1
     assert rows[2]["n_dup_windows"] == 0 and rows[2]["dup_ratio"] == 0.0
     assert rows[4]["n_windows"] == 9 and rows[4]["dup_ratio"] == 1.0
+
+
+def test_extract_urls_and_domain_stats():
+    from igraph_ray.functions.text import domain_stats, extract_urls
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": pa.array(
+                    [
+                        "see https://a.com/x and http://b.org/y end",
+                        "no urls here at all",
+                        "dup https://a.com/x https://a.com/z bare https://",
+                        "https://a.com/q starts the line",
+                    ]
+                ),
+            }
+        )
+    )
+    urls = ds_to_table(extract_urls(ds)).sort_by(
+        [("doc_id", "ascending"), ("url", "ascending")]
+    )
+    assert urls.column("url").to_pylist() == [
+        "http://b.org/y",
+        "https://a.com/x",
+        "https://a.com/x",
+        "https://a.com/z",
+        "https://a.com/q",
+    ]
+    assert urls.column("domain").to_pylist() == [
+        "b.org",
+        "a.com",
+        "a.com",
+        "a.com",
+        "a.com",
+    ]
+    stats = ds_to_table(domain_stats(extract_urls(ds))).sort_by("domain")
+    assert stats.column("domain").to_pylist() == ["a.com", "b.org"]
+    assert stats.column("n_urls").to_pylist() == [4, 1]
+    assert stats.column("n_docs").to_pylist() == [3, 1]
