@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": q.q_edit_distance_pairs,  # SQL oracle (levenshtein twin, exact ints)
         "voronoi_cells": q.q_voronoi_cells,  # SQL oracle (recursive-CTE argmin twin, exact ints)
         "domain_stats": q.q_domain_stats,  # SQL oracle (unnest/regexp twin, exact ints)
+        "s_core": q.q_s_core,  # SQL oracle (unrolled weighted peeling, exact int levels)
     }
 
 
@@ -532,6 +533,57 @@ e{i} AS MATERIALIZED (
 {_LINK_PAIRS},
 {",".join(parts)}
 SELECT s AS src_key, d AS dst_key FROM e{rounds}
+"""
+
+
+def _s_core_sql(smax: int = 10, rounds: int = 9) -> str:
+    """Weighted s-core by unrolled peeling over the deterministic
+    doc-id-class graph (twin of driver_queries.q_s_core): for each
+    integer threshold t, iteratively keep vertices whose summed edge
+    weight to survivors is >= t; core = max surviving t (levels are
+    integers because the weights are).  The sf0.01 fixture needs
+    smax=10 and 7 sync rounds; 9 leaves margin."""
+    parts = []
+    finals = []
+    for t in range(1, smax + 1):
+        parts.append(
+            f"al_{t}_0 AS MATERIALIZED (SELECT v FROM verts)"
+        )
+        for r in range(1, rounds + 1):
+            parts.append(
+                f"""al_{t}_{r} AS MATERIALIZED (
+  SELECT p.v FROM al_{t}_{r - 1} p
+  WHERE (
+    SELECT COALESCE(SUM(a.w), 0) FROM arcs a
+    JOIN al_{t}_{r - 1} q ON q.v = a.d
+    WHERE a.s = p.v
+  ) >= {t}
+)"""
+            )
+        finals.append(f"SELECT v, {t} AS t FROM al_{t}_{rounds}")
+    return f"""
+WITH cls AS (SELECT DISTINCT doc_id % 101 AS i FROM documents),
+e0 AS (
+  SELECT i, (2 * i + 1) % 101 AS j, CAST(i % 5 + 1 AS DOUBLE) AS w FROM cls
+  UNION ALL
+  SELECT i, (3 * i + 7) % 101 AS j, CAST(i % 7 + 1 AS DOUBLE) AS w FROM cls
+),
+pairs AS (
+  SELECT LEAST(i, j) AS a, GREATEST(i, j) AS b, SUM(w) AS w
+  FROM e0 WHERE i <> j GROUP BY 1, 2
+),
+arcs AS (
+  SELECT a AS s, b AS d, w FROM pairs
+  UNION ALL
+  SELECT b, a, w FROM pairs
+),
+verts AS (SELECT i AS v FROM cls),
+{",".join(parts)},
+survive AS ({" UNION ALL ".join(finals)})
+SELECT vv.v AS vertex, CAST(COALESCE(mx.core, 0) AS DOUBLE) AS core
+FROM verts vv
+LEFT JOIN (SELECT v, MAX(t) AS core FROM survive GROUP BY v) mx
+  ON mx.v = vv.v
 """
 
 
@@ -3573,4 +3625,5 @@ SELECT domain, CAST(SUM(n) AS BIGINT) AS n_urls,
        CAST(COUNT(*) AS BIGINT) AS n_docs
 FROM per_doc GROUP BY domain
 """,
+        "s_core": _s_core_sql(),
     }

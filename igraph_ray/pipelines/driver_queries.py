@@ -5551,3 +5551,69 @@ def q_domain_stats(sf_dir: str):
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted s-core (generalized core; Eidsaa-Almaas s-core decomposition)
+# ---------------------------------------------------------------------------
+def q_s_core(sf_dir: str, graph_dir: str | None = None):
+    """(vertex, core) — weighted coreness of a deterministic
+    heterogeneous weighted graph over the doc-id classes (i → (2i+1),
+    (3i+7) mod 101 with weights i%5+1 / i%7+1, canonical dedup-sum;
+    7 distinct core levels at sf0.01).  kernels/kcore.py::
+    s_core_numbers (distributed weighted h-index fixed point);
+    integer edge weights make the float64 cores exact integers, so the
+    unrolled-peeling SQL twin matches bitwise."""
+    import tempfile
+
+    from igraph_ray.api import build_graph, state_to_table
+    from igraph_ray.kernels.kcore import s_core_numbers
+
+    def classes(batch: pa.Table) -> pa.Table:
+        i = batch.column("doc_id").to_numpy(zero_copy_only=False) % 101
+        return pa.table({"i": pa.array(i.astype(np.int64))})
+
+    cls = (
+        documents(sf_dir)
+        .map_batches(classes, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("i")
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def derive_edges(batch: pa.Table) -> pa.Table:
+        i = batch.column("i").to_numpy(zero_copy_only=False)
+        j1 = (2 * i + 1) % 101
+        w1 = (i % 5 + 1).astype(np.float64)
+        j2 = (3 * i + 7) % 101
+        w2 = (i % 7 + 1).astype(np.float64)
+        s = np.concatenate([i, i])
+        d = np.concatenate([j1, j2])
+        w = np.concatenate([w1, w2])
+        keep = s != d
+        s, d, w = s[keep], d[keep], w[keep]
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(s, d)),
+                "dst": pa.array(np.maximum(s, d)),
+                "weight": pa.array(w),
+            }
+        )
+
+    edges = (
+        cls.map_batches(
+            derive_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["src", "dst"])
+        .aggregate(Sum("weight", alias_name="weight"))
+    )
+    vertices = cls.rename_columns({"i": "vid"})
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_score_")
+    graph = build_graph(
+        edges, graph_dir, symmetrize=True, vertices=vertices
+    )
+    run = s_core_numbers(graph)
+    tbl = state_to_table(run.state, ["vid", "core"])
+    return pa.table(
+        {"vertex": tbl.column("vid"), "core": tbl.column("core")}
+    )
