@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "voronoi_cells": q.q_voronoi_cells,  # SQL oracle (recursive-CTE argmin twin, exact ints)
         "domain_stats": q.q_domain_stats,  # SQL oracle (unnest/regexp twin, exact ints)
         "s_core": q.q_s_core,  # SQL oracle (unrolled weighted peeling, exact int levels)
+        "steiner_tree": q.q_steiner_tree,  # rows-only (Mehlhorn 2-approx; exactness/bound/determinism pytest oracles)
     }
 
 

@@ -5617,3 +5617,37 @@ def q_s_core(sf_dir: str, graph_dir: str | None = None):
     return pa.table(
         {"vertex": tbl.column("vid"), "core": tbl.column("core")}
     )
+
+
+# ---------------------------------------------------------------------------
+# Steiner tree (igraph_steiner_tree / nx approximation.steiner_tree)
+# ---------------------------------------------------------------------------
+def q_steiner_tree(sf_dir: str, graph_dir: str | None = None):
+    """(src_key, dst_key, weight) — Mehlhorn 2-approximate Steiner tree
+    over the E1∪E2 key graph connecting the 6 lexicographically
+    smallest keys (kernels/steiner.py; vids are dense sorted key ranks
+    so min-vid tie-breaks ARE min-key tie-breaks, and every stage
+    breaks ties deterministically).  Rows-only: Mehlhorn's Voronoi/
+    quotient/MST composition is not SQL-expressible; the pytest suite
+    (tests/test_steiner.py) pins exactness on trees, the 2·(1−1/ℓ)
+    bound vs brute-force OPT, and structural validity + determinism."""
+    import tempfile
+
+    from igraph_ray.kernels.steiner import steiner_tree
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_steiner_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    # identical symmetrized weighted edge table to the one the cached
+    # graph was built from (weights must replay the CSR bit-for-bit)
+    pairs = _link_graph_edges(sf_dir)
+    vertices = ray.data.from_arrow(vtbl)
+    edges = symmetrize_dedup(attach_vids(pairs, vertices))
+    terms = vtbl.column("vid").to_numpy(zero_copy_only=False)[:6]
+    out = steiner_tree(graph, edges, terms)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    tbl = _vid_to_key(tbl, vtbl, {"src": "src_key", "dst": "dst_key"})
+    return tbl.sort_by(
+        [("src_key", "ascending"), ("dst_key", "ascending")]
+    )

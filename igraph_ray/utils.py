@@ -47,3 +47,25 @@ def num_parts_for(num_edges: int, num_vertices: int, target_edges_per_part: int 
     if num_vertices > 64:
         p = max(p, 2)
     return int(min(p, max(1, num_vertices)))
+
+
+def drop_empty_blocks(ds):
+    """Strip zero-row blocks from a MATERIALIZED dataset.
+
+    Ray Data's sort machinery (every ``groupby`` rides on it) emits
+    zero-COLUMN blocks for empty sort partitions; pyarrow's hash join
+    then fails with "No match for key field on left side" when such a
+    block reaches a join input.  The filter is metadata-only on the
+    driver (no block fetch) and keeps the surviving block refs as-is,
+    so it is O(#blocks) regardless of data size.
+    """
+    import ray.data
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs:
+        return None
+    return ray.data.from_arrow_refs(refs)
