@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q.q_domain_stats,  # SQL oracle (unnest/regexp twin, exact ints)
         "s_core": q.q_s_core,  # SQL oracle (unrolled weighted peeling, exact int levels)
         "steiner_tree": q.q_steiner_tree,  # rows-only (Mehlhorn 2-approx; exactness/bound/determinism pytest oracles)
+        "generated_sbm": q.q_generated_sbm,  # SQL oracle (splitmix pair-index replay, bitwise)
     }
 
 
@@ -2748,6 +2749,42 @@ SELECT a.vid AS src, b.vid AS dst
 FROM pts a JOIN pts b ON a.vid < b.vid
 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
       <= {q.GRG_RADIUS * q.GRG_RADIUS!r}
+""",
+        # stochastic block model: replay the per-pair splitmix64 keep
+        # decision (pair index t = u·n − u(u+1)/2 + v−u−1, keep iff
+        # splitmix64(t ⊕ C) >> 11 < ⌊p·2⁵³⌋) bitwise in HUGEINT —
+        # identical to the communication-free distributed generator
+        "generated_sbm": f"""
+WITH nn AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) // 3 AS BIGINT) AS k
+  FROM documents
+),
+ids AS (
+  SELECT CAST(row_number() OVER () - 1 AS BIGINT) AS i FROM documents
+),
+pr0 AS (
+  SELECT a.i AS u, b.i AS v,
+         CASE WHEN a.i < nn.n - 2 * nn.k THEN 0
+              WHEN a.i < nn.n - nn.k THEN 1 ELSE 2 END AS bu,
+         CASE WHEN b.i < nn.n - 2 * nn.k THEN 0
+              WHEN b.i < nn.n - nn.k THEN 1 ELSE 2 END AS bv,
+         CAST(xor(CAST(a.i * nn.n - (a.i * (a.i + 1)) // 2
+                       + b.i - a.i - 1 AS UBIGINT),
+                  CAST({_grg_xor_const(7, q.SBM_SEED)} AS UBIGINT))
+              AS HUGEINT) AS z0
+  FROM ids a JOIN ids b ON a.i < b.i CROSS JOIN nn
+),
+{_splitmix_chain_sql("pr0", "sb")}
+SELECT u AS src, v AS dst FROM sb4
+WHERE CAST(z >> 11 AS BIGINT) < CASE
+  WHEN bu = 0 AND bv = 0 THEN {min(1 << 53, int(q.SBM_P[0][0] * (1 << 53)))}
+  WHEN bu = 0 AND bv = 1 THEN {min(1 << 53, int(q.SBM_P[0][1] * (1 << 53)))}
+  WHEN bu = 0 AND bv = 2 THEN {min(1 << 53, int(q.SBM_P[0][2] * (1 << 53)))}
+  WHEN bu = 1 AND bv = 1 THEN {min(1 << 53, int(q.SBM_P[1][1] * (1 << 53)))}
+  WHEN bu = 1 AND bv = 2 THEN {min(1 << 53, int(q.SBM_P[1][2] * (1 << 53)))}
+  ELSE {min(1 << 53, int(q.SBM_P[2][2] * (1 << 53)))}
+END
 """,
         "transitivity": f"""
 {_LINK_PAIRS},

@@ -5651,3 +5651,26 @@ def q_steiner_tree(sf_dir: str, graph_dir: str | None = None):
     return tbl.sort_by(
         [("src_key", "ascending"), ("dst_key", "ascending")]
     )
+
+
+# ---------------------------------------------------------------------------
+# Stochastic block model generator (igraph sbm_game)
+# ---------------------------------------------------------------------------
+SBM_SEED = 17
+SBM_P = [[0.32, 0.04, 0.02], [0.04, 0.28, 0.03], [0.02, 0.03, 0.24]]
+
+
+def q_generated_sbm(sf_dir: str):
+    """(src, dst) — FULL edge list of a deterministic stochastic block
+    model (igraph ``sbm_game``; n = n_docs vertices in 3 contiguous
+    blocks of sizes [n−2·⌊n/3⌋, ⌊n/3⌋, ⌊n/3⌋], symmetric pref matrix
+    SBM_P).  Per-pair keep decision = splitmix64(pair_index ⊕ C) >> 11
+    < ⌊p·2⁵³⌋ — stateless, one communication-free map over the pair
+    domain (sources/generators.py::sbm_edges).  The SQL twin replays
+    the identical splitmix draws in HUGEINT, so the edge set matches
+    hash-exact."""
+    from igraph_ray.sources.generators import sbm_edges
+
+    n = documents(sf_dir).count()
+    k = n // 3
+    return sbm_edges([n - 2 * k, k, k], SBM_P, seed=SBM_SEED)

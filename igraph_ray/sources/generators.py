@@ -473,3 +473,68 @@ def grg_edges(
     return pts.groupby("cell").map_groups(
         close_pairs, batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------
+# Stochastic block model (igraph sbm_game)
+# --------------------------------------------------------------------
+
+
+def sbm_edges(
+    block_sizes: list[int],
+    pref_matrix: list[list[float]],
+    seed: int = 0,
+    override_num_blocks: int | None = None,
+) -> ray.data.Dataset:
+    """Stochastic block model (igraph ``igraph_sbm_game``, undirected
+    simple): vertices ``0..n-1`` assigned to contiguous blocks of the
+    given sizes (igraph's convention); each unordered pair ``u < v``
+    is kept independently with probability
+    ``pref_matrix[b(u)][b(v)]``.
+
+    Per-pair decision is stateless: with ``t`` the lexicographic pair
+    index, keep iff ``splitmix64(t ⊕ C(seed)) >> 11 < ⌊p·2⁵³⌋`` — no
+    RNG state, so the edge set is bitwise identical across runs, block
+    sizes and cluster shapes, and replayable in SQL.
+
+    Distributed shape: one communication-free ``map_batches`` over the
+    pair-index domain ``n(n−1)/2`` — O(n²) hash evaluations total,
+    embarrassingly parallel, no shuffle.  That bound is fine for the
+    dense/Bernoulli regime the SBM models; for sparse giant graphs
+    generate per-block-pair edge COUNTS and use :func:`gnm_edges` per
+    block pair instead (same Feistel machinery, O(m) work).
+    """
+    sizes = np.asarray(block_sizes, np.int64)
+    if (sizes <= 0).any():
+        raise ValueError("block sizes must be positive")
+    P = np.asarray(pref_matrix, np.float64)
+    k = len(sizes)
+    if P.shape != (k, k):
+        raise ValueError(f"pref_matrix must be {k}x{k}")
+    if not np.allclose(P, P.T):
+        raise ValueError("pref_matrix must be symmetric (undirected)")
+    if ((P < 0) | (P > 1)).any():
+        raise ValueError("probabilities must be in [0, 1]")
+    n = int(sizes.sum())
+    domain = n * (n - 1) // 2
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    # exact 53-bit integer thresholds — the shared constant both the
+    # numpy path and the SQL twin compare against
+    thr53 = np.array(
+        [[min(1 << 53, int(p * (1 << 53))) for p in row] for row in P],
+        np.int64,
+    )
+
+    def gen(batch: pa.Table) -> pa.Table:
+        t = _ids(batch)
+        u, v = _pair_decode(t, n)
+        bu = np.searchsorted(starts, u, side="right") - 1
+        bv = np.searchsorted(starts, v, side="right") - 1
+        r53 = (_hash2(t, 7, seed) >> _U64(11)).astype(np.int64)
+        keep = r53 < thr53[bu, bv]
+        return pa.table(
+            {"src": pa.array(u[keep]), "dst": pa.array(v[keep])}
+        )
+
+    rng = ray.data.range(domain, override_num_blocks=override_num_blocks)
+    return rng.map_batches(gen, batch_format="pyarrow", zero_copy_batch=True)

@@ -209,3 +209,54 @@ def test_grg_bad_radius_rejected():
         grg_edges(10, 0.0)
     with pytest.raises(ValueError):
         grg_edges(10, 1.5)
+
+
+def test_sbm_exact_vs_bruteforce():
+    """sbm_edges matches the per-pair brute-force replay exactly, and
+    per-block-pair densities track the pref matrix."""
+    from igraph_ray.sources.generators import _hash2, sbm_edges
+
+    sizes = [40, 35, 25]
+    P = [[0.45, 0.06, 0.02], [0.06, 0.4, 0.05], [0.02, 0.05, 0.3]]
+    seed = 13
+    n = sum(sizes)
+    starts = np.concatenate([[0], np.cumsum(sizes)])
+    thr = np.array(
+        [[int(p * (1 << 53)) for p in row] for row in P], np.int64
+    )
+    want = set()
+    t = 0
+    for u in range(n):
+        for v in range(u + 1, n):
+            r = int(_hash2(np.array([t], np.uint64), 7, seed)[0]) >> 11
+            bu = int(np.searchsorted(starts, u, side="right")) - 1
+            bv = int(np.searchsorted(starts, v, side="right")) - 1
+            if r < thr[bu, bv]:
+                want.add((u, v))
+            t += 1
+    got = _pairs(ds_to_table(sbm_edges(sizes, P, seed=seed)))
+    assert got == want
+    # density shape: diagonal blocks much denser than off-diagonal
+    d00 = sum(1 for u, v in got if v < 40) / (40 * 39 / 2)
+    d01 = sum(1 for u, v in got if u < 40 <= v < 75) / (40 * 35)
+    assert d00 > 4 * d01
+
+
+def test_sbm_partition_invariant_and_validation():
+    import pytest
+
+    from igraph_ray.sources.generators import sbm_edges
+
+    sizes = [30, 30]
+    P = [[0.3, 0.04], [0.04, 0.3]]
+    a = _pairs(ds_to_table(sbm_edges(sizes, P, seed=1, override_num_blocks=1)))
+    b = _pairs(ds_to_table(sbm_edges(sizes, P, seed=1, override_num_blocks=7)))
+    assert a == b and len(a) > 50
+    for u, v in a:
+        assert 0 <= u < v < 60
+    with pytest.raises(ValueError):
+        sbm_edges([30, 30], [[0.5, 0.1], [0.2, 0.5]])  # asymmetric
+    with pytest.raises(ValueError):
+        sbm_edges([30, -1], P)
+    with pytest.raises(ValueError):
+        sbm_edges([30, 30], [[1.5, 0.1], [0.1, 0.5]])
