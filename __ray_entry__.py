@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_core": q.q_s_core,  # SQL oracle (unrolled weighted peeling, exact int levels)
         "steiner_tree": q.q_steiner_tree,  # rows-only (Mehlhorn 2-approx; exactness/bound/determinism pytest oracles)
         "generated_sbm": q.q_generated_sbm,  # SQL oracle (splitmix pair-index replay, bitwise)
+        "mojibake_stats": q.q_mojibake_stats,  # SQL oracle (length/replace literal counts, bitwise)
     }
 
 
@@ -496,6 +497,17 @@ def _grg_xor_const(salt: int, seed: int) -> int:
     return ((salt * 0x9E3779B97F4A7C15) % m) ^ (
         (seed * 0xC2B2AE3D27D4EB4F) % m
     )
+
+
+def _sql_str(s: str) -> str:
+    """Single-quoted SQL string literal (doubles embedded quotes)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+from igraph_ray.functions.text import (  # noqa: E402
+    MOJIBAKE_LITERALS as _MOJI,
+    REPLACEMENT_CHAR as _REPL,
+)
 
 
 # Symmetric unweighted arc CTE over link_pairs (MATERIALIZED: DuckDB
@@ -2785,6 +2797,31 @@ WHERE CAST(z >> 11 AS BIGINT) < CASE
   WHEN bu = 1 AND bv = 2 THEN {min(1 << 53, int(q.SBM_P[1][2] * (1 << 53)))}
   ELSE {min(1 << 53, int(q.SBM_P[2][2] * (1 << 53)))}
 END
+""",
+        # mojibake detection: same deterministic artifact injection,
+        # then per-literal non-overlapping occurrence counts via the
+        # length/replace identity — exact ints, bitwise
+        "mojibake_stats": f"""
+WITH injected AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 4 = 0 THEN {_sql_str(" caf" + _MOJI[0])} ELSE '' END
+         || CASE WHEN doc_id % 9 = 0 THEN {_sql_str(" lost" + _REPL + " q" + _MOJI[6])} ELSE '' END
+         AS t
+  FROM documents
+),
+counts AS (
+  SELECT doc_id,
+         ({" + ".join(f"(length(t) - length(replace(t, {_sql_str(lit)}, ''))) // {len(lit)}" for lit in _MOJI)}) AS n_mojibake,
+         (length(t) - length(replace(t, {_sql_str(_REPL)}, ''))) // {len(_REPL)} AS n_replacement
+  FROM injected
+)
+SELECT doc_id,
+       CAST(n_mojibake AS BIGINT) AS n_mojibake,
+       CAST(n_replacement AS BIGINT) AS n_replacement,
+       CAST(CASE WHEN n_mojibake = 0 AND n_replacement = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS is_clean
+FROM counts
 """,
         "transitivity": f"""
 {_LINK_PAIRS},

@@ -1293,3 +1293,65 @@ def domain_stats(
         Sum("n_urls", alias_name="n_urls"),
         Count(alias_name="n_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Encoding-quality / mojibake detection (ftfy-style curation heuristic)
+# ---------------------------------------------------------------------------
+
+# Literal artifact sequences of UTF-8 bytes mis-decoded as cp1252 (the
+# dominant real-world mojibake class: 'e-acute' -> 'A-tilde,copyright',
+# right-quote -> 'a-circ,euro,trade', NBSP -> 'A-circ,nbsp').  Only
+# sequences whose cp1252 rendering is fully printable are listed, so
+# the table round-trips through SQL string literals unchanged.
+MOJIBAKE_LITERALS: tuple[str, ...] = (
+    "Ã©",  # e-acute
+    "Ã¨",  # e-grave
+    "Ã¤",  # a-umlaut
+    "Ã¶",  # o-umlaut
+    "Ã¼",  # u-umlaut
+    "Ã±",  # n-tilde
+    "â€™",  # right single quote
+    "â€œ",  # left double quote
+    "â€“",  # en dash
+    "Â ",  # non-breaking space
+)
+REPLACEMENT_CHAR = "�"
+
+
+def mojibake_stats(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-document encoding-quality stats: ``n_mojibake`` (total hits
+    of the cp1252-double-decode literal table), ``n_replacement``
+    (U+FFFD count) and ``is_clean`` (1 iff both are zero) — the
+    ftfy-flavoured curation signal for dropping or re-decoding
+    mis-encoded web documents.
+
+    Vectorized: one Arrow ``count_substring`` kernel per literal, no
+    per-row Python; O(len(text) x |literals|) with a tiny fixed
+    literal table, embarrassingly parallel, no shuffle.  Counts are
+    exact integers, so the operator is bitwise SQL-replayable.
+    """
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        total = pc.count_substring(text, MOJIBAKE_LITERALS[0])
+        for lit in MOJIBAKE_LITERALS[1:]:
+            total = pc.add(total, pc.count_substring(text, lit))
+        repl = pc.count_substring(text, REPLACEMENT_CHAR)
+        total = pc.cast(total, pa.int64())
+        repl = pc.cast(repl, pa.int64())
+        clean = pc.cast(
+            pc.and_(pc.equal(total, 0), pc.equal(repl, 0)), pa.int64()
+        )
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_mojibake": total,
+                "n_replacement": repl,
+                "is_clean": clean,
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)

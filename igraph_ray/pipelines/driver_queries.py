@@ -5674,3 +5674,36 @@ def q_generated_sbm(sf_dir: str):
     n = documents(sf_dir).count()
     k = n // 3
     return sbm_edges([n - 2 * k, k, k], SBM_P, seed=SBM_SEED)
+
+
+# ---------------------------------------------------------------------------
+# Encoding-quality / mojibake stats (ftfy-style curation signal)
+# ---------------------------------------------------------------------------
+def q_mojibake_stats(sf_dir: str):
+    """(doc_id, n_mojibake, n_replacement, is_clean) — the testdata
+    text is clean, so both engines inject identical deterministic
+    artifacts (a cp1252 double-decode token on every 4th doc, U+FFFD +
+    curly-quote mojibake on every 9th) and then DETECT them with the
+    real vectorized literal-table scan
+    (functions/text.py::mojibake_stats).  Exact int counts — bitwise
+    vs the length/replace SQL twin."""
+    from igraph_ray.functions.text import (
+        MOJIBAKE_LITERALS,
+        REPLACEMENT_CHAR,
+        mojibake_stats,
+    )
+
+    inj4 = " caf" + MOJIBAKE_LITERALS[0]
+    inj9 = " lost" + REPLACEMENT_CHAR + " q" + MOJIBAKE_LITERALS[6]
+
+    def inject(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        text = batch.column("text").to_numpy(zero_copy_only=False).astype(str)
+        t = np.char.add(text, np.where(doc_id % 4 == 0, inj4, ""))
+        t = np.char.add(t, np.where(doc_id % 9 == 0, inj9, ""))
+        return pa.table({"doc_id": pa.array(doc_id), "text": pa.array(t)})
+
+    docs = documents(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return mojibake_stats(docs)

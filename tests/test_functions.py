@@ -517,3 +517,41 @@ def test_extract_urls_and_domain_stats():
     assert stats.column("domain").to_pylist() == ["a.com", "b.org"]
     assert stats.column("n_urls").to_pylist() == [4, 1]
     assert stats.column("n_docs").to_pylist() == [3, 1]
+
+
+def test_mojibake_stats():
+    """mojibake_stats counts double-decode artifacts and U+FFFD
+    exactly, flags clean docs, and pure-Python recount agrees."""
+    import ray.data
+
+    from igraph_ray.functions.text import (
+        MOJIBAKE_LITERALS,
+        REPLACEMENT_CHAR,
+        mojibake_stats,
+    )
+
+    texts = [
+        "perfectly clean ascii",
+        "caf" + MOJIBAKE_LITERALS[0] + " twice " + MOJIBAKE_LITERALS[0],
+        "quote " + MOJIBAKE_LITERALS[6] + " dash " + MOJIBAKE_LITERALS[8],
+        "lost " + REPLACEMENT_CHAR * 3,
+        "unicode café résumé is fine",  # real accents are NOT mojibake
+        "",
+    ]
+    t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    out = (
+        pa.concat_tables(
+            mojibake_stats(ray.data.from_arrow(t)).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        .sort_by("doc_id")
+        .to_pydict()
+    )
+    want_moji = [
+        sum(s.count(lit) for lit in MOJIBAKE_LITERALS) for s in texts
+    ]
+    want_repl = [s.count(REPLACEMENT_CHAR) for s in texts]
+    assert out["n_mojibake"] == want_moji == [0, 2, 2, 0, 0, 0]
+    assert out["n_replacement"] == want_repl == [0, 0, 0, 3, 0, 0]
+    assert out["is_clean"] == [1, 0, 0, 0, 1, 1]
