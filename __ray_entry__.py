@@ -248,6 +248,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "steiner_tree": q.q_steiner_tree,  # rows-only (Mehlhorn 2-approx; exactness/bound/determinism pytest oracles)
         "generated_sbm": q.q_generated_sbm,  # SQL oracle (splitmix pair-index replay, bitwise)
         "mojibake_stats": q.q_mojibake_stats,  # SQL oracle (length/replace literal counts, bitwise)
+        "priority_price_quantiles": q.q_priority_price_quantiles,  # SQL oracle (grouped quantile_disc, exact ints)
     }
 
 
@@ -2965,6 +2966,21 @@ SELECT 0.25 AS q, quantile_disc(c, 0.25) AS value FROM v
 UNION ALL SELECT 0.5, quantile_disc(c, 0.5) FROM v
 UNION ALL SELECT 0.75, quantile_disc(c, 0.75) FROM v
 UNION ALL SELECT 0.95, quantile_disc(c, 0.95) FROM v
+""",
+        "priority_price_quantiles": """
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM orders
+)
+SELECT o_orderpriority, 0.25 AS q, quantile_disc(c, 0.25) AS value
+FROM v GROUP BY o_orderpriority
+UNION ALL SELECT o_orderpriority, 0.5, quantile_disc(c, 0.5)
+FROM v GROUP BY o_orderpriority
+UNION ALL SELECT o_orderpriority, 0.75, quantile_disc(c, 0.75)
+FROM v GROUP BY o_orderpriority
+UNION ALL SELECT o_orderpriority, 0.95, quantile_disc(c, 0.95)
+FROM v GROUP BY o_orderpriority
 """,
         "priority_lineitems": (
             "SELECT o.o_orderpriority, "

@@ -5707,3 +5707,35 @@ def q_mojibake_stats(sf_dir: str):
         inject, batch_format="pyarrow", zero_copy_batch=True
     )
     return mojibake_stats(docs)
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles (per-group quantile_disc without sort)
+# ---------------------------------------------------------------------------
+def q_priority_price_quantiles(sf_dir: str):
+    """(o_orderpriority, q, value) — exact per-priority discrete
+    quantiles of o_totalprice in integer cents
+    (stages/quantile.py::grouped_quantiles_int: one (group, value)
+    count shuffle + vectorized per-group selection, NO sort of the
+    data).  Rank semantics = DuckDB quantile_disc, so the twin
+    hash-compares exactly."""
+    from igraph_ray.stages.quantile import grouped_quantiles_int
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    orders = orders.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_quantiles_int(orders, "o_orderpriority", "c", PRICE_QS)
