@@ -249,6 +249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "generated_sbm": q.q_generated_sbm,  # SQL oracle (splitmix pair-index replay, bitwise)
         "mojibake_stats": q.q_mojibake_stats,  # SQL oracle (length/replace literal counts, bitwise)
         "priority_price_quantiles": q.q_priority_price_quantiles,  # SQL oracle (grouped quantile_disc, exact ints)
+        "node_classification": q.q_node_classification,  # rows-only (harmonic diffusion; dense-replay pytest oracle)
     }
 
 

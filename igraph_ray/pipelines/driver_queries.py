@@ -5739,3 +5739,36 @@ def q_priority_price_quantiles(sf_dir: str):
         cents, batch_format="pyarrow", zero_copy_batch=True
     )
     return grouped_quantiles_int(orders, "o_orderpriority", "c", PRICE_QS)
+
+
+# ---------------------------------------------------------------------------
+# Harmonic-function semi-supervised node classification
+# ---------------------------------------------------------------------------
+def q_node_classification(sf_dir: str, graph_dir: str | None = None):
+    """(key, label) — harmonic-function label propagation (Zhu et al.
+    2003; nx node_classification.harmonic_function semantics) over the
+    E1∪E2 key graph: seeds are the lexicographically smallest key of
+    each of the first 4 repos, labeled with their repo id; every key
+    takes argmax of the 30-iteration diffusion.  Rows-only (float
+    fixed point); the dense-replay pytest oracle is
+    tests/test_node_classification.py."""
+    import tempfile
+
+    from igraph_ray.kernels.node_classification import (
+        harmonic_function_labels,
+    )
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_nodecls_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    keys = np.asarray(vtbl.column("key").to_pylist())
+    repos = np.asarray([k.split(":", 1)[0] for k in keys])
+    seed_vids, seed_labels = [], []
+    for r in sorted(set(repos))[:4]:
+        pos = int(np.flatnonzero(repos == r)[0])  # keys sorted => min key
+        seed_vids.append(int(vtbl.column("vid")[pos].as_py()))
+        seed_labels.append(r)
+    out = harmonic_function_labels(graph, seed_vids, seed_labels)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"}).sort_by("key")
