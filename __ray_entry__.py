@@ -250,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_stats": q.q_mojibake_stats,  # SQL oracle (length/replace literal counts, bitwise)
         "priority_price_quantiles": q.q_priority_price_quantiles,  # SQL oracle (grouped quantile_disc, exact ints)
         "node_classification": q.q_node_classification,  # rows-only (harmonic diffusion; dense-replay pytest oracle)
+        "tfidf_cosine_pairs": q.q_tfidf_cosine_pairs,  # SQL oracle (inverted-index APSS, integer pair set)
     }
 
 
@@ -3718,4 +3719,43 @@ SELECT domain, CAST(SUM(n) AS BIGINT) AS n_urls,
 FROM per_doc GROUP BY domain
 """,
         "s_core": _s_core_sql(),
+        # exact APSS over smooth tf-idf (sklearn idf convention), df<=64
+        # vocabulary, cosine >= 0.5 — only the INTEGER pair set is
+        # emitted (cosine values are float-order-sensitive; the pair
+        # set is threshold-stable: min margin > 1e-3 at sf0.01)
+        "tfidf_cosine_pairs": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf
+  FROM toks, UNNEST(t) AS u(term)
+  GROUP BY doc_id, term
+),
+n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+df AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tf
+  GROUP BY term HAVING COUNT(*) <= 64
+),
+w AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * (ln((1.0 + n.n) / (1.0 + df.df)) + 1.0) AS w
+  FROM tf JOIN df USING (term), n
+),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS nrm FROM w GROUP BY doc_id),
+wn AS (
+  SELECT w.doc_id, w.term, w.w / norms.nrm AS wn
+  FROM w JOIN norms USING (doc_id)
+),
+pairs AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, SUM(x.wn * y.wn) AS cosine
+  FROM wn x JOIN wn y ON x.term = y.term AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT doc_a, doc_b FROM pairs WHERE cosine >= 0.5
+ORDER BY doc_a, doc_b
+""",
     }

@@ -5772,3 +5772,24 @@ def q_node_classification(sf_dir: str, graph_dir: str | None = None):
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return _vid_to_key(tbl, vtbl, {"vid": "key"}).sort_by("key")
+
+
+# ---------------------------------------------------------------------------
+# All-pairs tf-idf cosine similarity (APSS)
+# ---------------------------------------------------------------------------
+def q_tfidf_cosine_pairs(sf_dir: str):
+    """(doc_a, doc_b) — document pairs whose smooth tf-idf cosine
+    (sklearn idf convention, df <= 64 vocabulary) is >= 0.5; exact
+    APSS via the Bayardo-style inverted index
+    (functions/sparse_sim.py::tfidf_cosine_pairs).  Pair set is
+    integer-exact so the DuckDB twin hash-matches (no oracle pair sits
+    near the float threshold; verified margin > 1e-3 at sf0.01)."""
+    from igraph_ray.functions.sparse_sim import tfidf_cosine_pairs
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = tfidf_cosine_pairs(docs, threshold=0.5, df_cap=64)
+    return out.select_columns(["doc_a", "doc_b"]).sort(
+        ["doc_a", "doc_b"]
+    )
