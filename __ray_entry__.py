@@ -251,6 +251,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_price_quantiles": q.q_priority_price_quantiles,  # SQL oracle (grouped quantile_disc, exact ints)
         "node_classification": q.q_node_classification,  # rows-only (harmonic diffusion; dense-replay pytest oracle)
         "tfidf_cosine_pairs": q.q_tfidf_cosine_pairs,  # SQL oracle (inverted-index APSS, integer pair set)
+        "local_bridges": q.q_local_bridges,  # SQL oracle (NOT EXISTS wedge, bitwise)
+        "effective_size": q.q_effective_size,  # SQL oracle (int ties + one IEEE division, bitwise)
+        "s_metric": q.q_s_metric,  # SQL oracle (exact deg-product sum)
     }
 
 
@@ -3757,5 +3760,70 @@ pairs AS (
 )
 SELECT doc_a, doc_b FROM pairs WHERE cosine >= 0.5
 ORDER BY doc_a, doc_b
+""",
+        # local bridges: edges on no triangle (no common neighbour)
+        "local_bridges": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS u, dst_key AS v FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key FROM link_pairs
+)
+SELECT e.src_key, e.dst_key
+FROM link_pairs e
+WHERE NOT EXISTS (
+  SELECT 1 FROM arcs a1 JOIN arcs a2 ON a2.v = a1.v
+  WHERE a1.u = e.src_key AND a2.u = e.dst_key
+)
+ORDER BY 1, 2
+""",
+        # Burt's effective size, unweighted Borgatti formula:
+        # deg - ties2/deg with integer deg/ties2 (ties2 = 2·triangles
+        # through v) — single IEEE division+subtraction, bitwise
+        "effective_size": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS u, dst_key AS v FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key FROM link_pairs
+),
+deg AS (SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM arcs GROUP BY u),
+ec AS (
+  SELECT e.src_key, e.dst_key, COUNT(*) AS c
+  FROM link_pairs e
+  JOIN arcs a1 ON a1.u = e.src_key
+  JOIN arcs a2 ON a2.u = e.dst_key AND a2.v = a1.v
+  GROUP BY e.src_key, e.dst_key
+),
+sumc AS (
+  SELECT key, CAST(SUM(c) AS BIGINT) AS ties2 FROM (
+    SELECT src_key AS key, c FROM ec
+    UNION ALL
+    SELECT dst_key, c FROM ec
+  ) GROUP BY key
+)
+SELECT d.key, d.degree,
+       COALESCE(s.ties2, 0) AS ties2,
+       CAST(d.degree AS DOUBLE)
+         - CAST(COALESCE(s.ties2, 0) AS DOUBLE)
+           / CAST(d.degree AS DOUBLE) AS effective_size
+FROM deg d LEFT JOIN sumc s USING (key)
+ORDER BY d.key
+""",
+        # s-metric: Σ deg(u)·deg(v) over the undirected edge set
+        "s_metric": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT key, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM endpoints GROUP BY key)
+SELECT CAST(SUM(ds.degree * dd.degree) AS BIGINT) AS s_metric
+FROM link_pairs p
+JOIN deg ds ON p.src_key = ds.key
+JOIN deg dd ON p.dst_key = dd.key
 """,
     }

@@ -430,6 +430,156 @@ def adamic_adar_edges(
     )
 
 
+def local_bridges(
+    pairs: ray.data.Dataset,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Rows ``(src, dst)`` — the edges that are LOCAL BRIDGES: their
+    endpoints share no common neighbour, i.e. the edge lies on no
+    triangle and its span is > 2 (``nx.local_bridges(G,
+    with_span=False)`` semantics).  Reuses the triangle-bounded wedge
+    pipeline; the per-edge common-neighbour count is integer-exact, so
+    the membership test (``common == 0``) is layout-invariant."""
+    wedge_pairs = _wedge_pair_weights(
+        pairs, num_parts, None, center_weight="one"
+    )
+    only_edges = _merge_onto_edges(pairs, wedge_pairs)
+
+    def keep_bridges(batch: pa.Table) -> pa.Table:
+        c = batch.column("common").to_numpy(zero_copy_only=False)
+        out = batch.filter(pa.array(c == 0.0))
+        return out.select(["src", "dst"])
+
+    return only_edges.map_batches(
+        keep_bridges, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def effective_size(
+    pairs: ray.data.Dataset,
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """Rows ``(key, degree, ties2, effective_size)`` for every vertex
+    with degree ≥ 1 — Burt's effective size of the ego network under
+    the unweighted Borgatti simplification ``e(v) = deg(v) −
+    2·t(v)/deg(v)`` (``nx.effective_size`` for unweighted graphs),
+    where ``t(v)`` is the number of ties among v's neighbours
+    (= triangles through v).  ``ties2 = 2·t(v)`` is accumulated as an
+    exact integer (each triangle {v,a,b} contributes 1 to the common
+    count of edges (v,a) AND (v,b)), so the only float op is one IEEE
+    division + subtraction per row — bitwise-stable across layouts."""
+    wedge_pairs = _wedge_pair_weights(
+        pairs, num_parts, None, center_weight="one"
+    )
+    only_edges = _merge_onto_edges(pairs, wedge_pairs)
+
+    def scatter_common(batch: pa.Table) -> pa.Table:
+        c = (
+            batch.column("common")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        key = pa.concat_arrays(
+            [
+                batch.column("src").combine_chunks(),
+                batch.column("dst").combine_chunks(),
+            ]
+        )
+        t = pa.table(
+            {"key": key, "c": pa.array(np.concatenate([c, c]))}
+        )
+        # per-batch integer pre-combine before the vertex-keyed shuffle
+        g = t.group_by("key").aggregate([("c", "sum")])
+        return pa.table(
+            {"key": g.column("key"), "ties2": g.column("c_sum")}
+        )
+
+    from ray.data.aggregate import Sum
+
+    sums = (
+        only_edges.map_batches(
+            scatter_common, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("key")
+        .aggregate(Sum("ties2", alias_name="ties2"))
+        .materialize()
+    )
+    degs = _degree_map(pairs)
+
+    # both sides are O(V); ties2 broadcast once (small-side rule —
+    # same join fallback as attach_degrees for vertex sets beyond it)
+    stbl = pa.concat_tables(
+        sums.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    ref = ray.put(stbl)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        lkeys = lut.column("key").to_numpy(zero_copy_only=False)
+        lvals = lut.column("ties2").to_numpy(zero_copy_only=False)
+        order = np.argsort(lkeys, kind="stable")
+        lkeys, lvals = lkeys[order], lvals[order]
+        k = batch.column("key").to_numpy(zero_copy_only=False)
+        deg = (
+            batch.column("degree")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        pos = np.searchsorted(lkeys, k)
+        pos_c = np.clip(pos, 0, max(len(lkeys) - 1, 0))
+        hit = (
+            (lkeys[pos_c] == k)
+            if len(lkeys)
+            else np.zeros(len(k), dtype=bool)
+        )
+        ties2 = np.where(hit, lvals[pos_c], 0).astype(np.int64)
+        es = deg.astype(np.float64) - ties2.astype(
+            np.float64
+        ) / deg.astype(np.float64)
+        return pa.table(
+            {
+                "key": batch.column("key"),
+                "degree": pa.array(deg),
+                "ties2": pa.array(ties2),
+                "effective_size": pa.array(es),
+            }
+        )
+
+    return degs.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def s_metric(pairs: ray.data.Dataset) -> int:
+    """The s-metric ``Σ_{(u,v) ∈ E} deg(u)·deg(v)`` over the unordered
+    pair table (``nx.s_metric`` numerator; Li et al. 2005, "Towards a
+    Theory of Scale-Free Graphs").  Per-batch partial sums are carried
+    as PYTHON ints (the sum of int64 products overflows int64 at
+    10^12-edge scale), reduced on the driver — one streaming pass."""
+    degs = _degree_map(pairs)
+    wd = attach_degrees(pairs.select_columns(["src", "dst"]), degs)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        du = (
+            batch.column("deg_src")
+            .to_numpy(zero_copy_only=False)
+            .astype(object)
+        )
+        dv = (
+            batch.column("deg_dst")
+            .to_numpy(zero_copy_only=False)
+            .astype(object)
+        )
+        return pa.table({"p": pa.array([str(int((du * dv).sum()))])})
+
+    parts_tbl = pa.concat_tables(
+        wd.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return sum(int(s) for s in parts_tbl.column("p").to_pylist())
+
+
 def resource_allocation_edges(
     pairs: ray.data.Dataset,
     num_parts: int | None = None,

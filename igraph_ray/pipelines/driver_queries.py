@@ -5793,3 +5793,82 @@ def q_tfidf_cosine_pairs(sf_dir: str):
     return out.select_columns(["doc_a", "doc_b"]).sort(
         ["doc_a", "doc_b"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Structural holes family: local bridges, effective size, s-metric
+# ---------------------------------------------------------------------------
+def q_local_bridges(sf_dir: str):
+    """(src_key, dst_key) — the E1∪E2 edges that are local bridges
+    (endpoints share no common neighbour; nx.local_bridges
+    with_span=False).  Integer-exact membership — bitwise SQL twin
+    (NOT EXISTS wedge)."""
+    from igraph_ray.kernels.metrics import local_bridges
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = local_bridges(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        tbl, vtbl, {"src": "src_key", "dst": "dst_key"}
+    ).sort_by([("src_key", "ascending"), ("dst_key", "ascending")])
+
+
+def q_effective_size(sf_dir: str):
+    """(key, degree, ties2, effective_size) per E1∪E2 vertex — Burt's
+    effective size under the unweighted Borgatti formula
+    e(v) = deg(v) − ties2(v)/deg(v) (nx.effective_size).  degree and
+    ties2 are exact ints; the one division+subtraction is IEEE-stable,
+    so the SQL twin hash-matches bitwise."""
+    from igraph_ray.kernels.metrics import effective_size
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = effective_size(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"key": "key"}).sort_by("key")
+
+
+def q_s_metric(sf_dir: str):
+    """One row (s_metric) — Σ deg(u)·deg(v) over the E1∪E2 edge set
+    (nx.s_metric numerator; Li et al. 2005).  Python-int partial sums
+    (int64 products overflow at 10^12-edge scale), exact BIGINT twin."""
+    from igraph_ray.kernels.metrics import s_metric
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    return pa.table(
+        {"s_metric": pa.array([s_metric(edges)], pa.int64())}
+    )
