@@ -254,6 +254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_bridges": q.q_local_bridges,  # SQL oracle (NOT EXISTS wedge, bitwise)
         "effective_size": q.q_effective_size,  # SQL oracle (int ties + one IEEE division, bitwise)
         "s_metric": q.q_s_metric,  # SQL oracle (exact deg-product sum)
+        "onion_layers": q.q_onion_layers,  # SQL oracle (unrolled monotone-threshold peeling)
     }
 
 
@@ -604,6 +605,59 @@ SELECT vv.v AS vertex, CAST(COALESCE(mx.core, 0) AS DOUBLE) AS core
 FROM verts vv
 LEFT JOIN (SELECT v, MAX(t) AS core FROM survive GROUP BY v) mx
   ON mx.v = vv.v
+"""
+
+
+def _onion_sql(rounds: int = 8) -> str:
+    """Onion layers by unrolled monotone-threshold peeling (twin of
+    kernels/onion.py::onion_layers / nx.onion_layers): per round, the
+    core threshold is the running max of the global min remaining
+    degree (with nx's isolated-vertices-first special case at round
+    1), and every remaining vertex with degree ≤ threshold peels into
+    that layer.  sf0.01 needs 3 rounds; 8 leaves margin (extra rounds
+    peel nothing once the vertex set is empty)."""
+    parts = ["rem_0 AS MATERIALIZED (SELECT key AS v FROM keys)"]
+    finals = []
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""deg_{r} AS MATERIALIZED (
+  SELECT p.v, (
+    SELECT COUNT(*) FROM arcs a
+    JOIN rem_{r - 1} q ON q.v = a.d
+    WHERE a.s = p.v
+  ) AS dg FROM rem_{r - 1} p
+)"""
+        )
+        parts.append(f"min_{r} AS (SELECT MIN(dg) AS m FROM deg_{r})")
+        if r == 1:
+            parts.append(
+                "thr_1 AS (SELECT CASE WHEN m = 0 THEN 0 "
+                "ELSE GREATEST(1, m) END AS t, "
+                "CASE WHEN m = 0 THEN 1 ELSE GREATEST(1, m) END AS c "
+                "FROM min_1)"
+            )
+        else:
+            parts.append(
+                f"thr_{r} AS (SELECT GREATEST(p.c, COALESCE(m.m, p.c)) "
+                f"AS t, GREATEST(p.c, COALESCE(m.m, p.c)) AS c "
+                f"FROM thr_{r - 1} p, min_{r} m)"
+            )
+        parts.append(
+            f"lay_{r} AS MATERIALIZED (SELECT d.v FROM deg_{r} d, "
+            f"thr_{r} t WHERE d.dg <= t.t)"
+        )
+        parts.append(
+            f"rem_{r} AS MATERIALIZED (SELECT v FROM rem_{r - 1} "
+            f"WHERE v NOT IN (SELECT v FROM lay_{r}))"
+        )
+        finals.append(f"SELECT v, {r} AS layer FROM lay_{r}")
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+{",".join(parts)},
+peeled AS ({" UNION ALL ".join(finals)})
+SELECT v AS key, CAST(layer AS BIGINT) AS layer FROM peeled
+ORDER BY key
 """
 
 
@@ -3722,6 +3776,7 @@ SELECT domain, CAST(SUM(n) AS BIGINT) AS n_urls,
 FROM per_doc GROUP BY domain
 """,
         "s_core": _s_core_sql(),
+        "onion_layers": _onion_sql(),
         # exact APSS over smooth tf-idf (sklearn idf convention), df<=64
         # vocabulary, cosine >= 0.5 — only the INTEGER pair set is
         # emitted (cosine values are float-order-sensitive; the pair

@@ -5872,3 +5872,25 @@ def q_s_metric(sf_dir: str):
     return pa.table(
         {"s_metric": pa.array([s_metric(edges)], pa.int64())}
     )
+
+
+# ---------------------------------------------------------------------------
+# Onion decomposition
+# ---------------------------------------------------------------------------
+def q_onion_layers(sf_dir: str, graph_dir: str | None = None):
+    """(key, layer) — onion decomposition of the E1∪E2 graph
+    (nx.onion_layers parity; Hébert-Dufresne et al. 2016).  Integer
+    layers — bitwise SQL twin by unrolled monotone-threshold peeling."""
+    import tempfile
+
+    from igraph_ray.kernels.onion import onion_layers
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_onion_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = onion_layers(graph)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "layer"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    return _vid_to_key(state, vtbl, {"vid": "key"}).sort_by("key")
