@@ -255,6 +255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_size": q.q_effective_size,  # SQL oracle (int ties + one IEEE division, bitwise)
         "s_metric": q.q_s_metric,  # SQL oracle (exact deg-product sum)
         "onion_layers": q.q_onion_layers,  # SQL oracle (unrolled monotone-threshold peeling)
+        "k_clique_communities": q.q_k_clique_communities,  # rows-only (CPM; nx pytest oracle)
     }
 
 

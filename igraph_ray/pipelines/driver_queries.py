@@ -5894,3 +5894,40 @@ def q_onion_layers(sf_dir: str, graph_dir: str | None = None):
         )
     )
     return _vid_to_key(state, vtbl, {"vid": "key"}).sort_by("key")
+
+
+# ---------------------------------------------------------------------------
+# K-clique percolation communities
+# ---------------------------------------------------------------------------
+def q_k_clique_communities(sf_dir: str, graph_dir: str | None = None):
+    """(key, community) — overlapping 3-clique percolation communities
+    of the E1∪E2 graph (Palla et al. 2005;
+    nx.community.k_clique_communities parity via the pytest oracle in
+    tests/test_clique_percolation.py).  Rows-only: community labels
+    are internal clique ids (deterministic but not SQL-replayable
+    without unrolling the clique enumeration)."""
+    import tempfile
+
+    from igraph_ray.kernels.clique_percolation import k_clique_communities
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_cpm_")
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = k_clique_communities(edges, 3, graph_dir)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"vid": "key"}).sort_by(
+        [("community", "ascending"), ("key", "ascending")]
+    )
