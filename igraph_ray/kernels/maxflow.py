@@ -42,9 +42,16 @@ def _dinic_py(
     s: int,
     t: int,
     undirected: bool,
+    cutoff: int | None = None,
 ) -> tuple[int, np.ndarray, np.ndarray]:
     """Dinic with vectorized BFS phases and an iterative current-arc
-    DFS for blocking flows.  Exact int64 arithmetic throughout."""
+    DFS for blocking flows.  Exact int64 arithmetic throughout.
+
+    ``cutoff``: stop augmenting once the flow value reaches it (the
+    caller only needs to know the value is >= cutoff — used by the
+    global-connectivity min loops, where a flow at or above the
+    current best cannot improve the minimum).  The returned
+    flow/reach arrays are then partial and must not be used."""
     m = len(src)
     heads = np.empty(2 * m, dtype=np.int64)
     tails = np.empty(2 * m, dtype=np.int64)
@@ -125,6 +132,9 @@ def _dinic_py(
             residual[pa_] -= bottleneck
             residual[pa_ ^ 1] += bottleneck
             total += bottleneck
+            if cutoff is not None and total >= cutoff:
+                flow = caps[0::2] - residual[0::2]
+                return total, flow, np.zeros(n, dtype=bool)
 
     # s-side of the min cut: residual reachability from s
     reach = np.zeros(n, dtype=bool)
@@ -437,3 +447,128 @@ def edge_connectivity(
             if best == 0:
                 break
     return best if best is not None else 0
+
+
+@ray.remote(num_returns=2)
+def _vc_prepare_task(blocks, n: int):
+    """Even/Whitney candidate pairs + the shared node-split arc table.
+
+    Returns ``((delta, pairs), split_table)`` where ``pairs`` is the
+    exact candidate list of the classic reduction (networkx
+    ``node_connectivity``): pick a minimum-degree vertex v, then
+    kappa(G) = min over kappa(v, w) for non-neighbors w and
+    kappa(x, y) for non-adjacent pairs of neighbors of v.  The split
+    table (v_in = v, v_out = v + n, unit arcs u_out -> w_in per
+    directed arc plus one internal v_in -> v_out arc per vertex) is
+    built ONCE here and shared by every flow task via the object
+    store — never re-shipped per pair."""
+    tables = [t for t in ray.get(list(blocks)) if t.num_rows]
+    if not tables:  # edgeless graph: kappa = 0
+        return (0, []), pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    tbl = pa.concat_tables(tables)
+    src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    # undirected simple view: both directions, no self-loops, dedup
+    u = np.concatenate([src, dst])
+    w = np.concatenate([dst, src])
+    keep = u != w
+    u, w = u[keep], w[keep]
+    pair_ids = np.unique(u * n + w)  # sorted — adjacency via searchsorted
+    u = pair_ids // n
+    w = pair_ids % n
+    deg = np.bincount(u, minlength=n)
+
+    if n <= 1:
+        return (0, []), pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+    v = int(np.argmin(deg))  # ties -> smallest vid (np.argmin is first)
+    delta = int(deg[v])
+    if delta == 0:
+        return (0, []), pa.table(
+            {"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())}
+        )
+
+    nbrs = w[u == v]
+    non_nbrs = np.setdiff1d(
+        np.arange(n, dtype=np.int64), np.concatenate([nbrs, [v]])
+    )
+    pairs = [(v, int(t_)) for t_ in non_nbrs]
+    if len(nbrs) > 1:
+        xi, yi = np.triu_indices(len(nbrs), k=1)
+        x, y = nbrs[xi], nbrs[yi]
+        cand = x * n + y
+        pos = np.searchsorted(pair_ids, cand)
+        pos = np.minimum(pos, len(pair_ids) - 1)
+        adjacent = pair_ids[pos] == cand
+        pairs += [(int(a), int(b)) for a, b in zip(x[~adjacent], y[~adjacent])]
+
+    split = pa.table(
+        {
+            "src": pa.array(
+                np.concatenate([u + n, np.arange(n, dtype=np.int64)])
+            ),
+            "dst": pa.array(
+                np.concatenate([w, np.arange(n, dtype=np.int64) + n])
+            ),
+        }
+    )
+    return (delta, pairs), split
+
+
+@ray.remote
+def _vc_flow_task(split: pa.Table, n2: int, s: int, t: int, cutoff: int):
+    src = split.column("src").to_numpy(zero_copy_only=False)
+    dst = split.column("dst").to_numpy(zero_copy_only=False)
+    cap = np.ones(len(src), dtype=np.int64)
+    value, _, _ = _dinic_py(
+        n2, src, dst, cap, s + n2 // 2, t, False, cutoff=cutoff
+    )
+    return int(value)
+
+
+def vertex_connectivity(
+    edges: ray.data.Dataset,
+    n: int,
+    wave: int = 64,
+    gather_max_arcs: int = GATHER_MAX_ARCS,
+) -> int:
+    """Global kappa(G) of the undirected simple graph (igraph
+    ``igraph_vertex_connectivity``; ``nx.node_connectivity`` parity).
+
+    Even/Whitney reduction: each candidate kappa(s, t) is an
+    INDEPENDENT unit-capacity Dinic on the node-split graph, fanned
+    out ``wave`` at a time as raw Ray tasks over the once-shared
+    split arc table (the candidate flows have no cross-dependence, so
+    this is the rare shape where raw tasks beat a Dataset stage).
+    Later waves carry the running best as a Dinic ``cutoff`` so
+    hopeless candidates stop after <= best augmentations.  Exact —
+    no sampling."""
+    m = edges.count()
+    if m > gather_max_arcs:
+        raise NotImplementedError(
+            f"vertex_connectivity bounded-gather limit: {m} arcs > "
+            f"{gather_max_arcs}; run on a subgraph (k-core / component)"
+        )
+    refs = edges.select_columns(["src", "dst"]).to_arrow_refs()
+    meta_ref, split_ref = _vc_prepare_task.remote(refs, n)
+    delta, pairs = ray.get(meta_ref)
+    if n <= 1 or delta == 0:
+        return 0
+    if not pairs:  # complete graph: no non-adjacent pair exists
+        return n - 1
+    best = delta
+    for i in range(0, len(pairs), wave):
+        if best == 0:
+            break
+        chunk = pairs[i : i + wave]
+        futs = [
+            _vc_flow_task.remote(split_ref, 2 * n, s, t, best)
+            for (s, t) in chunk
+        ]
+        for v in ray.get(futs):
+            if v < best:
+                best = v
+    return best

@@ -2444,6 +2444,94 @@ def q_gomory_hu(sf_dir: str):
     return _vid_to_key(tree, vtbl, {"u": "u_key", "v": "v_key"})
 
 
+def q_vertex_connectivity(sf_dir: str, graph_dir: str | None = None):
+    """One row (lcc_n, lcc_delta, lcc_kappa) — global vertex
+    connectivity (igraph_vertex_connectivity surface; Even/Whitney
+    minimum-degree pair reduction, each candidate kappa(s,t) an
+    independent unit-capacity Dinic on the node-split graph fanned
+    out in parallel over a once-shared arc table) of the largest
+    connected component of the E1∪E2 graph, with the component size
+    and its minimum degree (kappa <= delta is the reported sanity
+    invariant).  Rows-only (augmenting paths are not
+    SQL-expressible); exact nx.node_connectivity parity in
+    tests/test_maxflow.py."""
+    import tempfile
+
+    from ray.data.aggregate import Count, Min
+
+    from igraph_ray.kernels.maxflow import vertex_connectivity
+
+    edges, _vertices = _key_edge_vids(sf_dir)
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_vc_")
+    graph, _vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = connected_components(graph)
+    sizes = (
+        run.state.groupby("comp")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "comp"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    big = int(sizes[0]["comp"])
+    lcc_n = int(sizes[0]["n"])
+    comp_tbl = pa.concat_tables(
+        run.state.select_columns(["vid", "comp"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    cvid = comp_tbl.column("vid").to_numpy(zero_copy_only=False)
+    ccomp = comp_tbl.column("comp").to_numpy(zero_copy_only=False)
+    lcc_vids = np.sort(cvid[ccomp == big])
+    ref = ray.put(lcc_vids)
+
+    def remap(batch: pa.Table) -> pa.Table:
+        """Keep LCC edges, renumbered to dense 0..lcc_n-1 (component
+        membership of src implies dst, but both are checked)."""
+        lv = ray.get(ref)
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        si = np.searchsorted(lv, s)
+        di = np.searchsorted(lv, d)
+        si = np.minimum(si, len(lv) - 1)
+        di = np.minimum(di, len(lv) - 1)
+        keep = (lv[si] == s) & (lv[di] == d)
+        return pa.table(
+            {
+                "src": pa.array(si[keep].astype(np.int64)),
+                "dst": pa.array(di[keep].astype(np.int64)),
+            }
+        )
+
+    lcc_edges = edges.map_batches(
+        remap, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    if lcc_n <= 1:
+        delta = 0
+        kappa = 0
+    else:
+        und = lcc_edges.union(
+            lcc_edges.map_batches(
+                lambda b: pa.table(
+                    {"src": b.column("dst"), "dst": b.column("src")}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+        deg = und.groupby("src").aggregate(Count(alias_name="deg"))
+        delta = int(deg.aggregate(Min("deg"))["min(deg)"])
+        kappa = vertex_connectivity(lcc_edges, lcc_n)
+    return pa.table(
+        {
+            "lcc_n": pa.array([lcc_n], pa.int64()),
+            "lcc_delta": pa.array([delta], pa.int64()),
+            "lcc_kappa": pa.array([kappa], pa.int64()),
+        }
+    )
+
+
 def q_isomorphic(sf_dir: str):
     """One row (is_isomorphic, mapping_violations, non_bijective) —
     VF2 certificate that the E1∪E2 graph is isomorphic to its

@@ -239,3 +239,47 @@ def test_gomory_hu_path_graph_exact(ray_session):
         )
     }
     assert rows == {(0, 1): 5, (1, 2): 3, (2, 3): 8, (3, 4): 2}
+
+
+@pytest.mark.parametrize(
+    "maker",
+    [
+        lambda: nx.complete_graph(6),
+        lambda: nx.path_graph(7),
+        lambda: nx.cycle_graph(8),
+        lambda: nx.petersen_graph(),
+        lambda: nx.barbell_graph(5, 2),
+        lambda: nx.disjoint_union(nx.complete_graph(4), nx.complete_graph(3)),
+        lambda: nx.empty_graph(5),
+        lambda: nx.complete_bipartite_graph(3, 7),
+        lambda: nx.gnm_random_graph(40, 160, seed=1),
+        lambda: nx.gnm_random_graph(60, 120, seed=2),
+        lambda: nx.gnm_random_graph(30, 300, seed=3),
+    ],
+)
+def test_global_vertex_connectivity_vs_nx(ray_session, maker):
+    from igraph_ray.kernels.maxflow import vertex_connectivity
+
+    G = nx.convert_node_labels_to_integers(maker())
+    src = np.array([u for u, v in G.edges()], dtype=np.int64)
+    dst = np.array([v for u, v in G.edges()], dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+    assert vertex_connectivity(ds, G.number_of_nodes()) == (
+        nx.node_connectivity(G)
+    )
+
+
+def test_global_vertex_connectivity_small_wave(ray_session):
+    """wave smaller than the candidate count exercises the running-
+    best cutoff path."""
+    from igraph_ray.kernels.maxflow import vertex_connectivity
+
+    G = nx.gnm_random_graph(25, 80, seed=7)
+    src = np.array([u for u, v in G.edges()], dtype=np.int64)
+    dst = np.array([v for u, v in G.edges()], dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+    assert vertex_connectivity(ds, 25, wave=3) == nx.node_connectivity(G)
