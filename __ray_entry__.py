@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_min_cut": q.q_global_min_cut,  # rows-only (Stoer-Wagner; nx pytest oracle)
         "gomory_hu": q.q_gomory_hu,  # rows-only (Gusfield; nx all-pairs pytest oracle)
         "vertex_connectivity": q.q_vertex_connectivity,  # rows-only (Even/Whitney Dinic fan-out; nx pytest oracle)
+        "cycle_basis": q.q_cycle_basis,  # rows-only (Horton + GF(2) greedy; nx/brute pytest oracle)
         "graph_isomorphic": q.q_isomorphic,  # SQL oracle (VF2 witness property constants)
         "dominator_tree": q.q_dominator_tree,  # rows-only (CHK fixed point; nx pytest oracle)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables

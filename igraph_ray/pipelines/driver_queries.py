@@ -2532,6 +2532,31 @@ def q_vertex_connectivity(sf_dir: str, graph_dir: str | None = None):
     )
 
 
+def q_cycle_basis(sf_dir: str):
+    """One row (rank, total_weight, max_cycle_len) — exact minimum
+    weight cycle basis (igraph_minimum_cycle_basis surface; Horton
+    candidate set from parallel per-pivot Dijkstra tasks, matroid
+    greedy over GF(2) edge bitsets) of the E1∪E2 graph with
+    co-occurrence weights.  The basis total weight and the rank
+    m - n + c are canonical invariants.  Rows-only (GF(2) elimination
+    not SQL-expressible); exact nx / brute-force matroid parity in
+    tests/test_cyclebasis.py."""
+    from igraph_ray.kernels.cyclebasis import minimum_cycle_basis
+
+    edges, vertices = _key_edge_vids_weighted(sf_dir)
+    n = vertices.count()
+    res = minimum_cycle_basis(edges, n, weight_col="capacity")
+    return pa.table(
+        {
+            "rank": pa.array([res["rank"]], pa.int64()),
+            "total_weight": pa.array([res["total_weight"]], pa.int64()),
+            "max_cycle_len": pa.array(
+                [max(res["cycle_sizes"], default=0)], pa.int64()
+            ),
+        }
+    )
+
+
 def q_isomorphic(sf_dir: str):
     """One row (is_isomorphic, mapping_violations, non_bijective) —
     VF2 certificate that the E1∪E2 graph is isomorphic to its
