@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "generated_grg": q.q_generated_grg,  # SQL oracle (splitmix position replay, bitwise)
         "clustering": q.q_clustering,  # SQL oracle (exact ints + IEEE replay)
         "degree_histogram": q.q_degree_histogram,  # SQL oracle
+        "graphicality": q.q_graphicality,  # SQL oracle (Erdős–Gallai slack, exact ints)
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
         "coloring": q.q_coloring,  # rows-only (iterated Luby; property oracle)
         "coloring_validity": q.q_coloring_validity,  # SQL oracle (property constants)
@@ -2771,6 +2772,27 @@ SELECT k.key,
 FROM keys k
 LEFT JOIN deg ON k.key = deg.key
 LEFT JOIN cnt ON k.key = cnt.key
+""",
+        "graphicality": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT key, COUNT(*) AS d FROM endpoints GROUP BY key),
+ranked AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d DESC) AS k FROM deg),
+l AS (SELECT k, d, SUM(d) OVER (ORDER BY k) AS lhs FROM ranked),
+calc AS (
+  SELECT c.k, c.lhs,
+         c.k * (c.k - 1) + COALESCE(
+           (SELECT SUM(LEAST(s2.d, c.k)) FROM ranked s2 WHERE s2.k > c.k),
+           0) AS rhs
+  FROM l c
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(lhs AS BIGINT) AS lhs,
+       CAST(rhs AS BIGINT) AS rhs, CAST(rhs - lhs AS BIGINT) AS slack
+FROM calc
 """,
         "degree_histogram": f"""
 {_LINK_PAIRS},

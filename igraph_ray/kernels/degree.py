@@ -78,3 +78,54 @@ def undirected_degrees(
     return partials.groupby("hpart").map_groups(
         combine, batch_format="pyarrow"
     )
+
+
+def erdos_gallai_slack(degrees) -> pa.Table:
+    """Erdős–Gallai graphicality certificate (igraph
+    ``igraph_is_graphical`` surface) for a degree sequence.
+
+    For the sequence sorted descending d_1 >= ... >= d_n, row k holds
+    ``lhs = sum_{i<=k} d_i``, ``rhs = k(k-1) + sum_{i>k} min(d_i, k)``
+    and ``slack = rhs - lhs``; the sequence is graphical iff the total
+    degree is even and every slack >= 0 (Erdős–Gallai 1960).  All
+    int64 — the per-k table is bitwise-reproducible in SQL.
+
+    Vectorized O(n log n): the suffix split between the min(d_i,k)=k
+    and =d_i regimes is a searchsorted on the descending tail.
+    """
+    import numpy as np
+
+    d = np.sort(np.asarray(degrees, dtype=np.int64))[::-1]
+    n = len(d)
+    if n == 0:
+        return pa.table(
+            {
+                "k": pa.array([], pa.int64()),
+                "lhs": pa.array([], pa.int64()),
+                "rhs": pa.array([], pa.int64()),
+                "slack": pa.array([], pa.int64()),
+            }
+        )
+    csum = np.cumsum(d)
+    total = int(csum[-1])
+    ks = np.arange(1, n + 1, dtype=np.int64)
+    lhs = csum
+    # for each k: c = #{i > k : d_i >= k} — d[k:] is descending, so
+    # c is the insertion point of k in the negated (ascending) tail
+    asc = -d  # ascending
+    rhs = np.empty(n, dtype=np.int64)
+    for j in range(n):
+        k = j + 1
+        tail = asc[k:]
+        c = int(np.searchsorted(tail, -k, side="right"))
+        tail_sum = total - int(csum[k - 1])
+        big_sum = (int(csum[k - 1 + c]) - int(csum[k - 1])) if c else 0
+        rhs[j] = k * (k - 1) + c * k + (tail_sum - big_sum)
+    return pa.table(
+        {
+            "k": pa.array(ks),
+            "lhs": pa.array(lhs),
+            "rhs": pa.array(rhs),
+            "slack": pa.array(rhs - lhs),
+        }
+    )

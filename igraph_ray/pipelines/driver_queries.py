@@ -2211,6 +2211,32 @@ def q_degree_histogram(sf_dir: str):
     )
 
 
+def q_graphicality(sf_dir: str):
+    """(k, lhs, rhs, slack) — Erdős–Gallai graphicality certificate
+    of the E1∪E2 degree sequence (igraph ``igraph_is_graphical``
+    surface): row k carries the top-k degree sum, the bound
+    k(k-1) + sum_{i>k} min(d_i, k), and the slack.  A sequence is
+    graphical iff the total is even and every slack >= 0; the
+    sequence here comes from an actual graph, so the VALUES (not the
+    verdict) are the tested surface.  Exact int64 end-to-end —
+    bitwise SQL twin; nx.is_graphical property test on arbitrary
+    (incl. non-graphical) sequences in tests/test_degree_extra.py."""
+    from igraph_ray.kernels.degree import erdos_gallai_slack
+
+    deg = q_degrees(sf_dir).select_columns(["degree"])
+    blocks = [
+        b
+        for b in deg.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    d = (
+        pa.concat_tables(blocks).column("degree").to_numpy(zero_copy_only=False)
+        if blocks
+        else np.zeros(0, dtype=np.int64)
+    )
+    return erdos_gallai_slack(d)
+
+
 def q_katz(sf_dir: str, graph_dir: str | None = None):
     """(key, centrality) — Katz centrality of the E1∪E2 graph with
     ``alpha = 0.85 / max_weighted_degree`` (guarantees
