@@ -115,6 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coloring_validity": q.q_coloring_validity,  # SQL oracle (property constants)
         "mis_validity": q.q_mis_validity,  # SQL oracle (property constants)
         "matching_validity": q.q_matching_validity,  # SQL oracle (property constants)
+        "dominating_validity": q.q_dominating_validity,  # SQL oracle (property constants)
         "partition_quality": q.q_partition_quality,  # SQL oracle (exact ints + IEEE replay)
         # graph metrics (exact-int stats + replayed IEEE expressions)
         "reciprocity": q.q_reciprocity,  # SQL oracle
@@ -1285,6 +1286,9 @@ def oracle_sql() -> dict[str, str]:
         "mis_validity": (
             "SELECT CAST(0 AS BIGINT) AS independence_violations, "
             "CAST(0 AS BIGINT) AS non_dominated"
+        ),
+        "dominating_validity": (
+            "SELECT CAST(0 AS BIGINT) AS undominated, TRUE AS nonempty"
         ),
         "graph_isomorphic": (
             "SELECT TRUE AS is_isomorphic, "

@@ -246,3 +246,52 @@ def matching_validity(
             "uncovered_edges": pa.array([out["unc"]], pa.int64()),
         }
     )
+
+
+def dominating_validity(
+    pairs: ray.data.Dataset, ds: ray.data.Dataset, n: int
+) -> pa.Table:
+    """One row ``(undominated, nonempty)`` over a ``(vid, in_ds)``
+    witness: every vertex must be a member or adjacent to one, and a
+    dominating set of a non-empty graph is non-empty.  SQL twin:
+    ``SELECT 0, TRUE``."""
+    mtbl = _gather_small(ds, ["vid", "in_ds"])
+    vid = mtbl.column("vid").to_numpy(zero_copy_only=False)
+    inm = (
+        mtbl.column("in_ds").to_numpy(zero_copy_only=False).astype(np.int8)
+    )
+    member = np.zeros(n, dtype=np.int8)
+    member[vid] = inm
+
+    def dom_part(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
+        cov = np.zeros(n, dtype=np.int64)
+        cov[src[member[dst] == 1]] = 1
+        cov[dst[member[src] == 1]] = 1
+        return pa.table(
+            {
+                "vid": pa.array(np.arange(n, dtype=np.int64)),
+                "cov": pa.array(cov),
+            }
+        )
+
+    covered = (
+        pairs.map_batches(
+            dom_part, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("vid")
+        .aggregate(Sum("cov", alias_name="cov"))
+    )
+    undominated = 0
+    for b in covered.iter_batches(batch_format="pyarrow", batch_size=None):
+        v = b.column("vid").to_numpy(zero_copy_only=False)
+        c = b.column("cov").to_numpy(zero_copy_only=False)
+        undominated += int(((member[v] == 0) & (c == 0)).sum())
+    nonempty = bool(n == 0 or member.sum() >= 1)
+    return pa.table(
+        {
+            "undominated": pa.array([undominated], pa.int64()),
+            "nonempty": pa.array([nonempty], pa.bool_()),
+        }
+    )

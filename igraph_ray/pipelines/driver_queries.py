@@ -2326,6 +2326,24 @@ def q_mis_validity(sf_dir: str, graph_dir: str | None = None):
     return mis_validity(edges, out, vtbl.num_rows)
 
 
+def q_dominating_validity(sf_dir: str, graph_dir: str | None = None):
+    """One row (undominated, nonempty) — distributed validation of
+    the greedy span-nomination dominating set witness
+    (nx.dominating_set surface; deterministic chassis rounds, so the
+    witness itself is also stable run-to-run).  SQL twin:
+    SELECT 0, TRUE."""
+    import tempfile
+
+    from igraph_ray.kernels.dominating import dominating_set
+    from igraph_ray.kernels.validity import dominating_validity
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_domv_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = dominating_set(graph)
+    edges, _ = _key_edge_vids(sf_dir)
+    return dominating_validity(edges, out, vtbl.num_rows)
+
+
 def q_matching_validity(sf_dir: str):
     """One row (overlaps, uncovered_edges) — distributed validation of
     the maximal-matching witness.  SQL twin: SELECT 0, 0."""
