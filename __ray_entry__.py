@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering": q.q_clustering,  # SQL oracle (exact ints + IEEE replay)
         "degree_histogram": q.q_degree_histogram,  # SQL oracle
         "graphicality": q.q_graphicality,  # SQL oracle (Erdős–Gallai slack, exact ints)
+        "power_law_fit": q.q_power_law_fit,  # rows-only (CSN float MLE; brute pytest oracle)
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
         "coloring": q.q_coloring,  # rows-only (iterated Luby; property oracle)
         "coloring_validity": q.q_coloring_validity,  # SQL oracle (property constants)

@@ -2211,6 +2211,28 @@ def q_degree_histogram(sf_dir: str):
     )
 
 
+def q_power_law_fit(sf_dir: str):
+    """One row (xmin, alpha, n_tail, ks) — Clauset–Shalizi–Newman
+    power-law fit of the E1∪E2 degree distribution (igraph
+    ``igraph_power_law_fit`` surface): distributed degree histogram
+    reduce, vectorized KS-minimizing xmin scan.  Rows-only (float
+    MLE); brute-force CSN parity + known-alpha recovery in
+    tests/test_plfit.py."""
+    from igraph_ray.kernels.plfit import fit_power_law
+
+    res = fit_power_law(
+        q_degrees(sf_dir).select_columns(["degree"])
+    )
+    return pa.table(
+        {
+            "xmin": pa.array([res["xmin"]], pa.float64()),
+            "alpha": pa.array([res["alpha"]], pa.float64()),
+            "n_tail": pa.array([res["n_tail"]], pa.int64()),
+            "ks": pa.array([res["ks"]], pa.float64()),
+        }
+    )
+
+
 def q_graphicality(sf_dir: str):
     """(k, lhs, rhs, slack) — Erdős–Gallai graphicality certificate
     of the E1∪E2 degree sequence (igraph ``igraph_is_graphical``
