@@ -2623,6 +2623,111 @@ def q_cycle_basis(sf_dir: str):
     )
 
 
+def q_eulerian_circuit(sf_dir: str, graph_dir: str | None = None):
+    """One row (circuit_len, usage_violations, broken_steps, closed)
+    — Hierholzer Eulerian circuit (igraph_eulerian_circuit surface)
+    of the DOUBLED largest connected component of the E1∪E2 graph
+    (doubling every edge makes all degrees even, so the circuit
+    always exists — the classic route-inspection relaxation).  Edge
+    usage is validated DISTRIBUTEDLY (signed-count diff of the
+    circuit's steps against the doubled edge table); chain/closure
+    are vectorized checks on the bounded circuit itself.  SQL twin
+    recomputes circuit_len = 2 * LCC edge count via the recursive-CC
+    CTE and states the property constants — a broken construction
+    breaks the hash."""
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from igraph_ray.kernels.euler import eulerian_circuit
+
+    edges, _vertices = _key_edge_vids(sf_dir)
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_eulc_")
+    graph, _vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = connected_components(graph)
+    sizes = (
+        run.state.groupby("comp")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "comp"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    big = int(sizes[0]["comp"])
+    comp_tbl = pa.concat_tables(
+        run.state.select_columns(["vid", "comp"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    cvid = comp_tbl.column("vid").to_numpy(zero_copy_only=False)
+    ccomp = comp_tbl.column("comp").to_numpy(zero_copy_only=False)
+    order = np.argsort(cvid)
+    ref = ray.put((cvid[order], ccomp[order]))
+
+    def in_lcc(batch: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        keep = c[np.searchsorted(v, s)] == big
+        return batch.filter(pa.array(keep))
+
+    lcc_edges = edges.map_batches(
+        in_lcc, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    doubled = lcc_edges.union(lcc_edges)
+    circuit = eulerian_circuit(doubled)
+
+    # distributed usage check: +1 per circuit step, -1 per doubled
+    # edge row, canonical (lo, hi) key — every key must net to zero
+    def canon_steps(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(u, v)),
+                "hi": pa.array(np.maximum(u, v)),
+                "sgn": pa.array(np.ones(len(u), np.int64)),
+            }
+        )
+
+    def canon_edges(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(s, d)),
+                "hi": pa.array(np.maximum(s, d)),
+                "sgn": pa.array(np.full(len(s), -1, np.int64)),
+            }
+        )
+
+    signed = ray.data.from_arrow(circuit).map_batches(
+        canon_steps, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        doubled.map_batches(
+            canon_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    net = signed.groupby(["lo", "hi"]).aggregate(
+        Sum("sgn", alias_name="net")
+    )
+    usage_violations = int(
+        net.filter(expr="net != 0").count()
+    )
+
+    u = circuit.column("u").to_numpy(zero_copy_only=False)
+    v = circuit.column("v").to_numpy(zero_copy_only=False)
+    broken = int((v[:-1] != u[1:]).sum()) if len(u) > 1 else 0
+    closed = bool(len(u) == 0 or v[-1] == u[0])
+    return pa.table(
+        {
+            "circuit_len": pa.array([circuit.num_rows], pa.int64()),
+            "usage_violations": pa.array([usage_violations], pa.int64()),
+            "broken_steps": pa.array([broken], pa.int64()),
+            "closed": pa.array([closed], pa.bool_()),
+        }
+    )
+
+
 def q_isomorphic(sf_dir: str):
     """One row (is_isomorphic, mapping_violations, non_bijective) —
     VF2 certificate that the E1∪E2 graph is isomorphic to its
