@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": q.q_degree_histogram,  # SQL oracle
         "graphicality": q.q_graphicality,  # SQL oracle (Erdős–Gallai slack, exact ints)
         "power_law_fit": q.q_power_law_fit,  # rows-only (CSN float MLE; brute pytest oracle)
+        "degree_realization": q.q_degree_realization,  # SQL oracle (realized histogram == original)
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
         "coloring": q.q_coloring,  # rows-only (iterated Luby; property oracle)
         "coloring_validity": q.q_coloring_validity,  # SQL oracle (property constants)
@@ -2832,6 +2833,20 @@ SELECT CAST(k AS BIGINT) AS k, CAST(lhs AS BIGINT) AS lhs,
 FROM calc
 """,
         "degree_histogram": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT key, COUNT(*) AS degree FROM endpoints GROUP BY key)
+SELECT CAST(degree AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM deg GROUP BY degree
+""",
+        # the realized graph must reproduce the original degree
+        # histogram exactly — the twin IS the original histogram
+        "degree_realization": f"""
 {_LINK_PAIRS},
 endpoints AS (
   SELECT src_key AS key FROM link_pairs

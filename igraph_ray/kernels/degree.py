@@ -129,3 +129,50 @@ def erdos_gallai_slack(degrees) -> pa.Table:
             "slack": pa.array(rhs - lhs),
         }
     )
+
+
+def havel_hakimi_realize(degrees) -> pa.Table:
+    """Havel–Hakimi degree-sequence realization (igraph
+    ``igraph_realize_degree_sequence``; ``nx.havel_hakimi_graph``
+    family): returns a simple-graph edge table ``(src, dst)`` whose
+    vertex i has exactly ``degrees[i]`` neighbours, or raises
+    ``ValueError`` when the sequence is not graphical.
+
+    Greedy: repeatedly connect the largest remaining stub count to the
+    next-largest ones (lazy max-heap keyed (remaining, vid) with
+    deterministic vid tie-break).  The construction itself is
+    sequential over the O(V) sequence — the heavy validation (the
+    realized table's degree histogram equals the input histogram) is
+    done distributedly by the calling query.
+    """
+    import heapq
+
+    import numpy as np
+
+    d = np.asarray(degrees, dtype=np.int64)
+    n = len(d)
+    if (d < 0).any() or int(d.sum()) % 2 == 1 or (n > 0 and (d >= n).any()):
+        raise ValueError("havel_hakimi: not graphical")
+    heap = [(-int(d[i]), i) for i in range(n) if d[i] > 0]
+    heapq.heapify(heap)
+    src_out: list[int] = []
+    dst_out: list[int] = []
+    while heap:
+        negd, v = heapq.heappop(heap)
+        k = -negd
+        grabbed = []
+        for _ in range(k):
+            if not heap:
+                raise ValueError("havel_hakimi: not graphical")
+            grabbed.append(heapq.heappop(heap))
+        for negd2, w in grabbed:
+            src_out.append(v)
+            dst_out.append(w)
+            if negd2 + 1 < 0:
+                heapq.heappush(heap, (negd2 + 1, w))
+    return pa.table(
+        {
+            "src": pa.array(src_out, pa.int64()),
+            "dst": pa.array(dst_out, pa.int64()),
+        }
+    )

@@ -2211,6 +2211,43 @@ def q_degree_histogram(sf_dir: str):
     )
 
 
+def q_degree_realization(sf_dir: str):
+    """(degree, n_keys) — degree histogram of a Havel–Hakimi
+    REALIZATION of the E1∪E2 degree sequence (igraph
+    ``igraph_realize_degree_sequence`` surface).  The realized graph
+    is rebuilt as a Dataset and its degrees recounted DISTRIBUTEDLY
+    (undirected_degrees partial/combiner), so the SQL twin — the
+    degree histogram of the ORIGINAL graph — hash-matches iff the
+    realization reproduced the sequence exactly.  nx.is_graphical
+    property parity on arbitrary sequences in
+    tests/test_degree_extra.py."""
+    from ray.data.aggregate import Count as _Count
+
+    from igraph_ray.kernels.degree import (
+        havel_hakimi_realize,
+        undirected_degrees,
+    )
+
+    deg = q_degrees(sf_dir).select_columns(["degree"])
+    blocks = [
+        b
+        for b in deg.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    d = (
+        pa.concat_tables(blocks).column("degree").to_numpy(zero_copy_only=False)
+        if blocks
+        else np.zeros(0, dtype=np.int64)
+    )
+    realized = ray.data.from_arrow(havel_hakimi_realize(d))
+    hist = (
+        undirected_degrees(realized)
+        .groupby("degree")
+        .aggregate(_Count("degree", alias_name="n_keys"))
+    )
+    return hist
+
+
 def q_power_law_fit(sf_dir: str):
     """One row (xmin, alpha, n_tail, ks) — Clauset–Shalizi–Newman
     power-law fit of the E1∪E2 degree distribution (igraph

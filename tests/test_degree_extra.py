@@ -41,3 +41,33 @@ def test_eg_classic_non_graphical():
     assert not _verdict([3, 3, 1, 1])
     assert _verdict([2, 2, 2])  # triangle
     assert _verdict([])
+
+
+def test_havel_hakimi_realization():
+    import numpy as np
+
+    from igraph_ray.kernels.degree import havel_hakimi_realize
+
+    rng = random.Random(1)
+    for _ in range(200):
+        n = rng.randint(1, 15)
+        seq = [rng.randint(0, n - 1) for _ in range(n)]
+        graphical = nx.is_graphical(seq)
+        try:
+            t = havel_hakimi_realize(seq)
+        except ValueError:
+            assert not graphical, seq
+            continue
+        assert graphical, seq
+        src = t.column("src").to_pylist()
+        dst = t.column("dst").to_pylist()
+        deg = np.zeros(n, dtype=int)
+        for a, b in zip(src, dst):
+            assert a != b  # no self-loops
+            deg[a] += 1
+            deg[b] += 1
+        # simple graph: no parallel edges
+        assert len({(min(a, b), max(a, b)) for a, b in zip(src, dst)}) == len(
+            src
+        )
+        assert list(deg) == seq
