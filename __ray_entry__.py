@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_efficiency": q.q_global_efficiency,  # rows-only (float mean of 1/d)
         "topo_layers": q.q_topo_layers,  # SQL oracle (longest-walk CTE)
         "condensation_layers": q.q_condensation_layers,  # SQL oracle (closure + longest-walk CTE)
+        "transitive_reduction": q.q_transitive_reduction,  # SQL oracle (SCC CTE + NOT EXISTS closure)
         "random_walks": q.q_random_walks,  # rows-only (deterministic corpus)
         "maximal_independent_set": q.q_mis,  # rows-only (Luby; property oracle)
         "maximal_matching": q.q_maximal_matching,  # rows-only (property oracle)
@@ -2220,6 +2221,29 @@ walk AS (
   SELECT k, MAX(dist) AS layer FROM r GROUP BY k
 )
 SELECT k AS scc_key, CAST(layer AS BIGINT) AS layer FROM walk
+""",
+        "transitive_reduction": """
+WITH arcs AS (
+  SELECT DISTINCT 'v' || CAST(doc_id % 101 AS VARCHAR) AS src,
+                  'v' || CAST((doc_id * 37 + 11) % 101 AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 101 < (doc_id * 37 + 11) % 101
+),
+closure AS (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT src, dst FROM arcs
+    UNION
+    SELECT r.s, a.dst FROM r JOIN arcs a ON r.k = a.src
+  )
+  SELECT s, k FROM r
+)
+SELECT c.src AS src_key, c.dst AS dst_key
+FROM arcs c
+WHERE NOT EXISTS (
+  SELECT 1 FROM arcs e
+  JOIN closure cc ON e.dst = cc.s
+  WHERE e.src = c.src AND cc.k = c.dst
+)
 """,
         # Bow-tie decomposition (Broder et al.): regions relative to the
         # largest SCC (ties: min canonical label) of the ring ∪ DAG-arc

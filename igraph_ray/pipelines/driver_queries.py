@@ -3143,6 +3143,59 @@ def q_condensation_layers(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "scc_key"})
 
 
+def q_transitive_reduction(sf_dir: str):
+    """(src_key, dst_key) — UNIQUE transitive reduction of the
+    doc-derived DAG (the topo_layers input; nx.transitive_reduction
+    parity, reverse-topological packed descendant bitsets in a
+    bounded-gather task).  An arc survives iff no other path connects
+    its endpoints — the SQL twin filters the same arcs with a NOT
+    EXISTS over the recursive >=2-step closure, so the match is on
+    the exact arc set."""
+    from igraph_ray.kernels.transitive import transitive_reduction
+
+    arcs = _doc_dag_arcs(sf_dir)
+    keys = arcs.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        b.column("src").combine_chunks(),
+                        b.column("dst").combine_chunks(),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(
+        arcs.map_batches(
+            lambda b: pa.table(
+                {
+                    "src_key": b.column("src"),
+                    "dst_key": b.column("dst"),
+                    "weight": pa.array(
+                        np.ones(b.num_rows, dtype=np.float64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        vertices,
+    ).select_columns(["src", "dst"])
+    reduced = transitive_reduction(edges)
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        reduced, vtbl, {"src": "src_key", "dst": "dst_key"}
+    )
+
+
 def _extra_dag_arcs(sf_dir: str) -> ray.data.Dataset:
     """Deterministic acyclic arcs between file keys (index x → y over
     the 100-point key cycle, kept when x < y) — unioned with the commit
