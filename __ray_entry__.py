@@ -212,6 +212,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_compare": q.q_partition_compare,  # SQL oracle (exact ints + single-division Rand/ARI)
         "partition_compare_info": q.q_partition_compare_info,  # rows-only (NMI/VI ln-sums; numpy oracle pytest)
         "duplicate_spans": q.q_duplicate_spans,  # SQL oracle (window unnest twin)
+        "ngram_novelty": q.q_ngram_novelty,  # SQL oracle (per-gram min-doc election)
+        "vocab_growth": q.q_vocab_growth,  # SQL oracle (Heaps curve, window cumsum)
         "remove_dup_spans": q.q_remove_dup_spans,  # SQL oracle (rewrite twin)
         "bpe_merges": q.q_bpe_merges,  # rows-only (iterative; sequential replay pytest)
         "bpe_token_counts": q.q_bpe_token_counts,  # rows-only (encode side)
@@ -3496,6 +3498,49 @@ FROM v GROUP BY 1, 2
         "curation_funnel": _FUNNEL_SQL,
         "partition_compare": _PARTITION_COMPARE_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
+        "ngram_novelty": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, array_to_string(w[i:i + 7], ' ') AS gram
+  FROM (
+    SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+    FROM toks WHERE len(w) >= 8
+  )
+),
+firstdoc AS (SELECT gram, MIN(doc_id) AS fd FROM wins GROUP BY gram)
+SELECT w.doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_windows,
+  CAST(SUM(CASE WHEN f.fd = w.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+    AS novel_windows,
+  CAST(SUM(CASE WHEN f.fd = w.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+FROM wins w JOIN firstdoc f ON w.gram = f.gram
+GROUP BY w.doc_id
+""",
+        "vocab_growth": """
+WITH toks AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'),
+                x -> x <> '') AS w
+  FROM documents
+),
+words AS (
+  SELECT doc_id, unnest(w) AS word FROM toks
+),
+firstdoc AS (SELECT word, MIN(doc_id) AS fd FROM words GROUP BY word),
+per_doc AS (
+  SELECT fd AS doc_id, COUNT(*) AS new_types FROM firstdoc GROUP BY fd
+)
+SELECT doc_id,
+  CAST(new_types AS BIGINT) AS new_types,
+  CAST(SUM(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
+FROM per_doc
+""",
         "remove_dup_spans": _REMOVE_SPANS_SQL,
         "fingerprints": _FINGERPRINTS_SQL,
         # exact word-3-gram Jaccard over the df<=128 shingle universe;

@@ -1355,3 +1355,188 @@ def duplicate_span_stats(
     return stats.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def ngram_novelty(
+    ds: ray.data.Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, n_windows, novel_windows, novelty_ratio) — for every
+    document (with >= ``n`` words), the fraction of its word-``n``-gram
+    window positions whose gram FIRST appears in this document
+    (corpus-min doc_id == this doc).  The memorization/novelty
+    diagnostic complement of ``duplicate_span_stats``: a crawl shard
+    full of boilerplate scores near 0, fresh text near 1.
+
+    Same distributed shape as ``duplicate_span_stats``: vectorized
+    window extraction, ONE rows-sized gram-hash shuffle (per-gram
+    min-doc election), per-doc groupby sums.  Exact integers + one
+    IEEE division — bitwise SQL twin.
+    """
+    n_docs = ds.count()
+    if num_parts is None:
+        num_parts = int(max(2, min(256, math.ceil(n_docs / 50_000))))
+
+    def windows(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did, gram = _word_ngrams(batch, text_col, id_col, n)
+        h = pd.util.hash_array(np.asarray(gram, object), categorize=False)
+        part = (h % np.uint64(num_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "hpart": pa.array(part),
+                "did": pa.array(did),
+                "gram": pa.array(gram.astype(object), pa.string()),
+            }
+        )
+
+    def per_gram(group: pa.Table) -> pa.Table:
+        did = group.column("did").to_numpy(zero_copy_only=False)
+        gram = group.column("gram").to_pandas().to_numpy()
+        order = np.lexsort((did, gram))
+        did, gram = did[order], gram[order]
+        first = np.empty(len(gram), dtype=bool)
+        if len(gram):
+            first[0] = True
+            first[1:] = gram[1:] != gram[:-1]
+        starts = np.flatnonzero(first)
+        total = np.diff(np.append(starts, len(gram)))
+        gram_of = np.repeat(np.arange(len(starts)), total)
+        min_did = did[starts]  # did sorted within gram: first = min
+        novel = did == min_did[gram_of]
+        return pa.table(
+            {
+                "did": pa.array(did),
+                "nov": pa.array(novel.astype(np.int64)),
+                "tot": pa.array(np.ones(len(did), np.int64)),
+            }
+        )
+
+    stats = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(windows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hpart")
+        .map_groups(per_gram, batch_format="pyarrow")
+        .groupby("did")
+        .aggregate(
+            Sum("nov", alias_name="novel_windows"),
+            Sum("tot", alias_name="n_windows"),
+        )
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = batch.column("novel_windows").to_numpy(zero_copy_only=False)
+        t = batch.column("n_windows").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column("did"),
+                "n_windows": pa.array(t.astype(np.int64)),
+                "novel_windows": pa.array(v.astype(np.int64)),
+                "novelty_ratio": pa.array(
+                    np.where(t > 0, v / np.maximum(t, 1), 0.0)
+                ),
+            }
+        )
+
+    return stats.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def vocab_growth(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> ray.data.Dataset:
+    """(doc_id, new_types, cum_types) — Heaps'-law vocabulary growth
+    curve: per document (in doc-id order) the number of DISTINCT
+    lowercased word types whose corpus-first occurrence is this
+    document, and the running vocabulary size after it.
+
+    Distributed shape: word extraction per batch, one rows-sized
+    word-hash shuffle electing each type's min doc, a per-doc count,
+    then the engine's two-phase global ordered scan for the running
+    total.  Exact int64 — bitwise SQL twin (window cumsum).
+    """
+    from igraph_ray.stages.scan import exclusive_scan
+
+    n_docs = ds.count()
+    if num_parts is None:
+        num_parts = int(max(2, min(256, math.ceil(n_docs / 50_000))))
+
+    def words(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        did, w = _word_ngrams(batch, text_col, id_col, 1)
+        h = pd.util.hash_array(np.asarray(w, object), categorize=False)
+        part = (h % np.uint64(num_parts)).astype(np.int64)
+        return pa.table(
+            {
+                "hpart": pa.array(part),
+                "did": pa.array(did),
+                "w": pa.array(w.astype(object), pa.string()),
+            }
+        )
+
+    def per_word(group: pa.Table) -> pa.Table:
+        did = group.column("did").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_pandas().to_numpy()
+        order = np.lexsort((did, w))
+        did, w = did[order], w[order]
+        first = np.empty(len(w), dtype=bool)
+        if len(w):
+            first[0] = True
+            first[1:] = w[1:] != w[:-1]
+        starts = np.flatnonzero(first)
+        return pa.table(
+            {
+                "did": pa.array(did[starts]),  # min doc per type
+                "one": pa.array(np.ones(len(starts), np.int64)),
+            }
+        )
+
+    per_doc = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(words, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hpart")
+        .map_groups(per_word, batch_format="pyarrow")
+        .groupby("did")
+        .aggregate(Sum("one", alias_name="new_types"))
+    )
+    scanned = exclusive_scan(
+        per_doc.map_batches(
+            lambda b: pa.table(
+                {
+                    "did": b.column("did"),
+                    "tie": b.column("did"),
+                    "new_types": pc.cast(
+                        b.column("new_types"), pa.int64()
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ("did", "tie"),
+        "new_types",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = batch.column("new_types").to_numpy(zero_copy_only=False)
+        ex = batch.column("scan").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: batch.column("did"),
+                "new_types": pa.array(nt.astype(np.int64)),
+                "cum_types": pa.array((ex + nt).astype(np.int64)),
+            }
+        )
+
+    return scanned.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -943,6 +943,32 @@ def q_duplicate_spans(sf_dir: str):
     )
 
 
+def q_ngram_novelty(sf_dir: str):
+    """(doc_id, n_windows, novel_windows, novelty_ratio) — fraction of
+    each doc's word-8-gram windows whose gram FIRST appears in that
+    doc (memorization/novelty diagnostic; complement of
+    duplicate_spans).  functions/dedup.py::ngram_novelty, bitwise SQL
+    twin (per-gram MIN(doc_id) election)."""
+    from igraph_ray.functions.dedup import ngram_novelty
+
+    return ngram_novelty(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
+def q_vocab_growth(sf_dir: str):
+    """(doc_id, new_types, cum_types) — Heaps'-law vocabulary growth
+    in doc-id order: distinct word types first seen per doc + running
+    vocabulary size (two-phase global ordered scan).
+    functions/dedup.py::vocab_growth, bitwise SQL twin (window
+    cumsum over per-type min-doc counts)."""
+    from igraph_ray.functions.dedup import vocab_growth
+
+    return vocab_growth(
+        documents(sf_dir).select_columns(["doc_id", "text"])
+    )
+
+
 def q_remove_dup_spans(sf_dir: str):
     """(doc_id, text_clean, n_words, n_removed_words) — ExactSubstr
     span REMOVAL (Lee et al. 2022 §4.2, word-8-gram windows; global
