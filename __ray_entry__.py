@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sha256_projection": q.q_sha256,
         "lang_counts": q.q_lang_counts,
         "exact_dedup": q.q_exact_dedup,
+        "incremental_dedup": q.q_incremental_dedup,  # SQL oracle (splitmix split + anti-join)
         "token_count": q.q_token_count,
         "char_classes": q.q_char_classes,
         "redact_pii": q.q_redact_pii,  # SQL oracle (staged RE2 replay)
@@ -1324,6 +1325,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT sha256(text) AS content_sha, MIN(doc_id) AS keep_id "
             "FROM documents GROUP BY sha256(text)"
         ),
+        # incoming shard = splitmix64(doc_id) % 5 == 0 (same chain as
+        # sample_hash); keep smallest-doc incoming holder of each sha
+        # absent from the base corpus
+        "incremental_dedup": f"""
+WITH s1 AS (
+  SELECT doc_id, text,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+),
+s2 AS (SELECT doc_id, text,
+  CAST({_mul64_sql("CAST(xor(z, z >> 30) AS HUGEINT)", "13787848793156543929")}
+       AS UBIGINT) AS z FROM s1),
+s3 AS (SELECT doc_id, text,
+  CAST({_mul64_sql("CAST(xor(z, z >> 27) AS HUGEINT)", "10723151780598845931")}
+       AS UBIGINT) AS z FROM s2),
+s4 AS (SELECT doc_id, text, xor(z, z >> 31) AS z FROM s3),
+tagged AS (
+  SELECT doc_id, sha256(text) AS sha, (z % 5 = 0) AS inc FROM s4
+),
+base AS (SELECT DISTINCT sha FROM tagged WHERE NOT inc),
+keepers AS (
+  SELECT sha AS content_sha, MIN(doc_id) AS doc_id
+  FROM tagged WHERE inc GROUP BY sha
+)
+SELECT k.doc_id, k.content_sha
+FROM keepers k
+WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.sha = k.content_sha)
+""",
         # per-lang quota 5 by (splitmix64(doc_id), doc_id) — replays
         # the same splitmix pipeline as sample_hash
         "stratified_sample": f"""

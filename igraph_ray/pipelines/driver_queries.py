@@ -132,6 +132,62 @@ def q_exact_dedup(sf_dir: str):
     )
 
 
+def q_incremental_dedup(sf_dir: str):
+    """(doc_id, content_sha) — cross-shard incremental dedup: split
+    documents deterministically into a BASE corpus (splitmix64(doc_id)
+    % 5 != 0) and an INCOMING shard (== 0); keep each incoming doc iff
+    its sha256 appears nowhere in the base (distributed hash
+    anti-join on the digest) and it is the smallest-doc_id holder of
+    its sha within the incoming shard (first-keeper).  The shape every
+    recurring-crawl ingest runs: dedup the new shard against the
+    accumulated corpus without rescanning old×old pairs.  Exact —
+    bitwise SQL twin (NOT EXISTS + MIN election)."""
+    from igraph_ray.stages.join import hash_join
+    from igraph_ray.utils import hash_int64
+
+    ds = with_content_sha(
+        documents(sf_dir).select_columns(["doc_id", "text"]), column="text"
+    ).select_columns(["doc_id", "content_sha"]).materialize()
+
+    def split(batch: pa.Table, want_incoming: bool) -> pa.Table:
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        m = (hash_int64(did.astype(np.int64)) % np.uint64(5)) == np.uint64(0)
+        return batch.filter(pa.array(m if want_incoming else ~m))
+
+    incoming = ds.map_batches(
+        lambda b: split(b, True),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    base_shas = (
+        ds.map_batches(
+            lambda b: split(b, False),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .select_columns(["content_sha"])
+        .rename_columns({"content_sha": "base_sha"})
+        .groupby("base_sha")
+        .aggregate(Count("base_sha", alias_name="_c"))
+        .select_columns(["base_sha"])
+    )
+
+    # first-keeper within the incoming shard
+    keepers = (
+        incoming.groupby("content_sha")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+    # native anti-join against the base corpus digests
+    kept = hash_join(
+        keepers,
+        base_shas,
+        on="content_sha",
+        right_on="base_sha",
+        how="left_anti",
+    ).select_columns(["doc_id", "content_sha"])
+    return kept
+
+
 def q_token_count(sf_dir: str):
     return token_count(
         documents(sf_dir).select_columns(["doc_id", "text"])
