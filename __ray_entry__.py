@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_connectivity": q.q_vertex_connectivity,  # rows-only (Even/Whitney Dinic fan-out; nx pytest oracle)
         "cycle_basis": q.q_cycle_basis,  # rows-only (Horton + GF(2) greedy; nx/brute pytest oracle)
         "eulerian_circuit": q.q_eulerian_circuit,  # SQL oracle (2*LCC edges + property constants)
+        "spanning_tree": q.q_spanning_tree,  # SQL oracle (LCC-n via CC CTE + tree property constants)
         "graph_isomorphic": q.q_isomorphic,  # SQL oracle (VF2 witness property constants)
         "dominator_tree": q.q_dominator_tree,  # rows-only (CHK fixed point; nx pytest oracle)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
@@ -2142,6 +2143,32 @@ SELECT CAST(2 * COUNT(*) AS BIGINT) AS circuit_len,
        CAST(0 AS BIGINT) AS broken_steps,
        TRUE AS closed
 FROM lcc_edges
+""",
+        "spanning_tree": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+deg AS (SELECT s AS k FROM arcs GROUP BY s),
+walk AS (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT k, k FROM deg
+    UNION
+    SELECT r.s, a.d FROM r JOIN arcs a ON r.k = a.s
+  )
+  SELECT s, MIN(k) AS lbl FROM r GROUP BY s
+),
+big AS (
+  SELECT lbl, COUNT(*) AS n FROM walk GROUP BY lbl
+  ORDER BY COUNT(*) DESC, lbl LIMIT 1
+)
+SELECT CAST(n AS BIGINT) AS lcc_n,
+       CAST(n - 1 AS BIGINT) AS tree_edges,
+       CAST(0 AS BIGINT) AS non_graph_edges,
+       CAST(1 AS BIGINT) AS tree_components
+FROM big
 """,
         # same all-pairs CTE, reduced to the Wiener/avg-path summary
         "avg_path_length": f"""

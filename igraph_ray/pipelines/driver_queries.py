@@ -2847,6 +2847,106 @@ def q_eulerian_circuit(sf_dir: str, graph_dir: str | None = None):
     )
 
 
+def q_spanning_tree(sf_dir: str, graph_dir: str | None = None):
+    """One row (lcc_n, tree_edges, non_graph_edges, tree_components)
+    — Wilson uniform random spanning tree (igraph
+    igraph_random_spanning_tree surface; seeded loop-erased walks,
+    bitwise deterministic) of the largest connected component of the
+    E1∪E2 graph, validated DISTRIBUTEDLY: edge count, membership in
+    the graph's edge set (native anti-join), and single-component
+    spanning via the components kernel re-run ON THE TREE.  SQL twin
+    recomputes lcc_n with the recursive-CC CTE and states the tree
+    property constants (lcc_n - 1 edges, 0 foreign edges, 1
+    component) — a broken sampler breaks the hash."""
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from igraph_ray.kernels.spanning import random_spanning_tree
+    from igraph_ray.stages.join import hash_join
+
+    edges, _vertices = _key_edge_vids(sf_dir)
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_ust_")
+    graph, _vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = connected_components(graph)
+    sizes = (
+        run.state.groupby("comp")
+        .aggregate(Count(alias_name="n"))
+        .sort(["n", "comp"], descending=[True, False])
+        .limit(1)
+        .take_all()
+    )
+    big = int(sizes[0]["comp"])
+    lcc_n = int(sizes[0]["n"])
+    comp_tbl = pa.concat_tables(
+        run.state.select_columns(["vid", "comp"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    cvid = comp_tbl.column("vid").to_numpy(zero_copy_only=False)
+    ccomp = comp_tbl.column("comp").to_numpy(zero_copy_only=False)
+    order = np.argsort(cvid)
+    ref = ray.put((cvid[order], ccomp[order]))
+
+    def in_lcc(batch: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        keep = c[np.searchsorted(v, s)] == big
+        return batch.filter(pa.array(keep))
+
+    lcc_edges = edges.map_batches(
+        in_lcc, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    tree = random_spanning_tree(lcc_edges, seed=7)
+
+    # membership: tree edges absent from the graph's canonical edges
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        n_key = np.int64(1) << np.int64(31)
+        return pa.table(
+            {"ekey": pa.array(np.minimum(s, d) * n_key + np.maximum(s, d))}
+        )
+
+    foreign = hash_join(
+        ray.data.from_arrow(tree).map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        lcc_edges.map_batches(
+            canon, batch_format="pyarrow", zero_copy_batch=True
+        ).rename_columns({"ekey": "gkey"}),
+        on="ekey",
+        right_on="gkey",
+        how="left_anti",
+    ).count()
+
+    # spanning: components of the TREE itself must be exactly one
+    from igraph_ray.api import build_graph as _bg
+
+    tree_w = tree.append_column(
+        "weight", pa.array(np.ones(tree.num_rows, dtype=np.float64))
+    )
+    tree_graph = _bg(
+        ray.data.from_arrow(tree_w), graph_dir + "/tree", symmetrize=True
+    )
+    tree_run = connected_components(tree_graph)
+    n_comp = int(
+        tree_run.state.groupby("comp")
+        .aggregate(Count(alias_name="n"))
+        .count()
+    )
+    return pa.table(
+        {
+            "lcc_n": pa.array([lcc_n], pa.int64()),
+            "tree_edges": pa.array([tree.num_rows], pa.int64()),
+            "non_graph_edges": pa.array([foreign], pa.int64()),
+            "tree_components": pa.array([n_comp], pa.int64()),
+        }
+    )
+
+
 def q_isomorphic(sf_dir: str):
     """One row (is_isomorphic, mapping_violations, non_bijective) —
     VF2 certificate that the E1∪E2 graph is isomorphic to its
