@@ -215,6 +215,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_compare_info": q.q_partition_compare_info,  # rows-only (NMI/VI ln-sums; numpy oracle pytest)
         "duplicate_spans": q.q_duplicate_spans,  # SQL oracle (window unnest twin)
         "ngram_novelty": q.q_ngram_novelty,  # SQL oracle (per-gram min-doc election)
+        "term_cooccurrence": q.q_term_cooccurrence,  # SQL oracle (PMI int statistics, top-100)
         "vocab_growth": q.q_vocab_growth,  # SQL oracle (Heaps curve, window cumsum)
         "remove_dup_spans": q.q_remove_dup_spans,  # SQL oracle (rewrite twin)
         "bpe_merges": q.q_bpe_merges,  # rows-only (iterative; sequential replay pytest)
@@ -3578,6 +3579,34 @@ SELECT w.doc_id,
     / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
 FROM wins w JOIN firstdoc f ON w.gram = f.gram
 GROUP BY w.doc_id
+""",
+        "term_cooccurrence": """
+WITH toks AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                       x -> x <> '')) AS term
+  FROM documents
+),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+vocab AS (SELECT term, df FROM df WHERE df BETWEEN 2 AND 500),
+dt AS (
+  SELECT DISTINCT t.doc_id, t.term
+  FROM toks t JOIN vocab v ON t.term = v.term
+),
+pairs AS (
+  SELECT a.term AS ta, b.term AS tb, COUNT(*) AS c_xy
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term
+)
+SELECT ta AS term_a, tb AS term_b,
+       CAST(p.c_xy AS BIGINT) AS c_xy,
+       CAST(va.df AS BIGINT) AS c_x,
+       CAST(vb.df AS BIGINT) AS c_y
+FROM pairs p
+JOIN vocab va ON p.ta = va.term
+JOIN vocab vb ON p.tb = vb.term
+ORDER BY p.c_xy DESC, ta, tb
+LIMIT 100
 """,
         "vocab_growth": """
 WITH toks AS (

@@ -1355,3 +1355,155 @@ def mojibake_stats(
         )
 
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def term_cooccurrence(
+    ds: ray.data.Dataset,
+    df_lo: int = 3,
+    df_hi: int = 200,
+    top_k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: int | None = None,
+) -> pa.Table:
+    """(term_a, term_b, c_xy, c_x, c_y) — corpus-wide DOCUMENT
+    co-occurrence counts for the top-``top_k`` unordered pairs of
+    band-vocabulary terms (``df_lo <= df <= df_hi`` — the df band caps
+    per-document pair fan-out exactly like the df_cap in the
+    ngram-Jaccard index), with each term's own document frequency
+    attached.  These are the integer sufficient statistics of PMI
+    phrase mining; the log itself is left to the consumer so the
+    whole table stays exact int64 (bitwise SQL twin).
+
+    Distributed shape: per-batch distinct (doc, term) pre-combine, one
+    df groupby, the df-banded vocabulary broadcast (bounded by the
+    band), a per-DOC-group vectorized triu pair expansion, and one
+    pair-keyed count shuffle.  Never all-pairs across documents.
+    Ordering: count DESC, then (term_a, term_b) ASC — deterministic.
+    """
+    import math as _math
+
+    n_docs = ds.count()
+    if num_parts is None:
+        num_parts = int(max(2, min(256, _math.ceil(n_docs / 20_000))))
+
+    df = term_document_frequency(ds, text_col=text_col, id_col=id_col)
+    vblocks = [
+        b
+        for b in df.filter(
+            expr=f"df >= {df_lo} and df <= {df_hi}"
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    vocab_tbl = (
+        pa.concat_tables(vblocks)
+        if vblocks
+        else pa.table(
+            {"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+        )
+    )
+    vocab_sorted = vocab_tbl.sort_by("term")
+    vterms = vocab_sorted.column("term").to_pandas().to_numpy()
+    vdf = vocab_sorted.column("df").to_numpy(zero_copy_only=False)
+    vref = ray.put((vterms, vdf))
+
+    def doc_terms(batch: pa.Table) -> pa.Table:
+        vt, _ = ray.get(vref)
+        t = _tokens_table(batch, text_col, id_col)
+        distinct = t.group_by(["did", "term"]).aggregate([])
+        term = distinct.column("term").to_pandas().to_numpy()
+        did = distinct.column("did").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(vt, term)
+        pos = np.minimum(pos, max(len(vt) - 1, 0))
+        keep = (
+            (vt[pos] == term) if len(vt) else np.zeros(len(term), bool)
+        )
+        return pa.table(
+            {
+                "hpart": pa.array(
+                    (did[keep] % np.int64(num_parts)).astype(np.int32)
+                ),
+                "did": pa.array(did[keep]),
+                "tid": pa.array(pos[keep].astype(np.int64)),
+            }
+        )
+
+    def doc_pairs(group: pa.Table) -> pa.Table:
+        did = group.column("did").to_numpy(zero_copy_only=False)
+        tid = group.column("tid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((tid, did))
+        did, tid = did[order], tid[order]
+        first = np.empty(len(did), dtype=bool)
+        if len(did):
+            first[0] = True
+            first[1:] = did[1:] != did[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(did)))
+        pa_list, pb_list = [], []
+        for s0, ln in zip(starts, lens):
+            if ln < 2:
+                continue
+            terms = tid[s0 : s0 + ln]
+            ai, bi = np.triu_indices(ln, k=1)
+            pa_list.append(terms[ai])
+            pb_list.append(terms[bi])
+        if not pa_list:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "one": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "a": pa.array(np.concatenate(pa_list)),
+                "b": pa.array(np.concatenate(pb_list)),
+                "one": pa.array(
+                    np.ones(sum(len(x) for x in pa_list), np.int64)
+                ),
+            }
+        )
+
+    counts = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(doc_terms, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hpart")
+        .map_groups(doc_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("one", alias_name="c_xy"))
+    )
+    top = counts.sort(
+        ["c_xy", "a", "b"], descending=[True, False, False]
+    ).limit(top_k)
+    tblocks = [
+        b
+        for b in top.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    ]
+    tbl = pa.concat_tables(tblocks) if tblocks else None
+    if tbl is None:
+        return pa.table(
+            {
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                "c_xy": pa.array([], pa.int64()),
+                "c_x": pa.array([], pa.int64()),
+                "c_y": pa.array([], pa.int64()),
+            }
+        )
+    a = tbl.column("a").to_numpy(zero_copy_only=False)
+    b = tbl.column("b").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "term_a": pa.array(vterms[a].astype(object), pa.string()),
+            "term_b": pa.array(vterms[b].astype(object), pa.string()),
+            "c_xy": pa.array(
+                tbl.column("c_xy").to_numpy(zero_copy_only=False).astype(
+                    np.int64
+                )
+            ),
+            "c_x": pa.array(vdf[a].astype(np.int64)),
+            "c_y": pa.array(vdf[b].astype(np.int64)),
+        }
+    )

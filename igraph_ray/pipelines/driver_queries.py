@@ -999,6 +999,22 @@ def q_duplicate_spans(sf_dir: str):
     )
 
 
+def q_term_cooccurrence(sf_dir: str):
+    """(term_a, term_b, c_xy, c_x, c_y) — top-100 document
+    co-occurrence pairs over the df-band [2, 500] vocabulary with
+    per-term dfs attached: the exact integer sufficient statistics of
+    PMI phrase mining (the log is the consumer's, keeping the table
+    bitwise).  functions/text.py::term_cooccurrence; SQL twin via
+    distinct-token self-join."""
+    from igraph_ray.functions.text import term_cooccurrence
+
+    return term_cooccurrence(
+        documents(sf_dir).select_columns(["doc_id", "text"]),
+        df_lo=2,
+        df_hi=500,
+    )
+
+
 def q_ngram_novelty(sf_dir: str):
     """(doc_id, n_windows, novel_windows, novelty_ratio) — fraction of
     each doc's word-8-gram windows whose gram FIRST appears in that

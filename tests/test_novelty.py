@@ -94,3 +94,55 @@ def test_vocab_growth_vs_brute(ray_session):
         want_rows.append((d, per_doc[d], cum))
     assert rows == want_rows
     assert cum == len(first)
+
+
+def test_term_cooccurrence_vs_brute(ray_session):
+    from collections import Counter
+
+    from igraph_ray.functions.text import term_cooccurrence
+
+    docs = [
+        (0, "alpha beta gamma alpha"),
+        (1, "alpha beta delta"),
+        (2, "beta gamma delta"),
+        (3, "alpha gamma"),
+        (4, "epsilon only here"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    )
+    out = term_cooccurrence(ds, df_lo=2, df_hi=10, top_k=50)
+    got = {
+        (a, b): (c, cx, cy)
+        for a, b, c, cx, cy in zip(
+            out.column("term_a").to_pylist(),
+            out.column("term_b").to_pylist(),
+            out.column("c_xy").to_pylist(),
+            out.column("c_x").to_pylist(),
+            out.column("c_y").to_pylist(),
+        )
+    }
+    # brute force
+    df = Counter()
+    per_doc = []
+    for _, t in docs:
+        terms = sorted(set(t.split()))
+        per_doc.append(terms)
+        for w in terms:
+            df[w] += 1
+    vocab = {w for w, c in df.items() if 2 <= c <= 10}
+    pairs = Counter()
+    for terms in per_doc:
+        vs = sorted(set(terms) & vocab)
+        for i in range(len(vs)):
+            for j in range(i + 1, len(vs)):
+                pairs[(vs[i], vs[j])] += 1
+    want = {
+        (a, b): (c, df[a], df[b]) for (a, b), c in pairs.items()
+    }
+    assert got == want
