@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cycle_basis": q.q_cycle_basis,  # rows-only (Horton + GF(2) greedy; nx/brute pytest oracle)
         "eulerian_circuit": q.q_eulerian_circuit,  # SQL oracle (2*LCC edges + property constants)
         "spanning_tree": q.q_spanning_tree,  # SQL oracle (LCC-n via CC CTE + tree property constants)
+        "attack_robustness": q.q_attack_robustness,  # SQL oracle (ranked removal + per-pct CC CTE)
         "graph_isomorphic": q.q_isomorphic,  # SQL oracle (VF2 witness property constants)
         "dominator_tree": q.q_dominator_tree,  # rows-only (CHK fixed point; nx pytest oracle)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
@@ -1129,6 +1130,60 @@ FROM t"""
 # ExactSubstr duplication diagnostic (functions/dedup.py::
 # duplicate_span_stats): word-8-gram windows, duplicated = gram with
 # corpus count >= 2; docs with < 8 words have no windows (omitted).
+def _attack_sql() -> str:
+    """Targeted-attack robustness twin: per percentage its own
+    removal set + surviving arcs + recursive-CC largest component
+    (q_attack_robustness replay, exact ints)."""
+    pcts = (0, 2, 5, 10)
+    blocks = []
+    for p in pcts:
+        blocks.append(f"""
+rem{p} AS (
+  SELECT key FROM ranked
+  WHERE rn <= ({p} * (SELECT COUNT(*) FROM deg)) // 100
+),
+surv{p} AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  WHERE src_key NOT IN (SELECT key FROM rem{p})
+    AND dst_key NOT IN (SELECT key FROM rem{p})
+),
+arcs{p} AS (SELECT s, d FROM surv{p} UNION SELECT d, s FROM surv{p}),
+verts{p} AS (SELECT s AS k FROM arcs{p} GROUP BY s),
+walk{p} AS (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT k, k FROM verts{p}
+    UNION
+    SELECT r.s, a.d FROM r JOIN arcs{p} a ON r.k = a.s
+  )
+  SELECT s, MIN(k) AS lbl FROM r GROUP BY s
+),
+lcc{p} AS (
+  SELECT COUNT(*) AS sz FROM walk{p} GROUP BY lbl
+  ORDER BY COUNT(*) DESC, lbl LIMIT 1
+)""")
+    selects = " UNION ALL ".join(
+        f"""SELECT CAST({p} AS BIGINT) AS pct_removed,
+  CAST(({p} * (SELECT COUNT(*) FROM deg)) // 100 AS BIGINT) AS n_removed,
+  CAST(COALESCE((SELECT sz FROM lcc{p}), 0) AS BIGINT) AS lcc_size"""
+        for p in pcts
+    )
+    return f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (SELECT key, COUNT(*) AS degree FROM endpoints GROUP BY key),
+ranked AS (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY degree DESC, key) AS rn
+  FROM deg
+),
+{",".join(blocks)}
+{selects}
+"""
+
+
 _DUP_SPANS_SQL = """
 WITH toks AS (
   SELECT doc_id,
@@ -3556,6 +3611,7 @@ FROM v GROUP BY 1, 2
         "curation_funnel": _FUNNEL_SQL,
         "partition_compare": _PARTITION_COMPARE_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
+        "attack_robustness": _attack_sql(),
         "ngram_novelty": """
 WITH toks AS (
   SELECT doc_id,

@@ -2863,6 +2863,92 @@ def q_eulerian_circuit(sf_dir: str, graph_dir: str | None = None):
     )
 
 
+def q_attack_robustness(sf_dir: str, graph_dir: str | None = None):
+    """(pct_removed, n_removed, lcc_size) — targeted-attack robustness
+    curve (the igraph/nx percolation-under-attack classic): remove the
+    top 0/2/5/10% of vertices by degree (ties -> smaller key) and
+    report the surviving largest-connected-component size after each
+    cut, each computed by the distributed components kernel on the
+    filtered edge set.  Exact integers; the SQL twin replays the same
+    window-ranked removal + recursive-CC per percentage."""
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    deg = q_degrees(sf_dir).select_columns(["key", "degree"])
+    dtbl = pa.concat_tables(
+        b
+        for b in deg.iter_batches(batch_format="pyarrow", batch_size=None)
+        if b.num_rows
+    )
+    keys_np = dtbl.column("key").to_pandas().to_numpy()
+    degs_np = dtbl.column("degree").to_numpy(zero_copy_only=False)
+    order = np.lexsort((keys_np, -degs_np))  # degree desc, key asc
+    ranked = keys_np[order]
+    n = len(ranked)
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    rows = {"pct_removed": [], "n_removed": [], "lcc_size": []}
+    base_dir = graph_dir or tempfile.mkdtemp(prefix="igr_atk_")
+    for pct in (0, 2, 5, 10):
+        k = (pct * n) // 100
+        removed = np.sort(ranked[:k])
+        rref = ray.put(removed)
+
+        def survive(batch: pa.Table) -> pa.Table:
+            rem = ray.get(rref)
+            s = batch.column("src_key").to_pandas().to_numpy()
+            d = batch.column("dst_key").to_pandas().to_numpy()
+            keep = ~np.isin(s, rem) & ~np.isin(d, rem)
+            return batch.filter(pa.array(keep))
+
+        kept_pairs = pairs.map_batches(
+            survive, batch_format="pyarrow", zero_copy_batch=True
+        )
+        kept_keys = kept_pairs.map_batches(
+            lambda b: pa.table(
+                {
+                    "key": pa.concat_arrays(
+                        [
+                            b.column("src_key").combine_chunks(),
+                            b.column("dst_key").combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        vertices = assign_vertex_ids(kept_keys, key_col="key").materialize()
+        if vertices.count() == 0:
+            rows["pct_removed"].append(pct)
+            rows["n_removed"].append(k)
+            rows["lcc_size"].append(0)
+            continue
+        edges = attach_vids(kept_pairs, vertices)
+        graph = build_graph(
+            edges, f"{base_dir}/p{pct}", symmetrize=True
+        )
+        run = connected_components(graph)
+        big = (
+            run.state.groupby("comp")
+            .aggregate(Count(alias_name="n"))
+            .sort(["n", "comp"], descending=[True, False])
+            .limit(1)
+            .take_all()
+        )
+        rows["pct_removed"].append(pct)
+        rows["n_removed"].append(k)
+        rows["lcc_size"].append(int(big[0]["n"]))
+    return pa.table(
+        {
+            "pct_removed": pa.array(rows["pct_removed"], pa.int64()),
+            "n_removed": pa.array(rows["n_removed"], pa.int64()),
+            "lcc_size": pa.array(rows["lcc_size"], pa.int64()),
+        }
+    )
+
+
 def q_spanning_tree(sf_dir: str, graph_dir: str | None = None):
     """One row (lcc_n, tree_edges, non_graph_edges, tree_components)
     — Wilson uniform random spanning tree (igraph
