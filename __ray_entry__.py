@@ -157,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eulerian_circuit": q.q_eulerian_circuit,  # SQL oracle (2*LCC edges + property constants)
         "spanning_tree": q.q_spanning_tree,  # SQL oracle (LCC-n via CC CTE + tree property constants)
         "attack_robustness": q.q_attack_robustness,  # SQL oracle (ranked removal + per-pct CC CTE)
+        "motif_significance": q.q_motif_significance,  # rows-only (null-model rewiring trajectory)
         "graph_isomorphic": q.q_isomorphic,  # SQL oracle (VF2 witness property constants)
         "dominator_tree": q.q_dominator_tree,  # rows-only (CHK fixed point; nx pytest oracle)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables

@@ -2863,6 +2863,68 @@ def q_eulerian_circuit(sf_dir: str, graph_dir: str | None = None):
     )
 
 
+def q_motif_significance(sf_dir: str):
+    """One row (observed, null_n, null_sum, null_sumsq, z_millis) —
+    triangle-count significance against a DEGREE-PRESERVING null
+    model (igraph motifs + null-model practice): the observed total
+    triangle count vs 4 deterministic degree-preserving rewirings
+    (stages/rewire.py, seeds 1..4, one swap round each), re-counted by the
+    distributed triangle kernel.  The null moments stay exact int64;
+    z is reported in integer millis (floor) so the row stays
+    hash-stable.  Rows-only (the rewiring trajectory is not
+    SQL-expressible); rewiring invariants are property-tested in
+    tests/test_rewire.py and the triangle kernel against nx."""
+    from igraph_ray.kernels.triangles import total_triangles, triangle_counts
+    from igraph_ray.stages.rewire import rewire_edges
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(s, d)),
+                "dst": pa.array(np.maximum(s, d)),
+            }
+        )
+
+    canon_edges = edges.map_batches(
+        canon, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    observed = total_triangles(triangle_counts(canon_edges))
+
+    nulls = []
+    for seed in range(1, 5):
+        rewired = rewire_edges(canon_edges, rounds=1, seed=seed)
+        nulls.append(total_triangles(triangle_counts(rewired)))
+    ns = np.array(nulls, dtype=np.int64)
+    null_sum = int(ns.sum())
+    null_sumsq = int((ns.astype(object) ** 2).sum())
+    k = len(ns)
+    mean = null_sum / k
+    var = max(null_sumsq / k - mean * mean, 0.0)
+    z = (observed - mean) / (var**0.5) if var > 0 else 0.0
+    return pa.table(
+        {
+            "observed": pa.array([observed], pa.int64()),
+            "null_n": pa.array([k], pa.int64()),
+            "null_sum": pa.array([null_sum], pa.int64()),
+            "null_sumsq": pa.array([null_sumsq], pa.int64()),
+            "z_millis": pa.array([int(np.floor(z * 1000.0))], pa.int64()),
+        }
+    )
+
+
 def q_attack_robustness(sf_dir: str, graph_dir: str | None = None):
     """(pct_removed, n_removed, lcc_size) — targeted-attack robustness
     curve (the igraph/nx percolation-under-attack classic): remove the
