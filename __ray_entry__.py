@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "strongly_connected_components": q.q_scc,  # SQL oracle (mutual-reachability CTE)
         "bowtie": q.q_bowtie,  # SQL oracle (closure + reachability CTEs)
         "core_numbers": q.q_core_numbers,  # SQL oracle (unrolled peeling)
+        "core_histogram": q.q_core_histogram,  # SQL oracle (peeling + GROUP BY)
+        "two_core_edges": q.q_two_core_edges,  # SQL oracle (peeling + pair join)
         "max_flow": q.q_max_flow,  # rows-only (augmenting paths; nx pytest oracle)
         "global_min_cut": q.q_global_min_cut,  # rows-only (Stoer-Wagner; nx pytest oracle)
         "gomory_hu": q.q_gomory_hu,  # rows-only (Gusfield; nx all-pairs pytest oracle)
@@ -1368,6 +1370,20 @@ def oracle_sql() -> dict[str, str]:
         # replayed IEEE expression trees — see the builders above)
         "ktruss": _ktruss_sql(),
         "core_numbers": _core_sql(),
+        "core_histogram": (
+            "SELECT CAST(core AS BIGINT) AS core, "
+            "CAST(COUNT(*) AS BIGINT) AS n_keys "
+            f"FROM ({_core_sql()}) GROUP BY core"
+        ),
+        "two_core_edges": f"""
+WITH cores AS ({_core_sql()}),
+lp AS ({_LINK_PAIRS} SELECT src_key, dst_key FROM link_pairs)
+SELECT p.src_key, p.dst_key
+FROM lp p
+JOIN cores cs ON p.src_key = cs.key
+JOIN cores cd ON p.dst_key = cd.key
+WHERE cs.core >= 2 AND cd.core >= 2
+""",
         "mst": _MST_SQL,
         "shortest_path_route": _ROUTE_SQL,
         "closeness": _closeness_sql(False),

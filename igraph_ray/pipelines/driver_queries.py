@@ -1227,6 +1227,86 @@ def q_scc(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "key", "scc": "scc_key"})
 
 
+def q_core_histogram(sf_dir: str, graph_dir: str | None = None):
+    """(core, n_keys) — k-core size distribution of the E1∪E2 graph
+    (igraph coreness surface; the max row is the graph degeneracy).
+    Distributed groupby over the core-decomposition kernel state; SQL
+    twin wraps the unrolled-peeling core query in a GROUP BY."""
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from igraph_ray.kernels.kcore import core_numbers
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_coreh_")
+    graph, _vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = core_numbers(graph)
+    return (
+        run.state.select_columns(["core"])
+        .groupby("core")
+        .aggregate(Count("core", alias_name="n_keys"))
+    )
+
+
+def q_two_core_edges(sf_dir: str, graph_dir: str | None = None):
+    """(src_key, dst_key) — edge set of the 2-core subgraph (igraph
+    k_core subgraph-extraction surface): E1∪E2 edges whose BOTH
+    endpoints have core number >= 2.  Core numbers from the
+    distributed decomposition kernel, edge filter by broadcast
+    lookup; SQL twin joins the unrolled-peeling cores onto the pair
+    table."""
+    import tempfile
+
+    from igraph_ray.kernels.kcore import core_numbers
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_core2_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = core_numbers(graph)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "core"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    svid = state.column("vid").to_numpy(zero_copy_only=False)
+    score = state.column("core").to_numpy(zero_copy_only=False)
+    order = np.argsort(svid)
+    ref = ray.put((svid[order], score[order]))
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+
+    def in_two_core(batch: pa.Table) -> pa.Table:
+        v, c = ray.get(ref)
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        cs = c[np.searchsorted(v, s)]
+        cd = c[np.searchsorted(v, d)]
+        return batch.filter(pa.array((cs >= 2) & (cd >= 2)))
+
+    kept = edges.map_batches(
+        in_two_core, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tbl = pa.concat_tables(
+        b
+        for b in kept.select_columns(["src", "dst"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+        if b.num_rows
+    )
+    vt = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vt, {"src": "src_key", "dst": "dst_key"})
+
+
 def q_core_numbers(sf_dir: str, graph_dir: str | None = None):
     """(key, core) — k-core decomposition of the E1∪E2 graph
     (igraph_coreness parity); rows-only, pytest nx.core_number oracle."""
