@@ -3037,7 +3037,9 @@ def q_attack_robustness(sf_dir: str, graph_dir: str | None = None):
         removed = np.sort(ranked[:k])
         rref = ray.put(removed)
 
-        def survive(batch: pa.Table) -> pa.Table:
+        def survive(batch: pa.Table, rref=rref) -> pa.Table:
+            # rref bound per-iteration: Datasets are lazy, so a
+            # late-bound closure could see a later percentage's set
             rem = ray.get(rref)
             s = batch.column("src_key").to_pandas().to_numpy()
             d = batch.column("dst_key").to_pandas().to_numpy()
