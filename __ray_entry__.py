@@ -160,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanning_tree": q.q_spanning_tree,  # SQL oracle (LCC-n via CC CTE + tree property constants)
         "attack_robustness": q.q_attack_robustness,  # SQL oracle (ranked removal + per-pct CC CTE)
         "motif_significance": q.q_motif_significance,  # rows-only (null-model rewiring trajectory)
+        "bipartite_matching": q.q_bipartite_matching,  # SQL oracle (sizes + König certificate constants)
         "graph_isomorphic": q.q_isomorphic,  # SQL oracle (VF2 witness property constants)
         "dominator_tree": q.q_dominator_tree,  # rows-only (CHK fixed point; nx pytest oracle)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
@@ -3629,6 +3630,19 @@ FROM v GROUP BY 1, 2
         "partition_compare": _PARTITION_COMPARE_SQL,
         "duplicate_spans": _DUP_SPANS_SQL,
         "attack_robustness": _attack_sql(),
+        # König duality makes optimality itself a checkable constant:
+        # koenig_gap == 0 and uncovered_edges == 0 prove maximality
+        "bipartite_matching": f"""
+WITH files AS ({_FILES}),
+inc AS (SELECT DISTINCT repo, path FROM files)
+SELECT CAST(COUNT(DISTINCT repo) AS BIGINT) AS n_left,
+       CAST(COUNT(DISTINCT path) AS BIGINT) AS n_right,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(0 AS BIGINT) AS koenig_gap,
+       CAST(0 AS BIGINT) AS uncovered_edges,
+       CAST(0 AS BIGINT) AS overlaps
+FROM inc
+""",
         "ngram_novelty": """
 WITH toks AS (
   SELECT doc_id,

@@ -2943,6 +2943,119 @@ def q_eulerian_circuit(sf_dir: str, graph_dir: str | None = None):
     )
 
 
+def q_bipartite_matching(sf_dir: str):
+    """One row (n_left, n_right, n_edges, koenig_gap, uncovered_edges,
+    overlaps) — MAXIMUM bipartite matching (igraph
+    igraph_maximum_bipartite_matching surface; Hopcroft–Karp) of the
+    repo–path incidence graph, certified by König duality: the kernel
+    also returns a vertex cover of the same size, and the query
+    verifies DISTRIBUTEDLY that every incidence edge touches the
+    cover (broadcast lookup + exact count) and that no two matched
+    edges share an endpoint.  koenig_gap == 0 with uncovered_edges ==
+    0 PROVES the matching is maximum — so the SQL twin (data-derived
+    sizes + property constants) hash-checks optimality itself."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from igraph_ray.kernels.bipartite_matching import (
+        maximum_bipartite_matching,
+    )
+
+    files = files_from_documents(sf_dir)
+
+    def inc(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src_key": pc.binary_join_element_wise(
+                    pa.array(["R"] * batch.num_rows), batch.column("repo"), ":"
+                ),
+                "dst_key": pc.binary_join_element_wise(
+                    pa.array(["P"] * batch.num_rows), batch.column("path"), ":"
+                ),
+                "weight": pa.array(np.ones(batch.num_rows)),
+            }
+        )
+
+    pairs = (
+        files.select_columns(["repo", "path"])
+        .map_batches(inc, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_key", "dst_key"])
+        .aggregate(_Sum("weight", alias_name="weight"))
+    )
+    keys = pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        b.column("src_key").combine_chunks(),
+                        b.column("dst_key").combine_chunks(),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    matching, cover = maximum_bipartite_matching(edges)
+
+    cov = np.sort(cover.column("vid").to_numpy(zero_copy_only=False))
+    cref = ray.put(cov)
+
+    def uncovered(batch: pa.Table) -> pa.Table:
+        cv = ray.get(cref)
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+
+        def hit(x):
+            if len(cv) == 0:
+                return np.zeros(len(x), bool)
+            p = np.minimum(np.searchsorted(cv, x), len(cv) - 1)
+            return cv[p] == x
+
+        bad = ~hit(s) & ~hit(d)
+        return pa.table({"bad": pa.array([int(bad.sum())], pa.int64())})
+
+    unc = edges.map_batches(
+        uncovered, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(_Sum("bad", alias_name="bad"))
+    uncovered_n = int(unc.get("bad") or 0)
+
+    ends = np.concatenate(
+        [
+            matching.column("src").to_numpy(zero_copy_only=False),
+            matching.column("dst").to_numpy(zero_copy_only=False),
+        ]
+    )
+    overlaps = int((np.unique(ends, return_counts=True)[1] > 1).sum())
+
+    n_left = int(
+        pc.sum(
+            pc.starts_with(
+                pa.concat_tables(
+                    vertices.select_columns(["key"]).iter_batches(
+                        batch_format="pyarrow", batch_size=None
+                    )
+                ).column("key"),
+                "R:",
+            ).cast(pa.int64())
+        ).as_py()
+    )
+    n_total = vertices.count()
+    return pa.table(
+        {
+            "n_left": pa.array([n_left], pa.int64()),
+            "n_right": pa.array([n_total - n_left], pa.int64()),
+            "n_edges": pa.array([edges.count()], pa.int64()),
+            "koenig_gap": pa.array(
+                [cover.num_rows - matching.num_rows], pa.int64()
+            ),
+            "uncovered_edges": pa.array([uncovered_n], pa.int64()),
+            "overlaps": pa.array([overlaps], pa.int64()),
+        }
+    )
+
+
 def q_motif_significance(sf_dir: str):
     """One row (observed, null_n, null_sum, null_sumsq, z_millis) —
     triangle-count significance against a DEGREE-PRESERVING null
