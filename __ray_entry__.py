@@ -274,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s_metric": q.q_s_metric,  # SQL oracle (exact deg-product sum)
         "onion_layers": q.q_onion_layers,  # SQL oracle (unrolled monotone-threshold peeling)
         "k_clique_communities": q.q_k_clique_communities,  # rows-only (CPM; nx pytest oracle)
+        "spanning_tree_count": q.q_spanning_tree_count,  # rows-only (Kirchhoff big-int determinant; closed-form + brute-force pytest oracles)
     }
 
 

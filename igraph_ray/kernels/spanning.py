@@ -125,3 +125,113 @@ def random_spanning_tree(
         )
     refs = edges.select_columns(["src", "dst"]).to_arrow_refs()
     return ray.get(_wilson_task.remote(refs, seed))
+
+
+# ---------------------------------------------------------------------------
+# Spanning-tree COUNT (Kirchhoff matrix-tree theorem, exact integers)
+# ---------------------------------------------------------------------------
+COUNT_MAX_VERTICES = 1_500
+
+
+@ray.remote
+def _kirchhoff_task(blocks, max_vertices: int):
+    """Dense exact matrix-tree determinant over the gathered simple
+    edge set.  Bareiss fraction-free elimination in arbitrary-
+    precision Python ints (object-dtype numpy rows keep the inner
+    loop vectorized), so the count is EXACT at any magnitude —
+    K_n alone has n^(n-2) trees, far beyond int64/float range.
+    Returns the count as a decimal string."""
+    tables = [t for t in ray.get(list(blocks)) if t.num_rows]
+    if not tables:
+        return "0"
+    tbl = pa.concat_tables(tables)
+    a = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    b = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    # vertex set BEFORE dropping loops: a vertex known only through a
+    # self-loop still exists (and still needs spanning)
+    ids = np.unique(np.concatenate([a, b]))
+    keep = a != b  # self-loops never appear in a spanning tree
+    a, b = a[keep], b[keep]
+    n = len(ids)
+    if n == 0:
+        return "0"
+    if n == 1:
+        return "1"
+    if n > max_vertices:
+        raise NotImplementedError(
+            f"spanning_tree_count dense-determinant bound: {n} vertices "
+            f"> {max_vertices} (the matrix-tree determinant is "
+            "inherently a dense O(n^3) exact-arithmetic computation)"
+        )
+    u = np.searchsorted(ids, a)
+    v = np.searchsorted(ids, b)
+    # collapse parallel arcs: the caller hands unordered unique pairs,
+    # but be defensive — multiplicity would otherwise weight the count
+    pair = np.unique(
+        np.minimum(u, v).astype(np.int64) * n + np.maximum(u, v)
+    )
+    u, v = pair // n, pair % n
+
+    # Laplacian minor (drop last row/col) in exact integers
+    m = n - 1
+    M = np.zeros((m, m), dtype=object)
+    deg = np.zeros(n, dtype=np.int64)
+    np.add.at(deg, u, 1)
+    np.add.at(deg, v, 1)
+    for i in range(m):
+        M[i, i] = int(deg[i])
+    inside = (u < m) & (v < m)
+    for x, y in zip(u[inside], v[inside]):
+        M[x, y] -= 1
+        M[y, x] -= 1
+
+    # Bareiss fraction-free elimination (exact divisions by the
+    # previous pivot; row pivoting preserves exactness, sign tracked)
+    prev = 1
+    sign = 1
+    for k in range(m - 1):
+        if M[k, k] == 0:
+            nz = [i for i in range(k + 1, m) if M[i, k] != 0]
+            if not nz:
+                return "0"  # singular minor => disconnected graph
+            i = nz[0]
+            M[[k, i], k:] = M[[i, k], k:]
+            sign = -sign
+        piv = M[k, k]
+        for i in range(k + 1, m):
+            M[i, k + 1 :] = (M[i, k + 1 :] * piv - M[i, k] * M[k, k + 1 :])
+            if prev != 1:
+                M[i, k + 1 :] //= prev
+            M[i, k] = 0
+        prev = piv
+    det = sign * M[m - 1, m - 1]
+    if det < 0:  # cannot happen for a PSD minor; guard anyway
+        det = -det
+    return str(det)
+
+
+def spanning_tree_count(
+    edges: ray.data.Dataset,
+    max_vertices: int = COUNT_MAX_VERTICES,
+    gather_max_arcs: int = GATHER_MAX_ARCS,
+) -> int:
+    """Exact number of spanning trees of the undirected simple graph
+    (Kirchhoff's matrix-tree theorem: any cofactor of the Laplacian).
+    0 for a disconnected or empty graph, 1 for a single vertex;
+    self-loops are ignored.
+
+    Distributed shape — DOCUMENTED BOUNDED-GATHER like Wilson above
+    and the max-flow family: the determinant is an inherently dense
+    O(n^3) sequential computation, so the (bounded) edge set is
+    gathered into one remote task that runs Bareiss fraction-free
+    elimination in Python big ints — the result is exact at any
+    magnitude (K_n has n^(n-2) trees).  The edge table itself stays
+    in the object store until the single gather."""
+    m = edges.count()
+    if m > gather_max_arcs:
+        raise NotImplementedError(
+            f"spanning_tree_count bounded-gather limit: {m} arcs > "
+            f"{gather_max_arcs}"
+        )
+    refs = edges.select_columns(["src", "dst"]).to_arrow_refs()
+    return int(ray.get(_kirchhoff_task.remote(refs, max_vertices)))

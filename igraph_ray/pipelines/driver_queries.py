@@ -6846,3 +6846,67 @@ def q_k_clique_communities(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "key"}).sort_by(
         [("community", "ascending"), ("key", "ascending")]
     )
+
+
+# ---------------------------------------------------------------------------
+# Spanning-tree count (Kirchhoff matrix-tree theorem)
+# ---------------------------------------------------------------------------
+def q_spanning_tree_count(sf_dir: str, graph_dir: str | None = None):
+    """One row (n_vertices, n_edges, spanning_trees) — the EXACT
+    number of spanning trees of the largest connected component of
+    the E1∪E2 key graph (Kirchhoff matrix-tree cofactor; Bareiss
+    big-int elimination — closed-form + brute-force enumeration
+    oracles in tests/test_spanning_count.py; networkx's own
+    number_of_spanning_trees needs scipy, absent here).  The count
+    can exceed int64 astronomically (K_n alone has n^(n-2) trees), so
+    it is returned as a decimal STRING — exact and deterministic, but
+    rows-only (no SQL determinant)."""
+    import tempfile
+
+    from igraph_ray.kernels.spanning import spanning_tree_count
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_stc_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run = connected_components(graph)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", "comp"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    comps = state.column("comp").to_numpy(zero_copy_only=False)
+    vids = state.column("vid").to_numpy(zero_copy_only=False)
+    if len(comps) == 0:
+        return pa.table(
+            {
+                "n_vertices": pa.array([0], pa.int64()),
+                "n_edges": pa.array([0], pa.int64()),
+                "spanning_trees": pa.array(["0"], pa.string()),
+            }
+        )
+    labels, counts = np.unique(comps, return_counts=True)
+    lcc = int(labels[np.argmax(counts)])
+    mem = np.sort(vids[comps == lcc])
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    vertices_ds = ray.data.from_arrow(vtbl)
+    edges = attach_vids(pairs, vertices_ds).select_columns(["src", "dst"])
+
+    def in_lcc(batch: pa.Table, _mem=mem) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(_mem, s)
+        pos[pos >= len(_mem)] = 0
+        keep = _mem[pos] == s
+        return batch.filter(pa.array(keep))
+
+    sub = edges.map_batches(
+        in_lcc, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_e = sub.count()
+    count = spanning_tree_count(sub)
+    return pa.table(
+        {
+            "n_vertices": pa.array([len(mem)], pa.int64()),
+            "n_edges": pa.array([int(n_e)], pa.int64()),
+            "spanning_trees": pa.array([str(count)], pa.string()),
+        }
+    )
