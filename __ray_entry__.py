@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "onion_layers": q.q_onion_layers,  # SQL oracle (unrolled monotone-threshold peeling)
         "k_clique_communities": q.q_k_clique_communities,  # rows-only (CPM; nx pytest oracle)
         "spanning_tree_count": q.q_spanning_tree_count,  # rows-only (Kirchhoff big-int determinant; closed-form + brute-force pytest oracles)
+        "bipartite_projection": q.q_bipartite_projection,  # SQL oracle (distinct-incidence self-join, exact ints)
     }
 
 
@@ -4200,5 +4201,17 @@ SELECT CAST(SUM(ds.degree * dd.degree) AS BIGINT) AS s_metric
 FROM link_pairs p
 JOIN deg ds ON p.src_key = ds.key
 JOIN deg dd ON p.dst_key = dd.key
+""",
+        # repo-mode bipartite projection of the repo↔path incidence:
+        # weight = number of distinct shared paths (igraph
+        # bipartite_projection multiplicity), exact ints
+        "bipartite_projection": f"""
+WITH files AS ({_FILES}),
+inc AS (SELECT DISTINCT repo, path FROM files)
+SELECT a.repo AS src_key, b.repo AS dst_key,
+       CAST(COUNT(*) AS BIGINT) AS weight
+FROM inc a JOIN inc b ON a.path = b.path AND a.repo < b.repo
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
     }

@@ -6910,3 +6910,20 @@ def q_spanning_tree_count(sf_dir: str, graph_dir: str | None = None):
             "spanning_trees": pa.array([str(count)], pa.string()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Bipartite projection (igraph bipartite_projection multiplicity)
+# ---------------------------------------------------------------------------
+def q_bipartite_projection(sf_dir: str):
+    """(src_key, dst_key, weight) — repo-mode projection of the
+    repo↔path bipartite incidence derived from the files table: two
+    repos link iff some path exists in both, weight = number of
+    distinct shared paths (igraph ``bipartite_projection`` with
+    ``multiplicity`` / nx ``weighted_projected_graph``).  Exact-int
+    weights — bitwise SQL twin (distinct-incidence self-join)."""
+    from igraph_ray.stages.graph_ops import bipartite_projection
+
+    files = files_from_documents(sf_dir).select_columns(["repo", "path"])
+    out = bipartite_projection(files, u_col="repo", v_col="path", onto="u")
+    return out.sort(["src_key", "dst_key"])

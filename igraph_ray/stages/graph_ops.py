@@ -334,3 +334,67 @@ def line_graph(
     return inc.groupby("hpart").map_groups(
         edge_pairs, batch_format="pyarrow"
     )
+
+
+def bipartite_projection(
+    edges: ray.data.Dataset,
+    u_col: str = "u",
+    v_col: str = "v",
+    onto: str = "u",
+    fanout_cap: int | None = None,
+) -> ray.data.Dataset:
+    """Weighted one-mode projection of a bipartite graph — igraph
+    ``bipartite_projection`` (with ``multiplicity`` weights) /
+    nx ``bipartite.weighted_projected_graph`` semantics.
+
+    Two same-mode vertices are linked iff they share an opposite-mode
+    neighbour; ``weight`` = number of distinct shared neighbours.
+    Rows: ``(src_key, dst_key, weight)`` with ``src_key < dst_key``.
+
+    Shape: one distinct-incidence groupby, one per-opposite-key pair
+    expansion (vectorized triu), one pair-count groupby.  A key of
+    opposite-mode degree g emits C(g, 2) pairs — the projection is
+    inherently quadratic in hub degree (igraph's is too), so
+    ``fanout_cap`` is the documented skew guard: keys with more than
+    ``fanout_cap`` distinct members are dropped entirely (NOT starred —
+    a star would fabricate multiplicity).  Default ``None`` keeps
+    exact igraph semantics; SQL twins apply the same HAVING filter.
+    """
+    from ray.data.aggregate import Sum
+
+    member, key = (u_col, v_col) if onto == "u" else (v_col, u_col)
+    incidence = (
+        edges.select_columns([key, member])
+        .groupby([key, member])
+        .count()
+        .select_columns([key, member])
+    )
+
+    def emit(group: pa.Table) -> pa.Table:
+        members = np.sort(
+            np.asarray(group.column(member).to_pylist(), dtype=object)
+        )
+        k = len(members)
+        if k < 2 or (fanout_cap is not None and k > fanout_cap):
+            return pa.table(
+                {
+                    "src_key": pa.array([], pa.string()),
+                    "dst_key": pa.array([], pa.string()),
+                    "weight": pa.array([], pa.int64()),
+                }
+            )
+        iu, ju = np.triu_indices(k, 1)
+        return pa.table(
+            {
+                "src_key": pa.array(members[iu], pa.string()),
+                "dst_key": pa.array(members[ju], pa.string()),
+                "weight": pa.array(np.ones(len(iu), np.int64)),
+            }
+        )
+
+    pairs = incidence.groupby(key).map_groups(
+        emit, batch_format="pyarrow"
+    )
+    return pairs.groupby(["src_key", "dst_key"]).aggregate(
+        Sum("weight", alias_name="weight")
+    )

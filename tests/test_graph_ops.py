@@ -135,3 +135,75 @@ def test_line_graph_vs_nx():
             a, b = tuple(sorted(e1)), tuple(sorted(e2))
             want.add(tuple(sorted([a, b])))
         assert got == want, seed
+
+
+# ---------------------------------------------------------------------------
+# bipartite projection (igraph bipartite_projection multiplicity /
+# nx.bipartite.weighted_projected_graph)
+# ---------------------------------------------------------------------------
+def _bip_ds(edges) -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([f"u{a}" for a, _ in edges], pa.string()),
+                "v": pa.array([f"v{b}" for _, b in edges], pa.string()),
+            }
+        )
+    )
+
+
+def _proj_map(tbl: pa.Table) -> dict[tuple[str, str], int]:
+    return dict(
+        zip(
+            zip(
+                tbl.column("src_key").to_pylist(),
+                tbl.column("dst_key").to_pylist(),
+            ),
+            tbl.column("weight").to_pylist(),
+        )
+    )
+
+
+def _nx_proj(edges, mode: str) -> dict[tuple[str, str], int]:
+    from networkx.algorithms import bipartite as nxb
+
+    G = nx.Graph()
+    us = {f"u{a}" for a, _ in edges}
+    vs = {f"v{b}" for _, b in edges}
+    G.add_nodes_from(us, bipartite=0)
+    G.add_nodes_from(vs, bipartite=1)
+    G.add_edges_from((f"u{a}", f"v{b}") for a, b in edges)
+    nodes = us if mode == "u" else vs
+    P = nxb.weighted_projected_graph(G, nodes)
+    return {
+        (min(a, b), max(a, b)): d["weight"] for a, b, d in P.edges(data=True)
+    }
+
+
+def test_bipartite_projection_both_modes_vs_nx():
+    from igraph_ray.stages.graph_ops import bipartite_projection
+
+    rng = __import__("random").Random(5)
+    edges = {(rng.randrange(12), rng.randrange(9)) for _ in range(70)}
+    edges = sorted(edges)
+    ds = _bip_ds(edges)
+    for mode in ("u", "v"):
+        got = _proj_map(
+            ds_to_table(bipartite_projection(ds, "u", "v", onto=mode))
+        )
+        assert got == _nx_proj(edges, mode)
+
+
+def test_bipartite_projection_duplicate_incidence_and_cap():
+    from igraph_ray.stages.graph_ops import bipartite_projection
+
+    # duplicated (u,v) rows must not inflate multiplicity
+    edges = [(0, 0), (1, 0), (0, 0), (2, 0), (0, 1), (1, 1)]
+    ds = _bip_ds(edges)
+    got = _proj_map(ds_to_table(bipartite_projection(ds, "u", "v")))
+    assert got == _nx_proj(set(edges), "u")
+    # fanout_cap drops the degree-3 key v0 entirely; only v1's pair stays
+    capped = _proj_map(
+        ds_to_table(bipartite_projection(ds, "u", "v", fanout_cap=2))
+    )
+    assert capped == {("u0", "u1"): 1}
