@@ -276,6 +276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_clique_communities": q.q_k_clique_communities,  # rows-only (CPM; nx pytest oracle)
         "spanning_tree_count": q.q_spanning_tree_count,  # rows-only (Kirchhoff big-int determinant; closed-form + brute-force pytest oracles)
         "bipartite_projection": q.q_bipartite_projection,  # SQL oracle (distinct-incidence self-join, exact ints)
+        "independent_cascade": q.q_independent_cascade,  # SQL oracle (splitmix live-arc coin + recursive BFS rounds, bitwise)
     }
 
 
@@ -4213,5 +4214,49 @@ SELECT a.repo AS src_key, b.repo AS dst_key,
 FROM inc a JOIN inc b ON a.path = b.path AND a.repo < b.repo
 GROUP BY 1, 2
 ORDER BY 1, 2
+""",
+        # deterministic independent cascade: splitmix64 live-arc coin
+        # (vid fuse, 1000-sided) + recursive BFS rounds from the 3
+        # smallest keys — full bit-for-bit replay
+        "independent_cascade": f"""
+WITH arcs0 AS (
+  SELECT DISTINCT s, d FROM (
+    SELECT 'v' || CAST(doc_id % 101 AS VARCHAR) AS s,
+           'v' || CAST(((doc_id % 101) * 37 + 11) % 101 AS VARCHAR) AS d
+    FROM documents
+    WHERE doc_id % 101 <> ((doc_id % 101) * 37 + 11) % 101
+    UNION ALL
+    SELECT 'v' || CAST(doc_id % 101 AS VARCHAR),
+           'v' || CAST(((doc_id % 101) * 58 + 7) % 101 AS VARCHAR)
+    FROM documents
+    WHERE doc_id % 101 <> ((doc_id % 101) * 58 + 7) % 101
+  )
+),
+ks AS (SELECT DISTINCT k FROM
+       (SELECT s AS k FROM arcs0 UNION SELECT d FROM arcs0)),
+v AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) - 1 AS vid FROM ks),
+fz AS (SELECT a.s, a.d, CAST(x.vid * 1048576 + y.vid AS HUGEINT) AS f
+       FROM arcs0 a JOIN v x ON a.s = x.k JOIN v y ON a.d = y.k),
+ic1 AS (SELECT s, d,
+  CAST((f + 11400714819323198485) % 18446744073709551616 AS UBIGINT) AS z
+  FROM fz),
+ic2 AS (SELECT s, d,
+  CAST({_mul64_sql("CAST(xor(z, z >> 30) AS HUGEINT)", "13787848793156543929")}
+       AS UBIGINT) AS z FROM ic1),
+ic3 AS (SELECT s, d,
+  CAST({_mul64_sql("CAST(xor(z, z >> 27) AS HUGEINT)", "10723151780598845931")}
+       AS UBIGINT) AS z FROM ic2),
+ic4 AS (SELECT s, d, xor(z, z >> 31) AS z FROM ic3),
+live AS (SELECT s, d FROM ic4 WHERE z % 1000 < 500),
+walk AS (
+  WITH RECURSIVE r(k, dist) AS (
+    SELECT k, 0 FROM v WHERE vid < 3
+    UNION
+    SELECT l.d, r.dist + 1 FROM r JOIN live l ON r.k = l.s
+    WHERE r.dist < 300
+  )
+  SELECT k, MIN(dist) AS dist FROM r GROUP BY k
+)
+SELECT k AS key, CAST(dist AS BIGINT) AS round FROM walk ORDER BY key
 """,
     }

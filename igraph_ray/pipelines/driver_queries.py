@@ -6927,3 +6927,84 @@ def q_bipartite_projection(sf_dir: str):
     files = files_from_documents(sf_dir).select_columns(["repo", "path"])
     out = bipartite_projection(files, u_col="repo", v_col="path", onto="u")
     return out.sort(["src_key", "dst_key"])
+
+
+# ---------------------------------------------------------------------------
+# Independent-cascade influence spread (deterministic live-edge form)
+# ---------------------------------------------------------------------------
+def q_independent_cascade(sf_dir: str, graph_dir: str | None = None):
+    """(key, round) — deterministic independent-cascade spread over the
+    distinct directed doc-derived arcs (loops dropped) from the 3
+    lexicographically smallest keys, per-arc coin
+    splitmix64(src_vid·2^20 + dst_vid) % 1000 < 500.  KKT live-edge
+    equivalence makes the spread = BFS rounds over the kept arcs, so
+    both the coin and the rounds replay exactly in SQL (recursive
+    CTE) — hash MATCH."""
+    import tempfile
+
+    from igraph_ray.kernels.cascade import independent_cascade
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_ic_")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        # two out-arc families per vertex class (37 and 58 are units
+        # mod 101) so the live-edge subgraph actually branches
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = doc_id % 101
+        d1 = (s * 37 + 11) % 101
+        d2 = (s * 58 + 7) % 101
+        ss = np.concatenate([s, s])
+        dd = np.concatenate([d1, d2])
+        keep = ss != dd
+        return pa.table(
+            {
+                "src_key": pa.array(
+                    [f"v{i}" for i in ss[keep]], pa.string()
+                ),
+                "dst_key": pa.array(
+                    [f"v{i}" for i in dd[keep]], pa.string()
+                ),
+            }
+        )
+
+    arcs = documents(sf_dir).map_batches(
+        derive, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "weight", pa.array(np.ones(batch.num_rows))
+        )
+
+    distinct = (
+        arcs.groupby(["src_key", "dst_key"])
+        .count()
+        .select_columns(["src_key", "dst_key"])
+        .map_batches(add_weight, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    keys = (
+        distinct.select_columns(["src_key"])
+        .rename_columns({"src_key": "key"})
+        .union(
+            distinct.select_columns(["dst_key"]).rename_columns(
+                {"dst_key": "key"}
+            )
+        )
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(distinct, vertices)
+    out = pa.concat_tables(
+        independent_cascade(
+            edges, graph_dir, seeds=[0, 1, 2], p_milli=500,
+            vertices=vertices.select_columns(["vid"]),
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(out, vtbl, {"vid": "key"}).sort_by("key")
