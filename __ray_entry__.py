@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanning_tree_count": q.q_spanning_tree_count,  # rows-only (Kirchhoff big-int determinant; closed-form + brute-force pytest oracles)
         "bipartite_projection": q.q_bipartite_projection,  # SQL oracle (distinct-incidence self-join, exact ints)
         "independent_cascade": q.q_independent_cascade,  # SQL oracle (splitmix live-arc coin + recursive BFS rounds, bitwise)
+        "chunk_text": q.q_chunk_text,  # SQL oracle (split + slice + array_to_string replay, bitwise strings)
     }
 
 
@@ -4258,5 +4259,31 @@ walk AS (
   SELECT k, MIN(dist) AS dist FROM r GROUP BY k
 )
 SELECT k AS key, CAST(dist AS BIGINT) AS round FROM walk ORDER BY key
+""",
+        # RAG chunking: 32-word windows, stride 24; window count rule
+        # mirrors functions/text.chunk_text (last window is the first
+        # whose end reaches n)
+        "chunk_text": r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'),
+                     x -> length(x) > 0) AS ws
+  FROM documents
+),
+n AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+g AS (
+  SELECT doc_id, ws, n,
+         UNNEST(generate_series(0,
+           CASE WHEN n = 0 THEN -1
+                WHEN n <= 32 THEN 0
+                ELSE (n - 32 + 23) // 24 END)) AS c
+  FROM n
+)
+SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
+       array_to_string(ws[c*24 + 1 : least(c*24 + 32, n)], ' ')
+         AS chunk_text,
+       CAST(least(c*24 + 32, n) - c*24 AS BIGINT) AS n_words
+FROM g
+ORDER BY doc_id, chunk_idx
 """,
     }

@@ -1507,3 +1507,87 @@ def term_cooccurrence(
             "c_y": pa.array(vdf[b].astype(np.int64)),
         }
     )
+
+
+def chunk_text(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = 64,
+    stride: int = 48,
+) -> ray.data.Dataset:
+    """RAG-style overlapping chunking: one row per window of
+    ``chunk_words`` whitespace words advancing by ``stride`` words
+    (``stride < chunk_words`` ⇒ adjacent chunks overlap by
+    ``chunk_words - stride`` words — the standard retrieval-context
+    preparation).  Rows: ``(<id>, chunk_idx, chunk_text, n_words)``.
+
+    Window rule: chunk c covers words [c·stride, min(c·stride+chunk,
+    n)); the last window is the first one whose end reaches n (so no
+    window is fully contained in its predecessor); a doc with
+    0 < n ≤ chunk_words yields exactly one window, an empty doc none.
+
+    Fully vectorized per batch (RE2 split → flat word gather via
+    ``pc.take`` — windows overlap so the list offsets cannot share the
+    buffer — → ``binary_join``); no shuffle, embarrassingly parallel.
+    """
+    if chunk_words <= 0 or stride <= 0 or stride > chunk_words:
+        raise ValueError("need 0 < stride <= chunk_words")
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        words = pc.split_pattern_regex(batch.column(text_col), pattern=r"\s+")
+        per_doc = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        flat = pc.list_flatten(words)
+        flat = (
+            flat.combine_chunks()
+            if isinstance(flat, pa.ChunkedArray)
+            else flat
+        )
+        lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        if (lens == 0).any():
+            keep = lens > 0
+            doc_of = np.repeat(np.arange(len(ids)), per_doc)[keep]
+            flat = flat.filter(pa.array(keep))
+            counts = np.bincount(doc_of, minlength=len(ids))
+        else:
+            counts = per_doc
+        n_chunks = np.where(
+            counts == 0,
+            0,
+            np.where(
+                counts <= chunk_words,
+                1,
+                (counts - chunk_words + stride - 1) // stride + 1,
+            ),
+        ).astype(np.int64)
+        total = int(n_chunks.sum())
+        doc_idx = np.repeat(np.arange(len(ids)), n_chunks)
+        local = (
+            np.arange(total)
+            - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        )
+        doc_word_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        starts = local * stride
+        ends = np.minimum(starts + chunk_words, counts[doc_idx])
+        w = ends - starts
+        # overlapping windows: explicit flat-index gather
+        gstart = doc_word_start[doc_idx] + starts
+        idx = np.repeat(gstart, w) + (
+            np.arange(int(w.sum())) - np.repeat(np.cumsum(w) - w, w)
+        )
+        taken = flat.take(pa.array(idx, pa.int64()))
+        offsets = np.concatenate([[0], np.cumsum(w)])
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), taken
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids[doc_idx]),
+                "chunk_idx": pa.array(local.astype(np.int64)),
+                "chunk_text": pc.binary_join(lists, " "),
+                "n_words": pa.array(w.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(split, batch_format="pyarrow", zero_copy_batch=True)

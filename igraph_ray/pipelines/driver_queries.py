@@ -7008,3 +7008,15 @@ def q_independent_cascade(sf_dir: str, graph_dir: str | None = None):
         )
     ).sort_by("vid")
     return _vid_to_key(out, vtbl, {"vid": "key"}).sort_by("key")
+
+
+def q_chunk_text(sf_dir: str):
+    """(doc_id, chunk_idx, chunk_text, n_words) — RAG-style overlapping
+    word windows (32 words, stride 24).  String-exact — bitwise SQL
+    twin (list_filter split + slice + array_to_string replay)."""
+    from igraph_ray.functions.text import chunk_text
+
+    docs = documents(sf_dir).select_columns(["doc_id", "text"])
+    return chunk_text(docs, chunk_words=32, stride=24).sort(
+        ["doc_id", "chunk_idx"]
+    )

@@ -555,3 +555,64 @@ def test_mojibake_stats():
     assert out["n_mojibake"] == want_moji == [0, 2, 2, 0, 0, 0]
     assert out["n_replacement"] == want_repl == [0, 0, 0, 3, 0, 0]
     assert out["is_clean"] == [1, 0, 0, 0, 1, 1]
+
+
+# ---------------------------------------------------------------------------
+# RAG-style overlapping chunking
+# ---------------------------------------------------------------------------
+def _brute_chunks(texts, chunk=5, stride=3):
+    rows = []
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split() if w]
+        n = len(ws)
+        if n == 0:
+            continue
+        nc = 1 if n <= chunk else -(-(n - chunk) // stride) + 1
+        for c in range(nc):
+            win = ws[c * stride : min(c * stride + chunk, n)]
+            rows.append((i, c, " ".join(win), len(win)))
+    return rows
+
+
+def test_chunk_text_vs_brute():
+    import ray.data
+
+    from igraph_ray.functions.text import chunk_text
+
+    texts = [
+        "a b c d e f g h i j k",     # 11 words: chunks at 0,3,6
+        "one two three",              # n <= chunk: one window
+        "",                           # empty: none
+        "   \t  ",                    # whitespace-only: none
+        "w1 w2 w3 w4 w5",             # n == chunk exactly: one window
+        "x1 x2 x3 x4 x5 x6",          # n == chunk+1: two windows
+        "  padded   words  here  ",   # artifacts dropped
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = pa.concat_tables(
+        chunk_text(ds, chunk_words=5, stride=3).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    got = sorted(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("chunk_idx").to_pylist(),
+            out.column("chunk_text").to_pylist(),
+            out.column("n_words").to_pylist(),
+        )
+    )
+    assert got == sorted(_brute_chunks(texts, 5, 3))
+    # no window fully contained in its predecessor
+    for d, c, txt, nw in got:
+        if c > 0:
+            assert (c - 1) * 3 + 5 < sum(
+                1 for w in texts[d].split() if w
+            ) or nw == 5
