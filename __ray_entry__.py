@@ -278,6 +278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite_projection": q.q_bipartite_projection,  # SQL oracle (distinct-incidence self-join, exact ints)
         "independent_cascade": q.q_independent_cascade,  # SQL oracle (splitmix live-arc coin + recursive BFS rounds, bitwise)
         "chunk_text": q.q_chunk_text,  # SQL oracle (split + slice + array_to_string replay, bitwise strings)
+        "user_favorite_event": q.q_user_favorite_event,  # SQL oracle (grouped mode, deterministic tie-break, exact ints)
+        "qty_price_corr": q.q_qty_price_corr,  # SQL oracle (HUGEINT sufficient stats + one IEEE chain, bitwise)
     }
 
 
@@ -4285,5 +4287,43 @@ SELECT doc_id, CAST(c AS BIGINT) AS chunk_idx,
        CAST(least(c*24 + 32, n) - c*24 AS BIGINT) AS n_words
 FROM g
 ORDER BY doc_id, chunk_idx
+""",
+        # grouped mode with deterministic (cnt DESC, value ASC) tie-break
+        "user_favorite_event": """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id ORDER BY n DESC, event_type ASC) AS rn
+  FROM c
+)
+SELECT user_id, event_type AS mode, CAST(n AS BIGINT) AS n
+FROM r WHERE rn = 1 ORDER BY user_id
+""",
+        # Pearson r from HUGEINT sufficient statistics (quantity
+        # integral, price exact cents) + the same fixed IEEE chain as
+        # stages/stats.grouped_pearson — bitwise
+        "qty_price_corr": """
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sx,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sy,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_quantity) AS HUGEINT)) AS sxx,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+    ELSE 0.0 END AS corr
+FROM s ORDER BY l_returnflag
 """,
     }

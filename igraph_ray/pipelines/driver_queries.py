@@ -7020,3 +7020,31 @@ def q_chunk_text(sf_dir: str):
     return chunk_text(docs, chunk_words=32, stride=24).sort(
         ["doc_id", "chunk_idx"]
     )
+
+
+def q_user_favorite_event(sf_dir: str):
+    """(user_id, mode, n) — each user's most frequent event type
+    (ties → smallest type).  Exact ints — bitwise SQL twin."""
+    from igraph_ray.stages.stats import grouped_mode
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return grouped_mode(ev, "user_id", "event_type").sort("user_id")
+
+
+def q_qty_price_corr(sf_dir: str):
+    """(l_returnflag, n, corr) — Pearson correlation between quantity
+    and extended price per return flag, computed from exact integer
+    sufficient statistics (quantity integral, price exact cents);
+    final r is one fixed IEEE chain — bitwise SQL twin."""
+    from igraph_ray.stages.stats import grouped_pearson
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_pearson(
+        li, "l_returnflag", "l_quantity", "l_extendedprice",
+        x_decimals=0, y_decimals=2,
+    ).sort("l_returnflag")
