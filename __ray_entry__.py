@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_text": q.q_chunk_text,  # SQL oracle (split + slice + array_to_string replay, bitwise strings)
         "user_favorite_event": q.q_user_favorite_event,  # SQL oracle (grouped mode, deterministic tie-break, exact ints)
         "qty_price_corr": q.q_qty_price_corr,  # SQL oracle (HUGEINT sufficient stats + one IEEE chain, bitwise)
+        "square_clustering": q.q_square_clustering,  # SQL oracle (exact-int num/den + one IEEE division, bitwise)
     }
 
 
@@ -4325,5 +4326,42 @@ SELECT l_returnflag, CAST(n AS BIGINT) AS n,
             * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
     ELSE 0.0 END AS corr
 FROM s ORDER BY l_returnflag
+""",
+        # square (4-cycle) clustering: exact-int per-vertex num/den
+        # from the wedge/codegree identity, one IEEE division
+        "square_clustering": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS u, dst_key AS v FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key FROM link_pairs
+),
+deg AS (SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM arcs GROUP BY u),
+wedge AS (
+  SELECT x.u AS c, x.v AS a, y.v AS b
+  FROM arcs x JOIN arcs y ON x.u = y.u AND x.v < y.v
+),
+cod AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS cod
+        FROM wedge GROUP BY a, b),
+sums AS (
+  SELECT w.c AS key,
+    SUM(cd.cod - 1) AS num,
+    SUM(d1.degree + d2.degree - 1
+        - 2 * (CASE WHEN t.src_key IS NOT NULL THEN 1 ELSE 0 END)
+        - cd.cod) AS den
+  FROM wedge w
+  JOIN cod cd ON w.a = cd.a AND w.b = cd.b
+  JOIN deg d1 ON w.a = d1.key
+  JOIN deg d2 ON w.b = d2.key
+  LEFT JOIN link_pairs t ON t.src_key = w.a AND t.dst_key = w.b
+  GROUP BY w.c
+)
+SELECT k.key,
+  CASE WHEN COALESCE(s.den, 0) > 0
+    THEN CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE)
+    ELSE 0.0 END AS squares
+FROM keys k LEFT JOIN sums s ON k.key = s.key
+ORDER BY k.key
 """,
     }

@@ -227,3 +227,211 @@ def four_cycle_count(arcs: ray.data.Dataset) -> int:
     if total % 2:
         raise AssertionError("codegree identity violated (odd total)")
     return total // 2
+
+
+def square_clustering(
+    pairs: ray.data.Dataset,
+    vertices: ray.data.Dataset | None = None,
+    num_parts: int | None = None,
+    max_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Per-vertex squares (4-cycle) clustering coefficient —
+    ``nx.square_clustering`` (Lind–González–Herrmann 2005, as amended
+    by Zhang et al. 2008):
+
+        C4(v) = Σ_{u<w ∈ N(v)} q_v(u,w) / Σ_{u<w} [a_v(u,w) + q_v(u,w)]
+
+    with q_v(u,w) = |N(u)∩N(w)| − 1 (common neighbours besides v) and
+    a_v(u,w) + q_v(u,w) = deg(u) + deg(w) − 1 − 2·θ_uw − |N(u)∩N(w)|
+    (θ_uw = 1 iff u~w).  Both per-vertex sums are exact integers; the
+    final value is ONE IEEE division — bitwise SQL-twinnable.
+
+    Shape: centre-retaining wedge emission (Σ deg² rows — the
+    triangle-counting bound, hub-cappable via ``max_degree``), one
+    pair-keyed hash co-partition that computes codegree AND edge
+    membership per (u,w) run in the same group (no separate join),
+    degree broadcast, one per-vertex sum shuffle.  Rows:
+    ``(vid, squares)`` zero-filled over ``vertices`` when given.
+    """
+    import math as _math
+
+    from igraph_ray.kernels.metrics import _degree_map, attach_degrees
+    from igraph_ray.utils import hash_int64
+
+    n_edges = pairs.count()
+    if num_parts is None:
+        num_parts = int(
+            max(2, min(256, _math.ceil(max(1, n_edges) / 250_000)))
+        )
+
+    def arcs_with_part(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
+        part = (hash_int64(u) % np.uint64(num_parts)).astype(np.int32)
+        return pa.table(
+            {"hpart": pa.array(part), "u": pa.array(u), "v": pa.array(v)}
+        )
+
+    arcs = pairs.map_batches(
+        arcs_with_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def centre_wedges(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        boundary = np.empty(len(u), dtype=bool)
+        if len(u):
+            boundary[0] = True
+            boundary[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(u))
+        out_c, out_a, out_b = [], [], []
+        for s0, e0 in zip(starts, ends):
+            d = e0 - s0
+            if d < 2 or (max_degree is not None and d > max_degree):
+                continue
+            nb = np.sort(v[s0:e0])
+            ii, jj = np.triu_indices(d, k=1)
+            out_c.append(np.full(len(ii), u[s0]))
+            out_a.append(nb[ii])
+            out_b.append(nb[jj])
+        if out_c:
+            c = np.concatenate(out_c)
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+        else:
+            c = a = b = np.empty(0, np.int64)
+        return pa.table(
+            {
+                "centre": pa.array(c),
+                "a": pa.array(a),
+                "b": pa.array(b),
+                "kind": pa.array(np.zeros(len(c), np.int8)),
+            }
+        )
+
+    wedges = arcs.groupby("hpart").map_groups(
+        centre_wedges, batch_format="pyarrow"
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "centre": pa.array(np.full(len(s), -1, np.int64)),
+                "a": pa.array(np.minimum(s, d)),
+                "b": pa.array(np.maximum(s, d)),
+                "kind": pa.array(np.ones(len(s), np.int8)),
+            }
+        )
+
+    tagged = wedges.union(
+        pairs.map_batches(
+            edge_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def with_pair_part(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        hp = (
+            hash_int64(a * np.int64(1_000_003) + b) % np.uint64(num_parts)
+        ).astype(np.int32)
+        return batch.append_column("hp", pa.array(hp))
+
+    tagged = tagged.map_batches(
+        with_pair_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_pair(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        c = group.column("centre").to_numpy(zero_copy_only=False)
+        k = group.column("kind").to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, b, a))
+        a, b, c, k = a[order], b[order], c[order], k[order]
+        boundary = np.empty(len(a), dtype=bool)
+        if len(a):
+            boundary[0] = True
+            boundary[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(boundary)
+        run = np.cumsum(boundary) - 1  # run id per row
+        n_wedge = np.bincount(run, weights=(k == 0), minlength=len(starts))
+        has_edge = np.bincount(run, weights=(k == 1), minlength=len(starts))
+        m = k == 0
+        return pa.table(
+            {
+                "centre": pa.array(c[m]),
+                "a": pa.array(a[m]),
+                "b": pa.array(b[m]),
+                "cod": pa.array(n_wedge[run[m]].astype(np.int64)),
+                "theta": pa.array(
+                    (has_edge[run[m]] > 0).astype(np.int64)
+                ),
+            }
+        )
+
+    closed = tagged.groupby("hp").map_groups(per_pair, batch_format="pyarrow")
+    degrees = _degree_map(pairs)
+    with_deg = attach_degrees(closed, degrees, cols=("a", "b"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cod = batch.column("cod").to_numpy(zero_copy_only=False)
+        th = batch.column("theta").to_numpy(zero_copy_only=False)
+        da = batch.column("deg_a").to_numpy(zero_copy_only=False)
+        db = batch.column("deg_b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": batch.column("centre"),
+                "num": pa.array(cod - 1),
+                "den": pa.array(da + db - 1 - 2 * th - cod),
+            }
+        )
+
+    sums = (
+        with_deg.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("vid")
+        .aggregate(Sum("num", alias_name="num"), Sum("den", alias_name="den"))
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        num = batch.column("num").to_numpy(zero_copy_only=False)
+        den = batch.column("den").to_numpy(zero_copy_only=False)
+        sq = np.where(den > 0, num / np.maximum(den, 1), 0.0)
+        return pa.table(
+            {"vid": batch.column("vid"), "squares": pa.array(sq)}
+        )
+
+    out = sums.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if vertices is None:
+        return out
+
+    def zero_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "squares": pa.array(
+                    np.zeros(batch.num_rows, np.float64)
+                ),
+            }
+        )
+
+    zeros = vertices.select_columns(["vid"]).map_batches(
+        zero_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from ray.data.aggregate import Max
+
+    return (
+        out.union(zeros)
+        .groupby("vid")
+        .aggregate(Max("squares", alias_name="squares"))
+    )

@@ -7048,3 +7048,31 @@ def q_qty_price_corr(sf_dir: str):
         li, "l_returnflag", "l_quantity", "l_extendedprice",
         x_decimals=0, y_decimals=2,
     ).sort("l_returnflag")
+
+
+def q_square_clustering(sf_dir: str):
+    """(key, squares) per E1∪E2 vertex — nx.square_clustering (4-cycle
+    clustering coefficient).  Per-vertex numerator/denominator are
+    exact integers; the single final division makes the SQL twin
+    bitwise."""
+    from igraph_ray.kernels.cliques import square_clustering
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    out = pa.concat_tables(
+        square_clustering(
+            edges, vertices=vertices.select_columns(["vid"])
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(out, vtbl, {"vid": "key"}).sort_by("key")

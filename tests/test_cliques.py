@@ -180,3 +180,53 @@ def test_maximal_cliques_isolated_and_min_size():
         for r in maximal_cliques(ds, vertices=verts, min_size=3).iter_rows()
     }
     assert big == {frozenset({0, 1, 2, 3})}
+
+
+# ---------------------------------------------------------------------------
+# square clustering (nx.square_clustering)
+# ---------------------------------------------------------------------------
+def test_square_clustering_vs_nx():
+    import networkx as nx
+
+    from igraph_ray.kernels.cliques import square_clustering
+
+    for G in (
+        nx.cycle_graph(4),
+        nx.complete_bipartite_graph(3, 4),
+        nx.gnm_random_graph(40, 120, seed=8),
+        nx.star_graph(6),
+        nx.gnm_random_graph(60, 90, seed=21),
+    ):
+        src = [u for u, v in G.edges()]
+        dst = [v for u, v in G.edges()]
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                }
+            )
+        )
+        verts = ray.data.from_arrow(
+            pa.table({"vid": pa.array(sorted(G.nodes()), pa.int64())})
+        )
+        out = pa.concat_tables(
+            square_clustering(pairs, vertices=verts).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        )
+        got = dict(
+            zip(
+                out.column("vid").to_pylist(),
+                out.column("squares").to_pylist(),
+            )
+        )
+        want = nx.square_clustering(G)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == want[v] or abs(got[v] - want[v]) < 1e-12, (
+                G,
+                v,
+                got[v],
+                want[v],
+            )
