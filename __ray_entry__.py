@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_favorite_event": q.q_user_favorite_event,  # SQL oracle (grouped mode, deterministic tie-break, exact ints)
         "qty_price_corr": q.q_qty_price_corr,  # SQL oracle (HUGEINT sufficient stats + one IEEE chain, bitwise)
         "square_clustering": q.q_square_clustering,  # SQL oracle (exact-int num/den + one IEEE division, bitwise)
+        "trophic_levels": q.q_trophic_levels,  # rows-only (Jacobi fixed point; dense (I-P)s=1 pytest oracle)
     }
 
 

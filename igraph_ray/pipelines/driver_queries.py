@@ -7076,3 +7076,69 @@ def q_square_clustering(sf_dir: str):
         )
     ).sort_by("vid")
     return _vid_to_key(out, vtbl, {"vid": "key"}).sort_by("key")
+
+
+def q_trophic_levels(sf_dir: str, graph_dir: str | None = None):
+    """(key, level) — Levine trophic levels over a two-family
+    doc-derived DAG (arcs low→high index, in-degree up to 2 so levels
+    go fractional).  Rows-only: the fixed point is float; parity is
+    pinned by the dense (I−P)s=1 oracle in tests/test_trophic.py."""
+    import tempfile
+
+    from igraph_ray.kernels.trophic import trophic_levels
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_troph_")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = doc_id % 101
+        d1 = (s * 37 + 11) % 101
+        d2 = (s * 58 + 7) % 101
+        ss = np.concatenate([s, s])
+        dd = np.concatenate([d1, d2])
+        keep = ss < dd
+        return pa.table(
+            {
+                "src_key": pa.array([f"v{i}" for i in ss[keep]], pa.string()),
+                "dst_key": pa.array([f"v{i}" for i in dd[keep]], pa.string()),
+                "weight": pa.array(np.ones(int(keep.sum()))),
+            }
+        )
+
+    arcs = (
+        documents(sf_dir)
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_key", "dst_key"])
+        .aggregate(Max("weight", alias_name="weight"))
+    )
+    keys = (
+        arcs.select_columns(["src_key"])
+        .rename_columns({"src_key": "key"})
+        .union(
+            arcs.select_columns(["dst_key"]).rename_columns(
+                {"dst_key": "key"}
+            )
+        )
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    n = vertices.count()
+    edges = attach_vids(arcs, vertices)
+    graph = build_graph(
+        edges, graph_dir,
+        vertices=vertices.select_columns(["vid"]),
+        symmetrize=False,
+    )
+    out = pa.concat_tables(
+        trophic_levels(graph, n).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(out, vtbl, {"vid": "key"}).sort_by("key")
