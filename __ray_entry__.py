@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": q.q_qty_price_corr,  # SQL oracle (HUGEINT sufficient stats + one IEEE chain, bitwise)
         "square_clustering": q.q_square_clustering,  # SQL oracle (exact-int num/den + one IEEE division, bitwise)
         "trophic_levels": q.q_trophic_levels,  # rows-only (Jacobi fixed point; dense (I-P)s=1 pytest oracle)
+        "node2vec_walks": q.q_node2vec_walks,  # rows-only (second-order biased walks; sequential-replay pytest oracle)
     }
 
 

@@ -7142,3 +7142,21 @@ def q_trophic_levels(sf_dir: str, graph_dir: str | None = None):
         )
     ).sort_by("vid")
     return _vid_to_key(out, vtbl, {"vid": "key"}).sort_by("key")
+
+
+def q_node2vec_walks(sf_dir: str, graph_dir: str | None = None):
+    """(walk_id, p0..p8) — deterministic node2vec (p=0.5, q=2.0)
+    second-order walk corpus from every key of the E1∪E2 graph;
+    rows-only (bitwise-reproducible by construction; pytest oracle
+    replays the Efraimidis–Spirakis picks sequentially)."""
+    import tempfile
+
+    from igraph_ray.kernels.walks import node2vec_walks
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_n2v_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    starts = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    out = node2vec_walks(graph, starts, length=8, p=0.5, q=2.0, seed=42)
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("walk_id")

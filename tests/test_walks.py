@@ -4,6 +4,8 @@ pipeline must reproduce the single-machine reference walk exactly
 
 import networkx as nx
 import numpy as np
+import pyarrow as pa
+import ray.data
 
 from igraph_ray.kernels.walks import random_walks, walk_choice
 from tests.util import ds_to_table, graph_from_nx
@@ -75,3 +77,125 @@ def test_walks_seed_changes_corpus(tmp_graph_dir):
     # and identical when repeated (bitwise reproducibility)
     a2 = _walks_dict(random_walks(g, starts, 8, seed=1), 8)
     assert a == a2
+
+
+# ---------------------------------------------------------------------------
+# node2vec second-order biased walks
+# ---------------------------------------------------------------------------
+def _seq_node2vec(G, starts, length, p, q, seed):
+    """Sequential replay of the engine's deterministic rules."""
+    import numpy as np
+
+    from igraph_ray.kernels.walks import _u01_edge, walk_choice
+
+    adj = {v: sorted(G.neighbors(v)) for v in G.nodes()}
+    rows = []
+    for wid, s in enumerate(starts):
+        path = [int(s)]
+        prev, cur = -1, int(s)
+        for step in range(1, length + 1):
+            nbrs = adj.get(cur, [])
+            if cur < 0 or not nbrs:
+                path.append(-1)
+                cur = -1
+                continue
+            if step == 1:
+                k = int(
+                    walk_choice(
+                        np.array([wid], np.int64),
+                        step,
+                        seed,
+                        np.array([len(nbrs)], np.int64),
+                    )[0]
+                )
+                nxt = nbrs[k]
+            else:
+                best_key, nxt = None, None
+                for x in nbrs:
+                    if x == prev:
+                        b = 1.0 / p
+                    elif G.has_edge(prev, x):
+                        b = 1.0
+                    else:
+                        b = 1.0 / q
+                    u = float(
+                        _u01_edge(
+                            np.array([wid], np.int64),
+                            np.array([x], np.int64),
+                            step,
+                            seed,
+                        )[0]
+                    )
+                    key = np.log(u) / b
+                    if (
+                        best_key is None
+                        or key > best_key
+                        or (key == best_key and x < nxt)
+                    ):
+                        best_key, nxt = key, x
+            path.append(int(nxt))
+            prev, cur = cur, int(nxt)
+        rows.append((wid, path))
+    return {wid: tuple(pp) for wid, pp in rows}
+
+
+def _run_n2v(G, starts, length, p, q, seed=0, num_parts=4):
+    import tempfile
+
+    from igraph_ray.api import build_graph
+    from igraph_ray.kernels.walks import node2vec_walks
+
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "weight": pa.array(np.ones(len(src))),
+            }
+        )
+    )
+    verts = ray.data.from_arrow(
+        pa.table({"vid": pa.array(sorted(G.nodes()), pa.int64())})
+    )
+    graph = build_graph(
+        edges,
+        tempfile.mkdtemp(prefix="igr_n2v_"),
+        num_parts=num_parts,
+        vertices=verts,
+        symmetrize=True,
+    )
+    out = pa.concat_tables(
+        node2vec_walks(graph, starts, length, p=p, q=q, seed=seed)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    cols = [f"p{i}" for i in range(length + 1)]
+    return {
+        r["walk_id"]: tuple(r[c] for c in cols) for r in out.to_pylist()
+    }
+
+
+def test_node2vec_matches_sequential_replay():
+    import networkx as nx
+
+    G = nx.gnm_random_graph(50, 160, seed=13)
+    starts = list(range(0, 50, 3))
+    for p, q in ((1.0, 1.0), (0.25, 4.0), (4.0, 0.25)):
+        got = _run_n2v(G, starts, 8, p, q, seed=5)
+        want = _seq_node2vec(G, starts, 8, p, q, 5)
+        assert got == want
+
+
+def test_node2vec_walks_are_paths_and_partition_invariant():
+    import networkx as nx
+
+    G = nx.gnm_random_graph(40, 100, seed=3)
+    starts = list(range(0, 40, 4))
+    a = _run_n2v(G, starts, 6, 0.5, 2.0, seed=1, num_parts=2)
+    b = _run_n2v(G, starts, 6, 0.5, 2.0, seed=1, num_parts=7)
+    assert a == b
+    for wid, path in a.items():
+        for i in range(len(path) - 1):
+            if path[i + 1] >= 0:
+                assert G.has_edge(path[i], path[i + 1])
