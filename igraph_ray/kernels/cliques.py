@@ -229,33 +229,18 @@ def four_cycle_count(arcs: ray.data.Dataset) -> int:
     return total // 2
 
 
-def square_clustering(
+def _closed_wedges(
     pairs: ray.data.Dataset,
-    vertices: ray.data.Dataset | None = None,
     num_parts: int | None = None,
     max_degree: int | None = None,
 ) -> ray.data.Dataset:
-    """Per-vertex squares (4-cycle) clustering coefficient —
-    ``nx.square_clustering`` (Lind–González–Herrmann 2005, as amended
-    by Zhang et al. 2008):
-
-        C4(v) = Σ_{u<w ∈ N(v)} q_v(u,w) / Σ_{u<w} [a_v(u,w) + q_v(u,w)]
-
-    with q_v(u,w) = |N(u)∩N(w)| − 1 (common neighbours besides v) and
-    a_v(u,w) + q_v(u,w) = deg(u) + deg(w) − 1 − 2·θ_uw − |N(u)∩N(w)|
-    (θ_uw = 1 iff u~w).  Both per-vertex sums are exact integers; the
-    final value is ONE IEEE division — bitwise SQL-twinnable.
-
-    Shape: centre-retaining wedge emission (Σ deg² rows — the
-    triangle-counting bound, hub-cappable via ``max_degree``), one
-    pair-keyed hash co-partition that computes codegree AND edge
-    membership per (u,w) run in the same group (no separate join),
-    degree broadcast, one per-vertex sum shuffle.  Rows:
-    ``(vid, squares)`` zero-filled over ``vertices`` when given.
-    """
+    """Shared centre-retaining wedge close: rows
+    ``(centre, a, b, cod, theta)`` — one per wedge (a < b neighbours
+    of centre), with the pair's codegree and edge membership resolved
+    inside ONE pair-keyed hash co-partition (no separate join).
+    Substrate of ``square_clustering`` and ``local_efficiency``."""
     import math as _math
 
-    from igraph_ray.kernels.metrics import _degree_map, attach_degrees
     from igraph_ray.utils import hash_int64
 
     n_edges = pairs.count()
@@ -376,7 +361,34 @@ def square_clustering(
             }
         )
 
-    closed = tagged.groupby("hp").map_groups(per_pair, batch_format="pyarrow")
+    return tagged.groupby("hp").map_groups(per_pair, batch_format="pyarrow")
+
+
+def square_clustering(
+    pairs: ray.data.Dataset,
+    vertices: ray.data.Dataset | None = None,
+    num_parts: int | None = None,
+    max_degree: int | None = None,
+) -> ray.data.Dataset:
+    """Per-vertex squares (4-cycle) clustering coefficient —
+    ``nx.square_clustering`` (Lind–González–Herrmann 2005, as amended
+    by Zhang et al. 2008):
+
+        C4(v) = Σ_{u<w ∈ N(v)} q_v(u,w) / Σ_{u<w} [a_v(u,w) + q_v(u,w)]
+
+    with q_v(u,w) = |N(u)∩N(w)| − 1 (common neighbours besides v) and
+    a_v(u,w) + q_v(u,w) = deg(u) + deg(w) − 1 − 2·θ_uw − |N(u)∩N(w)|
+    (θ_uw = 1 iff u~w).  Both per-vertex sums are exact integers; the
+    final value is ONE IEEE division — bitwise SQL-twinnable.
+
+    Shape: the shared ``_closed_wedges`` close (Σ deg² rows — the
+    triangle-counting bound, hub-cappable via ``max_degree``), degree
+    broadcast, one per-vertex sum shuffle.  Rows: ``(vid, squares)``
+    zero-filled over ``vertices`` when given.
+    """
+    from igraph_ray.kernels.metrics import _degree_map, attach_degrees
+
+    closed = _closed_wedges(pairs, num_parts=num_parts, max_degree=max_degree)
     degrees = _degree_map(pairs)
     with_deg = attach_degrees(closed, degrees, cols=("a", "b"))
 
@@ -435,3 +447,73 @@ def square_clustering(
         .groupby("vid")
         .aggregate(Max("squares", alias_name="squares"))
     )
+
+
+def local_efficiency(
+    pairs: ray.data.Dataset,
+    num_vertices: int,
+    num_parts: int | None = None,
+    max_degree: int | None = None,
+) -> float:
+    """Average local efficiency — ``nx.local_efficiency``: the mean
+    over all vertices v of the global efficiency of the subgraph
+    induced by N(v) (vertices with deg < 2 contribute 0; Latora &
+    Marchiori 2001).
+
+    Shape: the shared ``_closed_wedges`` close already delivers, per
+    centre v, every unordered pair of its neighbours WITH the edge
+    flag — exactly the induced subgraph's node pairs and edge set.
+    One ``groupby(centre)`` then runs the all-pairs BFS inside each
+    neighbourhood (k = deg(v) nodes, the same per-group bound the
+    maximal-cliques kernel carries); a final tree aggregate averages
+    over ``num_vertices``.  Per-vertex efficiency is a rational
+    Σ 1/d / (k(k−1)) — parity vs nx to 1e-12 (pytest oracle).
+    """
+    from ray.data.aggregate import Sum
+
+    closed = _closed_wedges(pairs, num_parts=num_parts, max_degree=max_degree)
+
+    def neighborhood_eff(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        th = group.column("theta").to_numpy(zero_copy_only=False)
+        nodes = np.unique(np.concatenate([a, b]))
+        k = len(nodes)
+        if k < 2:
+            return pa.table({"eff": pa.array([], pa.float64())})
+        ia = np.searchsorted(nodes, a)
+        ib = np.searchsorted(nodes, b)
+        # adjacency of the induced subgraph (only theta==1 pairs)
+        m = th == 1
+        adj = [[] for _ in range(k)]
+        for x, y in zip(ia[m], ib[m]):
+            adj[x].append(y)
+            adj[y].append(x)
+        inv_sum = 0.0
+        for s in range(k):
+            # BFS within the neighbourhood
+            dist = np.full(k, -1, np.int64)
+            dist[s] = 0
+            frontier = [s]
+            d = 0
+            while frontier:
+                d += 1
+                nxt = []
+                for u in frontier:
+                    for w in adj[u]:
+                        if dist[w] < 0:
+                            dist[w] = d
+                            nxt.append(w)
+                frontier = nxt
+            reach = dist > 0
+            if reach.any():
+                inv_sum += float(np.sum(1.0 / dist[reach]))
+        return pa.table(
+            {"eff": pa.array([inv_sum / (k * (k - 1))], pa.float64())}
+        )
+
+    effs = closed.groupby("centre").map_groups(
+        neighborhood_eff, batch_format="pyarrow"
+    )
+    total = effs.aggregate(Sum("eff", alias_name="s"))["s"] or 0.0
+    return float(total) / float(num_vertices)

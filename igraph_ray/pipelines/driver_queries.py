@@ -7160,3 +7160,27 @@ def q_node2vec_walks(sf_dir: str, graph_dir: str | None = None):
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("walk_id")
+
+
+def q_local_efficiency(sf_dir: str):
+    """One row (n_vertices, local_efficiency) over the E1∪E2 graph —
+    nx.local_efficiency (mean neighbourhood global efficiency).
+    Rows-only: float mean; parity pinned by the nx pytest oracle."""
+    from igraph_ray.kernels.cliques import local_efficiency
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    n = vertices.count()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+    eff = local_efficiency(edges, n)
+    return pa.table(
+        {
+            "n_vertices": pa.array([n], pa.int64()),
+            "local_efficiency": pa.array([eff], pa.float64()),
+        }
+    )

@@ -230,3 +230,30 @@ def test_square_clustering_vs_nx():
                 got[v],
                 want[v],
             )
+
+
+def test_local_efficiency_vs_nx():
+    import networkx as nx
+
+    from igraph_ray.kernels.cliques import local_efficiency
+
+    for G in (
+        nx.gnm_random_graph(30, 90, seed=5),
+        nx.star_graph(5),
+        nx.complete_graph(6),
+        nx.path_graph(7),
+        nx.gnm_random_graph(40, 60, seed=17),
+    ):
+        src = [u for u, v in G.edges()]
+        dst = [v for u, v in G.edges()]
+        pairs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(src, pa.int64()),
+                    "dst": pa.array(dst, pa.int64()),
+                }
+            )
+        )
+        got = local_efficiency(pairs, G.number_of_nodes())
+        want = nx.local_efficiency(G)
+        assert abs(got - want) < 1e-12, (got, want)
