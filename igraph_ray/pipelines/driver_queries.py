@@ -7184,3 +7184,49 @@ def q_local_efficiency(sf_dir: str):
             "local_efficiency": pa.array([eff], pa.float64()),
         }
     )
+
+
+def q_user_overlap_sketch(sf_dir: str):
+    """One row (n_click, n_purchase, union, intersection) — HLL
+    set-operation estimates of the click vs purchase user sets
+    (register max = lossless union; inclusion–exclusion overlap).
+    Rows-only: sketch estimates; accuracy + determinism pinned in
+    tests/test_sketch.py."""
+    from igraph_ray.stages.sketch import hll_set_ops
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    out = hll_set_ops(ev, "event_type", "user_id", "click", "purchase")
+    return pa.table(
+        {
+            "n_click": pa.array([out["n_a"]], pa.float64()),
+            "n_purchase": pa.array([out["n_b"]], pa.float64()),
+            "union_est": pa.array([out["union"]], pa.float64()),
+            "intersection_est": pa.array(
+                [out["intersection"]], pa.float64()
+            ),
+        }
+    )
+
+
+def q_zipf_term_fit(sf_dir: str):
+    """One row (xmin, alpha, n_tail, ks) — CSN power-law (Zipf) fit of
+    the corpus term-frequency distribution: term document frequencies
+    → frequency-of-frequencies histogram → the same distributed MLE
+    scan as the degree fit.  Rows-only: float MLE; the plfit kernel
+    carries its own bitwise brute-force pytest oracle."""
+    from igraph_ray.functions.text import term_document_frequency
+    from igraph_ray.kernels.plfit import fit_power_law
+
+    docs = documents(sf_dir).select_columns(["doc_id", "text"])
+    df = term_document_frequency(docs)
+    fit = fit_power_law(df, degree_col="df")
+    return pa.table(
+        {
+            "xmin": pa.array([fit["xmin"]], pa.float64()),
+            "alpha": pa.array([fit["alpha"]], pa.float64()),
+            "n_tail": pa.array([int(fit["n_tail"])], pa.int64()),
+            "ks": pa.array([fit["ks"]], pa.float64()),
+        }
+    )

@@ -364,3 +364,54 @@ def ddsketch_quantiles(sk: dict, qs) -> np.ndarray:
         i = int(sk["idx"][pos])
         out[j] = 2.0 * gamma**i / (gamma + 1.0)
     return out
+
+
+def hll_set_ops(
+    ds: ray.data.Dataset,
+    key_col: str,
+    col: str,
+    group_a,
+    group_b,
+    p: int = 14,
+) -> dict:
+    """HLL set-operation estimates between two groups of one dataset:
+    ``{"n_a", "n_b", "union", "intersection"}``.
+
+    One streaming pass folds BOTH groups' registers per batch; union is
+    the estimate of the elementwise register max (exactly the HLL of
+    the concatenated streams — registers are lossless under union), and
+    intersection comes from inclusion–exclusion (n_a + n_b − union,
+    clamped at 0 — the standard HLL intersection estimator, error grows
+    as the true overlap shrinks; Flajolet et al. 2007)."""
+    m = 1 << p
+
+    def fold(batch: pa.Table) -> pa.Table:
+        g = batch.column(key_col).to_numpy(zero_copy_only=False)
+        k = batch.column(col).to_numpy(zero_copy_only=False)
+        ra = _fold(k[g == group_a], p)
+        rb = _fold(k[g == group_b], p)
+        return pa.table(
+            {
+                "ra": pa.array([ra.tobytes()], pa.binary()),
+                "rb": pa.array([rb.tobytes()], pa.binary()),
+            }
+        )
+
+    reg_a = np.zeros(m, np.uint8)
+    reg_b = np.zeros(m, np.uint8)
+    for b in ds.map_batches(
+        fold, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for blob in b.column("ra").to_pylist():
+            reg_a = np.maximum(reg_a, np.frombuffer(blob, np.uint8))
+        for blob in b.column("rb").to_pylist():
+            reg_b = np.maximum(reg_b, np.frombuffer(blob, np.uint8))
+    n_a = _estimate(reg_a)
+    n_b = _estimate(reg_b)
+    union = _estimate(np.maximum(reg_a, reg_b))
+    return {
+        "n_a": n_a,
+        "n_b": n_b,
+        "union": union,
+        "intersection": max(0.0, n_a + n_b - union),
+    }

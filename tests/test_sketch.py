@@ -185,3 +185,33 @@ def test_ddsketch_zero_bucket():
     est = ddsketch_quantiles(sk, [0.25, 0.5, 0.9])
     assert est[0] == 0.0 and est[1] == 0.0
     assert abs(est[2] - 1000.0) <= 0.01 * 1000.0 * 1.0001
+
+
+def test_hll_set_ops_accuracy_and_union_merge():
+    import numpy as np
+
+    from igraph_ray.stages.sketch import hll_distinct, hll_set_ops
+
+    rng = np.random.default_rng(4)
+    # group a: 0..19999, group b: 10000..34999 → overlap 10000
+    a_vals = np.arange(0, 20_000, dtype=np.int64)
+    b_vals = np.arange(10_000, 35_000, dtype=np.int64)
+    g = np.concatenate(
+        [np.zeros(len(a_vals), np.int64), np.ones(len(b_vals), np.int64)]
+    )
+    v = np.concatenate([a_vals, b_vals])
+    sh = rng.permutation(len(v))
+    ds = ray.data.from_arrow(
+        pa.table({"g": pa.array(g[sh]), "v": pa.array(v[sh])})
+    ).repartition(6)
+    out = hll_set_ops(ds, "g", "v", 0, 1)
+    assert abs(out["n_a"] - 20_000) / 20_000 < 0.03
+    assert abs(out["n_b"] - 25_000) / 25_000 < 0.03
+    assert abs(out["union"] - 35_000) / 35_000 < 0.03
+    assert abs(out["intersection"] - 10_000) / 10_000 < 0.12
+    # register union == HLL of the concatenated stream (lossless)
+    both = ray.data.from_arrow(pa.table({"v": pa.array(v)}))
+    assert out["union"] == hll_distinct(both, "v")
+    # determinism across layouts
+    out2 = hll_set_ops(ds.repartition(2), "g", "v", 0, 1)
+    assert out == out2
