@@ -286,6 +286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_efficiency": q.q_local_efficiency,  # rows-only (neighbourhood BFS mean; nx pytest oracle)
         "user_overlap_sketch": q.q_user_overlap_sketch,  # rows-only (HLL union/intersection; accuracy pytest oracle)
         "zipf_term_fit": q.q_zipf_term_fit,  # rows-only (CSN MLE over term dfs; bitwise brute pytest oracle)
+        "current_flow_closeness": q.q_current_flow_closeness,  # rows-only (chassis CG Laplacian solves; dense-pinv pytest oracle)
     }
 
 

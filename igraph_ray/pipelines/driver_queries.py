@@ -7230,3 +7230,73 @@ def q_zipf_term_fit(sf_dir: str):
             "ks": pa.array([fit["ks"]], pa.float64()),
         }
     )
+
+
+def q_current_flow_closeness(sf_dir: str, graph_dir: str | None = None):
+    """(key, cfc) — current-flow closeness (information centrality)
+    over a 29-vertex doc-derived ring+chord graph (connected by the
+    ring), all 29 Laplacian pseudo-inverse columns solved in ONE
+    29-lane chassis CG run.  Rows-only: float solves; parity pinned by
+    the dense-pinv oracle in tests/test_resistance.py."""
+    import tempfile
+
+    from igraph_ray.kernels.resistance import current_flow_closeness
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_cfc_")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = doc_id % 29
+        ring = (s + 1) % 29
+        chord = (s * 2 + 3) % 29
+        ss = np.concatenate([s, s])
+        dd = np.concatenate([ring, chord])
+        keep = ss != dd
+        return pa.table(
+            {
+                "src_key": pa.array([f"v{i}" for i in ss[keep]], pa.string()),
+                "dst_key": pa.array([f"v{i}" for i in dd[keep]], pa.string()),
+                "weight": pa.array(np.ones(int(keep.sum()))),
+            }
+        )
+
+    arcs = (
+        documents(sf_dir)
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_key", "dst_key"])
+        .aggregate(Max("weight", alias_name="weight"))
+    )
+    keys = (
+        arcs.select_columns(["src_key"])
+        .rename_columns({"src_key": "key"})
+        .union(
+            arcs.select_columns(["dst_key"]).rename_columns(
+                {"dst_key": "key"}
+            )
+        )
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    n = vertices.count()
+    edges = attach_vids(arcs, vertices)
+    graph = build_graph(
+        edges, graph_dir,
+        vertices=vertices.select_columns(["vid"]),
+        symmetrize=True,
+    )
+    cfc = current_flow_closeness(graph, n, lanes=n, tol=1e-10)
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    keys_arr = vtbl.column("key").to_pylist()
+    items = sorted((keys_arr[v], c) for v, c in cfc.items())
+    return pa.table(
+        {
+            "key": pa.array([k for k, _ in items], pa.string()),
+            "cfc": pa.array([c for _, c in items], pa.float64()),
+        }
+    )
