@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_overlap_sketch": q.q_user_overlap_sketch,  # rows-only (HLL union/intersection; accuracy pytest oracle)
         "zipf_term_fit": q.q_zipf_term_fit,  # rows-only (CSN MLE over term dfs; bitwise brute pytest oracle)
         "current_flow_closeness": q.q_current_flow_closeness,  # rows-only (chassis CG Laplacian solves; dense-pinv pytest oracle)
+        "effective_resistance": q.q_effective_resistance,  # rows-only (spanning-edge centrality + commute times; dense-pinv + Foster oracles)
     }
 
 

@@ -316,3 +316,72 @@ def current_flow_closeness(
     return {
         s: (n - 1.0) / (n * d + trace) for s, d in diag.items()
     }
+
+
+def effective_resistance_edges(
+    graph: GraphMeta,
+    num_vertices: int,
+    pairs: ray.data.Dataset,
+    num_edges: int | None = None,
+    lanes: int = 8,
+    tol: float = 1.0e-10,
+) -> pa.Table:
+    """Effective resistance (and commute time = 2m·r_eff, Chandra et
+    al. 1989) for every edge of a CONNECTED graph:
+    r_eff(u,v) = L⁺_uu + L⁺_vv − 2·L⁺_uv — the spanning-edge-centrality
+    weight (for unit weights, r_eff(e) = Pr[e ∈ uniform spanning
+    tree], Kirchhoff).
+
+    Reuses the k-lane chassis CG: ⌈n/lanes⌉ solves recover every
+    pseudo-inverse column; each solve's state is reduced to the O(n·k)
+    entries the edge list touches (an edge (u,v) reads column u at
+    rows u, v).  Exact all-columns contract, same as
+    ``current_flow_closeness``.  Returns an Arrow table
+    ``(src, dst, r_eff, commute_time)`` sorted by (src, dst).
+    """
+    ptbl = pa.concat_tables(
+        pairs.select_columns(["src", "dst"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    es = ptbl.column("src").to_numpy(zero_copy_only=False)
+    ed = ptbl.column("dst").to_numpy(zero_copy_only=False)
+    m = num_edges if num_edges is not None else len(es)
+
+    # L⁺ entries needed: diag everywhere + (u,v) per edge
+    diag = np.zeros(num_vertices)
+    cross = np.zeros(len(es))
+    all_vids = np.arange(num_vertices, dtype=np.int64)
+    for lo in range(0, num_vertices, lanes):
+        piv = all_vids[lo : lo + lanes]
+        state, piv = solve_laplacian_columns(
+            graph, num_vertices, piv, tol=tol
+        )
+        tbl = pa.concat_tables(
+            state.select_columns(
+                ["vid"] + [f"x{i}" for i in range(len(piv))]
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+        ).sort_by("vid")
+        vid_arr = tbl.column("vid").to_numpy(zero_copy_only=False)
+        for i, s in enumerate(piv.tolist()):
+            col = tbl.column(f"x{i}").to_numpy(zero_copy_only=False)
+            # vid_arr is sorted 0..n-1 (dense ids)
+            diag[s] = col[np.searchsorted(vid_arr, s)]
+            # cross term read from the SRC column only (L⁺ symmetric:
+            # column v's u-row would be the same value — reading both
+            # would double-count)
+            hit_s = es == s
+            if hit_s.any():
+                cross[hit_s] += col[
+                    np.searchsorted(vid_arr, ed[hit_s])
+                ]
+    r_eff = diag[es] + diag[ed] - 2.0 * cross
+    order = np.lexsort((ed, es))
+    return pa.table(
+        {
+            "src": pa.array(es[order]),
+            "dst": pa.array(ed[order]),
+            "r_eff": pa.array(r_eff[order]),
+            "commute_time": pa.array(2.0 * m * r_eff[order]),
+        }
+    )

@@ -7300,3 +7300,89 @@ def q_current_flow_closeness(sf_dir: str, graph_dir: str | None = None):
             "cfc": pa.array([c for _, c in items], pa.float64()),
         }
     )
+
+
+def q_effective_resistance(sf_dir: str, graph_dir: str | None = None):
+    """(src_key, dst_key, r_eff, commute_time) per edge of the same
+    29-vertex ring+chord graph as current_flow_closeness — spanning-
+    edge centrality weights (r_eff = Pr[edge ∈ uniform spanning tree])
+    and commute times (2m·r_eff).  Rows-only: float solves; dense-pinv
+    + Foster's-theorem oracles in tests/test_resistance.py."""
+    import tempfile
+
+    from igraph_ray.kernels.resistance import effective_resistance_edges
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_reff_")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = doc_id % 29
+        ring = (s + 1) % 29
+        chord = (s * 2 + 3) % 29
+        ss = np.concatenate([s, s])
+        dd = np.concatenate([ring, chord])
+        keep = ss != dd
+        return pa.table(
+            {
+                "src_key": pa.array([f"v{i}" for i in ss[keep]], pa.string()),
+                "dst_key": pa.array([f"v{i}" for i in dd[keep]], pa.string()),
+                "weight": pa.array(np.ones(int(keep.sum()))),
+            }
+        )
+
+    arcs = (
+        documents(sf_dir)
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_key", "dst_key"])
+        .aggregate(Max("weight", alias_name="weight"))
+    )
+    keys = (
+        arcs.select_columns(["src_key"])
+        .rename_columns({"src_key": "key"})
+        .union(
+            arcs.select_columns(["dst_key"]).rename_columns(
+                {"dst_key": "key"}
+            )
+        )
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    n = vertices.count()
+    edges = attach_vids(arcs, vertices)
+    graph = build_graph(
+        edges, graph_dir,
+        vertices=vertices.select_columns(["vid"]),
+        symmetrize=True,
+    )
+
+    # canonical undirected edge list (a < b) from the symmetrized rule
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(s, d)),
+                "dst": pa.array(np.maximum(s, d)),
+            }
+        )
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+    )
+    n_edges = und.count()
+    out = effective_resistance_edges(
+        graph, n, und, num_edges=n_edges, lanes=n, tol=1e-10
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        out, vtbl, {"src": "src_key", "dst": "dst_key"}
+    ).sort_by([("src_key", "ascending"), ("dst_key", "ascending")])

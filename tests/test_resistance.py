@@ -122,3 +122,46 @@ def test_current_flow_closeness_weighted():
     want = _dense_cfc(G)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-7
+
+
+def test_effective_resistance_edges():
+    from igraph_ray.kernels.resistance import effective_resistance_edges
+
+    G = nx.gnm_random_graph(15, 35, seed=11)
+    assert nx.is_connected(G)
+    graph = _graph(G)
+    src = [min(u, v) for u, v in G.edges()]
+    dst = [max(u, v) for u, v in G.edges()]
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+            }
+        )
+    )
+    out = effective_resistance_edges(graph, 15, pairs, lanes=5, tol=1e-12)
+    nodes = sorted(G.nodes())
+    pos = {v: i for i, v in enumerate(nodes)}
+    L = np.zeros((15, 15))
+    for u, v in G.edges():
+        L[pos[u], pos[v]] -= 1
+        L[pos[v], pos[u]] -= 1
+        L[pos[u], pos[u]] += 1
+        L[pos[v], pos[v]] += 1
+    M = np.linalg.pinv(L)
+    m = G.number_of_edges()
+    got = {
+        (r["src"], r["dst"]): (r["r_eff"], r["commute_time"])
+        for r in out.to_pylist()
+    }
+    tree_prob_sum = 0.0
+    for u, v in G.edges():
+        a, b = min(u, v), max(u, v)
+        want = M[pos[a], pos[a]] + M[pos[b], pos[b]] - 2 * M[pos[a], pos[b]]
+        r, ct = got[(a, b)]
+        assert abs(r - want) < 1e-7
+        assert abs(ct - 2 * m * want) < 1e-5
+        tree_prob_sum += r
+    # Foster's theorem: Σ_edges r_eff = n − 1
+    assert abs(tree_prob_sum - 14.0) < 1e-6
