@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_term_fit": q.q_zipf_term_fit,  # rows-only (CSN MLE over term dfs; bitwise brute pytest oracle)
         "current_flow_closeness": q.q_current_flow_closeness,  # rows-only (chassis CG Laplacian solves; dense-pinv pytest oracle)
         "effective_resistance": q.q_effective_resistance,  # rows-only (spanning-edge centrality + commute times; dense-pinv + Foster oracles)
+        "qty_price_ols": q.q_qty_price_ols,  # SQL oracle (HUGEINT sufficient stats + fixed IEEE chain, bitwise)
+        "path_assortativity": q.q_path_assortativity,  # SQL oracle (exact-int arc stats + one IEEE chain, bitwise)
+        "joint_degree_matrix": q.q_joint_degree_matrix,  # SQL oracle (degree join + GROUP BY, exact ints)
     }
 
 
@@ -4370,5 +4373,77 @@ SELECT k.key,
     ELSE 0.0 END AS squares
 FROM keys k LEFT JOIN sums s ON k.key = s.key
 ORDER BY k.key
+""",
+        # per-flag OLS from HUGEINT sufficient stats (same fixed IEEE
+        # chain as stages/stats.grouped_ols, descaled by cents)
+        "qty_price_ols": """
+WITH s AS (
+  SELECT l_returnflag,
+    CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)) AS sx,
+    SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sy,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_extendedprice * 100) AS HUGEINT)) AS sxy,
+    SUM(CAST(ROUND(l_quantity) AS HUGEINT)
+        * CAST(ROUND(l_quantity) AS HUGEINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+),
+f AS (
+  SELECT l_returnflag, n,
+    CAST(n * sxy - sx * sy AS DOUBLE)
+      / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_s,
+    CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+    CAST(n AS DOUBLE) AS nd
+  FROM s WHERE (n * sxx - sx * sx) > 0
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+  slope_s / (100.0 / 1.0) AS slope,
+  ((syd - slope_s * sxd) / nd) / 100.0 AS intercept
+FROM f ORDER BY l_returnflag
+""",
+        # numeric assortativity: path-index attribute, both arc
+        # orientations, exact-int stats + the grouped_pearson chain
+        "path_assortativity": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT CAST(regexp_extract(src_key, ':p(\\d+)$', 1) AS HUGEINT) AS x,
+         CAST(regexp_extract(dst_key, ':p(\\d+)$', 1) AS HUGEINT) AS y
+  FROM link_pairs
+  UNION ALL
+  SELECT CAST(regexp_extract(dst_key, ':p(\\d+)$', 1) AS HUGEINT),
+         CAST(regexp_extract(src_key, ':p(\\d+)$', 1) AS HUGEINT)
+  FROM link_pairs
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+    SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM arcs
+)
+SELECT 'all' AS "group", CAST(n AS BIGINT) AS n,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+    ELSE 0.0 END AS corr
+FROM s
+""",
+        # joint degree distribution over both arc orientations
+        "joint_degree_matrix": f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS u, dst_key AS v FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key FROM link_pairs
+),
+deg AS (SELECT u AS key, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM arcs GROUP BY u)
+SELECT d1.degree AS deg_u, d2.degree AS deg_v,
+       CAST(COUNT(*) AS BIGINT) AS n_arcs
+FROM arcs a
+JOIN deg d1 ON a.u = d1.key
+JOIN deg d2 ON a.v = d2.key
+GROUP BY 1, 2
+ORDER BY 1, 2
 """,
     }

@@ -7386,3 +7386,95 @@ def q_effective_resistance(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(
         out, vtbl, {"src": "src_key", "dst": "dst_key"}
     ).sort_by([("src_key", "ascending"), ("dst_key", "ascending")])
+
+
+def q_path_assortativity(sf_dir: str):
+    """One row (group, n, corr) — numeric attribute assortativity of
+    the E1∪E2 graph with attribute = the key's path index (the number
+    after ':p'): Pearson r of endpoint attributes over both arc
+    orientations (nx numeric_assortativity_coefficient semantics,
+    which equals Pearson over arcs).  Exact-int sufficient stats —
+    bitwise SQL twin."""
+    from igraph_ray.stages.stats import grouped_pearson
+
+    pairs = _link_graph_edges_cached(sf_dir)
+
+    def arcs_xy(batch: pa.Table) -> pa.Table:
+        import re
+
+        s = batch.column("src_key").to_pylist()
+        d = batch.column("dst_key").to_pylist()
+
+        def attr(k: str) -> int:
+            return int(k.rsplit(":p", 1)[1])
+
+        xs = np.array([attr(k) for k in s], np.float64)
+        ys = np.array([attr(k) for k in d], np.float64)
+        return pa.table(
+            {
+                "g": pa.array(["all"] * 2 * len(s), pa.string()),
+                "x": pa.array(np.concatenate([xs, ys])),
+                "y": pa.array(np.concatenate([ys, xs])),
+            }
+        )
+
+    arcs = pairs.map_batches(
+        arcs_xy, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_pearson(
+        arcs, "g", "x", "y", x_decimals=0, y_decimals=0
+    ).rename_columns({"g": "group"})
+
+
+def q_joint_degree_matrix(sf_dir: str):
+    """(deg_u, deg_v, n_arcs) — joint degree distribution of the E1∪E2
+    graph over both arc orientations (nx degree_mixing_dict /
+    igraph degree-correlation surface).  Exact ints — bitwise SQL
+    twin (degree join + GROUP BY)."""
+    from igraph_ray.kernels.metrics import attach_degrees
+
+    pairs = _link_graph_edges_cached(sf_dir)
+
+    def both(batch: pa.Table) -> pa.Table:
+        s = batch.column("src_key").to_pylist()
+        d = batch.column("dst_key").to_pylist()
+        return pa.table(
+            {
+                "src": pa.array(s + d, pa.string()),
+                "dst": pa.array(d + s, pa.string()),
+            }
+        )
+
+    arcs = pairs.map_batches(
+        both, batch_format="pyarrow", zero_copy_batch=True
+    )
+    degrees = (
+        arcs.select_columns(["src"])
+        .rename_columns({"src": "key"})
+        .groupby("key")
+        .aggregate(Count("key", alias_name="degree"))
+    )
+    withdeg = attach_degrees(arcs, degrees, cols=("src", "dst"))
+    return (
+        withdeg.select_columns(["deg_src", "deg_dst"])
+        .rename_columns({"deg_src": "deg_u", "deg_dst": "deg_v"})
+        .groupby(["deg_u", "deg_v"])
+        .aggregate(Count(alias_name="n_arcs"))
+        .sort(["deg_u", "deg_v"])
+    )
+
+
+def q_qty_price_ols(sf_dir: str):
+    """(l_returnflag, n, slope, intercept) — per-flag OLS of extended
+    price on quantity from exact integer sufficient statistics;
+    bitwise SQL twin (same fixed IEEE chain)."""
+    from igraph_ray.stages.stats import grouped_ols
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_ols(
+        li, "l_returnflag", "l_quantity", "l_extendedprice",
+        x_decimals=0, y_decimals=2,
+    ).sort("l_returnflag")

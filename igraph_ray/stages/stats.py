@@ -175,3 +175,103 @@ def grouped_pearson(
     return parts.groupby(group_col).map_groups(
         reduce, batch_format="pyarrow"
     )
+
+
+def grouped_ols(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    x_decimals: int = 0,
+    y_decimals: int = 2,
+) -> ray.data.Dataset:
+    """(group, n, slope, intercept) — per-group simple linear
+    regression y ≈ slope·x + intercept from the same exact integer
+    sufficient statistics as ``grouped_pearson``:
+    slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²) and
+    intercept = (Σy − slope·Σx)/n, each ONE fixed IEEE chain over the
+    exact ints (bitwise SQL-twinnable, descaled at the end);
+    degenerate groups (constant x) report slope = 0, intercept =
+    mean y."""
+    xs = 10.0**x_decimals
+    ys = 10.0**y_decimals
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col)
+        x = np.rint(
+            batch.column(x_col).to_numpy(zero_copy_only=False) * xs
+        ).astype(np.int64)
+        y = np.rint(
+            batch.column(y_col).to_numpy(zero_copy_only=False) * ys
+        ).astype(np.int64)
+        uniq, inv = np.unique(g.to_pylist(), return_inverse=True)
+        rows = {group_col: [], "n": [], "sx": [], "sy": [], "sxy": [], "sxx": []}
+        for i, gv in enumerate(uniq):
+            m = inv == i
+            xi, yi = x[m], y[m]
+            rows[group_col].append(gv)
+            rows["n"].append(str(int(m.sum())))
+            rows["sx"].append(_dstr(xi))
+            rows["sy"].append(_dstr(yi))
+            for key, (a, b) in (("sxy", (xi, yi)), ("sxx", (xi, xi))):
+                bound = float(
+                    np.sum(
+                        np.abs(a.astype(np.float64))
+                        * np.abs(b.astype(np.float64))
+                    )
+                )
+                if bound < _INT64_SAFE:
+                    rows[key].append(str(int(np.sum(a * b))))
+                else:
+                    rows[key].append(
+                        str(
+                            sum(
+                                int(p) * int(q)
+                                for p, q in zip(a.tolist(), b.tolist())
+                            )
+                        )
+                    )
+        return pa.table(
+            {
+                group_col: pa.array(rows[group_col]),
+                **{
+                    k: pa.array(rows[k], pa.string())
+                    for k in ("n", "sx", "sy", "sxy", "sxx")
+                },
+            }
+        )
+
+    parts = ds.select_columns([group_col, x_col, y_col]).map_batches(
+        partials, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def reduce(group: pa.Table) -> pa.Table:
+        n = sum(int(v) for v in group.column("n").to_pylist())
+        sx = sum(int(v) for v in group.column("sx").to_pylist())
+        sy = sum(int(v) for v in group.column("sy").to_pylist())
+        sxy = sum(int(v) for v in group.column("sxy").to_pylist())
+        sxx = sum(int(v) for v in group.column("sxx").to_pylist())
+        num = n * sxy - sx * sy
+        dx = n * sxx - sx * sx
+        if dx > 0:
+            # slope/intercept in SCALED units, then descale — the
+            # fixed chain the SQL twin replays
+            slope_s = float(num) / float(dx)
+            inter_s = (float(sy) - slope_s * float(sx)) / float(n)
+            slope = slope_s / (ys / xs)
+            intercept = inter_s / ys
+        else:
+            slope = 0.0
+            intercept = (float(sy) / float(n)) / ys if n else 0.0
+        return pa.table(
+            {
+                group_col: group.column(group_col).slice(0, 1),
+                "n": pa.array([n], pa.int64()),
+                "slope": pa.array([slope], pa.float64()),
+                "intercept": pa.array([intercept], pa.float64()),
+            }
+        )
+
+    return parts.groupby(group_col).map_groups(
+        reduce, batch_format="pyarrow"
+    )

@@ -120,3 +120,83 @@ def test_grouped_pearson_degenerate_group():
     }
     assert out["a"] == 0.0  # constant x → degenerate
     assert abs(out["b"] - 1.0) < 1e-12
+
+
+def test_grouped_ols_vs_brute():
+    rng = random.Random(9)
+    rows = [
+        (
+            f"g{rng.randrange(3)}",
+            float(rng.randrange(1, 50)),
+            rng.randrange(100, 5_000_000) / 100.0,
+        )
+        for _ in range(600)
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array([r[0] for r in rows]),
+                "x": pa.array([r[1] for r in rows]),
+                "y": pa.array([r[2] for r in rows]),
+            }
+        )
+    ).repartition(5)
+    from igraph_ray.stages.stats import grouped_ols
+
+    out = {
+        r["g"]: (r["n"], r["slope"], r["intercept"])
+        for r in ds_to_table(grouped_ols(ds, "g", "x", "y")).to_pylist()
+    }
+    per = defaultdict(list)
+    for g, x, y in rows:
+        per[g].append((round(x), round(y * 100)))
+    for g, pts in per.items():
+        n = len(pts)
+        sx = sum(p for p, _ in pts)
+        sy = sum(q for _, q in pts)
+        sxy = sum(p * q for p, q in pts)
+        sxx = sum(p * p for p, _ in pts)
+        num, dx = n * sxy - sx * sy, n * sxx - sx * sx
+        slope_s = float(num) / float(dx)
+        inter_s = (float(sy) - slope_s * float(sx)) / float(n)
+        assert out[g][0] == n
+        assert out[g][1] == slope_s / 100.0
+        assert out[g][2] == inter_s / 100.0
+        # sanity vs numpy lstsq
+        xs = np.array([x for gg, x, _ in rows if gg == g])
+        ys_ = np.array([y for gg, _, y in rows if gg == g])
+        A = np.vstack([xs, np.ones(len(xs))]).T
+        sl, ic = np.linalg.lstsq(A, ys_, rcond=None)[0]
+        assert abs(out[g][1] - sl) < 1e-7
+        assert abs(out[g][2] - ic) < 1e-5
+
+
+def test_numeric_assortativity_composition_vs_nx():
+    """grouped_pearson over both arc orientations == nx
+    numeric_assortativity_coefficient."""
+    import networkx as nx
+
+    from igraph_ray.stages.stats import grouped_pearson
+
+    G = nx.gnm_random_graph(40, 100, seed=12)
+    rng = random.Random(1)
+    attr = {v: rng.randrange(0, 9) for v in G.nodes()}
+    nx.set_node_attributes(G, attr, "size")
+    xs, ys = [], []
+    for u, v in G.edges():
+        xs += [float(attr[u]), float(attr[v])]
+        ys += [float(attr[v]), float(attr[u])]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": pa.array(["all"] * len(xs)),
+                "x": pa.array(xs),
+                "y": pa.array(ys),
+            }
+        )
+    ).repartition(4)
+    out = ds_to_table(
+        grouped_pearson(ds, "g", "x", "y", x_decimals=0, y_decimals=0)
+    ).to_pylist()[0]
+    want = nx.numeric_assortativity_coefficient(G, "size")
+    assert abs(out["corr"] - want) < 1e-9
