@@ -291,6 +291,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_ols": q.q_qty_price_ols,  # SQL oracle (HUGEINT sufficient stats + fixed IEEE chain, bitwise)
         "path_assortativity": q.q_path_assortativity,  # SQL oracle (exact-int arc stats + one IEEE chain, bitwise)
         "joint_degree_matrix": q.q_joint_degree_matrix,  # SQL oracle (degree join + GROUP BY, exact ints)
+        "fingerprint_pairs": q.q_fingerprint_pairs,  # SQL oracle (rolling-hash window-min replay + self-join, exact ints)
+        "clustering_by_degree": q.q_clustering_by_degree,  # SQL oracle (exact-int class sums + one IEEE division, bitwise)
     }
 
 
@@ -4445,5 +4447,88 @@ JOIN deg d1 ON a.u = d1.key
 JOIN deg d2 ON a.v = d2.key
 GROUP BY 1, 2
 ORDER BY 1, 2
+""",
+        # winnowing-fingerprint overlap pairs: the same HUGEINT
+        # rolling-hash stream as the fingerprints twin, window minima
+        # per doc, df-capped self-join on the fingerprint value
+        "fingerprint_pairs": """
+WITH b AS (
+  SELECT doc_id, length(text) AS n,
+    list_transform(range(1, length(text)+1),
+                   c -> CAST(unicode(text[c]) AS HUGEINT)) AS bytes
+  FROM documents WHERE length(text) >= 23
+),
+h AS (
+  SELECT doc_id, n,
+    list_transform(range(0, n-7), i ->
+      (bytes[i+1]*74051159531521793 + bytes[i+2]*288136807515649
+       + bytes[i+3]*1121154893057 + bytes[i+4]*4362470401
+       + bytes[i+5]*16974593 + bytes[i+6]*66049
+       + bytes[i+7]*257 + bytes[i+8]) % 18446744073709551616
+    ) AS hh
+  FROM b
+),
+fp AS (
+  SELECT doc_id, UNNEST(list_distinct(
+    list_transform(range(0, n - 22), p -> list_min(hh[p+1 : p+16]))
+  )) AS f
+  FROM h
+),
+capped AS (
+  SELECT f, doc_id FROM (
+    SELECT f, doc_id,
+           COUNT(*) OVER (PARTITION BY f) AS g
+    FROM fp
+  ) WHERE g BETWEEN 2 AND 64
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS shared
+  FROM capped a JOIN capped b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared FROM pairs WHERE shared >= 2
+ORDER BY 1, 2
+""",
+        # clustering–degree correlation c(k): per degree class the
+        # mean clustering is ONE exact-int division
+        "clustering_by_degree": f"""
+{_LINK_PAIRS},
+ce AS (
+  SELECT DISTINCT LEAST(src_key, dst_key) AS a,
+                  GREATEST(src_key, dst_key) AS b
+  FROM link_pairs WHERE src_key <> dst_key
+),
+deg AS (
+  SELECT key, COUNT(*) AS d FROM (
+    SELECT a AS key FROM ce UNION ALL SELECT b FROM ce
+  ) GROUP BY key
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ce e1
+  JOIN ce e2 ON e2.a = e1.b
+  JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS key FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+),
+cnt AS (SELECT key, COUNT(*) AS n FROM corners GROUP BY key),
+pv AS (
+  SELECT k.key, COALESCE(deg.d, 0) AS d, COALESCE(cnt.n, 0) AS t
+  FROM keys k
+  LEFT JOIN deg ON k.key = deg.key
+  LEFT JOIN cnt ON k.key = cnt.key
+)
+SELECT CAST(d AS BIGINT) AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices,
+       CAST(SUM(t) AS BIGINT) AS sum_triangles,
+       CASE WHEN d >= 2
+         THEN CAST(2 * SUM(t) AS DOUBLE)
+              / CAST(COUNT(*) * d * (d - 1) AS DOUBLE)
+         ELSE 0.0 END AS avg_clustering
+FROM pv GROUP BY d ORDER BY d
 """,
     }

@@ -1540,3 +1540,108 @@ def vocab_growth(
     return scanned.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def fingerprint_pairs(
+    ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 16,
+    min_shared: int = 2,
+    df_cap: int = 64,
+) -> ray.data.Dataset:
+    """Winnowing-fingerprint near-duplicate candidates (the MOSS
+    scheme, Schleimer–Wilkerson–Aiken SIGMOD 2003): docs sharing ≥
+    ``min_shared`` distinct winnowed k-gram fingerprints, rows
+    ``(doc_a, doc_b, shared)`` with doc_a < doc_b.
+
+    Shape: per-doc distinct fingerprints (map-only, reuses
+    ``winnow_fingerprints``), one fingerprint-keyed groupby emitting
+    the per-fingerprint doc pairs (fingerprints held by more than
+    ``df_cap`` docs are dropped — boilerplate shingles, the same df
+    guard as the inverted-index Jaccard), one pair-count groupby.
+    Only docs long enough for a full winnow window (len ≥
+    k + window − 1) participate — mirrors the SQL twin's general
+    branch.
+    """
+    from ray.data.aggregate import Sum
+
+    from igraph_ray.functions.text import winnow_fingerprints
+
+    def long_enough(batch: pa.Table) -> pa.Table:
+        n = pc.utf8_length(batch.column(text_col))
+        return batch.filter(
+            pc.greater_equal(n, pa.scalar(k + window - 1))
+        )
+
+    fps = winnow_fingerprints(
+        ds.select_columns([id_col, text_col]).map_batches(
+            long_enough, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        text_col=text_col,
+        k=k,
+        window=window,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        lists = batch.column("fingerprints")
+        out_id, out_fp = [], []
+        for i in range(len(ids)):
+            u = np.unique(np.asarray(lists[i].as_py(), np.uint64))
+            out_id.append(np.full(len(u), ids[i], np.int64))
+            out_fp.append(u)
+        if out_id:
+            did = np.concatenate(out_id)
+            fp = np.concatenate(out_fp)
+        else:
+            did = np.empty(0, np.int64)
+            fp = np.empty(0, np.uint64)
+        return pa.table(
+            {"did": pa.array(did), "fp": pa.array(fp.astype(np.int64))}
+        )
+
+    pairs = (
+        fps.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fp")
+        .map_groups(
+            lambda g: _fp_group_pairs(g, df_cap), batch_format="pyarrow"
+        )
+    )
+    out = (
+        pairs.groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("one", alias_name="shared"))
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(
+                batch.column("shared"), pa.scalar(min_shared)
+            )
+        )
+
+    return out.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _fp_group_pairs(group: pa.Table, df_cap: int) -> pa.Table:
+    dids = np.unique(
+        group.column("did").to_numpy(zero_copy_only=False)
+    )
+    g = len(dids)
+    if g < 2 or g > df_cap:
+        return pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "one": pa.array([], pa.int64()),
+            }
+        )
+    iu, ju = np.triu_indices(g, 1)
+    return pa.table(
+        {
+            "doc_a": pa.array(dids[iu]),
+            "doc_b": pa.array(dids[ju]),
+            "one": pa.array(np.ones(len(iu), np.int64)),
+        }
+    )

@@ -7478,3 +7478,79 @@ def q_qty_price_ols(sf_dir: str):
         li, "l_returnflag", "l_quantity", "l_extendedprice",
         x_decimals=0, y_decimals=2,
     ).sort("l_returnflag")
+
+
+def q_fingerprint_pairs(sf_dir: str):
+    """(doc_a, doc_b, shared) — winnowing-fingerprint near-duplicate
+    candidates (MOSS scheme) sharing ≥2 distinct fingerprints.
+    Exact-int overlap counts — bitwise SQL twin (HUGEINT rolling-hash
+    + window-min replay + self-join)."""
+    from igraph_ray.functions.dedup import fingerprint_pairs
+
+    docs = documents(sf_dir).select_columns(["doc_id", "text"])
+    return fingerprint_pairs(docs, min_shared=2, df_cap=64).sort(
+        ["doc_a", "doc_b"]
+    )
+
+
+def q_clustering_by_degree(sf_dir: str):
+    """(degree, n_vertices, sum_triangles, avg_clustering) — the
+    clustering–degree correlation c(k) of the E1∪E2 graph: all
+    degree-k vertices share the denominator k(k−1)/2, so the class
+    mean is the single exact-int division
+    (2·Σ triangles) / (n_k · k · (k−1)) — bitwise SQL twin.  Classes
+    with k < 2 report 0.0 (nx convention per vertex)."""
+    from igraph_ray.kernels.triangles import (
+        canonical_edges,
+        triangle_counts,
+        undirected_degrees,
+    )
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    simple = canonical_edges(edges).materialize()
+    tri = pa.concat_tables(
+        triangle_counts(
+            simple, vertices=vertices.select_columns(["vid"])
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("vid")
+    deg = pa.concat_tables(
+        undirected_degrees(simple).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    n = vertices.count()
+    dfull = np.zeros(n, np.int64)
+    dfull[deg.column("vid").to_numpy(zero_copy_only=False)] = deg.column(
+        "degree"
+    ).to_numpy(zero_copy_only=False)
+    tfull = np.zeros(n, np.int64)
+    tfull[tri.column("vid").to_numpy(zero_copy_only=False)] = tri.column(
+        "triangles"
+    ).to_numpy(zero_copy_only=False)
+    ks = np.unique(dfull)
+    rows = {"degree": [], "n_vertices": [], "sum_triangles": [], "avg_clustering": []}
+    for k in ks.tolist():
+        m = dfull == k
+        nk = int(m.sum())
+        st = int(tfull[m].sum())
+        rows["degree"].append(k)
+        rows["n_vertices"].append(nk)
+        rows["sum_triangles"].append(st)
+        rows["avg_clustering"].append(
+            float(2 * st) / float(nk * k * (k - 1)) if k >= 2 else 0.0
+        )
+    return pa.table(
+        {
+            "degree": pa.array(rows["degree"], pa.int64()),
+            "n_vertices": pa.array(rows["n_vertices"], pa.int64()),
+            "sum_triangles": pa.array(rows["sum_triangles"], pa.int64()),
+            "avg_clustering": pa.array(rows["avg_clustering"], pa.float64()),
+        }
+    )

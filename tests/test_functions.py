@@ -616,3 +616,56 @@ def test_chunk_text_vs_brute():
             assert (c - 1) * 3 + 5 < sum(
                 1 for w in texts[d].split() if w
             ) or nw == 5
+
+
+def test_fingerprint_pairs_vs_brute():
+    import ray.data
+
+    from igraph_ray.functions.dedup import fingerprint_pairs
+    from igraph_ray.functions.text import _winnow_row
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and keeps "
+        "running through the quiet forest until dawn breaks"
+    )
+    texts = [
+        base,
+        base + " with a small tail added",       # near-dup of 0
+        "completely different content that talks about graph engines "
+        "and distributed dataflow systems at scale",
+        base.replace("quick", "rapid"),           # still shares spans
+        "short",                                  # below window: excluded
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = pa.concat_tables(
+        fingerprint_pairs(ds, min_shared=2).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["shared"] for r in out.to_pylist()
+    }
+    # brute replay
+    sets = {}
+    for i, t in enumerate(texts):
+        if len(t) >= 8 + 16 - 1:
+            sets[i] = set(
+                np.unique(_winnow_row(t.encode("utf-8"), 8, 16)).tolist()
+            )
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                s = len(sets[a] & sets[b])
+                if s >= 2:
+                    want[(a, b)] = s
+    assert got == want
+    assert (0, 1) in got and (0, 3) in got  # the planted near-dups
+    assert all(4 not in k for k in got)
