@@ -293,6 +293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joint_degree_matrix": q.q_joint_degree_matrix,  # SQL oracle (degree join + GROUP BY, exact ints)
         "fingerprint_pairs": q.q_fingerprint_pairs,  # SQL oracle (rolling-hash window-min replay + self-join, exact ints)
         "clustering_by_degree": q.q_clustering_by_degree,  # SQL oracle (exact-int class sums + one IEEE division, bitwise)
+        "silhouette": q.q_silhouette,  # rows-only (simplified centroid silhouette; brute-replay pytest oracle)
+        "bisection_conductance": q.q_bisection_conductance,  # SQL oracle (parity-replay cut/volumes, one IEEE division, bitwise)
     }
 
 
@@ -4530,5 +4532,31 @@ SELECT CAST(d AS BIGINT) AS degree,
               / CAST(COUNT(*) * d * (d - 1) AS DOUBLE)
          ELSE 0.0 END AS avg_clustering
 FROM pv GROUP BY d ORDER BY d
+""",
+        # conductance of the vid-parity bisection: vid replayed via
+        # ROW_NUMBER over sorted keys, exact ints + one division
+        "bisection_conductance": f"""
+{_LINK_PAIRS},
+v AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys),
+e AS (
+  SELECT a.vid % 2 AS ps, b.vid % 2 AS pd
+  FROM link_pairs p
+  JOIN v a ON p.src_key = a.key
+  JOIN v b ON p.dst_key = b.key
+),
+s AS (
+  SELECT
+    CAST(SUM(CASE WHEN ps <> pd THEN 1 ELSE 0 END) AS BIGINT) AS cut,
+    CAST(SUM(CASE WHEN ps = 0 THEN 1 ELSE 0 END)
+         + SUM(CASE WHEN pd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vol_even,
+    CAST(SUM(CASE WHEN ps = 1 THEN 1 ELSE 0 END)
+         + SUM(CASE WHEN pd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS vol_odd
+  FROM e
+)
+SELECT cut, vol_even, vol_odd,
+  CASE WHEN LEAST(vol_even, vol_odd) > 0
+    THEN CAST(cut AS DOUBLE) / CAST(LEAST(vol_even, vol_odd) AS DOUBLE)
+    ELSE 0.0 END AS conductance
+FROM s
 """,
     }

@@ -673,3 +673,123 @@ def pq_topk(
     return partial.groupby("query_id").map_groups(
         _final_topk(k), batch_format="pyarrow"
     )
+
+
+def simplified_silhouette(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> pa.Table:
+    """Simplified silhouette (Hruschka et al. 2004 — the centroid
+    variant of Rousseeuw's silhouette, the standard large-scale
+    substitute for the O(n²) exact score): per point,
+    a = ‖x − c_own‖, b = min over other clusters ‖x − c_k‖,
+    s = (b − a) / max(a, b); returns per-label means and the global
+    mean as rows ``(label, n, mean_silhouette)`` (label −1 = overall).
+
+    Two passes: (1) per-batch per-label sum/count partials → driver
+    centroid matrix (O(k·d) state, k-means pattern); (2) broadcast
+    centroids, per-batch vectorized distance matrix + per-label
+    partial silhouette sums.  No shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    # pass 1: centroids
+    def cent_partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column(vec_col).to_pylist(), np.float64)
+        uniq = np.unique(lab)
+        rows_l, rows_n, rows_s = [], [], []
+        for lv in uniq.tolist():
+            m = lab == lv
+            rows_l.append(lv)
+            rows_n.append(int(m.sum()))
+            rows_s.append(emb[m].sum(axis=0).tolist())
+        return pa.table(
+            {
+                "label": pa.array(rows_l, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "s": pa.array(rows_s, pa.list_(pa.float64())),
+            }
+        )
+
+    parts = pa.concat_tables(
+        ds.select_columns([vec_col, label_col])
+        .map_batches(cent_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    labs = parts.column("label").to_numpy(zero_copy_only=False)
+    uniq = np.unique(labs)
+    d = len(parts.column("s")[0].as_py())
+    cents = np.zeros((len(uniq), d))
+    counts = np.zeros(len(uniq), np.int64)
+    for i, lv in enumerate(uniq.tolist()):
+        m = labs == lv
+        counts[i] = parts.column("n").to_numpy(zero_copy_only=False)[m].sum()
+        svals = np.asarray(
+            [parts.column("s")[int(j)].as_py() for j in np.flatnonzero(m)],
+            np.float64,
+        )
+        cents[i] = svals.sum(axis=0) / counts[i]
+    lab_to_idx = {int(lv): i for i, lv in enumerate(uniq.tolist())}
+    ref = ray.put((cents, lab_to_idx))
+
+    # pass 2: per-point silhouette partials
+    def sil_partial(batch: pa.Table) -> pa.Table:
+        c, l2i = ray.get(ref)
+        lab = batch.column(label_col).to_numpy(zero_copy_only=False)
+        emb = np.asarray(batch.column(vec_col).to_pylist(), np.float64)
+        # full distance matrix points × centroids
+        d2 = (
+            (emb * emb).sum(axis=1)[:, None]
+            - 2.0 * emb @ c.T
+            + (c * c).sum(axis=1)[None, :]
+        )
+        dist = np.sqrt(np.maximum(d2, 0.0))
+        own_idx = np.array([l2i[int(v)] for v in lab])
+        a = dist[np.arange(len(lab)), own_idx]
+        masked = dist.copy()
+        masked[np.arange(len(lab)), own_idx] = np.inf
+        b = masked.min(axis=1)
+        s = np.where(
+            np.maximum(a, b) > 0, (b - a) / np.maximum(a, b), 0.0
+        )
+        uniq_b = np.unique(lab)
+        rows_l, rows_n, rows_s = [], [], []
+        for lv in uniq_b.tolist():
+            m = lab == lv
+            rows_l.append(lv)
+            rows_n.append(int(m.sum()))
+            rows_s.append(float(s[m].sum()))
+        return pa.table(
+            {
+                "label": pa.array(rows_l, pa.int64()),
+                "n": pa.array(rows_n, pa.int64()),
+                "ssum": pa.array(rows_s, pa.float64()),
+            }
+        )
+
+    parts2 = (
+        ds.select_columns([vec_col, label_col])
+        .map_batches(sil_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"), Sum("ssum", alias_name="ssum"))
+    )
+    tbl = pa.concat_tables(
+        parts2.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("label")
+    lab_out = tbl.column("label").to_pylist()
+    n_out = tbl.column("n").to_numpy(zero_copy_only=False)
+    s_out = tbl.column("ssum").to_numpy(zero_copy_only=False)
+    total_n = int(n_out.sum())
+    total_s = float(s_out.sum())
+    return pa.table(
+        {
+            "label": pa.array(lab_out + [-1], pa.int64()),
+            "n": pa.array(n_out.tolist() + [total_n], pa.int64()),
+            "mean_silhouette": pa.array(
+                (s_out / n_out).tolist() + [total_s / total_n],
+                pa.float64(),
+            ),
+        }
+    )

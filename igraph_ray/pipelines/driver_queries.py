@@ -7554,3 +7554,76 @@ def q_clustering_by_degree(sf_dir: str):
             "avg_clustering": pa.array(rows["avg_clustering"], pa.float64()),
         }
     )
+
+
+def q_silhouette(sf_dir: str):
+    """(label, n, mean_silhouette) per embedding cluster label plus the
+    overall row (label = −1) — simplified (centroid) silhouette over
+    the embeddings table.  Rows-only: float means; brute-replay pytest
+    oracle with planted mislabels."""
+    from igraph_ray.functions.similarity import simplified_silhouette
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding", "label"]
+    )
+
+    def widen(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "embedding": pc.cast(
+                    batch.column("embedding"), pa.list_(pa.float64())
+                ),
+                "label": pc.cast(batch.column("label"), pa.int64()),
+            }
+        )
+
+    return simplified_silhouette(
+        emb.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+
+def q_bisection_conductance(sf_dir: str):
+    """One row (cut, vol_even, vol_odd, conductance) — conductance of
+    the deterministic vid-parity bisection of the E1∪E2 graph:
+    φ = cut / min(vol) with cut = crossing edges and vol = Σ degree
+    per side.  Exact ints + one IEEE division — bitwise SQL twin
+    (ROW_NUMBER parity replay)."""
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        cross = (s % 2) != (d % 2)
+        # each edge adds 1 degree to both endpoints
+        vol_even = int(np.sum(s % 2 == 0) + np.sum(d % 2 == 0))
+        vol_odd = int(np.sum(s % 2 == 1) + np.sum(d % 2 == 1))
+        return pa.table(
+            {
+                "cut": pa.array([int(cross.sum())], pa.int64()),
+                "vol_even": pa.array([vol_even], pa.int64()),
+                "vol_odd": pa.array([vol_odd], pa.int64()),
+            }
+        )
+
+    rows = edges.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    cut = sum(r["cut"] for r in rows)
+    ve = sum(r["vol_even"] for r in rows)
+    vo = sum(r["vol_odd"] for r in rows)
+    phi = float(cut) / float(min(ve, vo)) if min(ve, vo) > 0 else 0.0
+    return pa.table(
+        {
+            "cut": pa.array([cut], pa.int64()),
+            "vol_even": pa.array([ve], pa.int64()),
+            "vol_odd": pa.array([vo], pa.int64()),
+            "conductance": pa.array([phi], pa.float64()),
+        }
+    )

@@ -669,3 +669,51 @@ def test_fingerprint_pairs_vs_brute():
     assert got == want
     assert (0, 1) in got and (0, 3) in got  # the planted near-dups
     assert all(4 not in k for k in got)
+
+
+def test_simplified_silhouette_vs_brute():
+    import ray.data
+
+    from igraph_ray.functions.similarity import simplified_silhouette
+
+    rng = np.random.default_rng(8)
+    # 3 well-separated Gaussian blobs + labels, some points mislabeled
+    centers = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0]])
+    pts, labs = [], []
+    for i, c in enumerate(centers):
+        pts.append(c + rng.normal(0, 0.5, size=(40, 2)))
+        labs += [i] * 40
+    labs = np.array(labs)
+    labs[::17] = (labs[::17] + 1) % 3  # plant mislabels
+    X = np.vstack(pts)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+                "label": pa.array(labs, pa.int64()),
+            }
+        )
+    ).repartition(5)
+    out = {
+        r["label"]: (r["n"], r["mean_silhouette"])
+        for r in simplified_silhouette(ds).to_pylist()
+    }
+    # brute replay
+    cents = np.vstack(
+        [X[labs == i].mean(axis=0) for i in range(3)]
+    )
+    dist = np.sqrt(
+        ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    )
+    a = dist[np.arange(len(X)), labs]
+    m = dist.copy()
+    m[np.arange(len(X)), labs] = np.inf
+    b = m.min(axis=1)
+    s = (b - a) / np.maximum(a, b)
+    for i in range(3):
+        want = s[labs == i].mean()
+        assert out[i][0] == int((labs == i).sum())
+        assert abs(out[i][1] - want) < 1e-9
+    assert abs(out[-1][1] - s.mean()) < 1e-9
+    # mislabeled points drag means below the clean-blob regime
+    assert 0.5 < out[-1][1] < 1.0
