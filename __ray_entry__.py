@@ -295,6 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_by_degree": q.q_clustering_by_degree,  # SQL oracle (exact-int class sums + one IEEE division, bitwise)
         "silhouette": q.q_silhouette,  # rows-only (simplified centroid silhouette; brute-replay pytest oracle)
         "bisection_conductance": q.q_bisection_conductance,  # SQL oracle (parity-replay cut/volumes, one IEEE division, bitwise)
+        "cross_source_duplicates": q.q_cross_source_duplicates,  # SQL oracle (sha-source projection self-join, exact ints)
+        "lexical_diversity": q.q_lexical_diversity,  # SQL oracle (token/type counts + one IEEE division, bitwise)
+        "degree_gini": q.q_degree_gini,  # SQL oracle (exact-int rank sum + fixed IEEE chain, bitwise)
     }
 
 
@@ -4557,6 +4560,67 @@ SELECT cut, vol_even, vol_odd,
   CASE WHEN LEAST(vol_even, vol_odd) > 0
     THEN CAST(cut AS DOUBLE) / CAST(LEAST(vol_even, vol_odd) AS DOUBLE)
     ELSE 0.0 END AS conductance
+FROM s
+""",
+        # exact-duplicate contamination across sources: distinct
+        # (sha, source) incidence → per-sha source pairs → counts
+        "cross_source_duplicates": f"""
+WITH files AS ({_FILES}),
+inc AS (
+  SELECT DISTINCT sha256(content) AS sha, repo FROM files
+)
+SELECT a.repo AS source_a, b.repo AS source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM inc a JOIN inc b ON a.sha = b.sha AND a.repo < b.repo
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        # type-token ratio: exact ints + one IEEE division
+        "lexical_diversity": r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+  CASE WHEN len(toks) > 0
+    THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+         / CAST(len(toks) AS DOUBLE)
+    ELSE 0.0 END AS ttr
+FROM t ORDER BY doc_id
+""",
+        # degree Gini: B = Σ rank·deg over the ascending-sorted
+        # sequence (isolated keys at degree 0), fixed IEEE chain
+        "degree_gini": f"""
+{_LINK_PAIRS},
+endpoints AS (
+  SELECT src_key AS key FROM link_pairs
+  UNION ALL
+  SELECT dst_key FROM link_pairs
+),
+deg AS (
+  SELECT k.key, CAST(COUNT(e.key) AS BIGINT) AS d
+  FROM keys k LEFT JOIN endpoints e ON k.key = e.key
+  GROUP BY k.key
+),
+ranked AS (
+  SELECT d, ROW_NUMBER() OVER (ORDER BY d, key) AS i FROM deg
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+         SUM(CAST(d AS HUGEINT)) AS sum_deg,
+         SUM(CAST(i AS HUGEINT) * CAST(d AS HUGEINT)) AS b
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(sum_deg AS BIGINT) AS sum_deg,
+  CASE WHEN n > 0 AND sum_deg > 0
+    THEN (2.0 * CAST(b AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(sum_deg AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
+    ELSE 0.0 END AS gini
 FROM s
 """,
     }

@@ -7627,3 +7627,129 @@ def q_bisection_conductance(sf_dir: str):
             "conductance": pa.array([phi], pa.float64()),
         }
     )
+
+
+def q_cross_source_duplicates(sf_dir: str):
+    """(source_a, source_b, n_shared) — exact-duplicate contamination
+    matrix across corpus shards: distinct (content sha256, repo)
+    incidence over the derived files table (whose every 10th doc
+    carries one of 7 vendored contents, so real cross-repo sharing
+    exists), per-sha repo pairs, pair counts.  Exact ints — bitwise
+    SQL twin."""
+    from igraph_ray.stages.graph_ops import bipartite_projection
+
+    files = with_content_sha(
+        files_from_documents(sf_dir).select_columns(["repo", "content"]),
+        column="content",
+    ).select_columns(["content_sha", "repo"])
+    out = bipartite_projection(
+        files, u_col="repo", v_col="content_sha", onto="u"
+    )
+    return out.rename_columns(
+        {"src_key": "source_a", "dst_key": "source_b", "weight": "n_shared"}
+    ).sort(["source_a", "source_b"])
+
+
+def q_lexical_diversity(sf_dir: str):
+    """(doc_id, n_tokens, n_types, ttr) — type-token ratio per doc
+    (lowercased whitespace tokens).  Exact ints + one IEEE division —
+    bitwise SQL twin."""
+    docs = documents(sf_dir).select_columns(["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        from igraph_ray.functions.text import _tokens_table
+
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = _tokens_table(batch, "text", "doc_id")  # (did, term)
+        agg = toks.group_by("did").aggregate(
+            [("term", "count"), ("term", "count_distinct")]
+        )
+        did = agg.column("did").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(np.sort(ids), did)
+        # scatter into the batch's doc order (0 for token-free docs)
+        order = np.argsort(ids)
+        n_tok = np.zeros(len(ids), np.int64)
+        n_typ = np.zeros(len(ids), np.int64)
+        n_tok[order[pos]] = agg.column("term_count").to_numpy(
+            zero_copy_only=False
+        )
+        n_typ[order[pos]] = agg.column(
+            "term_count_distinct"
+        ).to_numpy(zero_copy_only=False)
+        ttr = np.where(n_tok > 0, n_typ / np.maximum(n_tok, 1), 0.0)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(n_tok),
+                "n_types": pa.array(n_typ),
+                "ttr": pa.array(ttr.astype(np.float64)),
+            }
+        )
+
+    return docs.map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
+def q_degree_gini(sf_dir: str):
+    """One row (n, sum_deg, gini) — Gini coefficient of the E1∪E2
+    degree sequence (isolated keys included at degree 0):
+    G = (2·Σ i·d_(i) / (n·Σd)) − (n+1)/n over ascending-sorted
+    degrees — exact-int B = Σ i·d_(i) from the distributed histogram,
+    then a fixed IEEE chain.  Bitwise SQL twin."""
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    n = vertices.count()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table({"vid": pa.array(np.concatenate([s, d]))})
+
+    hist = pa.concat_tables(
+        edges.map_batches(
+            endpoints, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("vid")
+        .aggregate(Count("vid", alias_name="degree"))
+        .select_columns(["degree"])
+        .groupby("degree")
+        .aggregate(Count("degree", alias_name="cnt"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    dvals = hist.column("degree").to_numpy(zero_copy_only=False)
+    cnts = hist.column("cnt").to_numpy(zero_copy_only=False)
+    n_iso = n - int(cnts.sum())
+    dvals = np.concatenate([[0], dvals])
+    cnts = np.concatenate([[n_iso], cnts])
+    order = np.argsort(dvals)
+    dvals, cnts = dvals[order], cnts[order]
+    # ranks i = 1..n ascending; a degree class occupying ranks
+    # (start+1 .. start+c) contributes d · Σ ranks = d·(c·start + c(c+1)/2)
+    starts = np.cumsum(cnts) - cnts
+    B = int(
+        sum(
+            int(d) * (int(c) * int(s0) + int(c) * (int(c) + 1) // 2)
+            for d, c, s0 in zip(dvals.tolist(), cnts.tolist(), starts.tolist())
+        )
+    )
+    sum_deg = int(np.sum(dvals * cnts))
+    if n > 0 and sum_deg > 0:
+        gini = (2.0 * float(B)) / (float(n) * float(sum_deg)) - (
+            float(n) + 1.0
+        ) / float(n)
+    else:
+        gini = 0.0
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "sum_deg": pa.array([sum_deg], pa.int64()),
+            "gini": pa.array([gini], pa.float64()),
+        }
+    )
