@@ -298,6 +298,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_source_duplicates": q.q_cross_source_duplicates,  # SQL oracle (sha-source projection self-join, exact ints)
         "lexical_diversity": q.q_lexical_diversity,  # SQL oracle (token/type counts + one IEEE division, bitwise)
         "degree_gini": q.q_degree_gini,  # SQL oracle (exact-int rank sum + fixed IEEE chain, bitwise)
+        "train_val_test_split": q.q_train_val_test_split,  # SQL oracle (splitmix bucket replay, exact ints)
+        "event_gap_quantiles": q.q_event_gap_quantiles,  # SQL oracle (LAG gaps + grouped quantile_disc, exact ints)
     }
 
 
@@ -4622,5 +4624,46 @@ SELECT CAST(n AS BIGINT) AS n, CAST(sum_deg AS BIGINT) AS sum_deg,
          - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)
     ELSE 0.0 END AS gini
 FROM s
+""",
+        # 90/5/5 hash split: splitmix64(doc_id) % 100 buckets
+        "train_val_test_split": f"""
+WITH s1 AS (
+  SELECT doc_id, lang,
+    CAST((CAST(doc_id AS HUGEINT) + 11400714819323198485)
+         % 18446744073709551616 AS UBIGINT) AS z
+  FROM documents
+),
+s2 AS (SELECT doc_id, lang,
+  CAST({_mul64_sql("CAST(xor(z, z >> 30) AS HUGEINT)", "13787848793156543929")}
+       AS UBIGINT) AS z FROM s1),
+s3 AS (SELECT doc_id, lang,
+  CAST({_mul64_sql("CAST(xor(z, z >> 27) AS HUGEINT)", "10723151780598845931")}
+       AS UBIGINT) AS z FROM s2),
+s4 AS (SELECT doc_id, lang, xor(z, z >> 31) % 100 AS b FROM s3)
+SELECT lang,
+  CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val'
+       ELSE 'test' END AS split,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s4 GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        # per-user inter-arrival gaps (later event's type), grouped
+        # exact quantiles with the quantile_disc rank rule
+        "event_gap_quantiles": """
+WITH g AS (
+  SELECT event_type,
+    CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS gap_us
+  FROM events
+)
+SELECT event_type, 0.25 AS q,
+       CAST(quantile_disc(gap_us, 0.25) AS BIGINT) AS value
+FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.5, CAST(quantile_disc(gap_us, 0.5) AS BIGINT)
+FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+UNION ALL
+SELECT event_type, 0.9, CAST(quantile_disc(gap_us, 0.9) AS BIGINT)
+FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
+ORDER BY event_type, q
 """,
     }

@@ -7753,3 +7753,75 @@ def q_degree_gini(sf_dir: str):
             "gini": pa.array([gini], pa.float64()),
         }
     )
+
+
+def q_train_val_test_split(sf_dir: str):
+    """(lang, split, n_docs) — deterministic hash-based 90/5/5
+    train/val/test assignment of the documents corpus, counted per
+    language.  Exact ints, splitmix64 replayed in SQL — bitwise."""
+    from igraph_ray.stages.sample import hash_split
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    out = hash_split(docs, "doc_id", boundaries=(90, 95), denom=100)
+    return (
+        out.groupby(["lang", "split"])
+        .aggregate(Count(alias_name="n_docs"))
+        .sort(["lang", "split"])
+    )
+
+
+def q_event_gap_quantiles(sf_dir: str):
+    """(event_type, q, value) — exact quantiles (DuckDB quantile_disc
+    rank rule) of per-user inter-arrival gaps in microseconds, grouped
+    by the later event's type.  One user-keyed shuffle for the gap
+    computation + the sortless grouped-quantile selection — bitwise
+    SQL twin (LAG + quantile_disc)."""
+    from igraph_ray.stages.quantile import grouped_quantiles_int
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        t = batch.column("ts").cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ts_us": t,
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    def gaps(group: pa.Table) -> pa.Table:
+        t = group.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = group.column("event_type").to_pylist()
+        order = np.lexsort((eid, t))
+        t = t[order]
+        ets = [et[i] for i in order.tolist()]
+        if len(t) < 2:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "gap_us": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "event_type": pa.array(ets[1:], pa.string()),
+                "gap_us": pa.array((t[1:] - t[:-1]).astype(np.int64)),
+            }
+        )
+
+    g = (
+        ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+    return grouped_quantiles_int(
+        g, "event_type", "gap_us", [0.25, 0.5, 0.9]
+    ).sort(["event_type", "q"])

@@ -160,3 +160,34 @@ def weighted_sample(
         return batch.filter(pa.array(u < w))
 
     return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    col: str,
+    boundaries: tuple[int, ...] = (90, 95),
+    denom: int = 100,
+    names: tuple[str, ...] = ("train", "val", "test"),
+    out: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: bucket =
+    splitmix64(col) % denom, split i covers [boundaries[i-1],
+    boundaries[i]) (the standard hash-based dataset split — stable
+    across runs, cluster shapes and resumes, and rows never migrate
+    between splits when the corpus grows).  Map-only; the SQL twin
+    replays splitmix64 in HUGEINT."""
+    if len(names) != len(boundaries) + 1:
+        raise ValueError("need len(names) == len(boundaries) + 1")
+
+    def _f(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        z = (hash_int64(v) % np.uint64(denom)).astype(np.int64)
+        lab = np.empty(len(v), dtype=object)
+        lo = 0
+        bounds = list(boundaries) + [denom]
+        for name, hi in zip(names, bounds):
+            lab[(z >= lo) & (z < hi)] = name
+            lo = hi
+        return batch.append_column(out, pa.array(lab.tolist(), pa.string()))
+
+    return ds.map_batches(_f, batch_format="pyarrow", zero_copy_batch=True)
