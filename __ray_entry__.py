@@ -300,6 +300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_gini": q.q_degree_gini,  # SQL oracle (exact-int rank sum + fixed IEEE chain, bitwise)
         "train_val_test_split": q.q_train_val_test_split,  # SQL oracle (splitmix bucket replay, exact ints)
         "event_gap_quantiles": q.q_event_gap_quantiles,  # SQL oracle (LAG gaps + grouped quantile_disc, exact ints)
+        "rich_club_normalized": q.q_rich_club_normalized,  # rows-only (Colizza ratio; both pieces separately SQL-oracled)
     }
 
 

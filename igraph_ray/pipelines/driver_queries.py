@@ -7825,3 +7825,62 @@ def q_event_gap_quantiles(sf_dir: str):
     return grouped_quantiles_int(
         g, "event_type", "gap_us", [0.25, 0.5, 0.9]
     ).sort(["event_type", "q"])
+
+
+def q_rich_club_normalized(sf_dir: str):
+    """(k, phi, phi_null, rho) — normalized rich-club coefficient
+    (Colizza et al. 2006): observed φ(k) over the E1∪E2 graph divided
+    by φ(k) of a degree-preserving deterministic rewiring (3 rounds,
+    seed 7; degree sequence identical by construction, so the same k
+    thresholds exist).  Rows-only: the ratio is float; both φ pieces
+    carry their own exact oracles (rich_club bitwise twin, rewiring
+    degree-invariance twin)."""
+    from igraph_ray.kernels.metrics import rich_club
+    from igraph_ray.stages.rewire import rewire_edges
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices).select_columns(["src", "dst"])
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        keep = s != d
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(s, d)[keep]),
+                "dst": pa.array(np.maximum(s, d)[keep]),
+            }
+        )
+
+    simple = (
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    obs = rich_club(simple)
+    null = rich_club(rewire_edges(simple, rounds=3, seed=7))
+    ko = obs.column("k").to_numpy(zero_copy_only=False)
+    po = obs.column("phi").to_numpy(zero_copy_only=False)
+    kn = null.column("k").to_numpy(zero_copy_only=False)
+    pn = null.column("phi").to_numpy(zero_copy_only=False)
+    null_map = dict(zip(kn.tolist(), pn.tolist()))
+    rows = []
+    for k, p in zip(ko.tolist(), po.tolist()):
+        p0 = null_map.get(k, 0.0)
+        rows.append((k, p, p0, p / p0 if p0 > 0 else 0.0))
+    return pa.table(
+        {
+            "k": pa.array([r[0] for r in rows], pa.int64()),
+            "phi": pa.array([r[1] for r in rows], pa.float64()),
+            "phi_null": pa.array([r[2] for r in rows], pa.float64()),
+            "rho": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
