@@ -1586,20 +1586,23 @@ def fingerprint_pairs(
 
     def explode(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        lists = batch.column("fingerprints")
-        out_id, out_fp = [], []
-        for i in range(len(ids)):
-            u = np.unique(np.asarray(lists[i].as_py(), np.uint64))
-            out_id.append(np.full(len(u), ids[i], np.int64))
-            out_fp.append(u)
-        if out_id:
-            did = np.concatenate(out_id)
-            fp = np.concatenate(out_fp)
-        else:
-            did = np.empty(0, np.int64)
-            fp = np.empty(0, np.uint64)
+        lists = batch.column("fingerprints").combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists).to_numpy(zero_copy_only=False)
+        did = np.repeat(ids, lens.astype(np.int64))
+        # vectorized per-doc distinct: lexsort + boundary dedupe
+        order = np.lexsort((flat, did))
+        did, fp = did[order], flat[order]
+        if len(did):
+            keep = np.empty(len(did), dtype=bool)
+            keep[0] = True
+            keep[1:] = (did[1:] != did[:-1]) | (fp[1:] != fp[:-1])
+            did, fp = did[keep], fp[keep]
         return pa.table(
-            {"did": pa.array(did), "fp": pa.array(fp.astype(np.int64))}
+            {
+                "did": pa.array(did),
+                "fp": pa.array(fp.astype(np.uint64).astype(np.int64)),
+            }
         )
 
     pairs = (
