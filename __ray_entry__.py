@@ -301,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_test_split": q.q_train_val_test_split,  # SQL oracle (splitmix bucket replay, exact ints)
         "event_gap_quantiles": q.q_event_gap_quantiles,  # SQL oracle (LAG gaps + grouped quantile_disc, exact ints)
         "rich_club_normalized": q.q_rich_club_normalized,  # rows-only (Colizza ratio; both pieces separately SQL-oracled)
+        "orders_csv_agg": q.q_orders_csv_agg,  # SQL oracle (CSV roundtrip in exact cents vs original parquet, hash-exact)
     }
 
 
@@ -4666,5 +4667,13 @@ UNION ALL
 SELECT event_type, 0.9, CAST(quantile_disc(gap_us, 0.9) AS BIGINT)
 FROM g WHERE gap_us IS NOT NULL GROUP BY event_type
 ORDER BY event_type, q
+""",
+        # CSV-roundtrip aggregate twin over the ORIGINAL parquet
+        "orders_csv_agg": """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+            AS BIGINT) AS sum_cents
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """,
     }

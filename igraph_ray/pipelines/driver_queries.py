@@ -7884,3 +7884,50 @@ def q_rich_club_normalized(sf_dir: str):
             "rho": pa.array([r[3] for r in rows], pa.float64()),
         }
     )
+
+
+def q_orders_csv_agg(sf_dir: str):
+    """(o_orderpriority, n, sum_cents) — S1 source-format coverage for
+    CSV: orders are converted to exact integer cents, written as CSV
+    (one scratch dump per sf dir under /tmp), read back with
+    ray.data.read_csv, and aggregated.  Ints survive the CSV roundtrip
+    bitwise, so the SQL twin over the original parquet hash-matches."""
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/igr_csv_{tag}"
+    marker = os.path.join(out, "_DONE")
+    if not os.path.exists(marker):
+        od = ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_totalprice"],
+        )
+
+        def cents(batch: pa.Table) -> pa.Table:
+            v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderpriority": batch.column("o_orderpriority"),
+                    "cents": pa.array(
+                        np.floor(v * 100.0 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+        od.map_batches(
+            cents, batch_format="pyarrow", zero_copy_batch=True
+        ).write_csv(out)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+    back = ray.data.read_csv(
+        [
+            os.path.join(out, f)
+            for f in sorted(os.listdir(out))
+            if f.endswith(".csv")
+        ]
+    )
+    return (
+        back.groupby("o_orderpriority")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
+        .sort("o_orderpriority")
+    )
