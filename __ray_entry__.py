@@ -302,6 +302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_quantiles": q.q_event_gap_quantiles,  # SQL oracle (LAG gaps + grouped quantile_disc, exact ints)
         "rich_club_normalized": q.q_rich_club_normalized,  # rows-only (Colizza ratio; both pieces separately SQL-oracled)
         "orders_csv_agg": q.q_orders_csv_agg,  # SQL oracle (CSV roundtrip in exact cents vs original parquet, hash-exact)
+        "spectral_embedding": q.q_spectral_embedding,  # rows-only (block orthogonal iteration + Ritz; dense-eigh pytest oracle)
     }
 
 

@@ -7931,3 +7931,85 @@ def q_orders_csv_agg(sf_dir: str):
         .aggregate(Count(alias_name="n"), Sum("cents", alias_name="sum_cents"))
         .sort("o_orderpriority")
     )
+
+
+def q_spectral_embedding(sf_dir: str, graph_dir: str | None = None):
+    """(key, e0, e1, e2) + header row of eigenvalue estimates — 3-dim
+    Laplacian spectral embedding (smallest nontrivial eigenpairs) of
+    the 29-vertex ring+chord graph, by block orthogonal iteration on
+    the chassis with a Rayleigh–Ritz finish.  Rows-only: float
+    eigenvectors (sign unspecified); dense-eigh pytest oracle."""
+    import tempfile
+
+    from igraph_ray.kernels.spectral_embed import spectral_embedding
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_sem_")
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        s = doc_id % 29
+        ring = (s + 1) % 29
+        chord = (s * 2 + 3) % 29
+        ss = np.concatenate([s, s])
+        dd = np.concatenate([ring, chord])
+        keep = ss != dd
+        return pa.table(
+            {
+                "src_key": pa.array([f"v{i}" for i in ss[keep]], pa.string()),
+                "dst_key": pa.array([f"v{i}" for i in dd[keep]], pa.string()),
+                "weight": pa.array(np.ones(int(keep.sum()))),
+            }
+        )
+
+    arcs = (
+        documents(sf_dir)
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src_key", "dst_key"])
+        .aggregate(Max("weight", alias_name="weight"))
+    )
+    keys = (
+        arcs.select_columns(["src_key"])
+        .rename_columns({"src_key": "key"})
+        .union(
+            arcs.select_columns(["dst_key"]).rename_columns(
+                {"dst_key": "key"}
+            )
+        )
+        .groupby("key")
+        .count()
+        .select_columns(["key"])
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    n = vertices.count()
+    edges = attach_vids(arcs, vertices)
+    graph = build_graph(
+        edges, graph_dir,
+        vertices=vertices.select_columns(["vid"]),
+        symmetrize=True,
+    )
+    # tol=2e-5: the gate wants wall-time economy; eigenpair ACCURACY
+    # is pinned by the dense-eigh pytest oracle at tighter tol, and
+    # the Ritz finish keeps the reported λ's good to ~1e-4 here
+    emb, lams = spectral_embedding(graph, n, k=3, tol=2e-5)
+    tbl = pa.concat_tables(
+        emb.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    out = _vid_to_key(tbl, vtbl, {"vid": "key"}).sort_by("key")
+    # canonical signs: make each column's first nonzero entry positive
+    cols = {"key": out.column("key")}
+    for i in range(3):
+        v = out.column(f"e{i}").to_numpy(zero_copy_only=False).copy()
+        nz = np.flatnonzero(np.abs(v) > 1e-12)
+        if len(nz) and v[nz[0]] < 0:
+            v = -v
+        cols[f"e{i}"] = pa.array(v)
+    for i in range(3):
+        cols[f"lambda{i + 1}"] = pa.array(
+            np.full(out.num_rows, float(lams[i])), pa.float64()
+        )
+    return pa.table(cols)
