@@ -303,6 +303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club_normalized": q.q_rich_club_normalized,  # rows-only (Colizza ratio; both pieces separately SQL-oracled)
         "orders_csv_agg": q.q_orders_csv_agg,  # SQL oracle (CSV roundtrip in exact cents vs original parquet, hash-exact)
         "spectral_embedding": q.q_spectral_embedding,  # rows-only (block orthogonal iteration + Ritz; dense-eigh pytest oracle)
+        "ngram_containment": q.q_ngram_containment,  # SQL oracle (inverted-index min-size containment, bitwise)
     }
 
 
@@ -3775,6 +3776,35 @@ FROM inter i
 JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.2
+""",
+        # near-containment: same inverted index, min-size denominator
+        "ngram_containment": r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+),
+capped AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 128),
+shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN capped USING (s)),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS common
+  FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+)
+SELECT i.a, i.b, CAST(common AS BIGINT) AS common,
+       CAST(LEAST(sa.sz, sb.sz) AS BIGINT) AS min_sz,
+       CAST(common AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE)
+         AS containment
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(common AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.6
+ORDER BY i.a, i.b
 """,
         "ann_brute_topk": """
 WITH q AS (

@@ -671,11 +671,20 @@ def ngram_jaccard_pairs(
     df_cap: int = 128,
     threshold: float = 0.5,
     hash_shingles: bool = False,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """Exact word-n-gram Jaccard near-duplicate pairs
     ``(a, b, common, union_sz, jaccard)`` with ``jaccard >= threshold``
     — the no-sketch member of the dedup family (vs MinHash's estimate):
     jaccard = |Sa ∩ Sb| / |Sa ∪ Sb| over the distinct word-n-gram sets.
+
+    ``metric="containment"`` switches the score to the asymmetric
+    near-containment coefficient |Sa ∩ Sb| / min(|Sa|, |Sb|)
+    (Broder 1997's containment, symmetrized by the smaller set) —
+    the quote/boilerplate/subset detector: a short doc fully quoted
+    inside a long one scores 1.0 where Jaccard stays low.  Columns
+    become ``(a, b, common, min_sz, containment)``; same index, same
+    df_cap semantics, same single pair shuffle.
 
     Distributed shape — an inverted shingle index, never all-pairs:
     one ``groupby(shingle)`` emits, per shingle, the pair rows of its
@@ -853,6 +862,21 @@ def ngram_jaccard_pairs(
     )
 
     def _finish_cols(a, b, common, sa, sb):
+        if metric == "containment":
+            msz = np.minimum(sa, sb)
+            score = common / msz
+            keep = score >= threshold
+            return pa.table(
+                {
+                    "a": pa.array(a[keep]),
+                    "b": pa.array(b[keep]),
+                    "common": pa.array(common[keep].astype(np.int64)),
+                    "min_sz": pa.array(msz[keep].astype(np.int64)),
+                    "containment": pa.array(
+                        score[keep].astype(np.float64)
+                    ),
+                }
+            )
         union = sa + sb - common
         jac = common / union
         keep = jac >= threshold

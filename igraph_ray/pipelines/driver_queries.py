@@ -8026,3 +8026,19 @@ def q_spectral_embedding(sf_dir: str, graph_dir: str | None = None):
             np.full(out.num_rows, float(lams[i])), pa.float64()
         )
     return pa.table(cols)
+
+
+def q_ngram_containment(sf_dir: str):
+    """(a, b, common, min_sz, containment) — word-3-gram
+    near-containment pairs over documents (Broder containment via the
+    smaller set; df_cap=128, threshold=0.6) — the quote/boilerplate
+    detector.  Int set-sizes + one IEEE division — bitwise SQL twin."""
+    from igraph_ray.functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        documents(sf_dir), n=3, df_cap=128, threshold=0.6,
+        metric="containment",
+    )
+    return pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by([("a", "ascending"), ("b", "ascending")])

@@ -717,3 +717,53 @@ def test_simplified_silhouette_vs_brute():
     assert abs(out[-1][1] - s.mean()) < 1e-9
     # mislabeled points drag means below the clean-blob regime
     assert 0.5 < out[-1][1] < 1.0
+
+
+def test_ngram_containment_vs_brute():
+    import ray.data
+
+    from igraph_ray.functions.dedup import ngram_jaccard_pairs
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    texts = [
+        base,                                  # 0: long
+        "gamma delta epsilon zeta eta theta",  # 1: fully quoted in 0
+        "unrelated words entirely different text goes right here now",
+        base + " phi chi psi omega",           # 3: superset of 0
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    out = pa.concat_tables(
+        ngram_jaccard_pairs(
+            ds, n=3, threshold=0.9, metric="containment"
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    got = {
+        (r["a"], r["b"]): (r["common"], r["min_sz"], r["containment"])
+        for r in out.to_pylist()
+    }
+
+    def sh(t):
+        ws = t.split()
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    want = {}
+    for a in range(4):
+        for b in range(a + 1, 4):
+            sa, sb = sh(texts[a]), sh(texts[b])
+            c = len(sa & sb)
+            m = min(len(sa), len(sb))
+            if m and c / m >= 0.9:
+                want[(a, b)] = (c, m, c / m)
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)][2] == 1.0   # full quote
+    assert (0, 3) in got and got[(0, 3)][2] == 1.0   # subset
