@@ -304,6 +304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_csv_agg": q.q_orders_csv_agg,  # SQL oracle (CSV roundtrip in exact cents vs original parquet, hash-exact)
         "spectral_embedding": q.q_spectral_embedding,  # rows-only (block orthogonal iteration + Ritz; dense-eigh pytest oracle)
         "ngram_containment": q.q_ngram_containment,  # SQL oracle (inverted-index min-size containment, bitwise)
+        "trimmed_mean_price": q.q_trimmed_mean_price,  # SQL oracle (quantile_disc thresholds + exact-int mean, bitwise)
     }
 
 
@@ -3805,6 +3806,27 @@ JOIN sizes sa ON sa.doc_id = i.a
 JOIN sizes sb ON sb.doc_id = i.b
 WHERE CAST(common AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.6
 ORDER BY i.a, i.b
+""",
+        # 10%-trimmed mean from quantile_disc thresholds + exact ints
+        "trimmed_mean_price": """
+WITH v AS (
+  SELECT l_returnflag AS flag,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+th AS (
+  SELECT flag, quantile_disc(c, 0.1) AS lo, quantile_disc(c, 0.9) AS hi
+  FROM v GROUP BY flag
+),
+kept AS (
+  SELECT v.flag, v.c FROM v JOIN th USING (flag)
+  WHERE v.c >= th.lo AND v.c <= th.hi
+)
+SELECT flag AS l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       (CAST(SUM(c) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100.0
+         AS trimmed_mean
+FROM kept GROUP BY flag ORDER BY flag
 """,
         "ann_brute_topk": """
 WITH q AS (

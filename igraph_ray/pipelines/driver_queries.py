@@ -8042,3 +8042,84 @@ def q_ngram_containment(sf_dir: str):
     return pa.concat_tables(
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by([("a", "ascending"), ("b", "ascending")])
+
+
+def q_trimmed_mean_price(sf_dir: str):
+    """(l_returnflag, n_kept, trimmed_mean) — 10%-trimmed mean of the
+    extended price per return flag: keep rows with q10 ≤ cents ≤ q90
+    (exact quantile_disc thresholds from the sortless grouped-quantile
+    kernel), then one exact-int sum and ONE IEEE division (descaled by
+    cents).  Bitwise SQL twin."""
+    from igraph_ray.stages.quantile import grouped_quantiles_int
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        v = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "flag": batch.column("l_returnflag"),
+                "c": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+            }
+        )
+
+    cent = li.map_batches(
+        cents, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    qs = pa.concat_tables(
+        grouped_quantiles_int(cent, "flag", "c", [0.1, 0.9]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    lo: dict[str, int] = {}
+    hi: dict[str, int] = {}
+    for r in qs.to_pylist():
+        (lo if r["q"] == 0.1 else hi)[r["flag"]] = int(r["value"])
+
+    def partial(batch: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+        f = batch.column("flag").to_pylist()
+        c = batch.column("c").to_numpy(zero_copy_only=False)
+        lo_a = np.array([_lo[x] for x in f], np.int64)
+        hi_a = np.array([_hi[x] for x in f], np.int64)
+        keep = (c >= lo_a) & (c <= hi_a)
+        uniq = sorted(set(f))
+        rows_f, rows_n, rows_s = [], [], []
+        fa = np.asarray(f, dtype=object)
+        for fv in uniq:
+            m = (fa == fv) & keep
+            rows_f.append(fv)
+            rows_n.append(int(m.sum()))
+            rows_s.append(str(int(c[m].sum())))
+        return pa.table(
+            {
+                "flag": pa.array(rows_f, pa.string()),
+                "n": pa.array(rows_n, pa.int64()),
+                "s": pa.array(rows_s, pa.string()),
+            }
+        )
+
+    parts = cent.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    agg: dict[str, list[int]] = {}
+    for r in parts:
+        a = agg.setdefault(r["flag"], [0, 0])
+        a[0] += r["n"]
+        a[1] += int(r["s"])
+    flags = sorted(agg)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "n_kept": pa.array([agg[f][0] for f in flags], pa.int64()),
+            "trimmed_mean": pa.array(
+                [
+                    (float(agg[f][1]) / float(agg[f][0])) / 100.0
+                    for f in flags
+                ],
+                pa.float64(),
+            ),
+        }
+    )
