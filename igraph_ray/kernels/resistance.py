@@ -28,6 +28,13 @@ CG iterates stay ⊥ 𝟙 automatically (b ⊥ 𝟙 and L𝟙 = 0), so the
 pseudo-inverse solution needs no deflation.  Exact all-vertex CFC runs
 ⌈n/k⌉ solves — the same all-pivots contract as exact closeness
 (`multibfs`); per-solve state is 4k+1 float columns.
+
+Resume contract: the A/B phase flag and the driver-held recurrence
+state (α/β, Gram factors) live on the kernel object, not in the
+checkpointed vertex state — a killed solve RESTARTS from scratch
+(solves are bounded and deterministic, so the restart is exact).
+The mid-algorithm bitwise-resume contract covers the single-phase
+kernels (PageRank / components / LPA / SSSP family).
 """
 
 from __future__ import annotations

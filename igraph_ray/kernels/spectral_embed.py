@@ -32,6 +32,13 @@ sign), not just a basis of the invariant subspace.  Output rows
 ``(vid, e0..e{k-1})`` plus the eigenvalue estimates λ_1..λ_k of L
 (ascending, λ_1 = algebraic connectivity — cross-checked against the
 Fiedler kernel in tests).
+
+Resume contract: the A/B phase flag and the driver-held recurrence
+state (α/β, Gram factors) live on the kernel object, not in the
+checkpointed vertex state — a killed solve RESTARTS from scratch
+(solves are bounded and deterministic, so the restart is exact).
+The mid-algorithm bitwise-resume contract covers the single-phase
+kernels (PageRank / components / LPA / SSSP family).
 """
 
 from __future__ import annotations
