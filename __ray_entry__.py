@@ -305,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spectral_embedding": q.q_spectral_embedding,  # rows-only (block orthogonal iteration + Ritz; dense-eigh pytest oracle)
         "ngram_containment": q.q_ngram_containment,  # SQL oracle (inverted-index min-size containment, bitwise)
         "trimmed_mean_price": q.q_trimmed_mean_price,  # SQL oracle (quantile_disc thresholds + exact-int mean, bitwise)
+        "asof_join_forward": q.q_asof_join_forward,  # SQL oracle (window-ranked forward twin, bitwise)
     }
 
 
@@ -3196,6 +3197,23 @@ WITH ranked AS (
   FROM events e
   JOIN orders o
     ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+)
+SELECT e.event_id,
+       COALESCE(r.o_orderkey, -1) AS o_orderkey,
+       COALESCE(r.o_totalprice, -1.0) AS o_totalprice
+FROM events e
+LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+""",
+        "asof_join_forward": """
+WITH ranked AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.event_id
+           ORDER BY o.o_orderdate ASC, o.o_orderkey DESC
+         ) AS rn
+  FROM events e
+  JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
 )
 SELECT e.event_id,
        COALESCE(r.o_orderkey, -1) AS o_orderkey,

@@ -8123,3 +8123,49 @@ def q_trimmed_mean_price(sf_dir: str):
             ),
         }
     )
+
+
+def q_asof_join_forward(sf_dir: str):
+    """(event_id, o_orderkey, o_totalprice) — FORWARD-inclusive as-of
+    join: each event matched to the same user's earliest order at or
+    after the event timestamp (ties toward the greatest orderkey);
+    unmatched events carry -1/-1.0.  Pass-through values — bitwise
+    window-function SQL twin."""
+    from igraph_ray.stages.asof import asof_join
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    right = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+    out = asof_join(
+        left,
+        right,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+        direction="forward",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "o_orderkey": pc.fill_null(
+                    batch.column("o_orderkey"), pa.scalar(-1, pa.int64())
+                ),
+                "o_totalprice": pc.fill_null(
+                    batch.column("o_totalprice"),
+                    pa.scalar(-1.0, pa.float64()),
+                ),
+            }
+        )
+
+    return out.map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -49,12 +49,17 @@ def asof_join(
     right_value_cols: list[str],
     right_tiebreak: str | None = None,
     num_parts: int | None = None,
+    direction: str = "backward",
 ) -> ray.data.Dataset:
-    """Backward-inclusive as-of join; int64 keys, orderable timestamps.
+    """As-of join; int64 keys, orderable timestamps.
 
-    Returns every ``left`` row's columns plus ``right_value_cols`` from
-    its matched right row (null when the key has no right row at or
-    before the left timestamp).
+    ``direction="backward"`` (default): every ``left`` row matches the
+    LATEST right row of its key at or before its timestamp.
+    ``direction="forward"``: the EARLIEST right row at or after it
+    (implemented by running the same sorted-scan on negated
+    timestamps — no second code path).  Ties at equal (key, ts) break
+    to the greatest ``right_tiebreak`` in both directions.  Unmatched
+    left rows carry nulls.
     """
     if num_parts is None:
         num_parts = _np_parts(left.count())
@@ -107,9 +112,13 @@ def asof_join(
         )
     )
 
+    forward = direction == "forward"
+
     def merge(group: pa.Table) -> pa.Table:
         k = group.column("k").to_numpy(zero_copy_only=False)
         t = group.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        if forward:
+            t = -t  # earliest-at-or-after == latest-at-or-before in -t
         side = group.column("side").to_numpy(zero_copy_only=False)
         tie = group.column("tie").to_numpy(zero_copy_only=False)
         # right rows (side 0) before left rows at equal (key, ts);
