@@ -306,6 +306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment": q.q_ngram_containment,  # SQL oracle (inverted-index min-size containment, bitwise)
         "trimmed_mean_price": q.q_trimmed_mean_price,  # SQL oracle (quantile_disc thresholds + exact-int mean, bitwise)
         "asof_join_forward": q.q_asof_join_forward,  # SQL oracle (window-ranked forward twin, bitwise)
+        "dup_cluster_histogram": q.q_dup_cluster_histogram,  # SQL oracle (nested GROUP BY, exact ints)
     }
 
 
@@ -3220,6 +3221,17 @@ SELECT e.event_id,
        COALESCE(r.o_totalprice, -1.0) AS o_totalprice
 FROM events e
 LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+""",
+        "dup_cluster_histogram": f"""
+WITH files AS ({_FILES}),
+cl AS (
+  SELECT sha256(content) AS sha, COUNT(*) AS cluster_size
+  FROM files GROUP BY sha256(content)
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM cl GROUP BY cluster_size ORDER BY cluster_size
 """,
         "revenue_per_nation": (
             "WITH v AS (SELECT l_orderkey, "

@@ -8169,3 +8169,38 @@ def q_asof_join_forward(sf_dir: str):
     return out.map_batches(
         finish, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_dup_cluster_histogram(sf_dir: str):
+    """(cluster_size, n_clusters, n_docs) — size distribution of the
+    exact-duplicate (content-sha over the derived files table)
+    clusters: how much of the corpus sits in singletons vs vendored
+    blobs.  Exact ints — bitwise SQL twin (nested GROUP BY)."""
+    files = with_content_sha(
+        files_from_documents(sf_dir).select_columns(["content"]),
+        column="content",
+    )
+    sizes = (
+        files.groupby("content_sha")
+        .aggregate(Count(alias_name="cluster_size"))
+        .select_columns(["cluster_size"])
+    )
+    out = (
+        sizes.groupby("cluster_size")
+        .aggregate(Count(alias_name="n_clusters"))
+    )
+
+    def docs_col(batch: pa.Table) -> pa.Table:
+        cs = batch.column("cluster_size").to_numpy(zero_copy_only=False)
+        nc = batch.column("n_clusters").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cluster_size": batch.column("cluster_size"),
+                "n_clusters": batch.column("n_clusters"),
+                "n_docs": pa.array((cs * nc).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(
+        docs_col, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("cluster_size")
