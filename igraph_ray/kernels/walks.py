@@ -44,8 +44,9 @@ _ADJ_CACHE_MAX = 1024
 
 
 def _adjacency(graph: GraphMeta, part: int):
-    """(vids, indptr, nbr) — src-sorted, dst-ascending adjacency view
-    of one CSR block; built once per worker and cached."""
+    """(vids, indptr, nbr, w) — src-sorted, dst-ascending adjacency
+    view of one CSR block (arc weights aligned to ``nbr``); built once
+    per worker and cached."""
     key = (graph.graph_dir, part)
     hit = _ADJ_CACHE.get(key)
     if hit is not None:
@@ -55,11 +56,13 @@ def _adjacency(graph: GraphMeta, part: int):
     vids = csr.get("vids", np.empty(0, np.int64))
     src_pos = np.asarray(csr.get("src_pos", np.empty(0, np.int64)))
     dst = np.asarray(csr.get("dst", np.empty(0, np.int64)))
+    wts = np.asarray(csr.get("w", np.ones(len(dst))), np.float64)
     order = np.lexsort((dst, src_pos))
     src_sorted = src_pos[order]
     nbr = dst[order]
+    w = wts[order] if len(wts) == len(dst) else np.ones(len(nbr))
     indptr = np.searchsorted(src_sorted, np.arange(len(vids) + 1))
-    out = (vids, indptr, nbr)
+    out = (vids, indptr, nbr, w)
     _ADJ_CACHE[key] = out
     while len(_ADJ_CACHE) > _ADJ_CACHE_MAX:
         _ADJ_CACHE.popitem(last=False)
@@ -116,7 +119,7 @@ def random_walks(
 
         def advance(group: pa.Table, _step=step) -> pa.Table:
             part = int(group.column("part")[0].as_py())
-            vids, indptr, nbr = _adjacency(graph, part)
+            vids, indptr, nbr, _w = _adjacency(graph, part)
             cur = group.column("cur").to_numpy(zero_copy_only=False)
             wid = group.column("walk_id").to_numpy(zero_copy_only=False)
             nxt = np.full(len(cur), -1, np.int64)
@@ -202,6 +205,7 @@ def node2vec_walks(
     p: float = 1.0,
     q: float = 1.0,
     seed: int = 0,
+    weighted: bool = False,
 ) -> ray.data.Dataset:
     """Second-order biased walks — node2vec (Grover–Leskovec, KDD
     2016), deterministic variant: step 1 is uniform
@@ -225,8 +229,12 @@ def node2vec_walks(
     (C) rows route to the walker's fixed home partition for the
     weighted pick and the walk-matrix merge — the walk matrix itself
     only ever travels through this one shuffle.
-    Unweighted arcs (igraph ``random_walk`` surface); dangling
-    vertices retire the walk in place (-1 tail).
+    ``weighted=False`` (default) ignores arc weights (igraph
+    ``random_walk`` surface — step 1 via ``walk_choice``);
+    ``weighted=True`` multiplies every candidate's bias by its arc
+    weight (the full node2vec transition) and samples step 1
+    weight-proportionally through the same Efraimidis–Spirakis pick.
+    Dangling vertices retire the walk in place (-1 tail).
     """
     starts = np.asarray(starts, np.int64)
     hot_v = np.asarray(graph.hot_vids, np.int64)
@@ -285,7 +293,7 @@ def node2vec_walks(
 
         def expand(group: pa.Table, _step=step) -> pa.Table:
             part = int(group.column("gpart")[0].as_py())
-            vids, indptr, nbr = _adjacency(graph, part)
+            vids, indptr, nbr, warc = _adjacency(graph, part)
             if len(vids) and int(vids.max()) >= (1 << 32):
                 raise NotImplementedError(
                     "node2vec membership fuse requires vid < 2^32"
@@ -305,7 +313,7 @@ def node2vec_walks(
                 ).astype(np.int64)
                 base = indptr[pos_c].astype(np.int64)
             ok = deg > 0
-            if _step == 1:
+            if _step == 1 and not weighted:
                 picked = np.full(n, -1, np.int64)
                 if ok.any():
                     choice = walk_choice(wid[ok], _step, seed, deg[ok])
@@ -328,13 +336,26 @@ def node2vec_walks(
                 np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps)
             )
             cand = nbr[offs]
+            wcol = warc[offs] if weighted else np.full(total, np.nan)
+            if _step == 1:
+                # weighted first hop: every candidate straight to the
+                # walker's home with bias = arc weight (ES pick there)
+                return pa.table(
+                    {
+                        "gpart": pa.array(wpart(widr)),
+                        "walk_id": pa.array(widr),
+                        "prev": pa.array(prevr),
+                        "cand": pa.array(cand),
+                        "bias": pa.array(wcol),
+                    }
+                )
             return pa.table(
                 {
                     "gpart": pa.array(vpart(prevr).astype(np.int32)),
                     "walk_id": pa.array(widr),
                     "prev": pa.array(prevr),
                     "cand": pa.array(cand),
-                    "bias": pa.array(np.full(total, np.nan)),
+                    "bias": pa.array(wcol),
                 }
             )
 
@@ -346,10 +367,13 @@ def node2vec_walks(
 
             def membership(group: pa.Table) -> pa.Table:
                 part = int(group.column("gpart")[0].as_py())
-                vids, indptr, nbr = _adjacency(graph, part)
+                vids, indptr, nbr, _w = _adjacency(graph, part)
                 wid = group.column("walk_id").to_numpy(zero_copy_only=False)
                 cand = group.column("cand").to_numpy(zero_copy_only=False)
                 prev = group.column("prev").to_numpy(zero_copy_only=False)
+                warc_in = group.column("bias").to_numpy(
+                    zero_copy_only=False
+                )
                 bias = np.full(len(wid), inv_q)
                 if len(vids):
                     fused = _member_fused(vids, indptr, nbr)
@@ -366,6 +390,8 @@ def node2vec_walks(
                     )
                     bias = np.where(member, 1.0, bias)
                 bias = np.where(cand == prev, inv_p, bias)
+                if weighted:
+                    bias = bias * warc_in
                 return pa.table(
                     {
                         "gpart": pa.array(wpart(wid)),

@@ -199,3 +199,88 @@ def test_node2vec_walks_are_paths_and_partition_invariant():
         for i in range(len(path) - 1):
             if path[i + 1] >= 0:
                 assert G.has_edge(path[i], path[i + 1])
+
+
+def test_node2vec_weighted_matches_sequential_replay():
+    import networkx as nx
+    import tempfile
+
+    from igraph_ray.api import build_graph
+    from igraph_ray.kernels.walks import _u01_edge, node2vec_walks
+
+    rng = np.random.default_rng(6)
+    G = nx.gnm_random_graph(30, 90, seed=2)
+    for u, v in G.edges():
+        G[u][v]["weight"] = float(rng.integers(1, 5))
+
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    w = [G[u][v]["weight"] for u, v in G.edges()]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, pa.int64()),
+                "dst": pa.array(dst, pa.int64()),
+                "weight": pa.array(w, pa.float64()),
+            }
+        )
+    )
+    verts = ray.data.from_arrow(
+        pa.table({"vid": pa.array(sorted(G.nodes()), pa.int64())})
+    )
+    graph = build_graph(
+        edges,
+        tempfile.mkdtemp(prefix="igr_n2vw_"),
+        num_parts=4,
+        vertices=verts,
+        symmetrize=True,
+    )
+    starts = list(range(0, 30, 4))
+    p, q, seed, L = 0.5, 2.0, 3, 6
+    out = pa.concat_tables(
+        node2vec_walks(
+            graph, starts, L, p=p, q=q, seed=seed, weighted=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    cols = [f"p{i}" for i in range(L + 1)]
+    got = {r["walk_id"]: tuple(r[c] for c in cols) for r in out.to_pylist()}
+
+    # sequential replay: ES pick with bias = w (× n2v factor past hop 1)
+    adj = {v: sorted(G.neighbors(v)) for v in G.nodes()}
+    want = {}
+    for wid, s in enumerate(starts):
+        path = [int(s)]
+        prev, cur = -1, int(s)
+        for step in range(1, L + 1):
+            nbrs = adj.get(cur, [])
+            if cur < 0 or not nbrs:
+                path.append(-1)
+                cur = -1
+                continue
+            best_key, nxt = None, None
+            for x in nbrs:
+                b = G[cur][x]["weight"]
+                if step > 1:
+                    if x == prev:
+                        b *= 1.0 / p
+                    elif G.has_edge(prev, x):
+                        b *= 1.0
+                    else:
+                        b *= 1.0 / q
+                u = float(
+                    _u01_edge(
+                        np.array([wid], np.int64),
+                        np.array([x], np.int64),
+                        step,
+                        seed,
+                    )[0]
+                )
+                key = np.log(u) / b
+                if best_key is None or key > best_key or (
+                    key == best_key and x < nxt
+                ):
+                    best_key, nxt = key, x
+            path.append(int(nxt))
+            prev, cur = cur, int(nxt)
+        want[wid] = tuple(path)
+    assert got == want
