@@ -307,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trimmed_mean_price": q.q_trimmed_mean_price,  # SQL oracle (quantile_disc thresholds + exact-int mean, bitwise)
         "asof_join_forward": q.q_asof_join_forward,  # SQL oracle (window-ranked forward twin, bitwise)
         "dup_cluster_histogram": q.q_dup_cluster_histogram,  # SQL oracle (nested GROUP BY, exact ints)
+        "transitive_closure": q.q_transitive_closure,  # SQL oracle (recursive reachability CTE, exact arc set)
     }
 
 
@@ -2410,6 +2411,25 @@ WHERE NOT EXISTS (
   JOIN closure cc ON e.dst = cc.s
   WHERE e.src = c.src AND cc.k = c.dst
 )
+""",
+        # full DAG reachability pairs
+        "transitive_closure": """
+WITH arcs AS (
+  SELECT DISTINCT 'v' || CAST(doc_id % 101 AS VARCHAR) AS src,
+                  'v' || CAST((doc_id * 37 + 11) % 101 AS VARCHAR) AS dst
+  FROM documents
+  WHERE doc_id % 101 < (doc_id * 37 + 11) % 101
+),
+closure AS (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT src, dst FROM arcs
+    UNION
+    SELECT r.s, a.dst FROM r JOIN arcs a ON r.k = a.src
+  )
+  SELECT s, k FROM r
+)
+SELECT DISTINCT s AS src_key, k AS dst_key FROM closure
+ORDER BY 1, 2
 """,
         # Bow-tie decomposition (Broder et al.): regions relative to the
         # largest SCC (ties: min canonical label) of the ring ∪ DAG-arc

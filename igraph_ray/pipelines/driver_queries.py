@@ -8204,3 +8204,53 @@ def q_dup_cluster_histogram(sf_dir: str):
     return out.map_batches(
         docs_col, batch_format="pyarrow", zero_copy_batch=True
     ).sort("cluster_size")
+
+
+def q_transitive_closure(sf_dir: str):
+    """(src_key, dst_key) — transitive closure of the doc-derived DAG
+    (igraph ``transitive_closure_dag``): every ordered pair connected
+    by a directed path.  Exact arc set — SQL twin is the recursive
+    reachability CTE, hash MATCH."""
+    from igraph_ray.kernels.transitive import transitive_closure
+
+    arcs = _doc_dag_arcs(sf_dir)
+    keys = arcs.map_batches(
+        lambda b: pa.table(
+            {
+                "key": pa.concat_arrays(
+                    [
+                        b.column("src").combine_chunks(),
+                        b.column("dst").combine_chunks(),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(
+        arcs.map_batches(
+            lambda b: pa.table(
+                {
+                    "src_key": b.column("src"),
+                    "dst_key": b.column("dst"),
+                    "weight": pa.array(
+                        np.ones(b.num_rows, dtype=np.float64)
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        vertices,
+    ).select_columns(["src", "dst"])
+    closed = transitive_closure(edges)
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        closed, vtbl, {"src": "src_key", "dst": "dst_key"}
+    ).sort_by([("src_key", "ascending"), ("dst_key", "ascending")])

@@ -53,3 +53,51 @@ def test_rejects_cycle(ray_session):
     G = nx.DiGraph([(0, 1), (1, 2), (2, 0)])
     with pytest.raises(Exception, match="cycle"):
         transitive_reduction(_ds(G))
+
+
+def test_transitive_closure_vs_nx():
+    import networkx as nx
+
+    from igraph_ray.kernels.transitive import transitive_closure
+
+    for seed in (1, 5):
+        G = nx.gnp_random_graph(25, 0.12, seed=seed, directed=True)
+        dag = nx.DiGraph(
+            (u, v) for u, v in G.edges() if u < v
+        )
+        dag.add_nodes_from(G.nodes())
+        arcs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(
+                        [u for u, v in dag.edges()], pa.int64()
+                    ),
+                    "dst": pa.array(
+                        [v for u, v in dag.edges()], pa.int64()
+                    ),
+                }
+            )
+        ).repartition(3)
+        out = transitive_closure(arcs)
+        got = set(
+            zip(out.column("src").to_pylist(), out.column("dst").to_pylist())
+        )
+        want = set(nx.transitive_closure_dag(dag).edges())
+        assert got == want
+
+
+def test_transitive_closure_rejects_cycles():
+    import pytest
+
+    from igraph_ray.kernels.transitive import transitive_closure
+
+    arcs = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([0, 1, 2], pa.int64()),
+                "dst": pa.array([1, 2, 0], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="cycle"):
+        transitive_closure(arcs)
