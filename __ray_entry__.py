@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_forward": q.q_asof_join_forward,  # SQL oracle (window-ranked forward twin, bitwise)
         "dup_cluster_histogram": q.q_dup_cluster_histogram,  # SQL oracle (nested GROUP BY, exact ints)
         "transitive_closure": q.q_transitive_closure,  # SQL oracle (recursive reachability CTE, exact arc set)
+        "assortativity_directed": q.q_assortativity_directed,  # SQL oracle (out-in degree HUGEINT stats, bitwise)
     }
 
 
@@ -2430,6 +2431,30 @@ closure AS (
 )
 SELECT DISTINCT s AS src_key, k AS dst_key FROM closure
 ORDER BY 1, 2
+""",
+        # directed out-in degree assortativity: exact-int stats over
+        # the distinct loop-free multiarcs + the grouped_pearson chain
+        "assortativity_directed": f"""
+WITH {_DOC_ARCS}
+od AS (SELECT src, CAST(COUNT(*) AS HUGEINT) AS d FROM darcs GROUP BY src),
+ind AS (SELECT dst, CAST(COUNT(*) AS HUGEINT) AS d FROM darcs GROUP BY dst),
+xy AS (
+  SELECT o.d AS x, i.d AS y
+  FROM darcs a JOIN od o ON a.src = o.src JOIN ind i ON a.dst = i.dst
+),
+s AS (
+  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+    SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM xy
+)
+SELECT 'all' AS "group", CAST(n AS BIGINT) AS n,
+  CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+    THEN CAST(n * sxy - sx * sy AS DOUBLE)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+    ELSE 0.0 END AS corr
+FROM s
 """,
         # Bow-tie decomposition (Broder et al.): regions relative to the
         # largest SCC (ties: min canonical label) of the ring ∪ DAG-arc

@@ -8254,3 +8254,66 @@ def q_transitive_closure(sf_dir: str):
     return _vid_to_key(
         closed, vtbl, {"src": "src_key", "dst": "dst_key"}
     ).sort_by([("src_key", "ascending"), ("dst_key", "ascending")])
+
+
+def q_assortativity_directed(sf_dir: str):
+    """One row (group, n, corr) — directed out-in degree assortativity
+    (igraph assortativity_degree(directed=True) flavour): Pearson r
+    over arcs of (outdeg(src), indeg(dst)) on the distinct directed
+    doc multiarc graph.  Exact-int sufficient stats — bitwise SQL
+    twin."""
+    from igraph_ray.stages.stats import grouped_pearson
+
+    def no_loops(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.not_equal(batch.column("src"), batch.column("dst"))
+        )
+
+    arcs = (
+        directed_doc_multiarcs(sf_dir)
+        .map_batches(no_loops, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .count()
+        .select_columns(["src", "dst"])
+        .materialize()
+    )
+    outdeg = pa.concat_tables(
+        arcs.groupby("src")
+        .aggregate(Count("src", alias_name="od"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("src")
+    indeg = pa.concat_tables(
+        arcs.groupby("dst")
+        .aggregate(Count("dst", alias_name="id_"))
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ).sort_by("dst")
+    ok = outdeg.column("src").to_pylist()
+    ov = outdeg.column("od").to_numpy(zero_copy_only=False)
+    ik = indeg.column("dst").to_pylist()
+    iv = indeg.column("id_").to_numpy(zero_copy_only=False)
+    omap = dict(zip(ok, ov.tolist()))
+    imap = dict(zip(ik, iv.tolist()))
+    oref = ray.put((omap, imap))
+
+    def attach(batch: pa.Table, _r=oref) -> pa.Table:
+        om, im = ray.get(_r)
+        s = batch.column("src").to_pylist()
+        d = batch.column("dst").to_pylist()
+        return pa.table(
+            {
+                "g": pa.array(["all"] * len(s), pa.string()),
+                "x": pa.array(
+                    [float(om[k]) for k in s], pa.float64()
+                ),
+                "y": pa.array(
+                    [float(im[k]) for k in d], pa.float64()
+                ),
+            }
+        )
+
+    xy = arcs.map_batches(
+        attach, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_pearson(
+        xy, "g", "x", "y", x_decimals=0, y_decimals=0
+    ).rename_columns({"g": "group"})
