@@ -751,6 +751,10 @@ def simplified_silhouette(
         masked = dist.copy()
         masked[np.arange(len(lab)), own_idx] = np.inf
         b = masked.min(axis=1)
+        # single-cluster corpus: every other-centroid slot is masked,
+        # b = inf and (b-a)/max would be NaN — the convention is s = 0
+        # (ADVICE r3); folding b back to a yields exactly that
+        b = np.where(np.isfinite(b), b, a)
         s = np.where(
             np.maximum(a, b) > 0, (b - a) / np.maximum(a, b), 0.0
         )

@@ -52,7 +52,7 @@ from igraph_ray.stages.partition import GraphMeta, load_csr
 # Worker-global CSR cache: loaded once per worker process, reused across
 # iterations (Ray reuses worker processes between dataset executions).
 # ---------------------------------------------------------------------------
-_CSR_CACHE: "collections.OrderedDict[tuple[str, int], dict[str, np.ndarray]]" = (
+_CSR_CACHE: "collections.OrderedDict[tuple[str, str, int], dict[str, np.ndarray]]" = (
     collections.OrderedDict()
 )
 # blocks are memory-mapped (one page-cache copy per node, shared by all
@@ -62,7 +62,9 @@ _CSR_CACHE_MAX_BLOCKS = 4096
 
 
 def _cached_csr(graph: GraphMeta, part: int) -> dict[str, np.ndarray]:
-    key = (graph.graph_dir, part)
+    # build_id in the key: a rebuild into the same graph_dir gets a
+    # fresh token, so long-lived workers can never serve stale blocks
+    key = (graph.graph_dir, graph.build_id, part)
     blk = _CSR_CACHE.get(key)
     if blk is None:
         blk = load_csr(graph, part)

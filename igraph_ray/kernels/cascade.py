@@ -51,6 +51,17 @@ def live_arcs(
     def keep(batch: pa.Table) -> pa.Table:
         s = batch.column(src).to_numpy(zero_copy_only=False)
         d = batch.column(dst).to_numpy(zero_copy_only=False)
+        # the fuse is only injective per (src, dst) while dst fits in
+        # fuse_bits and src in the remaining 63 bits — guard loudly
+        # (mirrors node2vec's membership-fuse bound; ADVICE r3)
+        if len(d) and (
+            int(d.max()) >= (1 << fuse_bits)
+            or int(s.max()) >= (1 << (63 - fuse_bits))
+        ):
+            raise ValueError(
+                f"live_arcs: vid exceeds fuse range (dst < 2^{fuse_bits}, "
+                f"src < 2^{63 - fuse_bits}); pass a wider fuse_bits"
+            )
         fused = (s << fuse_bits) | d
         z = hash_int64(fused) % np.uint64(1000)
         return batch.filter(pa.array(z < np.uint64(p_milli)))

@@ -37,7 +37,7 @@ from igraph_ray.stages.partition import (
 )
 from igraph_ray.utils import hash_int64
 
-_ADJ_CACHE: "collections.OrderedDict[tuple[str, int], tuple]" = (
+_ADJ_CACHE: "collections.OrderedDict[tuple[str, str, int], tuple]" = (
     collections.OrderedDict()
 )
 _ADJ_CACHE_MAX = 1024
@@ -47,7 +47,10 @@ def _adjacency(graph: GraphMeta, part: int):
     """(vids, indptr, nbr, w) — src-sorted, dst-ascending adjacency
     view of one CSR block (arc weights aligned to ``nbr``); built once
     per worker and cached."""
-    key = (graph.graph_dir, part)
+    # keyed by (dir, build_id, part): rebuilding a graph into the same
+    # directory mints a new build_id, invalidating stale entries held
+    # by long-lived workers (ADVICE r3 medium)
+    key = (graph.graph_dir, graph.build_id, part)
     hit = _ADJ_CACHE.get(key)
     if hit is not None:
         _ADJ_CACHE.move_to_end(key)

@@ -371,23 +371,26 @@ def bipartite_projection(
     )
 
     def emit(group: pa.Table) -> pa.Table:
-        members = np.sort(
-            np.asarray(group.column(member).to_pylist(), dtype=object)
-        )
+        # key type follows the member column (int vertex keys project
+        # as ints, strings as strings — ADVICE r3: was hard-coded
+        # pa.string(), which raised ArrowTypeError on int members)
+        mcol = group.column(member).combine_chunks()
+        mtype = mcol.type
+        members = np.sort(np.asarray(mcol.to_pylist(), dtype=object))
         k = len(members)
         if k < 2 or (fanout_cap is not None and k > fanout_cap):
             return pa.table(
                 {
-                    "src_key": pa.array([], pa.string()),
-                    "dst_key": pa.array([], pa.string()),
+                    "src_key": pa.array([], mtype),
+                    "dst_key": pa.array([], mtype),
                     "weight": pa.array([], pa.int64()),
                 }
             )
         iu, ju = np.triu_indices(k, 1)
         return pa.table(
             {
-                "src_key": pa.array(members[iu], pa.string()),
-                "dst_key": pa.array(members[ju], pa.string()),
+                "src_key": pa.array(members[iu].tolist(), mtype),
+                "dst_key": pa.array(members[ju].tolist(), mtype),
                 "weight": pa.array(np.ones(len(iu), np.int64)),
             }
         )

@@ -44,6 +44,7 @@ import json
 import os
 import shutil
 import tempfile
+import uuid
 from dataclasses import dataclass
 
 import numpy as np
@@ -66,6 +67,13 @@ class GraphMeta:
     #: lists [vids...], [parts...]; empty when no hot vertices found
     hot_vids: list[int] = None  # type: ignore[assignment]
     hot_parts: list[int] = None  # type: ignore[assignment]
+    #: per-build identity token (fresh every ``partition_graph`` run,
+    #: persisted in meta.json): worker-side CSR/adjacency caches key on
+    #: it so rebuilding a graph into the SAME directory within a live
+    #: Ray session cannot serve stale blocks from long-lived workers
+    #: (ADVICE r3: walks._ADJ_CACHE staleness).  "" for pre-round-4
+    #: graph dirs — those were never rebuilt in place.
+    build_id: str = ""
 
     def __post_init__(self):
         self.hot_vids = self.hot_vids or []
@@ -92,6 +100,7 @@ class GraphMeta:
                     "parts": self.parts,
                     "hot_vids": self.hot_vids,
                     "hot_parts": self.hot_parts,
+                    "build_id": self.build_id,
                 },
                 f,
             )
@@ -457,6 +466,7 @@ def build_graph_partitions(
         parts=sorted(int(r["part"]) for r in rows),
         hot_vids=[int(v) for v in hot_vids],
         hot_parts=[int(x) for x in hot_parts],
+        build_id=uuid.uuid4().hex,
     )
     meta.save()
     return meta

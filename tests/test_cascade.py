@@ -128,3 +128,17 @@ def test_live_arcs_filter_is_exact():
         zip(kept.column("src").to_pylist(), kept.column("dst").to_pylist())
     )
     assert got == want
+
+
+def test_live_arcs_fuse_guard_raises_out_of_range():
+    # dst >= 2^fuse_bits would overlap src bits and correlate coins —
+    # must raise loudly (ADVICE r3), mirroring node2vec's fuse guard
+    import pytest
+
+    bad = _edges_ds([(0, 1 << 20), (1, 2)])
+    # Ray wraps the worker-side ValueError in RayTaskError — match text
+    with pytest.raises(Exception, match="fuse range"):
+        ds_to_table(live_arcs(bad, 500))
+    # a wider fuse accepts the same vids
+    ok = ds_to_table(live_arcs(_edges_ds([(0, 1 << 20), (1, 2)]), 1000, fuse_bits=24))
+    assert ok.num_rows == 2

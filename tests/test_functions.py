@@ -767,3 +767,25 @@ def test_ngram_containment_vs_brute():
     assert got == want
     assert (0, 1) in got and got[(0, 1)][2] == 1.0   # full quote
     assert (0, 3) in got and got[(0, 3)][2] == 1.0   # subset
+
+
+def test_simplified_silhouette_single_cluster_is_zero():
+    # one distinct label: b is a min over an all-masked row; the
+    # conventional score is 0, not NaN (ADVICE r3)
+    import ray.data
+
+    from igraph_ray.functions.similarity import simplified_silhouette
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(0, 1.0, size=(25, 4))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+                "label": pa.array(np.zeros(25, np.int64)),
+            }
+        )
+    ).repartition(3)
+    rows = {r["label"]: r["mean_silhouette"] for r in simplified_silhouette(ds).to_pylist()}
+    assert rows[0] == 0.0 and rows[-1] == 0.0
+    assert not any(np.isnan(v) for v in rows.values())

@@ -207,3 +207,23 @@ def test_bipartite_projection_duplicate_incidence_and_cap():
         ds_to_table(bipartite_projection(ds, "u", "v", fanout_cap=2))
     )
     assert capped == {("u0", "u1"): 1}
+
+
+def test_bipartite_projection_integer_members():
+    # member column type must flow through to src_key/dst_key
+    # (ADVICE r3: was hard-coded pa.string() → ArrowTypeError on ints)
+    from igraph_ray.stages.graph_ops import bipartite_projection
+
+    edges = [(0, 0), (1, 0), (2, 0), (0, 1), (1, 1)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": pa.array([a for a, _ in edges], pa.int64()),
+                "v": pa.array([f"v{b}" for _, b in edges], pa.string()),
+            }
+        )
+    )
+    tbl = ds_to_table(bipartite_projection(ds, "u", "v", onto="u"))
+    assert tbl.column("src_key").type == pa.int64()
+    got = _proj_map(tbl)
+    assert got == {(0, 1): 2, (0, 2): 1, (1, 2): 1}

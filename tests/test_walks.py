@@ -284,3 +284,24 @@ def test_node2vec_weighted_matches_sequential_replay():
             prev, cur = cur, int(nxt)
         want[wid] = tuple(path)
     assert got == want
+
+
+def test_rebuild_same_dir_invalidates_worker_caches(tmp_graph_dir):
+    # rebuilding a graph into the SAME directory inside one Ray session
+    # must not let long-lived workers serve the previous build's
+    # adjacency (ADVICE r3 medium: _ADJ_CACHE keyed only by dir+part)
+    from igraph_ray.api import build_graph, edges_dataset
+    from igraph_ray.stages.partition import GraphMeta
+
+    g1 = build_graph(
+        edges_dataset([0], [1]), tmp_graph_dir, num_parts=2, symmetrize=False
+    )
+    got1 = _walks_dict(random_walks(g1, [0], 2, seed=0), 2)
+    assert got1[0] == [0, 1, -1]
+    g2 = build_graph(
+        edges_dataset([0], [2]), tmp_graph_dir, num_parts=2, symmetrize=False
+    )
+    assert g2.build_id and g2.build_id != g1.build_id
+    assert GraphMeta.load(tmp_graph_dir).build_id == g2.build_id
+    got2 = _walks_dict(random_walks(g2, [0], 2, seed=0), 2)
+    assert got2[0] == [0, 2, -1]
