@@ -9,13 +9,11 @@ from __future__ import annotations
 
 import tempfile
 
-import pyarrow as pa
-import pyarrow.compute as pc
-import ray
 import ray.data
 
 from igraph_ray.kernels.pagerank import pagerank
 from igraph_ray.pipelines.graph_build import build_file_graph
+from igraph_ray.stages.vertex_ids import attach_keys
 
 
 def flagship(
@@ -40,37 +38,14 @@ def flagship(
     )
     ranks = run.state.select_columns(["vid", "rank"])
 
-    # V2 reverse join: vid → key.  Vertices are the small side here —
-    # broadcast once via ray.put, probe with vectorized take.
-    vtbl = pa.concat_tables(
-        built.vertices.select_columns(["key", "vid"]).iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
-    vtbl = vtbl.sort_by("vid")
-    ref = ray.put(vtbl)
-
-    class KeyLookup:
-        def __init__(self):
-            t: pa.Table = ray.get(ref)
-            self.keys = t.column("key").combine_chunks()
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vids = batch.column("vid")
-            keys = pc.take(self.keys, vids)  # vid == position (dense ids)
-            return pa.table(
-                {
-                    "key": keys,
-                    "vid": vids,
-                    "rank": batch.column("rank"),
-                }
-            )
-
-    out = ranks.map_batches(
-        KeyLookup,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=(1, 4),
+    # V2 reverse join: vid → key, through the same broadcast-bound /
+    # co-partitioned-join fallback as the forward path — never an
+    # unconditional driver gather of the vertex table (VERDICT r3)
+    out = attach_keys(
+        ranks,
+        built.vertices,
+        value_cols=("rank",),
+        num_vertices=built.graph.num_vertices,
     )
     if top_k is not None:
         out = out.sort("rank", descending=True).limit(top_k)
