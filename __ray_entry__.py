@@ -77,7 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness": q.q_closeness,  # SQL oracle (splitmix pivots + CTE BFS, IEEE replay)
         "closeness_weighted": q.q_closeness_weighted,  # SQL oracle (int-exact min-plus pivots)
         "betweenness_weighted": q.q_betweenness_weighted,  # rows-only (sampled weighted Brandes)
-        "harmonic": q.q_harmonic,  # rows-only (sampled pivots)
+        "harmonic": q.q_harmonic,  # SQL oracle (pivot lane-chain IEEE replay, bitwise)
         "eigenvector": q.q_eigenvector,  # rows-only (power iteration)
         "spectral_bisection": q.q_spectral_bisection,  # rows-only (dense-eigh pytest oracle)
         "voterank": q.q_voterank,  # rows-only (nx.voterank pytest oracle)
@@ -98,7 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hop_histogram": q.q_hop_histogram,  # SQL oracle (all-pairs CTE, int counts)
         "avg_path_length": q.q_avg_path_length,  # SQL oracle (same CTE, reduced)
         "diameter_weighted": q.q_diameter_weighted,  # SQL oracle (min-plus CTE)
-        "global_efficiency": q.q_global_efficiency,  # rows-only (float mean of 1/d)
+        "global_efficiency": q.q_global_efficiency,  # SQL oracle (hop-histogram IEEE chain, bitwise)
         "topo_layers": q.q_topo_layers,  # SQL oracle (longest-walk CTE)
         "condensation_layers": q.q_condensation_layers,  # SQL oracle (closure + longest-walk CTE)
         "transitive_reduction": q.q_transitive_reduction,  # SQL oracle (SCC CTE + NOT EXISTS closure)
@@ -831,6 +831,106 @@ FROM chain
 """
 
 
+def _harmonic_sql(k: int = 64) -> str:
+    """Pivot-sampled harmonic centrality replay: same splitmix64 pivot
+    draw as the closeness twin; the kernel sums 1/d lane-by-lane in
+    pivot-vid order as a left-to-right IEEE chain
+    (kernels/multibfs.py ``finish``), so a recursive CTE over the lane
+    index replays the per-vertex sum bitwise, and the (n−1)/k_eff
+    scaling is one fixed expression tree."""
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+v AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys),
+hz AS (SELECT key, vid, CAST(vid AS HUGEINT) AS z0 FROM v),
+{_splitmix_chain_sql('hz', 'sm')},
+piv AS (SELECT key FROM sm4 ORDER BY z, vid LIMIT {k}),
+lanes AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS lane FROM piv),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, CAST(0 AS BIGINT) FROM piv
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+),
+lane_dist AS MATERIALIZED (
+  SELECT w.k AS key, l.lane, w.dist
+  FROM walk w JOIN lanes l ON l.key = w.s
+  WHERE w.dist > 0
+),
+chain AS (
+  WITH RECURSIVE c(key, i, acc) AS (
+    SELECT key, 0, CAST(0.0 AS DOUBLE) FROM keys
+    UNION ALL
+    SELECT c.key, c.i + 1,
+           c.acc + COALESCE(1.0 / CAST(ld.dist AS DOUBLE), 0.0)
+    FROM c LEFT JOIN lane_dist ld ON ld.key = c.key AND ld.lane = c.i
+    WHERE c.i < {k}
+  )
+  SELECT key, acc FROM c WHERE i = {k}
+),
+consts AS (
+  SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n,
+         CAST((SELECT COUNT(*) FROM piv) AS BIGINT) AS kk
+)
+SELECT kv.key,
+  ch.acc * CASE
+    WHEN (CASE WHEN p.key IS NOT NULL THEN c.kk - 1 ELSE c.kk END) > 0
+    THEN CAST(c.n - 1 AS DOUBLE)
+         / CAST(CASE WHEN p.key IS NOT NULL THEN c.kk - 1 ELSE c.kk END
+                AS DOUBLE)
+    ELSE 0.0 END AS harmonic
+FROM keys kv
+CROSS JOIN consts c
+JOIN chain ch ON ch.key = kv.key
+LEFT JOIN piv p ON p.key = kv.key
+"""
+
+
+_GLOBAL_EFFICIENCY_SQL = f"""
+{_LINK_PAIRS},
+arcs AS (
+  SELECT src_key AS s, dst_key AS d FROM link_pairs
+  UNION
+  SELECT dst_key, src_key FROM link_pairs
+),
+walk AS (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, 0 FROM keys
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 1000
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+),
+hist AS (
+  SELECT CAST(dist AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS pairs
+  FROM walk WHERE dist > 0 GROUP BY dist
+),
+ranked AS (
+  SELECT dist, pairs, ROW_NUMBER() OVER (ORDER BY dist) AS i FROM hist
+),
+chain AS (
+  WITH RECURSIVE c(i, acc) AS (
+    SELECT CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+    UNION ALL
+    SELECT c.i + 1,
+           c.acc + CAST(h.pairs AS DOUBLE) / CAST(h.dist AS DOUBLE)
+    FROM c JOIN ranked h ON h.i = c.i + 1
+  )
+  SELECT acc FROM c ORDER BY i DESC LIMIT 1
+),
+consts AS (SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n)
+SELECT c.n AS n_vertices,
+       CASE WHEN c.n * (c.n - 1) > 0
+            THEN ch.acc / CAST(c.n * (c.n - 1) AS DOUBLE)
+            ELSE 0.0 END AS efficiency
+FROM consts c CROSS JOIN chain ch
+"""
+
+
 def _closeness_sql(weighted: bool, k: int = 64) -> str:
     """Pivot-sampled closeness replay: splitmix64(vid) draws the same
     k pivots as kernels/multibfs, the (weighted) BFS closure yields
@@ -1424,6 +1524,8 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "shortest_path_route": _ROUTE_SQL,
         "closeness": _closeness_sql(False),
         "closeness_weighted": _closeness_sql(True),
+        "harmonic": _harmonic_sql(),
+        "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
         "sha256_projection": (
             "SELECT doc_id, sha256(text) AS content_sha FROM documents"
         ),

@@ -249,7 +249,15 @@ def _centrality(
             scale = np.where(k_eff > 0, (n - 1) / k_eff, 0.0)
             if mode == "harmonic":
                 contrib = np.where(finite, 1.0 / np.where(finite, dmat, 1.0), 0.0)
-                out = contrib.sum(axis=1) * scale
+                # left-to-right chain over lanes (pivot-vid order), NOT
+                # np.sum's pairwise tree: a defined IEEE order lets the
+                # SQL twin replay the sum bitwise (lane i joins via
+                # ROW_NUMBER over the pivot draw); k additions per row,
+                # vectorized across vertices
+                acc = np.zeros(len(vid), np.float64)
+                for i in range(k):
+                    acc = acc + contrib[:, i]
+                out = acc * scale
             else:  # closeness
                 dsum = np.where(finite, dmat, 0.0).sum(axis=1) * scale
                 reach = finite.sum(axis=1) * scale  # est. |reachable|-1
@@ -444,8 +452,13 @@ def global_efficiency(
     denom = n_vertices * (n_vertices - 1)
     if denom == 0:
         return 0.0
-    # ascending-dist summation order (sort_by above) → deterministic
-    return float((pairs / dist).sum() / denom)
+    # ascending-dist left-to-right chain (sort_by above), one term per
+    # distinct hop count — a defined IEEE order the SQL twin replays
+    # bitwise via a recursive CTE over the (SQL-checked) hop histogram
+    acc = 0.0
+    for p, d in zip(pairs.tolist(), dist.tolist()):
+        acc = acc + p / d
+    return acc / denom
 
 
 def wiener_index(
