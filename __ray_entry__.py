@@ -90,7 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         "ktruss": q.q_ktruss,  # SQL oracle (unrolled support fixed point)
         "mst": q.q_mst,  # SQL oracle (Kruskal-membership recursion)
-        "adamic_adar": q.q_adamic_adar,  # rows-only (float ln-sums)
+        "adamic_adar": q.q_adamic_adar,  # SQL oracle (degree-histogram IEEE chain, bitwise)
         "eccentricity": q.q_eccentricity,  # SQL oracle (all-pairs CTE)
         "diameter": q.q_diameter,  # SQL oracle (max/min eccentricity)
         "graph_center": q.q_graph_center,  # SQL oracle (ecc == radius)
@@ -256,7 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_urgent_outer": q.q_customer_urgent_outer,  # SQL oracle (LEFT OUTER, bitwise)
         "nation_wealth_full_outer": q.q_nation_wealth_full_outer,  # SQL oracle (FULL OUTER, exact ints)
         "pref_attachment": q.q_pref_attachment,  # SQL oracle (exact int degree products)
-        "resource_allocation": q.q_resource_allocation,  # rows-only (float 1/deg sums; nx pytest oracle)
+        "resource_allocation": q.q_resource_allocation,  # SQL oracle (degree-histogram IEEE chain, bitwise)
         "approx_price_quantiles": q.q_approx_price_quantiles,  # rows-only (DDSketch; accuracy pytest oracle)
         "rewired_degree_hist": q.q_rewired_degree_hist,  # SQL oracle (degree-sequence invariance, bitwise)
         "edit_distance_pairs": q.q_edit_distance_pairs,  # SQL oracle (levenshtein twin, exact ints)
@@ -931,6 +931,51 @@ FROM consts c CROSS JOIN chain ch
 """
 
 
+def _wedge_chain_sql(inv_expr: str, value_name: str) -> str:
+    """Per-edge common-neighbour weighted sums (Adamic–Adar /
+    resource allocation) — exact-int (pair, centre-degree) histogram,
+    then the kernel's ascending-degree left-to-right IEEE chain
+    replayed by a recursive CTE over the degree rank
+    (kernels/metrics.py ``_chain_merge_onto_edges``; DuckDB ``ln``
+    == libm == the kernel's ``math.log``, verified bitwise)."""
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+deg AS (SELECT s AS w, CAST(COUNT(*) AS BIGINT) AS dw FROM arcs GROUP BY s),
+cn AS (
+  SELECT a1.d AS u, a2.d AS v, a1.s AS w
+  FROM arcs a1 JOIN arcs a2 ON a1.s = a2.s AND a1.d < a2.d
+),
+hist AS (
+  SELECT cn.u, cn.v, dg.dw, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM cn
+  JOIN deg dg ON dg.w = cn.w
+  JOIN link_pairs lp ON lp.src_key = cn.u AND lp.dst_key = cn.v
+  GROUP BY cn.u, cn.v, dg.dw
+),
+ranked AS (
+  SELECT u, v, dw, cnt,
+         ROW_NUMBER() OVER (PARTITION BY u, v ORDER BY dw) AS i
+  FROM hist
+),
+chain AS (
+  WITH RECURSIVE c(u, v, i, acc) AS (
+    SELECT src_key, dst_key, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE)
+    FROM link_pairs
+    UNION ALL
+    SELECT c.u, c.v, c.i + 1,
+           c.acc + CAST(r.cnt AS DOUBLE) * ({inv_expr})
+    FROM c JOIN ranked r ON r.u = c.u AND r.v = c.v AND r.i = c.i + 1
+  )
+  SELECT u, v, acc,
+         ROW_NUMBER() OVER (PARTITION BY u, v ORDER BY i DESC) AS rn
+  FROM c
+)
+SELECT u AS src_key, v AS dst_key, acc AS {value_name}
+FROM chain WHERE rn = 1
+"""
+
+
 def _closeness_sql(weighted: bool, k: int = 64) -> str:
     """Pivot-sampled closeness replay: splitmix64(vid) draws the same
     k pivots as kernels/multibfs, the (weighted) BFS closure yields
@@ -1526,6 +1571,12 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "closeness_weighted": _closeness_sql(True),
         "harmonic": _harmonic_sql(),
         "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
+        "adamic_adar": _wedge_chain_sql(
+            "1.0 / ln(CAST(r.dw AS DOUBLE))", "adamic_adar"
+        ),
+        "resource_allocation": _wedge_chain_sql(
+            "1.0 / CAST(r.dw AS DOUBLE)", "resource_allocation"
+        ),
         "sha256_projection": (
             "SELECT doc_id, sha256(text) AS content_sha FROM documents"
         ),

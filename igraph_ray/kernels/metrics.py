@@ -400,6 +400,195 @@ def jaccard_edge_similarity(
     )
 
 
+def _wedge_center_deg_rows(
+    pairs: ray.data.Dataset,
+    num_parts: int | None,
+    max_degree: int | None,
+) -> ray.data.Dataset:
+    """Rows ``(a, b, deg)`` — one row per (unordered vertex pair,
+    common neighbour) carrying the centre's EXACT integer degree.
+    Same wedge enumeration as :func:`_wedge_pair_weights`, but the
+    float centre weight is deferred so downstream can aggregate
+    ``(pair, deg) → cnt`` in exact integers and apply the float
+    weighting in a DEFINED order (the bitwise-twin contract)."""
+    n_edges = pairs.count()
+    if num_parts is None:
+        num_parts = int(
+            max(2, min(256, math.ceil(max(1, n_edges) / 250_000)))
+        )
+
+    def arcs_with_part(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        u = np.concatenate([s, d])
+        v = np.concatenate([d, s])
+        part = (hash_int64(u) % np.uint64(num_parts)).astype(np.int32)
+        return pa.table(
+            {"hpart": pa.array(part), "u": pa.array(u), "v": pa.array(v)}
+        )
+
+    arcs = pairs.map_batches(
+        arcs_with_part, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def wedges(group: pa.Table) -> pa.Table:
+        u = group.column("u").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False)
+        order = np.argsort(u, kind="stable")
+        u, v = u[order], v[order]
+        boundary = np.empty(len(u), dtype=bool)
+        if len(u):
+            boundary[0] = True
+            boundary[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(boundary)
+        ends = np.append(starts[1:], len(u))
+        out_a, out_b, out_d = [], [], []
+        for s0, e0 in zip(starts, ends):
+            d = e0 - s0
+            if d < 2 or (max_degree is not None and d > max_degree):
+                continue
+            nb = np.sort(v[s0:e0])
+            ii, jj = np.triu_indices(d, k=1)
+            out_a.append(nb[ii])
+            out_b.append(nb[jj])
+            out_d.append(np.full(len(ii), d, np.int64))
+        if out_a:
+            a = np.concatenate(out_a)
+            b = np.concatenate(out_b)
+            dd = np.concatenate(out_d)
+        else:
+            a = np.empty(0, np.int64)
+            b = np.empty(0, np.int64)
+            dd = np.empty(0, np.int64)
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(b), "deg": pa.array(dd)}
+        )
+
+    return arcs.groupby("hpart").map_groups(wedges, batch_format="pyarrow")
+
+
+def _chain_merge_onto_edges(
+    pairs: ray.data.Dataset,
+    wedge_degs: ray.data.Dataset,
+    inv_mode: str,
+    value_name: str,
+) -> ray.data.Dataset:
+    """Per EDGE pair, the order-defined float sum
+    ``Σ_{distinct centre degree d, ascending} cnt_d · inv(d)`` with
+    ``inv = 1/ln(d)`` (``inv_mode="invlog"``, Adamic–Adar, libm log so
+    DuckDB ``ln`` matches bitwise) or ``1/d`` (``"inv"``, resource
+    allocation).  Rows ``(src, dst, <value_name>)``.
+
+    Shape: ONE hash shuffle — wedge rows and edge-marker rows
+    (``deg = -1``) co-partitioned by pair, then a vectorized per-group
+    (histogram → ascending-deg IEEE chain).  The chain order makes the
+    result independent of block layout, so the SQL twin replays it
+    bit-for-bit via a recursive CTE over the degree rank."""
+    n_pairs = pairs.count()
+    chain_parts = int(max(2, min(256, math.ceil(max(1, n_pairs) / 250_000))))
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "a": pa.array(np.minimum(s, d)),
+                "b": pa.array(np.maximum(s, d)),
+                "deg": pa.array(np.full(len(s), -1, np.int64)),
+            }
+        )
+
+    tagged = wedge_degs.union(
+        pairs.map_batches(
+            edge_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def add_hpart(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            fused = hash_int64(a) ^ hash_int64(~b)
+        part = (fused % np.uint64(chain_parts)).astype(np.int32)
+        return batch.append_column("cpart", pa.array(part))
+
+    def chain_group(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        deg = group.column("deg").to_numpy(zero_copy_only=False)
+        order = np.lexsort((deg, b, a))
+        a, b, deg = a[order], b[order], deg[order]
+        # aggregate equal (a, b, deg) runs → exact integer counts
+        n = len(a)
+        if n == 0:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.int64()),
+                    "dst": pa.array([], pa.int64()),
+                    value_name: pa.array([], pa.float64()),
+                }
+            )
+        new_key = np.empty(n, bool)
+        new_key[0] = True
+        new_key[1:] = (
+            (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (deg[1:] != deg[:-1])
+        )
+        kstart = np.flatnonzero(new_key)
+        kcnt = np.diff(np.append(kstart, n))
+        ua, ub, udeg = a[kstart], b[kstart], deg[kstart]
+        # pair segmentation over the aggregated rows
+        new_pair = np.empty(len(ua), bool)
+        new_pair[0] = True
+        new_pair[1:] = (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1])
+        pid = np.cumsum(new_pair) - 1
+        pstart = np.flatnonzero(new_pair)
+        npairs = int(pid[-1]) + 1
+        # edge markers (deg == -1) sort first within their pair
+        is_marker = udeg == -1
+        has_edge = np.zeros(npairs, bool)
+        has_edge[pid[is_marker]] = True
+        # rank of each wedge row within its pair, ascending degree
+        rank_in_pair = np.arange(len(ua)) - pstart[pid]
+        wrank = rank_in_pair - has_edge[pid].astype(np.int64)
+        wmask = ~is_marker
+        # float weights per distinct degree (libm log for the twin)
+        contrib = np.zeros(len(ua), np.float64)
+        if wmask.any():
+            uniq_deg = np.unique(udeg[wmask])
+            if inv_mode == "invlog":
+                lut = {
+                    int(dv): 1.0 / math.log(int(dv)) for dv in uniq_deg
+                }
+                inv = np.array(
+                    [lut[int(dv)] for dv in udeg[wmask]], np.float64
+                )
+            else:  # "inv"
+                inv = 1.0 / udeg[wmask].astype(np.float64)
+            contrib[wmask] = kcnt[wmask].astype(np.float64) * inv
+        # left-to-right chain across ascending-degree ranks
+        acc = np.zeros(npairs, np.float64)
+        if wmask.any():
+            for r in range(int(wrank[wmask].max()) + 1):
+                m = wmask & (wrank == r)
+                acc[pid[m]] = acc[pid[m]] + contrib[m]
+        keep = has_edge
+        return pa.table(
+            {
+                "src": pa.array(ua[pstart][keep]),
+                "dst": pa.array(ub[pstart][keep]),
+                value_name: pa.array(acc[keep]),
+            }
+        )
+
+    return (
+        tagged.map_batches(
+            add_hpart, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("cpart")
+        .map_groups(chain_group, batch_format="pyarrow")
+    )
+
+
 def adamic_adar_edges(
     pairs: ray.data.Dataset,
     num_parts: int | None = None,
@@ -407,26 +596,14 @@ def adamic_adar_edges(
 ) -> ray.data.Dataset:
     """Per-edge Adamic–Adar index ``Σ_{w ∈ N(u)∩N(v)} 1/ln(deg w)``
     (``nx.adamic_adar_index(G, ebunch=G.edges())`` / igraph
-    ``similarity_inverse_log_weighted`` flavour) — the same wedge
-    pipeline as Jaccard with 1/ln(deg) centre weights.  Rows
-    ``(src, dst, adamic_adar)``; float sums, so oracle checks are
-    tolerance-based rather than bitwise."""
-    wedge_pairs = _wedge_pair_weights(
-        pairs, num_parts, max_degree, center_weight="invlog"
-    )
-    only_edges = _merge_onto_edges(pairs, wedge_pairs)
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": batch.column("src"),
-                "dst": batch.column("dst"),
-                "adamic_adar": batch.column("common"),
-            }
-        )
-
-    return only_edges.map_batches(
-        finish, batch_format="pyarrow", zero_copy_batch=True
+    ``similarity_inverse_log_weighted`` flavour) — the wedge pipeline
+    with deferred 1/ln(deg) centre weights applied as an
+    ascending-degree IEEE chain (``_chain_merge_onto_edges``), so the
+    result is block-layout-independent and the SQL twin replays it
+    bitwise.  Rows ``(src, dst, adamic_adar)``."""
+    wedge_degs = _wedge_center_deg_rows(pairs, num_parts, max_degree)
+    return _chain_merge_onto_edges(
+        pairs, wedge_degs, "invlog", "adamic_adar"
     )
 
 
@@ -587,26 +764,14 @@ def resource_allocation_edges(
 ) -> ray.data.Dataset:
     """Per-edge resource-allocation index ``Σ_{w ∈ N(u)∩N(v)}
     1/deg(w)`` (``nx.resource_allocation_index(G, ebunch=G.edges())``)
-    — the Adamic–Adar wedge pipeline with 1/deg centre weights
-    (``center_weight="inv"``, the same weights Burt's constraint
-    uses).  Rows ``(src, dst, resource_allocation)``; float sums, so
-    oracle checks are tolerance-based rather than bitwise."""
-    wedge_pairs = _wedge_pair_weights(
-        pairs, num_parts, max_degree, center_weight="inv"
-    )
-    only_edges = _merge_onto_edges(pairs, wedge_pairs)
-
-    def finish(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": batch.column("src"),
-                "dst": batch.column("dst"),
-                "resource_allocation": batch.column("common"),
-            }
-        )
-
-    return only_edges.map_batches(
-        finish, batch_format="pyarrow", zero_copy_batch=True
+    — the Adamic–Adar wedge pipeline with deferred 1/deg centre
+    weights applied as an ascending-degree IEEE chain
+    (``_chain_merge_onto_edges``), block-layout-independent and
+    bitwise-replayable in SQL.  Rows
+    ``(src, dst, resource_allocation)``."""
+    wedge_degs = _wedge_center_deg_rows(pairs, num_parts, max_degree)
+    return _chain_merge_onto_edges(
+        pairs, wedge_degs, "inv", "resource_allocation"
     )
 
 
