@@ -19,9 +19,12 @@ one-arc-per-pair table is shipped to ONE Ray task via block refs
 (never materialized on the driver).  ``gather_max_arcs`` is the
 declared boundary; igraph's own implementations of both methods are
 likewise single-memory routines, and igraph explicitly documents
-edge-betweenness clustering as suited to small/medium graphs.  At the
-100-TB scale the intended use is on a quotient / k-core / component
-subgraph that fits the bound (e.g. refine a Louvain level with CNM).
+edge-betweenness clustering as suited to small/medium graphs.  Past
+the bound the default path now AUTO-COARSENS (``kernels/coarsen.py``):
+distributed Louvain contracts the graph to its community quotient
+under the bound, the exact method runs on the quotient, and labels
+project back — flagged ``approximated=True`` on the returned
+``CommunityResult``.  ``auto_coarsen=False`` restores the loud raise.
 
 Exactness: CNM merge selection is exact float argmax with a
 deterministic ``(dq, a, b)`` tie order; GN uses exact integer sigma
@@ -179,6 +182,7 @@ def fastgreedy(
     edges: ray.data.Dataset,
     resolution: float = 1.0,
     gather_max_arcs: int = GATHER_MAX_ARCS_CNM,
+    auto_coarsen: bool = True,
 ) -> tuple[ray.data.Dataset, list[float]]:
     """CNM greedy-modularity communities over the undirected weighted
     view of ``edges`` (igraph ``community_fastgreedy`` +
@@ -188,18 +192,40 @@ def fastgreedy(
     Returns ``(assignment, q_trace)``: assignment rows
     ``(vid, community)`` with community = min member vid; ``q_trace``
     is modularity after each merge (``q_trace[0]`` = singletons).
+
+    Past ``gather_max_arcs`` with ``auto_coarsen=True`` (default) the
+    graph is first contracted to its distributed-Louvain quotient and
+    CNM agglomerates the quotient — the returned
+    :class:`~igraph_ray.kernels.coarsen.CommunityResult` then carries
+    ``approximated=True`` and ``q_trace`` is the quotient's trace.
     """
+    from igraph_ray.kernels.coarsen import (
+        CommunityResult,
+        gather_labels,
+        louvain_quotient,
+        project_assignment,
+    )
+
     arcs = symmetrize_dedup(edges, keep_self_loops=True).materialize()
     n_arcs = arcs.count()
     if n_arcs > gather_max_arcs:
-        raise NotImplementedError(
-            f"fastgreedy bounded-gather limit: {n_arcs} arcs > "
-            f"{gather_max_arcs}; run on a quotient/k-core/component "
-            "subgraph or raise gather_max_arcs"
+        if not auto_coarsen:
+            raise NotImplementedError(
+                f"fastgreedy bounded-gather limit: {n_arcs} arcs > "
+                f"{gather_max_arcs}; run on a quotient/k-core/"
+                "component subgraph or raise gather_max_arcs"
+            )
+        coarse_edges, assignment = louvain_quotient(arcs)
+        qassign, qs = fastgreedy(
+            coarse_edges, resolution, gather_max_arcs, auto_coarsen=False
         )
+        out = project_assignment(assignment, gather_labels(qassign))
+        return CommunityResult((out, qs), approximated=True)
     refs = arcs.to_arrow_refs()
     out, qs, _best = ray.get(_cnm_task.remote(refs, resolution))
-    return ray.data.from_arrow(out), qs
+    return CommunityResult(
+        (ray.data.from_arrow(out), qs), approximated=False
+    )
 
 
 def _brandes_eb(
@@ -348,6 +374,7 @@ def girvan_newman(
     target_communities: int | None = None,
     resolution: float = 1.0,
     gather_max_arcs: int = GATHER_MAX_ARCS_GN,
+    auto_coarsen: bool = True,
 ) -> tuple[ray.data.Dataset, float, pa.Table]:
     """Girvan-Newman divisive clustering (igraph
     ``community_edge_betweenness``; ``nx.community.girvan_newman``):
@@ -362,17 +389,43 @@ def girvan_newman(
     betweenness recomputations — igraph documents the same cost and
     scope (small/medium graphs); the declared gather bound reflects
     it.
+
+    Past ``gather_max_arcs`` with ``auto_coarsen=True`` (default) the
+    graph is first contracted to its distributed-Louvain quotient and
+    GN splits the quotient (``approximated=True`` on the returned
+    :class:`~igraph_ray.kernels.coarsen.CommunityResult`; modularity
+    and the removal sequence refer to the quotient).
     """
+    from igraph_ray.kernels.coarsen import (
+        CommunityResult,
+        gather_labels,
+        louvain_quotient,
+        project_assignment,
+    )
+
     arcs = symmetrize_dedup(edges, keep_self_loops=False).materialize()
     n_arcs = arcs.count()
     if n_arcs > gather_max_arcs:
-        raise NotImplementedError(
-            f"girvan_newman bounded-gather limit: {n_arcs} arcs > "
-            f"{gather_max_arcs}; run on a subgraph or raise "
-            "gather_max_arcs"
+        if not auto_coarsen:
+            raise NotImplementedError(
+                f"girvan_newman bounded-gather limit: {n_arcs} arcs > "
+                f"{gather_max_arcs}; run on a subgraph or raise "
+                "gather_max_arcs"
+            )
+        coarse_edges, assignment = louvain_quotient(arcs)
+        qassign, q, rem = girvan_newman(
+            coarse_edges,
+            target_communities,
+            resolution,
+            gather_max_arcs,
+            auto_coarsen=False,
         )
+        out = project_assignment(assignment, gather_labels(qassign))
+        return CommunityResult((out, q, rem), approximated=True)
     refs = arcs.select_columns(["src", "dst"]).to_arrow_refs()
     out, q, rem = ray.get(
         _gn_task.remote(refs, target_communities, resolution)
     )
-    return ray.data.from_arrow(out), q, rem
+    return CommunityResult(
+        (ray.data.from_arrow(out), q, rem), approximated=False
+    )

@@ -22,9 +22,11 @@ merge at a time, so it is inherently a single-memory routine; igraph's
 implementation is likewise.  The parallel-arc collapse + symmetrize
 shuffle runs on the cluster, and the collapsed one-arc table ships to
 ONE Ray task via block refs.  ``gather_max_vertices`` (default 6000:
-dense P^t = 288 MB float64) is the declared boundary; at 100-TB scale
-the intended use is a quotient / k-core / component subgraph (e.g.
-refine a Louvain level).
+dense P^t = 288 MB float64) is the declared boundary; past it the
+default path auto-coarsens via distributed Louvain to a quotient
+under the bound (``kernels/coarsen.py``, ``approximated=True`` on the
+returned ``CommunityResult``; ``auto_coarsen=False`` restores the
+loud raise).
 
 Conventions: self-loops are DROPPED before the walk (the transition
 matrix is built on the simple symmetric view; loop-only vertices get
@@ -211,6 +213,7 @@ def walktrap(
     edges: ray.data.Dataset,
     t: int = 4,
     gather_max_vertices: int = GATHER_MAX_VERTICES_WT,
+    auto_coarsen: bool = True,
 ) -> tuple[ray.data.Dataset, list[float]]:
     """Walktrap communities over the undirected weighted view of
     ``edges`` (igraph ``community_walktrap(steps=t)`` +
@@ -219,19 +222,41 @@ def walktrap(
 
     Returns ``(assignment, q_trace)``: assignment rows ``(vid,
     community)`` with community = min member vid.
+
+    Past ``gather_max_vertices`` with ``auto_coarsen=True`` (default)
+    the graph is first contracted to its distributed-Louvain quotient
+    and Walktrap agglomerates the quotient — the returned
+    :class:`~igraph_ray.kernels.coarsen.CommunityResult` then carries
+    ``approximated=True`` and ``q_trace`` is the quotient's trace.
     """
+    from igraph_ray.kernels.coarsen import (
+        CommunityResult,
+        gather_labels,
+        louvain_quotient,
+        project_assignment,
+    )
+
     arcs = symmetrize_dedup(edges, keep_self_loops=False).materialize()
     # vertex bound (dense P^t); distinct src covers all vertices in
     # the symmetric view — a distributed groupby-count, never a
     # driver-side value list
     n_vertices = arcs.select_columns(["src"]).groupby("src").count().count()
     if n_vertices > gather_max_vertices:
-        raise NotImplementedError(
-            f"walktrap bounded-gather limit: {n_vertices} vertices > "
-            f"{gather_max_vertices} (dense P^t is O(n^2)); run on a "
-            "quotient/k-core/component subgraph or raise "
-            "gather_max_vertices"
+        if not auto_coarsen:
+            raise NotImplementedError(
+                f"walktrap bounded-gather limit: {n_vertices} vertices "
+                f"> {gather_max_vertices} (dense P^t is O(n^2)); run "
+                "on a quotient/k-core/component subgraph or raise "
+                "gather_max_vertices"
+            )
+        coarse_edges, assignment = louvain_quotient(arcs)
+        qassign, qs = walktrap(
+            coarse_edges, t, gather_max_vertices, auto_coarsen=False
         )
+        out = project_assignment(assignment, gather_labels(qassign))
+        return CommunityResult((out, qs), approximated=True)
     refs = arcs.to_arrow_refs()
     out, qs, _best = ray.get(_walktrap_task.remote(refs, t))
-    return ray.data.from_arrow(out), qs
+    return CommunityResult(
+        (ray.data.from_arrow(out), qs), approximated=False
+    )

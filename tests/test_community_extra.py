@@ -134,4 +134,8 @@ def test_gn_gather_bound_raises(ray_session):
     src = [0, 1, 2]
     dst = [1, 2, 0]
     with pytest.raises(NotImplementedError):
-        girvan_newman(edges_dataset(src, dst), gather_max_arcs=2)
+        girvan_newman(
+            edges_dataset(src, dst),
+            gather_max_arcs=2,
+            auto_coarsen=False,
+        )
