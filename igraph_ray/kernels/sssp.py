@@ -23,6 +23,7 @@ its result dict; callers filter ``isfinite`` for that view).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -381,15 +382,25 @@ def shortest_path_tree(
     return run
 
 
-def trace_path(state, source: int, target: int, max_hops: int = 100_000):
+def trace_path(
+    state,
+    source: int,
+    target: int,
+    max_hops: int = 100_000,
+    tree_dir: str | None = None,
+):
     """Walk parent pointers from ``target`` back to ``source``; returns
     the vid path source→target, or ``[]`` if unreachable.
 
     Below the engine-wide broadcast bound the (vid, parent) map — two
-    int64 columns — is collected ONCE and the walk is pure numpy (one
-    execution per path, not one per hop).  Past the bound each hop
-    falls back to a predicate-pushdown point filter; at serious scale
-    persist the tree as vid-partitioned parquet instead."""
+    int64 columns — is collected ONCE and the walk is pure numpy.
+    Past the bound the tree is persisted ONCE as vid-range-bucketed
+    parquet (``state/parent_tree.py``) and the walk reads LRU-cached
+    1M-row buckets — either way exactly one dataset execution per
+    path, never a per-hop filter re-execution.  Pass ``tree_dir`` to
+    keep (and reuse) the persisted store across many path queries on
+    the same tree; with ``tree_dir=None`` a temp store is used and
+    removed after the walk."""
     from igraph_ray.stages.vertex_ids import BROADCAST_MAX_VERTICES
 
     state = state.materialize()
@@ -410,20 +421,31 @@ def trace_path(state, source: int, target: int, max_hops: int = 100_000):
                 return None
             return int(parents[i])
 
+        path = [int(target)]
+        cur = int(target)
+        for _ in range(max_hops):
+            if cur == source:
+                return list(reversed(path))
+            p = _parent_of(cur)
+            if p is None or p < 0:
+                return []
+            path.append(p)
+            cur = p
+        raise RuntimeError("path trace exceeded max_hops (cycle?)")
+
+    import shutil
+    import tempfile
+
+    from igraph_ray.state.parent_tree import ParentTree, persist_parent_tree
+
+    keep = tree_dir is not None
+    if keep and os.path.exists(os.path.join(tree_dir, "meta.json")):
+        tree = ParentTree(tree_dir)
     else:
-
-        def _parent_of(v: int) -> int | None:
-            rows = state.filter(expr=f"vid == {v}").take_all()
-            return int(rows[0]["parent"]) if rows else None
-
-    path = [int(target)]
-    cur = int(target)
-    for _ in range(max_hops):
-        if cur == source:
-            return list(reversed(path))
-        p = _parent_of(cur)
-        if p is None or p < 0:
-            return []
-        path.append(p)
-        cur = p
-    raise RuntimeError("path trace exceeded max_hops (cycle?)")
+        out_dir = tree_dir or tempfile.mkdtemp(prefix="igr_ptree_")
+        tree = persist_parent_tree(state, out_dir)
+    try:
+        return tree.trace(source, target, max_hops=max_hops)
+    finally:
+        if not keep:
+            shutil.rmtree(tree.tree_dir, ignore_errors=True)

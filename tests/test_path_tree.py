@@ -72,3 +72,47 @@ def test_tree_determinism(tmp_graph_dir):
     _, p1 = _state_maps(shortest_path_tree(g1, 0, weighted=False))
     _, p2 = _state_maps(shortest_path_tree(g2, 0, weighted=False))
     assert p1 == p2  # smallest-parent tie-break kills layout effects
+
+
+def test_trace_path_persisted_store(tmp_graph_dir, tmp_path, monkeypatch):
+    """Past the broadcast bound trace_path persists the tree once as
+    vid-bucketed parquet and walks file reads — same path either way."""
+    import igraph_ray.stages.vertex_ids as vx
+
+    G = nx.gnm_random_graph(40, 90, seed=5)
+    graph = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    run = shortest_path_tree(graph, source=0, weighted=False)
+    want = trace_path(run.state, 0, 17)  # broadcast path
+    monkeypatch.setattr(vx, "BROADCAST_MAX_VERTICES", 1)
+    tree_dir = str(tmp_path / "ptree")
+    got = trace_path(run.state, 0, 17, tree_dir=tree_dir)
+    assert got == want
+    # store is kept and reused (no second persist): meta + buckets exist
+    import os
+
+    assert os.path.exists(os.path.join(tree_dir, "meta.json"))
+    again = trace_path(run.state, 0, 17, tree_dir=tree_dir)
+    assert again == want
+    # unreachable and trivial targets through the store too
+    assert trace_path(run.state, 0, 0, tree_dir=tree_dir) == [0]
+
+
+def test_parent_tree_store_roundtrip(tmp_graph_dir, tmp_path):
+    from igraph_ray.state.parent_tree import ParentTree, persist_parent_tree
+
+    G = nx.gnm_random_graph(50, 120, seed=9)
+    graph = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    run = shortest_path_tree(graph, source=0, weighted=False)
+    # tiny buckets force multi-bucket walks + LRU eviction
+    tree = persist_parent_tree(
+        run.state, str(tmp_path / "t"), rows_per_bucket=8
+    )
+    tree.cache_buckets = 2
+    dist, parent = _state_maps(run)
+    for v, p in parent.items():
+        assert tree.parent_of(v) == p
+    assert tree.parent_of(10_000) is None
+    path = tree.trace(0, 17)
+    assert path[0] == 0 and path[-1] == 17
+    for a, b in zip(path, path[1:]):
+        assert G.has_edge(a, b)
