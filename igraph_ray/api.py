@@ -43,11 +43,19 @@ def build_graph(
     symmetrize: bool = False,
     balance_hot: bool = True,
     part_overrides: dict[int, int] | None = None,
+    mode: str = "memory",
 ) -> GraphMeta:
     """Partition an edge table into CSR blocks under ``graph_dir``.
 
     ``symmetrize=True`` applies E4 first (undirected semantics: both
     arcs, parallel edges collapsed with summed weight).
+
+    ``mode="memory"`` (default) partitions with one in-store
+    ``groupby(part)`` shuffle; ``mode="disk"`` stages union rows to
+    hive-partitioned Parquet first and builds each CSR block from its
+    own shard — per-partition resumable, peak store footprint of one
+    block per core, for graphs whose shuffle copies exceed the object
+    store + spill budget (see ``build_graph_disk``).
     """
     if symmetrize:
         # Cheap map-only symmetrization: emit both arcs; parallel-arc
@@ -75,11 +83,17 @@ def build_graph(
         edges = edges.map_batches(
             both_arcs, batch_format="pyarrow", zero_copy_batch=True
         )
-    # Materialize so the partitioner's consumers execute the upstream
-    # pipeline once, not per branch.
-    edges = edges.materialize()
+    if mode not in ("memory", "disk"):
+        raise ValueError(f"unknown build_graph mode {mode!r}")
+    if mode == "memory":
+        # Materialize so the partitioner's consumers execute the
+        # upstream pipeline once, not per branch.
+        edges = edges.materialize()
     if num_parts is None:
-        n_edges = edges.count()  # metadata-only on a materialized ds
+        # memory mode: metadata-only count on the materialized ds.
+        # disk mode: one extra streaming pass — the point of that mode
+        # is never holding a full copy in the store.
+        n_edges = edges.count()
         num_parts = num_parts_for(n_edges, max(1, n_edges))
         # parallelism floor: enough partitions to keep the node busy,
         # but not so many that per-(source-part, dst) pre-combining
@@ -90,6 +104,17 @@ def build_graph(
         num_parts = max(
             num_parts,
             min(max(2, cpus // 4), max(1, n_edges // 50_000)),
+        )
+    if mode == "disk":
+        from igraph_ray.stages.partition import build_graph_disk
+
+        return build_graph_disk(
+            edges,
+            graph_dir,
+            num_parts,
+            vertices=vertices,
+            balance_hot=balance_hot,
+            part_overrides=part_overrides,
         )
     return build_graph_partitions(
         edges,

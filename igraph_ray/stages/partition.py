@@ -470,3 +470,173 @@ def build_graph_partitions(
     )
     meta.save()
     return meta
+
+
+def build_graph_disk(
+    edges: ray.data.Dataset,
+    graph_dir: str,
+    num_parts: int,
+    vertices: ray.data.Dataset | None = None,
+    balance_hot: bool = True,
+    part_overrides: dict[int, int] | None = None,
+    resume: bool = True,
+    keep_stage: bool = False,
+) -> GraphMeta:
+    """Disk-staged, per-partition-resumable variant of
+    :func:`build_graph_partitions` for graphs whose in-flight shuffle
+    copies would exceed the object store + spill budget (the
+    billion-arc regime on one node; any size where the input is much
+    larger than cluster memory).
+
+    Two phases instead of one in-store ``groupby(part)`` all-to-all:
+
+    1. ONE streaming pass maps every edge block to its union rows
+       (edge rows routed by ``part(src)``, endpoint vertex rows by
+       ``part(vid)``) and writes them straight to hive-partitioned
+       Parquet (``stage/part=<p>/``) — peak object-store footprint is
+       one block per core, never a full copy of the table.
+    2. One Ray task per partition reads back ONLY its shard and runs
+       the same ``_build_part_block`` CSR writer.  Completed
+       partitions are detected by their on-disk block (the write is
+       atomic) and skipped on ``resume=True`` — a killed build loses
+       at most one partition of work.
+
+    Output and GraphMeta are identical to the in-store build (same
+    ``_build_part_block``), so every kernel runs unchanged.
+    """
+    import shutil
+
+    import ray
+
+    os.makedirs(os.path.join(graph_dir, "csr"), exist_ok=True)
+    stage_dir = os.path.join(graph_dir, "stage")
+
+    if part_overrides is not None:
+        items = sorted(part_overrides.items())
+        hot_vids = np.array([v for v, _ in items], np.int64)
+        hot_parts = np.array([p for _, p in items], np.int32)
+    elif balance_hot:
+        hot_vids, hot_parts, _ = find_hot_sources(edges, num_parts)
+    else:
+        hot_vids = np.empty(0, np.int64)
+        hot_parts = np.empty(0, np.int32)
+
+    csr_dir = os.path.join(graph_dir, "csr")
+    done_parts = set()
+    if resume and os.path.isdir(csr_dir):
+        for name in os.listdir(csr_dir):
+            if name.startswith("part_") and not name.endswith(".tmp"):
+                done_parts.add(int(name.split("_", 1)[1]))
+
+    stage_done = os.path.join(stage_dir, "_STAGE_SUCCESS")
+    if not (resume and os.path.exists(stage_done)):
+        if os.path.isdir(stage_dir):
+            shutil.rmtree(stage_dir)
+
+        def union_rows(batch: pa.Table) -> pa.Table:
+            src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            w = batch.column("weight").to_numpy(zero_copy_only=False).astype(np.float64)
+            n = len(src)
+            v = np.unique(np.concatenate([src, dst]))
+            m = len(v)
+            return pa.table(
+                {
+                    "part": pa.array(
+                        np.concatenate(
+                            [
+                                _part_with_overrides(src, num_parts, hot_vids, hot_parts),
+                                _part_with_overrides(v, num_parts, hot_vids, hot_parts),
+                            ]
+                        ),
+                        pa.int32(),
+                    ),
+                    "vid": pa.array(np.concatenate([np.full(n, -1, np.int64), v])),
+                    "src": pa.array(np.concatenate([src, np.zeros(m, np.int64)])),
+                    "dst": pa.array(np.concatenate([dst, np.zeros(m, np.int64)])),
+                    "weight": pa.array(np.concatenate([w, np.zeros(m, np.float64)])),
+                    "is_edge": pa.array(
+                        np.concatenate([np.ones(n, bool), np.zeros(m, bool)])
+                    ),
+                }
+            )
+
+        staged = edges.map_batches(
+            union_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        if vertices is not None:
+
+            def vertex_rows(batch: pa.Table) -> pa.Table:
+                v = np.unique(
+                    batch.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                m = len(v)
+                z64 = np.zeros(m, np.int64)
+                return pa.table(
+                    {
+                        "part": pa.array(
+                            _part_with_overrides(v, num_parts, hot_vids, hot_parts),
+                            pa.int32(),
+                        ),
+                        "vid": pa.array(v),
+                        "src": pa.array(z64),
+                        "dst": pa.array(z64),
+                        "weight": pa.array(np.zeros(m, np.float64)),
+                        "is_edge": pa.array(np.zeros(m, bool)),
+                    }
+                )
+
+            staged = staged.union(
+                vertices.map_batches(
+                    vertex_rows, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+        staged.write_parquet(stage_dir, partition_cols=["part"])
+        with open(stage_done, "w") as f:
+            f.write("ok\n")
+
+    @ray.remote
+    def build_one(part: int):
+        import pyarrow.parquet as _pq
+
+        shard = os.path.join(stage_dir, f"part={part}")
+        tbl = _pq.read_table(shard)
+        tbl = tbl.append_column(
+            "part", pa.array(np.full(tbl.num_rows, part, np.int32))
+        )
+        meta_tbl = _build_part_block(tbl, num_parts, csr_dir, hot_vids, hot_parts)
+        return (
+            int(meta_tbl.column("part")[0].as_py()),
+            int(meta_tbl.column("n_vids")[0].as_py()),
+            int(meta_tbl.column("n_edges")[0].as_py()),
+        )
+
+    all_parts = sorted(
+        int(name.split("=", 1)[1])
+        for name in os.listdir(stage_dir)
+        if name.startswith("part=")
+    )
+    pending = [p for p in all_parts if p not in done_parts]
+    rows = ray.get([build_one.remote(p) for p in pending])
+
+    # stats of skipped (already-built) partitions from the block files
+    for p in sorted(done_parts & set(all_parts)):
+        blk_dir = os.path.join(csr_dir, f"part_{p}")
+        vids = np.load(os.path.join(blk_dir, "vids.npy"), mmap_mode="r")
+        dst = np.load(os.path.join(blk_dir, "dst.npy"), mmap_mode="r")
+        rows.append((p, int(vids.shape[0]), int(dst.shape[0])))
+
+    meta = GraphMeta(
+        graph_dir=graph_dir,
+        num_parts=num_parts,
+        num_vertices=int(sum(r[1] for r in rows)),
+        num_edges=int(sum(r[2] for r in rows)),
+        parts=sorted(r[0] for r in rows),
+        hot_vids=[int(v) for v in hot_vids],
+        hot_parts=[int(x) for x in hot_parts],
+        build_id=uuid.uuid4().hex,
+    )
+    meta.save()
+    if not keep_stage:
+        shutil.rmtree(stage_dir, ignore_errors=True)
+    return meta

@@ -74,8 +74,25 @@ def main() -> None:
     graph_dir = tempfile.mkdtemp(prefix="igr_1b_")
     try:
         t0 = time.perf_counter()
-        edges = synthetic_edge_dataset(num_edges, seed=42)
-        graph = build_graph(edges, os.path.join(graph_dir, "g"), symmetrize=True)
+        # 4M-edge generator blocks keep the staged write at ~1 file
+        # per (block, part) without a small-files explosion
+        edges = synthetic_edge_dataset(
+            num_edges, seed=42, edges_per_block=4_000_000
+        )
+        # disk-staged build: the in-store shuffle's concurrent copies
+        # (~3x the arc table) exceed this sandbox's spill budget at
+        # 10^9 arcs; the staged build streams one block at a time and
+        # is per-partition resumable.  128 parts ≈ 260 MB CSR blocks
+        # at 10^9 arcs — big enough to amortize per-task overhead,
+        # small enough for worker heaps.
+        num_parts = 128 if num_edges >= 100_000_000 else None
+        graph = build_graph(
+            edges,
+            os.path.join(graph_dir, "g"),
+            num_parts=num_parts,
+            symmetrize=True,
+            mode="disk",
+        )
         res["build_sec"] = round(time.perf_counter() - t0, 1)
         res["num_vertices"] = graph.num_vertices
         res["num_arcs"] = graph.num_edges
