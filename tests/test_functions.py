@@ -789,3 +789,69 @@ def test_simplified_silhouette_single_cluster_is_zero():
     rows = {r["label"]: r["mean_silhouette"] for r in simplified_silhouette(ds).to_pylist()}
     assert rows[0] == 0.0 and rows[-1] == 0.0
     assert not any(np.isnan(v) for v in rows.values())
+
+
+def test_multimodal_codec_injection_seam():
+    """decode_images/sample_frames accept injected codec callables;
+    the stub is just the injected default (round-4 seam)."""
+    import ray.data
+
+    from igraph_ray.functions.multimodal import (
+        ImageDecoder,
+        fake_decode_bytes,
+        stub_frame_indices,
+    )
+
+    tbl = synth_multimodal_table(20)
+    ds = ray.data.from_arrow(tbl)
+
+    # a "real" codec: solid color from the first payload byte
+    def solid(payload, h, w):
+        v = payload[0] if payload else 0
+        return np.full((max(h, 2), max(w, 2), 3), v, np.uint8)
+
+    out = ds_to_table(
+        decode_images(ds, out_h=2, out_w=2, decode_fn=solid)
+    ).sort_by("item_id")
+    for item, mean in zip(
+        tbl.column("item_id").to_pylist(),
+        out.column("mean_intensity").to_pylist(),
+    ):
+        v = tbl.column("payload")[item].as_py()[0]
+        assert mean == float(v)
+
+    # default path == explicit stub injection, deterministic
+    d1 = ds_to_table(decode_images(ds, out_h=4, out_w=4)).sort_by("item_id")
+    d2 = ds_to_table(
+        decode_images(ds, out_h=4, out_w=4, decode_fn=fake_decode_bytes)
+    ).sort_by("item_id")
+    assert d1.equals(d2)
+
+    # contract violation fails loudly, naming the seam
+    def bad(payload, h, w):
+        return np.zeros((h, w), np.float64)
+
+    dec = ImageDecoder(decode_fn=bad)
+    with pytest.raises(ValueError, match="decode_fn"):
+        dec(tbl.slice(0, 2))
+
+    # frame prober seam: payload-aware indices
+    def probe(payload, n_frames, every_nth):
+        return np.arange(0, min(int(n_frames), len(payload)), every_nth)
+
+    fr_stub = ds_to_table(sample_frames(ds, every_nth=7))
+    fr_probe = ds_to_table(
+        sample_frames(ds, every_nth=7, frame_index_fn=probe)
+    )
+    assert fr_probe.num_rows <= fr_stub.num_rows
+    fr_default = ds_to_table(
+        sample_frames(ds, every_nth=7, frame_index_fn=stub_frame_indices)
+    )
+    assert (
+        fr_stub.sort_by([("item_id", "ascending"), ("frame", "ascending")])
+        .equals(
+            fr_default.sort_by(
+                [("item_id", "ascending"), ("frame", "ascending")]
+            )
+        )
+    )
