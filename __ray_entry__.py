@@ -102,7 +102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topo_layers": q.q_topo_layers,  # SQL oracle (longest-walk CTE)
         "condensation_layers": q.q_condensation_layers,  # SQL oracle (closure + longest-walk CTE)
         "transitive_reduction": q.q_transitive_reduction,  # SQL oracle (SCC CTE + NOT EXISTS closure)
-        "random_walks": q.q_random_walks,  # rows-only (deterministic corpus)
+        "random_walks": q.q_random_walks,  # SQL oracle (splitmix walk replay, bitwise)
         "maximal_independent_set": q.q_mis,  # rows-only (Luby; property oracle)
         "maximal_matching": q.q_maximal_matching,  # rows-only (property oracle)
         "generated_rmat": q.q_generated_rmat,  # rows-only (generator source; pytest oracles)
@@ -229,8 +229,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eulerian": q.q_eulerian,  # SQL oracle (degree parity + recursive CC)
         "burt_constraint": q.q_burt_constraint,  # rows-only (float wedge sums)
         "diversity": q.q_diversity,  # rows-only (float entropy)
-        "girth": q.q_girth,  # rows-only (BFS cycle probe not SQL-expressible)
-        "bipartite": q.q_bipartite,  # rows-only (BFS parity not SQL-expressible)
+        "girth": q.q_girth,  # SQL oracle (all-pivots CTE + int cycle probe, exact)
+        "bipartite": q.q_bipartite,  # SQL oracle (root-parity coloring + odd-cycle sentinel)
         "feedback_arc_set": q.q_feedback_arc_set,  # rows-only (sequential ELS order)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
         "minhash_pairs": q.q_minhash_pairs,  # rows-only
@@ -886,6 +886,145 @@ FROM keys kv
 CROSS JOIN consts c
 JOIN chain ch ON ch.key = kv.key
 LEFT JOIN piv p ON p.key = kv.key
+"""
+
+
+def _random_walks_sql(length: int = 8, seed: int = 42) -> str:
+    """Bitwise twin of q_random_walks: the engine's walk is a pure
+    function of (walk_id, step, seed) — splitmix64 of
+    ``walk_id·φ64 ^ step·K ^ seed`` mod degree picks the
+    dst-ascending neighbour rank (kernels/walks.py::walk_choice) —
+    so SQL replays the whole corpus: vids = dense sorted key rank,
+    per-(walk, step) mixes via the splitmix CTE chain, then an
+    8-step recursive walk joining rank = z % degree.  Retired walks
+    (dangling or isolated vertices) stay at -1 via the LEFT JOIN."""
+    step_mix = {
+        s: (s * 0xBF58476D1CE4E5B9) % (1 << 64)
+        for s in range(1, length + 1)
+    }
+    steps_values = ", ".join(f"({s}, {c})" for s, c in step_mix.items())
+    pcols = ", ".join(
+        f"CAST(MAX(CASE WHEN step = {i} THEN cur END) AS BIGINT) AS p{i}"
+        for i in range(length + 1)
+    )
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+v AS MATERIALIZED (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+),
+adj AS MATERIALIZED (
+  SELECT x.vid AS s, y.vid AS d,
+         ROW_NUMBER() OVER (PARTITION BY x.vid ORDER BY y.vid) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY x.vid) AS dg
+  FROM arcs a JOIN v x ON a.s = x.key JOIN v y ON a.d = y.key
+),
+steps(step, c) AS (VALUES {steps_values}),
+mx0 AS (
+  SELECT w.vid AS walk_id, st.step,
+         CAST(xor(xor(CAST({_mul64_sql("CAST(w.vid AS HUGEINT)", "11400714819323198485")} AS UBIGINT),
+                      CAST(st.c AS UBIGINT)),
+                  CAST({seed} AS UBIGINT)) AS HUGEINT) AS z0
+  FROM v w CROSS JOIN steps st
+),
+{_splitmix_chain_sql("mx0", "mw")},
+mixes AS MATERIALIZED (SELECT walk_id, step, z FROM mw4),
+wk AS (
+  WITH RECURSIVE r(walk_id, step, cur) AS (
+    SELECT vid, 0, vid FROM v
+    UNION ALL
+    SELECT w.walk_id, w.step + 1, COALESCE(a.d, -1)
+    FROM r w
+    JOIN mixes m ON m.walk_id = w.walk_id AND m.step = w.step + 1
+    LEFT JOIN adj a ON a.s = w.cur
+      AND a.rnk = CAST(m.z % CAST(a.dg AS UBIGINT) AS BIGINT)
+    WHERE w.step < {length}
+  ) SELECT * FROM r
+)
+SELECT walk_id, {pcols}
+FROM wk GROUP BY walk_id ORDER BY walk_id
+"""
+
+
+# Girth twin — replays kernels/girth.py's probe exactly with integer
+# arithmetic: all-pivots CTE BFS distances, then odd candidates
+# (same-level edge => 2d+1) and even candidates (vertex with >= 2
+# BFS-DAG parents => 2d), min over all pivots; -1 encodes 'no cycle'.
+_GIRTH_SQL = f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+walk AS MATERIALIZED (
+  WITH RECURSIVE r(s, k, dist) AS (
+    SELECT key, key, 0 FROM keys
+    UNION
+    SELECT r.s, a.d, r.dist + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.dist < 300
+  )
+  SELECT s, k, MIN(dist) AS dist FROM r GROUP BY s, k
+),
+odd AS (
+  SELECT MIN(2 * d1.dist + 1) AS g
+  FROM arcs a
+  JOIN walk d1 ON d1.k = a.s
+  JOIN walk d2 ON d2.k = a.d AND d2.s = d1.s
+  WHERE d1.dist = d2.dist
+),
+par AS (
+  SELECT dv.s, dv.k, dv.dist, COUNT(DISTINCT a.s) AS n_par
+  FROM walk dv
+  JOIN arcs a ON a.d = dv.k
+  JOIN walk du ON du.s = dv.s AND du.k = a.s AND du.dist = dv.dist - 1
+  GROUP BY dv.s, dv.k, dv.dist
+),
+even AS (SELECT MIN(2 * dist) AS g FROM par WHERE n_par >= 2)
+SELECT CAST(COALESCE(LEAST(o.g, ev.g), o.g, ev.g, -1) AS BIGINT) AS girth
+FROM odd o, even ev
+"""
+
+
+# Bipartiteness twin — component roots are the min-key labels (the
+# engine's min-vid roots under the sorted-rank vid assignment), color
+# = parity of the hop distance from the root
+# (kernels/girth.py::bipartite_check).  An edge between equal-parity
+# endpoints certifies an odd cycle, collapsing the output to the
+# engine's single sentinel row.
+_BIPARTITE_SQL = f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+lbl AS MATERIALIZED (
+  WITH RECURSIVE r(k, lab) AS (
+    SELECT key, key FROM keys
+    UNION
+    SELECT a.d, r.lab FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.lab < a.d
+  )
+  SELECT k, MIN(lab) AS root FROM r GROUP BY k
+),
+dist AS MATERIALIZED (
+  WITH RECURSIVE r(root, k, d) AS (
+    SELECT root, root, 0 FROM (SELECT DISTINCT root FROM lbl)
+    UNION
+    SELECT r.root, a.d, r.d + 1 FROM r JOIN arcs a ON r.k = a.s
+    WHERE r.d < 300
+  )
+  SELECT k, MIN(d) AS d FROM r GROUP BY k
+),
+colored AS (
+  SELECT kv.key, CAST(dv.d % 2 AS BIGINT) AS color
+  FROM keys kv JOIN dist dv ON dv.k = kv.key
+),
+conflict AS (
+  SELECT COUNT(*) AS n
+  FROM arcs a
+  JOIN colored c1 ON c1.key = a.s
+  JOIN colored c2 ON c2.key = a.d
+  WHERE c1.color = c2.color
+)
+SELECT key, color FROM colored WHERE (SELECT n FROM conflict) = 0
+UNION ALL
+SELECT '__is_bipartite__' AS key, CAST(0 AS BIGINT) AS color
+WHERE (SELECT n FROM conflict) > 0
+ORDER BY key
 """
 
 
@@ -2196,6 +2335,9 @@ SELECT CAST(n AS BIGINT) AS n,
          AS centralization
 FROM st
 """,
+        "random_walks": _random_walks_sql(),
+        "girth": _GIRTH_SQL,
+        "bipartite": _BIPARTITE_SQL,
         "hop_histogram": f"""
 {_LINK_PAIRS},
 arcs AS (
