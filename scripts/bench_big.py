@@ -56,6 +56,10 @@ def main() -> None:
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level=logging.ERROR,
+        # keep the per-iteration message shuffle in plasma (RAM-backed
+        # /dev/shm) — the default 30%-of-RAM store forces spill onto a
+        # disk that the 48 GB CSR block store already occupies
+        object_store_memory=64 * 1024**3,
     )
     logging.getLogger("ray.data").setLevel(logging.CRITICAL)
 
@@ -71,7 +75,12 @@ def main() -> None:
         "seed": 42,
         "disk_free_gb_start": _df_free_gb("/tmp"),
     }
-    graph_dir = tempfile.mkdtemp(prefix="igr_1b_")
+    # fixed dir: the disk-staged build resumes per partition, so a
+    # failed run (e.g. spill exhaustion in a later phase) reuses the
+    # finished CSR blocks instead of rebuilding ~15 minutes of work
+    graph_dir = os.environ.get("GRAFT_1B_DIR", "/tmp/igr_1b_graph")
+    os.makedirs(graph_dir, exist_ok=True)
+    ok = False
     try:
         t0 = time.perf_counter()
         # 4M-edge generator blocks keep the staged write at ~1 file
@@ -141,8 +150,10 @@ def main() -> None:
         except Exception as exc:  # summary is best-effort diagnostics
             res["object_store_summary"] = f"unavailable: {exc}"
         res["spill_failures"] = 0  # any spill failure raises mid-run
+        ok = True
     finally:
-        shutil.rmtree(graph_dir, ignore_errors=True)
+        if ok:
+            shutil.rmtree(graph_dir, ignore_errors=True)
         ray.shutdown()
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
