@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "square_clustering": q.q_square_clustering,  # SQL oracle (exact-int num/den + one IEEE division, bitwise)
         "trophic_levels": q.q_trophic_levels,  # rows-only (Jacobi fixed point; dense (I-P)s=1 pytest oracle)
         "node2vec_walks": q.q_node2vec_walks,  # rows-only (second-order biased walks; sequential-replay pytest oracle)
+        "node_embeddings": q.q_node_embeddings,  # rows-only (SGNS trainer over the walk corpus; loss/recovery pytest oracles)
         "local_efficiency": q.q_local_efficiency,  # rows-only (neighbourhood BFS mean; nx pytest oracle)
         "user_overlap_sketch": q.q_user_overlap_sketch,  # rows-only (HLL union/intersection; accuracy pytest oracle)
         "zipf_term_fit": q.q_zipf_term_fit,  # rows-only (CSN MLE over term dfs; bitwise brute pytest oracle)

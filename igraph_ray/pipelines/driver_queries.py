@@ -8317,3 +8317,36 @@ def q_assortativity_directed(sf_dir: str):
     return grouped_pearson(
         xy, "g", "x", "y", x_decimals=0, y_decimals=0
     ).rename_columns({"g": "group"})
+
+
+def q_node_embeddings(sf_dir: str, graph_dir: str | None = None):
+    """(key, e0..e7) — 8-dim SGNS skip-gram embeddings trained over
+    the deterministic walk corpus of the E1∪E2 graph
+    (kernels/embeddings.py; DeepWalk step 2).  Rows-only:
+    bitwise-reproducible by construction (synchronous full-batch
+    Adagrad rounds, layout-independent splitmix negatives), loss
+    decrease + SBM block-recovery pytest oracles."""
+    import tempfile
+
+    from igraph_ray.kernels.embeddings import skipgram_embeddings
+    from igraph_ray.kernels.walks import random_walks
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_emb_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    starts = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    walks = random_walks(graph, starts, length=8, seed=42)
+    res = skipgram_embeddings(
+        walks,
+        num_vertices=len(starts),
+        dim=8,
+        window=3,
+        rounds=6,
+        seed=0,
+    )
+    emb = np.stack(
+        res.embeddings.column("embedding").to_numpy(zero_copy_only=False)
+    )
+    cols = {"key": vtbl.column("key")}
+    for j in range(emb.shape[1]):
+        cols[f"e{j}"] = pa.array(emb[:, j])
+    return pa.table(cols)
