@@ -284,6 +284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trophic_levels": q.q_trophic_levels,  # rows-only (Jacobi fixed point; dense (I-P)s=1 pytest oracle)
         "node2vec_walks": q.q_node2vec_walks,  # rows-only (second-order biased walks; sequential-replay pytest oracle)
         "node_embeddings": q.q_node_embeddings,  # rows-only (SGNS trainer over the walk corpus; loss/recovery pytest oracles)
+        "graphml_roundtrip": q.q_graphml_roundtrip,  # SQL oracle (lossless interchange == link_pairs)
+        "gml_roundtrip": q.q_gml_roundtrip,  # SQL oracle (lossless interchange == link_pairs)
+        "pajek_roundtrip": q.q_pajek_roundtrip,  # SQL oracle (lossless interchange == link_pairs)
         "local_efficiency": q.q_local_efficiency,  # rows-only (neighbourhood BFS mean; nx pytest oracle)
         "user_overlap_sketch": q.q_user_overlap_sketch,  # rows-only (HLL union/intersection; accuracy pytest oracle)
         "zipf_term_fit": q.q_zipf_term_fit,  # rows-only (CSN MLE over term dfs; bitwise brute pytest oracle)
@@ -1026,6 +1029,13 @@ UNION ALL
 SELECT '__is_bipartite__' AS key, CAST(0 AS BIGINT) AS color
 WHERE (SELECT n FROM conflict) > 0
 ORDER BY key
+"""
+
+
+_LINK_PAIRS_OUT = f"""
+{_LINK_PAIRS}
+SELECT src_key, dst_key, weight FROM link_pairs
+ORDER BY src_key, dst_key
 """
 
 
@@ -2337,6 +2347,9 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM st
 """,
         "random_walks": _random_walks_sql(),
+        "graphml_roundtrip": _LINK_PAIRS_OUT,
+        "gml_roundtrip": _LINK_PAIRS_OUT,
+        "pajek_roundtrip": _LINK_PAIRS_OUT,
         "girth": _GIRTH_SQL,
         "bipartite": _BIPARTITE_SQL,
         "hop_histogram": f"""

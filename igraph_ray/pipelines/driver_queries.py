@@ -8350,3 +8350,48 @@ def q_node_embeddings(sf_dir: str, graph_dir: str | None = None):
     for j in range(emb.shape[1]):
         cols[f"e{j}"] = pa.array(emb[:, j])
     return pa.table(cols)
+
+
+def _format_roundtrip(sf_dir: str, fmt: str) -> pa.Table:
+    """Write the E1∪E2 link graph to an interchange format and read
+    it back — rows must reproduce link_pairs exactly (the SQL twin is
+    link_pairs itself, so the whole write→parse path is hash-gated)."""
+    import os
+    import tempfile
+
+    from igraph_ray.sources import graph_formats as gf
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    tbl = pa.concat_tables(
+        pairs.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).rename_columns(["src", "dst", "weight"])
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="igr_fmt_"), f"g.{fmt}"
+    )
+    writer = getattr(gf, f"write_{fmt}")
+    reader = getattr(gf, f"read_{fmt}")
+    writer(tbl, path, directed=True)
+    _verts, edges = reader(path)
+    return (
+        edges.rename_columns(["src_key", "dst_key", "weight"])
+        .sort_by([("src_key", "ascending"), ("dst_key", "ascending")])
+    )
+
+
+def q_graphml_roundtrip(sf_dir: str):
+    """(src_key, dst_key, weight) — E1∪E2 link graph through GraphML
+    write→read (igraph write_graph/read_graph interchange surface);
+    SQL twin: link_pairs (the roundtrip must be lossless)."""
+    return _format_roundtrip(sf_dir, "graphml")
+
+
+def q_gml_roundtrip(sf_dir: str):
+    """(src_key, dst_key, weight) — E1∪E2 link graph through GML
+    write→read; SQL twin: link_pairs."""
+    return _format_roundtrip(sf_dir, "gml")
+
+
+def q_pajek_roundtrip(sf_dir: str):
+    """(src_key, dst_key, weight) — E1∪E2 link graph through Pajek
+    .net write→read; SQL twin: link_pairs."""
+    return _format_roundtrip(sf_dir, "pajek")
