@@ -217,3 +217,162 @@ def fruchterman_reingold(
             }
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kamada-Kawai (stress majorization over pivot distances)
+# ---------------------------------------------------------------------------
+def kamada_kawai(
+    graph: GraphMeta,
+    vids: np.ndarray,
+    iterations: int = 50,
+    n_pivots: int = 64,
+) -> tuple[ray.data.Dataset, list[float]]:
+    """Rows ``(vid, x, y)`` plus the per-iteration stress trace —
+    igraph ``layout_kamada_kawai`` semantics (energy = weighted
+    squared mismatch between layout and graph-theoretic distances,
+    Kamada & Kawai 1989) optimized by STRESS MAJORIZATION (SMACOF;
+    Gansner, Koren & North 2004) — the modern optimizer for the same
+    objective, guaranteed monotone non-increasing stress.
+
+    Distributed shape: k <= 64 deterministic pivots (splitmix-ordered
+    vids, so they spread hash-uniformly) anchor the stress — exactly
+    the sparse/pivot stress model of Ortmann et al. 2017, which
+    coincides with full Kamada-Kawai when the graph has <= k
+    vertices.  One multi-BFS chassis run computes every vertex's
+    pivot-distance vector ONCE; each majorization iteration is a
+    single map over the state with the k pivot positions broadcast
+    (k rows — never the position table), so per-iteration cost is
+    O(V*k / cluster) with no shuffle.  Unreachable (inf) pivot
+    distances get zero stress weight; vertices unreachable from every
+    pivot keep their deterministic initial positions.
+
+    Determinism: splitmix init, fixed iteration count, hash-derived
+    tie directions for coincident points — POSITIONS are bitwise
+    partition-invariant (each vertex computes only against the
+    broadcast pivot table).  The returned stress trace is a
+    diagnostic whose float addition order follows the block layout;
+    compare it with allclose, not equality."""
+    from igraph_ray.kernels.multibfs import pivot_distances
+
+    vids = np.unique(np.asarray(vids, np.int64))
+    order = np.argsort(hash_int64(vids), kind="stable")
+    pivots = vids[order[: min(n_pivots, len(vids))]]
+    pivots = np.sort(pivots)
+    run = pivot_distances(graph, pivots)
+    k = len(pivots)
+
+    state = run.state.materialize()
+    dcols = [f"d{i}" for i in range(k)]
+
+    def init_xy(batch: pa.Table) -> pa.Table:
+        v = batch.column("vid").to_numpy(zero_copy_only=False)
+        pos = _init_positions(v)
+        keep = {
+            "vid": batch.column("vid"),
+            **{c: batch.column(c) for c in dcols},
+        }
+        keep["x"] = pa.array(pos[:, 0])
+        keep["y"] = pa.array(pos[:, 1])
+        return pa.table(keep)
+
+    state = state.map_batches(
+        init_xy, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def pivot_rows(tbl_state) -> np.ndarray:
+        """(k, 2) pivot positions, in pivot order (bounded gather)."""
+        def keep(batch: pa.Table) -> pa.Table:
+            v = batch.column("vid").to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(pivots, v)
+            pos_c = np.clip(pos, 0, k - 1)
+            m = pivots[pos_c] == v
+            return batch.filter(pa.array(m))
+
+        rows = pa.concat_tables(
+            tbl_state.map_batches(
+                keep, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .select_columns(["vid", "x", "y"])
+            .iter_batches(batch_format="pyarrow", batch_size=None)
+        ).sort_by("vid")
+        out = np.stack(
+            [
+                rows.column("x").to_numpy(zero_copy_only=False),
+                rows.column("y").to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        if len(out) != k:
+            raise AssertionError("pivot positions incomplete")
+        return out
+
+    stress_trace: list[float] = []
+    for _it in range(iterations):
+        ppos = pivot_rows(state)
+        ref = ray.put(ppos)
+
+        def step(batch: pa.Table, _ref=ref) -> pa.Table:
+            P = ray.get(_ref)  # (k, 2)
+            v = batch.column("vid").to_numpy(zero_copy_only=False)
+            x = batch.column("x").to_numpy(zero_copy_only=False)
+            y = batch.column("y").to_numpy(zero_copy_only=False)
+            D = np.stack(
+                [
+                    batch.column(c).to_numpy(zero_copy_only=False)
+                    for c in dcols
+                ],
+                axis=1,
+            )  # (n, k) hop distances, inf if unreachable
+            finite = np.isfinite(D) & (D > 0)
+            W = np.where(finite, 1.0 / np.maximum(D, 1e-12) ** 2, 0.0)
+            dx = x[:, None] - P[None, :, 0]
+            dy = y[:, None] - P[None, :, 1]
+            norm = np.sqrt(dx * dx + dy * dy)
+            # coincident points: deterministic hash direction
+            zero = norm < 1e-12
+            if zero.any():
+                ang = (
+                    hash_int64(
+                        (v[:, None] * np.int64(k) + np.arange(k))[zero]
+                    ).astype(np.float64)
+                    / 2.0**64
+                    * 2.0
+                    * np.pi
+                )
+                dx[zero] = np.cos(ang) * 1e-9
+                dy[zero] = np.sin(ang) * 1e-9
+                norm[zero] = 1e-9
+            # SMACOF update: weighted mean of pivot + d * unit(x - p);
+            # inf distances must be masked BEFORE the product — W is 0
+            # there, but 0 * inf is NaN
+            Dm = np.where(finite, D, 0.0)
+            tx = P[None, :, 0] + Dm * dx / norm
+            ty = P[None, :, 1] + Dm * dy / norm
+            wsum = W.sum(axis=1)
+            live = wsum > 0
+            nx_ = np.where(live, (W * tx).sum(axis=1) / np.maximum(wsum, 1e-300), x)
+            ny_ = np.where(live, (W * ty).sum(axis=1) / np.maximum(wsum, 1e-300), y)
+            # stress of the CURRENT layout (pre-update) for the trace
+            s = float((W * (norm - Dm) ** 2).sum())
+            out = {
+                "vid": batch.column("vid"),
+                **{c: batch.column(c) for c in dcols},
+                "x": pa.array(nx_),
+                "y": pa.array(ny_),
+                "stress": pa.array(
+                    np.r_[s, np.zeros(max(0, len(v) - 1))]
+                    if len(v)
+                    else np.empty(0)
+                ),
+            }
+            return pa.table(out)
+
+        state = state.map_batches(
+            step, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        stress_trace.append(float(state.sum("stress")))
+        state = state.drop_columns(["stress"]).materialize()
+
+    out = state.select_columns(["vid", "x", "y"])
+    return out, stress_trace

@@ -8395,3 +8395,23 @@ def q_pajek_roundtrip(sf_dir: str):
     """(src_key, dst_key, weight) — E1∪E2 link graph through Pajek
     .net write→read; SQL twin: link_pairs."""
     return _format_roundtrip(sf_dir, "pajek")
+
+
+def q_kk_layout(sf_dir: str, graph_dir: str | None = None):
+    """(key, x, y) — Kamada-Kawai / stress-majorization layout of the
+    E1∪E2 key graph (igraph layout_kamada_kawai surface; SMACOF over
+    pivot distances, kernels/layout.py::kamada_kawai; stress-decrease
+    + structure oracles in tests/test_kamada_kawai.py).  Rows-only
+    (float optimization)."""
+    import tempfile
+
+    from igraph_ray.kernels.layout import kamada_kawai
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_kk_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vids = vtbl.column("vid").to_numpy(zero_copy_only=False)
+    out, _trace = kamada_kawai(graph, vids, iterations=30)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
