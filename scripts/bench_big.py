@@ -81,6 +81,13 @@ def main() -> None:
     graph_dir = os.environ.get("GRAFT_1B_DIR", "/tmp/igr_1b_graph")
     os.makedirs(graph_dir, exist_ok=True)
     ok = False
+
+    def flush():
+        # crash-resilient: the artifact carries every finished phase
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump(res, f, indent=1)
+
     try:
         t0 = time.perf_counter()
         # 4M-edge generator blocks keep the staged write at ~1 file
@@ -108,6 +115,7 @@ def main() -> None:
         res["num_parts"] = graph.num_parts
         res["csr_disk_gb"] = _du_gb(graph_dir)
         res["disk_free_gb_after_build"] = _df_free_gb("/tmp")
+        flush()
         print("BUILD", json.dumps(res), flush=True)
 
         # convergence run — the reference semantics (L1 < N*tol at 1e-6)
@@ -131,6 +139,7 @@ def main() -> None:
             round(graph.num_edges / per_iter) if per_iter == per_iter else None
         )
         res["pagerank_sec_per_iter_series"] = [round(s, 2) for s in sp[:12]]
+        flush()
         print("PAGERANK", json.dumps(res), flush=True)
 
         t0 = time.perf_counter()
@@ -138,6 +147,7 @@ def main() -> None:
         res["components_wall_sec"] = round(time.perf_counter() - t0, 1)
         res["components_iterations"] = crun.iterations
         res["components_converged"] = crun.converged
+        flush()
 
         res["disk_free_gb_end"] = _df_free_gb("/tmp")
         try:
