@@ -132,6 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_shortest_paths": q.q_k_shortest_paths,  # rows-only (Yen recursion)
         "fr_layout": q.q_fr_layout,  # rows-only (force simulation)
         "kk_layout": q.q_kk_layout,  # rows-only (stress-majorization layout; stress/structure pytest oracles)
+        "spinglass": q.q_spinglass,  # rows-only (seeded Potts annealing; quality pytest oracles)
+        "cohesive_blocks": q.q_cohesive_blocks,  # rows-only (min-separator recursion; brute-parity pytest oracle)
         "assortativity": q.q_assortativity,  # SQL oracle
         "rich_club": q.q_rich_club,  # SQL oracle (exact-int suffix sums)
         "avg_neighbor_degree": q.q_avg_neighbor_degree,  # SQL oracle

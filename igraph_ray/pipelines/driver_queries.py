@@ -8415,3 +8415,70 @@ def q_kk_layout(sf_dir: str, graph_dir: str | None = None):
         out.iter_batches(batch_format="pyarrow", batch_size=None)
     )
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_spinglass(sf_dir: str):
+    """(key, community_key) — spinglass communities of the E1∪E2
+    graph (igraph community_spinglass, Reichardt-Bornholdt Potts
+    annealing at gamma=1; kernels/spinglass.py).  Rows-only (seeded
+    annealing); planted-recovery + modularity-vs-louvain pytest
+    oracles."""
+    from igraph_ray.kernels.spinglass import spinglass
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    assign = spinglass(edges)
+    tbl = pa.concat_tables(
+        assign.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(
+        tbl, vtbl, {"vid": "key", "community": "community_key"}
+    )
+
+
+def q_cohesive_blocks(sf_dir: str):
+    """(block, key, cohesion, parent) — Moody-White cohesive block
+    structure of the E1∪E2 graph (igraph cohesive_blocks;
+    kernels/cohesion.py).  Rows-only (recursive min-separator tree);
+    exact all-separator brute-force parity asserted in
+    tests/test_cohesion.py."""
+    from igraph_ray.kernels.cohesion import cohesive_blocks
+
+    pairs = _link_graph_edges_cached(sf_dir)
+    keys = (
+        with_file_key(files_from_documents(sf_dir))
+        .select_columns(["file_key"])
+        .rename_columns({"file_key": "key"})
+    )
+    vertices = assign_vertex_ids(keys, key_col="key").materialize()
+    edges = attach_vids(pairs, vertices)
+    out, cohesion, parent = cohesive_blocks(edges)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    blk = tbl.column("block").to_numpy(zero_copy_only=False)
+    tbl = tbl.append_column(
+        "cohesion",
+        pa.array(np.asarray(cohesion, np.int64)[blk]),
+    ).append_column(
+        "parent", pa.array(np.asarray(parent, np.int64)[blk])
+    )
+    vtbl = pa.concat_tables(
+        vertices.select_columns(["key", "vid"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    return _vid_to_key(tbl, vtbl, {"vid": "key"}).sort_by(
+        [("block", "ascending"), ("key", "ascending")]
+    )
