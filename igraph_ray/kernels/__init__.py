@@ -22,3 +22,10 @@ from igraph_ray.kernels.sssp import SSSPKernel, shortest_paths  # noqa: F401
 from igraph_ray.kernels.leiden import leiden  # noqa: F401
 from igraph_ray.kernels.louvain import louvain  # noqa: F401
 from igraph_ray.kernels.betweenness import betweenness_centrality  # noqa: F401
+from igraph_ray.kernels.walktrap import walktrap  # noqa: F401
+from igraph_ray.kernels.community_extra import fastgreedy, girvan_newman  # noqa: F401
+from igraph_ray.kernels.spinglass import spinglass  # noqa: F401
+from igraph_ray.kernels.cohesion import cohesive_blocks  # noqa: F401
+from igraph_ray.kernels.embeddings import skipgram_embeddings  # noqa: F401
+from igraph_ray.kernels.layout import fruchterman_reingold, kamada_kawai  # noqa: F401
+from igraph_ray.kernels.coarsen import CommunityResult  # noqa: F401
