@@ -103,7 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "condensation_layers": q.q_condensation_layers,  # SQL oracle (closure + longest-walk CTE)
         "transitive_reduction": q.q_transitive_reduction,  # SQL oracle (SCC CTE + NOT EXISTS closure)
         "random_walks": q.q_random_walks,  # SQL oracle (splitmix walk replay, bitwise)
-        "maximal_independent_set": q.q_mis,  # rows-only (Luby; property oracle)
+        "maximal_independent_set": q.q_mis,  # SQL oracle (unrolled Luby splitmix replay, bitwise)
         "maximal_matching": q.q_maximal_matching,  # rows-only (property oracle)
         "generated_rmat": q.q_generated_rmat,  # rows-only (generator source; pytest oracles)
         "generated_ba": q.q_generated_ba,  # rows-only (generator source; pytest oracles)
@@ -950,6 +950,69 @@ wk AS (
 )
 SELECT walk_id, {pcols}
 FROM wk GROUP BY walk_id ORDER BY walk_id
+"""
+
+
+def _mis_sql(rounds: int = 8) -> str:
+    """Bitwise twin of q_mis: Luby's schedule is a pure function of
+    (vid, round) — priority = splitmix64(vid ^ round·φ64) >> 2,
+    strict local minimum among active neighbours joins, members'
+    neighbours deactivate — so SQL replays it with unrolled rounds
+    (the sf0.01 fixture converges in <= 4; 8 leaves margin: empty
+    rounds are no-ops)."""
+    m = 1 << 64
+    parts = []
+    for r in range(rounds):
+        cr = (r * 0x9E3779B97F4A7C15) % m
+        parts.append(
+            f"""pr_{r}0 AS (
+  SELECT vid, CAST(xor(CAST(vid AS UBIGINT), CAST({cr} AS UBIGINT)) AS HUGEINT) AS z0
+  FROM act_{r}
+)"""
+        )
+        parts.append(
+            _splitmix_chain_sql(f"pr_{r}0", f"pm{r}x").lstrip(",\n ")
+        )
+        parts.append(
+            f"pri_{r} AS MATERIALIZED "
+            f"(SELECT vid, CAST(z >> 2 AS BIGINT) AS p FROM pm{r}x4)"
+        )
+        parts.append(
+            f"""join_{r} AS MATERIALIZED (
+  SELECT p.vid FROM pri_{r} p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM varcs a JOIN pri_{r} q ON q.vid = a.d
+    WHERE a.s = p.vid AND q.p <= p.p
+  )
+)"""
+        )
+        parts.append(
+            f"""act_{r + 1} AS MATERIALIZED (
+  SELECT vid FROM act_{r}
+  WHERE vid NOT IN (SELECT vid FROM join_{r})
+    AND vid NOT IN (SELECT a.s FROM varcs a JOIN join_{r} j ON a.d = j.vid)
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT vid FROM join_{r}" for r in range(rounds)
+    )
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+v AS MATERIALIZED (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+),
+varcs AS MATERIALIZED (
+  SELECT x.vid AS s, y.vid AS d
+  FROM arcs a JOIN v x ON a.s = x.key JOIN v y ON a.d = y.key
+),
+act_0 AS MATERIALIZED (SELECT vid FROM v),
+{",".join(parts)},
+mem AS ({finals})
+SELECT v.key,
+       CAST(CASE WHEN v.vid IN (SELECT vid FROM mem) THEN 1 ELSE 0 END
+            AS TINYINT) AS in_mis
+FROM v ORDER BY key
 """
 
 
@@ -2354,6 +2417,7 @@ FROM st
         "gml_roundtrip": _LINK_PAIRS_OUT,
         "pajek_roundtrip": _LINK_PAIRS_OUT,
         "girth": _GIRTH_SQL,
+        "maximal_independent_set": _mis_sql(),
         "bipartite": _BIPARTITE_SQL,
         "hop_histogram": f"""
 {_LINK_PAIRS},

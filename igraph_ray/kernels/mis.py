@@ -8,7 +8,7 @@ depends on the (deterministic) priorities, so the oracle asserts the
 defining properties rather than set equality.
 
 Luby 1986, synchronous: per round every ACTIVE vertex draws a priority
-(here ``splitmix64(vid, round) >> 1`` — deterministic, so runs are
+(here ``splitmix64(vid, round) >> 2`` — deterministic, so runs are
 bitwise reproducible) and joins S iff its priority is a strict local
 minimum among active neighbours (ties → neither joins; they retry next
 round).  Neighbours of new members deactivate.  Expected O(log n)
@@ -49,7 +49,13 @@ def _priority(vids: np.ndarray, rnd: int) -> np.ndarray:
             vids.astype(np.uint64)
             ^ np.uint64((rnd * 0x9E3779B97F4A7C15) % (1 << 64))
         )
-    return (mixed >> np.uint64(1)).astype(np.int64)
+    # >> 2 keeps every real priority strictly below the _PMAX
+    # no-message sentinel (2^62); the former >> 1 let half the draws
+    # land in [2^62, 2^63), where a locally-minimal vertex could
+    # neither send a surviving message nor pass the `mine < min_pri`
+    # join test — a valid MIS still emerged, but not the documented
+    # strict-local-min-per-round schedule
+    return (mixed >> np.uint64(2)).astype(np.int64)
 
 
 @dataclass
