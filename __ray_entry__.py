@@ -104,7 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitive_reduction": q.q_transitive_reduction,  # SQL oracle (SCC CTE + NOT EXISTS closure)
         "random_walks": q.q_random_walks,  # SQL oracle (splitmix walk replay, bitwise)
         "maximal_independent_set": q.q_mis,  # SQL oracle (unrolled Luby splitmix replay, bitwise)
-        "maximal_matching": q.q_maximal_matching,  # rows-only (property oracle)
+        "maximal_matching": q.q_maximal_matching,  # SQL oracle (unrolled local-max splitmix replay, bitwise)
         "generated_rmat": q.q_generated_rmat,  # rows-only (generator source; pytest oracles)
         "generated_ba": q.q_generated_ba,  # rows-only (generator source; pytest oracles)
         "generated_config_model": q.q_generated_config_model,  # SQL oracle (degree hist invariant)
@@ -1013,6 +1013,83 @@ SELECT v.key,
        CAST(CASE WHEN v.vid IN (SELECT vid FROM mem) THEN 1 ELSE 0 END
             AS TINYINT) AS in_mis
 FROM v ORDER BY key
+"""
+
+
+def _matching_sql(rounds: int = 6) -> str:
+    """Bitwise twin of q_maximal_matching: the parallel greedy
+    local-max schedule is a pure function of (a, b, round) — edge
+    priority = splitmix64(splitmix64(a + round·φ64) ^ b·φ64), an edge
+    whose priority is the max at BOTH endpoints joins, touched
+    vertices die — replayed with unrolled rounds (sf0.01 converges in
+    <= 3; 6 leaves margin: empty rounds are no-ops)."""
+    m = 1 << 64
+    gold = 0x9E3779B97F4A7C15
+    parts = []
+    for r in range(1, rounds + 1):
+        c = (r * gold) % m
+        parts.append(
+            f"""qa_{r}0 AS (
+  SELECT a, b,
+         CAST((CAST(a AS HUGEINT) + {c}) % 18446744073709551616 AS HUGEINT) AS z0
+  FROM e_{r}
+)"""
+        )
+        parts.append(
+            _splitmix_chain_sql(f"qa_{r}0", f"ma{r}x").lstrip(",\n ")
+        )
+        parts.append(
+            f"""qb_{r}0 AS (
+  SELECT a, b,
+         CAST(xor(z, CAST({_mul64_sql("CAST(b AS HUGEINT)", str(gold))} AS UBIGINT)) AS HUGEINT) AS z0
+  FROM ma{r}x4
+)"""
+        )
+        parts.append(
+            _splitmix_chain_sql(f"qb_{r}0", f"mb{r}x").lstrip(",\n ")
+        )
+        parts.append(
+            f"pri_{r} AS MATERIALIZED (SELECT a, b, z AS p FROM mb{r}x4)"
+        )
+        parts.append(
+            f"""vmax_{r} AS MATERIALIZED (
+  SELECT v, MAX(p) AS m FROM (
+    SELECT a AS v, p FROM pri_{r} UNION ALL SELECT b, p FROM pri_{r}
+  ) GROUP BY v
+)"""
+        )
+        parts.append(
+            f"""won_{r} AS MATERIALIZED (
+  SELECT t.a, t.b FROM pri_{r} t
+  JOIN vmax_{r} x ON x.v = t.a AND x.m = t.p
+  JOIN vmax_{r} y ON y.v = t.b AND y.m = t.p
+)"""
+        )
+        parts.append(
+            f"""e_{r + 1} AS MATERIALIZED (
+  SELECT a, b FROM e_{r}
+  WHERE a NOT IN (SELECT a FROM won_{r} UNION SELECT b FROM won_{r})
+    AND b NOT IN (SELECT a FROM won_{r} UNION SELECT b FROM won_{r})
+)"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT a, b FROM won_{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+{_LINK_PAIRS},
+v AS MATERIALIZED (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+),
+e_1 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(x.vid, y.vid) AS a, GREATEST(x.vid, y.vid) AS b
+  FROM link_pairs l JOIN v x ON l.src_key = x.key JOIN v y ON l.dst_key = y.key
+  WHERE x.vid <> y.vid
+),
+{",".join(parts)},
+mm AS ({finals})
+SELECT va.key AS src_key, vb.key AS dst_key
+FROM mm JOIN v va ON va.vid = mm.a JOIN v vb ON vb.vid = mm.b
+ORDER BY src_key, dst_key
 """
 
 
@@ -2418,6 +2495,7 @@ FROM st
         "pajek_roundtrip": _LINK_PAIRS_OUT,
         "girth": _GIRTH_SQL,
         "maximal_independent_set": _mis_sql(),
+        "maximal_matching": _matching_sql(),
         "bipartite": _BIPARTITE_SQL,
         "hop_histogram": f"""
 {_LINK_PAIRS},
