@@ -108,11 +108,30 @@ def louvain_quotient(
             }
         )
 
-    # quotient_graph groups on (c_src, c_dst) of the one-arc view, so
-    # (a, b) and (b, a) cannot both appear for a != b; min/max is pure
-    # canonicalization, no weight is double-counted.
-    coarse_edges = coarse.map_batches(
-        to_edges, batch_format="pyarrow", zero_copy_batch=True
+    # quotient_graph groups on (c_src, c_dst) of the one-arc view,
+    # which is canonical on ORIGINAL vids, not community labels — so
+    # (a, b) and (b, a) CAN both appear as quotient pairs (e.g. arcs
+    # (1,5) and (2,4) with comm(1)=comm(4)=A, comm(5)=comm(2)=B).
+    # Collapse the min/max-canonicalized pairs with one groupby-sum
+    # (quotient-sized, under the gather bound by construction) so
+    # consumers get a true one-row-per-pair edge table without
+    # relying on their own symmetrize_dedup to merge parallels.
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "weight": batch.column("sum(weight)"),
+            }
+        )
+
+    coarse_edges = (
+        coarse.map_batches(
+            to_edges, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby(["src", "dst"])
+        .sum("weight")
+        .map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
     )
     return coarse_edges, assignment
 
@@ -128,13 +147,29 @@ class _ProjectLabels:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         comm = batch.column("community").to_numpy(zero_copy_only=False)
+        # The exact method may have dropped quotient vertices that
+        # carry only a self-loop (walktrap/GN symmetrize with
+        # keep_self_loops=False and derive vids from arcs, so any
+        # disconnected component Louvain collapsed to one community
+        # has no arcs left on the quotient).  A blind searchsorted on
+        # such a community indexes out of range or silently reads a
+        # neighbor's label — clip, verify the hit, and let unmatched
+        # vertices KEEP their Louvain community label: a quotient
+        # vertex the exact method never saw stays its own community.
+        # No label collision is possible: every label (exact or
+        # fallback) is the min member vid of its community, and the
+        # member sets are disjoint.
         pos = np.searchsorted(self.qvids, comm)
+        pos = np.minimum(pos, max(len(self.qvids) - 1, 0))
+        if len(self.qvids):
+            ok = self.qvids[pos] == comm
+            out = np.where(ok, self.qlabels[pos], comm)
+        else:
+            out = comm
         return pa.table(
             {
                 "vid": batch.column("vid"),
-                "community": pa.array(
-                    self.qlabels[pos].astype(np.int64)
-                ),
+                "community": pa.array(out.astype(np.int64)),
             }
         )
 
@@ -171,4 +206,11 @@ def gather_labels(assignment: ray.data.Dataset) -> pa.Table:
         )
         if t.num_rows
     ]
+    if not live:
+        return pa.table(
+            {
+                "vid": pa.array([], pa.int64()),
+                "community": pa.array([], pa.int64()),
+            }
+        )
     return pa.concat_tables(live)

@@ -436,14 +436,27 @@ def trace_path(
     import shutil
     import tempfile
 
-    from igraph_ray.state.parent_tree import ParentTree, persist_parent_tree
+    from igraph_ray.state.parent_tree import (
+        ParentTree,
+        persist_parent_tree,
+        tree_fingerprint,
+    )
 
     keep = tree_dir is not None
+    # identity ties the persisted store to THIS state/source — a
+    # meta.json alone is not enough (same tree_dir reused for a new
+    # source or a rerun would silently trace the stale tree)
+    identity = {
+        "source": int(source),
+        "fingerprint": tree_fingerprint(state),
+    }
     if keep and os.path.exists(os.path.join(tree_dir, "meta.json")):
         tree = ParentTree(tree_dir)
+        if tree.identity != identity:
+            tree = persist_parent_tree(state, tree_dir, identity=identity)
     else:
         out_dir = tree_dir or tempfile.mkdtemp(prefix="igr_ptree_")
-        tree = persist_parent_tree(state, out_dir)
+        tree = persist_parent_tree(state, out_dir, identity=identity)
     try:
         return tree.trace(source, target, max_hops=max_hops)
     finally:

@@ -293,6 +293,10 @@ def read_pajek(path: str) -> tuple[pa.Table, pa.Table]:
     and ``*Edges`` sections both load (direction is the caller's
     concern, matching igraph's reader); third column = weight."""
     keys: list[str] = []
+    # Pajek permits out-of-order / non-contiguous vertex numbering on
+    # *Vertices lines — resolve edge endpoints through the EXPLICIT
+    # number, never file order.
+    by_num: dict[int, str] = {}
     earcs: list[tuple[int, int, float]] = []
     section = ""
     for raw in open(path, encoding="utf-8"):
@@ -311,20 +315,37 @@ def read_pajek(path: str) -> tuple[pa.Table, pa.Table]:
         if section == "v":
             m = re.match(r'\s*(\d+)\s+"((?:[^"\\]|\\.)*)"', line)
             if m:
-                keys.append(m.group(2))
+                num, key = int(m.group(1)), m.group(2)
             else:
                 parts = line.split()
-                keys.append(parts[1] if len(parts) > 1 else parts[0])
+                num = int(parts[0])
+                key = parts[1] if len(parts) > 1 else parts[0]
+            if num in by_num:
+                raise ValueError(
+                    f"read_pajek: duplicate vertex number {num} in {path}"
+                )
+            by_num[num] = key
+            keys.append(key)
         elif section == "e":
             parts = line.split()
             a, b = int(parts[0]), int(parts[1])
             w = float(parts[2]) if len(parts) > 2 else 1.0
             earcs.append((a, b, w))
+
+    def resolve(n: int) -> str:
+        try:
+            return by_num[n]
+        except KeyError:
+            raise ValueError(
+                f"read_pajek: edge references unknown vertex number "
+                f"{n} in {path}"
+            ) from None
+
     vertices = pa.table({"key": pa.array(keys, pa.string())})
     edges = pa.table(
         {
-            "src": pa.array([keys[a - 1] for a, _, _ in earcs], pa.string()),
-            "dst": pa.array([keys[b - 1] for _, b, _ in earcs], pa.string()),
+            "src": pa.array([resolve(a) for a, _, _ in earcs], pa.string()),
+            "dst": pa.array([resolve(b) for _, b, _ in earcs], pa.string()),
             "weight": pa.array(
                 np.asarray([w for _, _, w in earcs], np.float64)
             ),

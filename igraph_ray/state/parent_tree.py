@@ -33,16 +33,59 @@ ROWS_PER_BUCKET = 1_000_000
 CACHE_BUCKETS = 8
 
 
+def tree_fingerprint(state: ray.data.Dataset) -> str:
+    """Order-independent content fingerprint of a ``(vid, parent)``
+    state: XOR over rows of a splitmix-style 64-bit hash of the pair.
+    One cheap distributed pass (one partial row per block); used to
+    tie a persisted tree store to the state it was built from, so
+    ``trace_path`` never silently reuses a stale tree from a
+    different SSSP run on the same ``tree_dir``."""
+
+    def part(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False)
+        parent = batch.column("parent").to_numpy(zero_copy_only=False)
+        with np.errstate(over="ignore"):
+            x = (
+                vid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            ) ^ (
+                parent.astype(np.uint64) * np.uint64(0xBF58476D1CE4E5B9)
+            )
+            x ^= x >> np.uint64(31)
+            x *= np.uint64(0x94D049BB133111EB)
+        fp = (
+            int(np.bitwise_xor.reduce(x)) if len(x) else 0
+        )
+        return pa.table({"fp": pa.array([fp], pa.uint64())})
+
+    acc = 0
+    for t in (
+        state.select_columns(["vid", "parent"])
+        .map_batches(part, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for v in t.column("fp").to_pylist():
+            acc ^= int(v)
+    return f"{acc:016x}"
+
+
 def persist_parent_tree(
     state: ray.data.Dataset,
     tree_dir: str,
     rows_per_bucket: int = ROWS_PER_BUCKET,
+    identity: dict | None = None,
 ) -> "ParentTree":
     """Write an SSSP state dataset (rows ``vid, parent, ...``) as a
     vid-bucketed parent-tree store under ``tree_dir`` and return the
     opened :class:`ParentTree`.  One distributed pass; one Parquet
-    file per vid-range bucket, rows sorted by vid."""
+    file per vid-range bucket, rows sorted by vid.  ``identity``
+    (e.g. source vid + state fingerprint) is stamped into meta.json
+    so later opens can verify they reuse the right tree."""
     os.makedirs(tree_dir, exist_ok=True)
+    # a re-persist over an existing store must not leave stale
+    # buckets behind (the new tree may span fewer vid ranges)
+    for f in os.listdir(tree_dir):
+        if f.startswith("bucket_") and f.endswith(".parquet"):
+            os.unlink(os.path.join(tree_dir, f))
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         vid = batch.column("vid").to_numpy(zero_copy_only=False)
@@ -72,7 +115,13 @@ def persist_parent_tree(
         .materialize()
     )
     with open(os.path.join(tree_dir, "meta.json"), "w") as f:
-        json.dump({"rows_per_bucket": rows_per_bucket}, f)
+        json.dump(
+            {
+                "rows_per_bucket": rows_per_bucket,
+                "identity": identity or {},
+            },
+            f,
+        )
     return ParentTree(tree_dir)
 
 
@@ -82,7 +131,9 @@ class ParentTree:
 
     def __init__(self, tree_dir: str, cache_buckets: int = CACHE_BUCKETS):
         with open(os.path.join(tree_dir, "meta.json")) as f:
-            self.rows_per_bucket = int(json.load(f)["rows_per_bucket"])
+            meta = json.load(f)
+        self.rows_per_bucket = int(meta["rows_per_bucket"])
+        self.identity: dict = meta.get("identity", {})
         self.tree_dir = tree_dir
         self.cache_buckets = cache_buckets
         self._cache: OrderedDict[int, tuple[np.ndarray, np.ndarray]] = (

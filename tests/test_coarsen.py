@@ -93,3 +93,48 @@ def test_walktrap_under_bound_flag_false(ray_session):
     G, src, dst = _ring_edges(4, 4)
     res = walktrap(edges_dataset(src, dst))
     assert res.approximated is False
+
+
+def _ring_plus_island(n_cliques=8, clique=6):
+    # main ring of cliques + a DISCONNECTED triangle: Louvain collapses
+    # the triangle to one community, so its quotient vertex carries
+    # only a self-loop and vanishes from the quotient arcs of methods
+    # that symmetrize with keep_self_loops=False (GN, walktrap).  The
+    # projection must keep those vertices labeled (their own Louvain
+    # community), not IndexError or borrow a neighbor's label.
+    G, src, dst = _ring_edges(n_cliques, clique)
+    island = [100, 101, 102]
+    for i in range(3):
+        src.append(island[i])
+        dst.append(island[(i + 1) % 3])
+    return src, dst, island
+
+
+def test_girvan_newman_coarsen_disconnected_island(ray_session):
+    src, dst, island = _ring_plus_island()
+    res = girvan_newman(
+        edges_dataset(src, dst),
+        target_communities=9,
+        gather_max_arcs=50,
+    )
+    assign, q, rem = res
+    assert res.approximated is True
+    labels = _labels(ds_to_table(assign))
+    _assert_cliques_unsplit(
+        {v: c for v, c in labels.items() if v < 100}, 8, 6
+    )
+    # island vertices are present, share one label, and that label is
+    # not any ring vertex's label
+    assert {labels[v] for v in island} == {min(island)}
+    ring_labels = {labels[v] for v in labels if v < 100}
+    assert min(island) not in ring_labels
+
+
+def test_walktrap_coarsen_disconnected_island(ray_session):
+    src, dst, island = _ring_plus_island()
+    res = walktrap(edges_dataset(src, dst), gather_max_vertices=10)
+    assign, qs = res
+    assert res.approximated is True
+    labels = _labels(ds_to_table(assign))
+    assert {labels[v] for v in island} == {min(island)}
+    assert len(labels) == 8 * 6 + 3

@@ -88,12 +88,73 @@ def test_sbm_block_recovery_beats_random_init(ray_session, tmp_path):
     assert m_trained > 0.15, m_trained
 
 
-def test_vocab_cap_raises(ray_session, tmp_path):
-    graph = _sbm_graph(str(tmp_path), sizes=(5, 5), p_in=0.9, p_out=0.1)
-    walks = random_walks(graph, starts=np.arange(10), length=4, seed=1)
+def test_sharded_loss_decreases_and_deterministic(ray_session, tmp_path):
+    """Past-cap path: grid-cell sharded trainer (forced multi-shard
+    via tiny shard_rows) — loss decreases, runs bitwise reproduce."""
+    from igraph_ray.kernels.embeddings import skipgram_embeddings_sharded
+
+    graph = _sbm_graph(str(tmp_path), sizes=(15, 15), p_in=0.5, p_out=0.05)
+    walks = random_walks(graph, starts=np.arange(30), length=8, seed=1)
+    res = skipgram_embeddings_sharded(
+        walks,
+        num_vertices=30,
+        dim=8,
+        window=3,
+        rounds=15,
+        seed=0,
+        shard_rows=10,  # -> 3 shards, 9 grid cells
+    )
+    assert len(res.loss_history) == 15
+    assert res.loss_history[-1] < 0.85 * res.loss_history[0]
+    res2 = skipgram_embeddings_sharded(
+        walks,
+        num_vertices=30,
+        dim=8,
+        window=3,
+        rounds=15,
+        seed=0,
+        shard_rows=10,
+    )
+    W1 = np.stack(res.embeddings.column("embedding").to_numpy(False))
+    W2 = np.stack(res2.embeddings.column("embedding").to_numpy(False))
+    assert np.array_equal(W1, W2)
+
+
+def test_sharded_sbm_block_recovery(ray_session, tmp_path):
+    from igraph_ray.kernels.embeddings import skipgram_embeddings_sharded
+
+    sizes = (25, 25, 25, 25)
+    graph = _sbm_graph(str(tmp_path), sizes=sizes)
+    n = sum(sizes)
+    walks = random_walks(graph, starts=np.arange(n), length=10, seed=7)
+    res = skipgram_embeddings_sharded(
+        walks,
+        num_vertices=n,
+        dim=16,
+        window=4,
+        rounds=60,
+        seed=0,
+        shard_rows=30,  # -> 4 shards
+    )
+    W = np.stack(res.embeddings.column("embedding").to_numpy(False))
+    rng = np.random.Generator(np.random.PCG64(0))
+    W0 = (rng.random((n, 16)) - 0.5) / 16
+    m_trained = _block_margin(W, sizes)
+    m_init = _block_margin(W0, sizes)
+    assert m_trained > m_init + 0.15, (m_trained, m_init)
+    assert m_trained > 0.15, m_trained
+
+
+def test_past_cap_routes_to_sharded(ray_session, tmp_path, monkeypatch):
+    """skipgram_embeddings no longer raises past the broadcast cap —
+    it routes to the sharded trainer."""
     from igraph_ray.kernels import embeddings as emb
 
-    with pytest.raises(NotImplementedError):
-        skipgram_embeddings(
-            walks, num_vertices=emb.BROADCAST_MAX_VOCAB + 1
-        )
+    graph = _sbm_graph(str(tmp_path), sizes=(15, 15), p_in=0.5, p_out=0.05)
+    walks = random_walks(graph, starts=np.arange(30), length=6, seed=1)
+    monkeypatch.setattr(emb, "BROADCAST_MAX_VOCAB", 10)
+    res = skipgram_embeddings(
+        walks, num_vertices=30, dim=8, window=2, rounds=3, seed=0
+    )
+    assert len(res.loss_history) == 3
+    assert res.embeddings.num_rows == 30

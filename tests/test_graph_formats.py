@@ -129,6 +129,35 @@ def test_nx_writes_we_read_pajek(tmp_path):
     assert ours == theirs
 
 
+def test_pajek_out_of_order_vertex_numbers(tmp_path):
+    """Pajek permits out-of-order / non-contiguous numbering; edges
+    must resolve through the explicit vertex number, not file order."""
+    import pytest
+
+    p = str(tmp_path / "ooo.net")
+    with open(p, "w") as f:
+        f.write(
+            '*Vertices 3\n7 "c"\n2 "a"\n5 "b"\n'
+            "*Edges\n2 5 1.0\n5 7 2.0\n"
+        )
+    verts, edges = read_pajek(p)
+    got = {
+        (s, d, w)
+        for s, d, w in zip(
+            edges.column("src").to_pylist(),
+            edges.column("dst").to_pylist(),
+            edges.column("weight").to_pylist(),
+        )
+    }
+    assert got == {("a", "b", 1.0), ("b", "c", 2.0)}
+
+    bad = str(tmp_path / "bad.net")
+    with open(bad, "w") as f:
+        f.write('*Vertices 1\n1 "x"\n*Edges\n1 9\n')
+    with pytest.raises(ValueError, match="unknown vertex number"):
+        read_pajek(bad)
+
+
 def test_formats_feed_the_build_path(ray_session, tmp_path):
     """Interchange output flows into the normal distributed build."""
     import ray.data

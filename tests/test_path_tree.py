@@ -97,6 +97,27 @@ def test_trace_path_persisted_store(tmp_graph_dir, tmp_path, monkeypatch):
     assert trace_path(run.state, 0, 0, tree_dir=tree_dir) == [0]
 
 
+def test_trace_path_stale_store_repersists(
+    tmp_graph_dir, tmp_path, monkeypatch
+):
+    """Reusing a tree_dir with a DIFFERENT SSSP tree (new source)
+    must not silently trace the stale persisted tree — the identity
+    stamp in meta.json forces a re-persist."""
+    import igraph_ray.stages.vertex_ids as vx
+
+    G = nx.gnm_random_graph(40, 90, seed=5)
+    graph = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    run0 = shortest_path_tree(graph, source=0, weighted=False)
+    run7 = shortest_path_tree(graph, source=7, weighted=False)
+    want7 = trace_path(run7.state, 7, 17)  # broadcast path truth
+    monkeypatch.setattr(vx, "BROADCAST_MAX_VERTICES", 1)
+    tree_dir = str(tmp_path / "ptree")
+    trace_path(run0.state, 0, 17, tree_dir=tree_dir)  # persist tree 0
+    got = trace_path(run7.state, 7, 17, tree_dir=tree_dir)
+    assert got == want7
+    assert got[0] == 7
+
+
 def test_parent_tree_store_roundtrip(tmp_graph_dir, tmp_path):
     from igraph_ray.state.parent_tree import ParentTree, persist_parent_tree
 
