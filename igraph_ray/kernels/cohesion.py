@@ -273,23 +273,359 @@ def _cb_task(blocks):
     return out, cohesion, parent
 
 
+def _component_assignment(
+    arcs: ray.data.Dataset,
+) -> ray.data.Dataset:
+    """Distributed (vid, comp) labels of an already-symmetric arc
+    table — one temp CSR build + the components kernel (min-label
+    propagation); the store is removed afterwards."""
+    import shutil
+    import tempfile
+
+    from igraph_ray.api import build_graph
+    from igraph_ray.kernels.components import connected_components
+
+    tmp = tempfile.mkdtemp(prefix="igr_cb_comp_")
+    try:
+        graph = build_graph(arcs, tmp, symmetrize=False)
+        run = connected_components(graph)
+        return run.state.select_columns(["vid", "comp"]).materialize()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _attach_comp(
+    arcs: ray.data.Dataset, comp: ray.data.Dataset
+) -> ray.data.Dataset:
+    """Tag every arc with its (src's) component id.  Broadcast probe
+    under the vertex broadcast bound; co-partitioned hash join past
+    it (the quotient_graph mode pattern)."""
+    from igraph_ray.stages.vertex_ids import BROADCAST_MAX_VERTICES
+
+    if comp.count() <= BROADCAST_MAX_VERTICES:
+        amap = pa.concat_tables(
+            comp.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).sort_by("vid")
+        ref = ray.put(
+            (
+                amap.column("vid").to_numpy(zero_copy_only=False),
+                amap.column("comp").to_numpy(zero_copy_only=False),
+            )
+        )
+
+        class Tag:
+            def __init__(self):
+                self.vids, self.comps = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                s = batch.column("src").to_numpy(zero_copy_only=False)
+                c = self.comps[np.searchsorted(self.vids, s)]
+                return batch.append_column(
+                    "comp", pa.array(c.astype(np.int64))
+                )
+
+        return arcs.map_batches(
+            Tag,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, 8),
+        )
+    from igraph_ray.stages.join import hash_join
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(
+            ["__v" if c == "vid" else c for c in batch.column_names]
+        )
+
+    rhs = comp.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_join(arcs, rhs, on="src", right_on="__v")
+
+
+def _cb_group(group: pa.Table) -> pa.Table:
+    """Exact cohesive blocking of ONE connected component (a
+    map_groups task): rows (comp, block_local, size, coh,
+    parent_local, vid); block_local 0 is the component root."""
+    if group.num_rows == 0:
+        return pa.table(
+            {
+                "comp": pa.array([], pa.int64()),
+                "block_local": pa.array([], pa.int64()),
+                "size": pa.array([], pa.int64()),
+                "coh": pa.array([], pa.int64()),
+                "parent_local": pa.array([], pa.int64()),
+                "vid": pa.array([], pa.int64()),
+            }
+        )
+    comp_id = int(group.column("comp")[0].as_py())
+    src = group.column("src").to_numpy(zero_copy_only=False)
+    dst = group.column("dst").to_numpy(zero_copy_only=False)
+    keep = src < dst
+    pairs = {(int(a), int(b)) for a, b in zip(src[keep], dst[keep])}
+    vs = np.unique(np.concatenate([src, dst]))
+    blocks_, cohesion, parent = _cohesive_blocks_py(vs, pairs)
+    sizes = [len(b) for b in blocks_]
+    return pa.table(
+        {
+            "comp": pa.array(
+                np.full(sum(sizes), comp_id, np.int64)
+            ),
+            "block_local": pa.array(
+                np.repeat(
+                    np.arange(len(blocks_), dtype=np.int64), sizes
+                )
+            ),
+            "size": pa.array(
+                np.repeat(np.array(sizes, np.int64), sizes)
+            ),
+            "coh": pa.array(
+                np.repeat(np.array(cohesion, np.int64), sizes)
+            ),
+            "parent_local": pa.array(
+                np.repeat(np.array(parent, np.int64), sizes)
+            ),
+            "vid": pa.array(
+                np.concatenate(
+                    [np.array(sorted(b), np.int64) for b in blocks_]
+                )
+                if blocks_
+                else np.empty(0, np.int64)
+            ),
+        }
+    )
+
+
+def _merge_component_trees(
+    percomp: ray.data.Dataset, n_components: int
+) -> tuple[ray.data.Dataset, list[int], list[int]]:
+    """Merge per-component block trees under one global root block
+    (the whole vertex set, cohesion 0 — a disconnected graph's vertex
+    connectivity).  Global ordering: (-size, min vid) root-first —
+    the direct path's (-size, lexicographic members) order up to ties
+    beyond the min vid."""
+    from ray.data.aggregate import Min
+
+    meta_rows = (
+        percomp.select_columns(
+            ["comp", "block_local", "size", "coh", "parent_local", "vid"]
+        )
+        .groupby(["comp", "block_local"])
+        .aggregate(Min("vid"), Min("size"), Min("coh"), Min("parent_local"))
+        .take_all()
+    )  # one row per block — driver-sized like the returned lists
+    single = n_components == 1
+    metas = sorted(
+        meta_rows,
+        key=lambda r: (-int(r["min(size)"]), int(r["min(vid)"])),
+    )
+    offset = 0 if single else 1
+    gid = {
+        (int(r["comp"]), int(r["block_local"])): i + offset
+        for i, r in enumerate(metas)
+    }
+    cohesion = [int(r["min(coh)"]) for r in metas]
+    parent = []
+    for r in metas:
+        pl = int(r["min(parent_local)"])
+        if pl < 0:
+            parent.append(-1 if single else 0)
+        else:
+            parent.append(gid[(int(r["comp"]), pl)])
+    if not single:
+        cohesion = [0] + cohesion
+        parent = [-1] + parent
+    gref = ray.put(gid)
+
+    class Remap:
+        def __init__(self):
+            self.gid = ray.get(gref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            comp = batch.column("comp").to_numpy(zero_copy_only=False)
+            bl = batch.column("block_local").to_numpy(
+                zero_copy_only=False
+            )
+            vid = batch.column("vid").to_numpy(zero_copy_only=False)
+            blocks = np.array(
+                [self.gid[(int(c), int(b))] for c, b in zip(comp, bl)],
+                np.int64,
+            )
+            tbls = [
+                pa.table(
+                    {"block": pa.array(blocks), "vid": pa.array(vid)}
+                )
+            ]
+            if not single:
+                # each component root's members are also the global
+                # root's members
+                is_root = bl == 0
+                if is_root.any():
+                    tbls.append(
+                        pa.table(
+                            {
+                                "block": pa.array(
+                                    np.zeros(
+                                        int(is_root.sum()), np.int64
+                                    )
+                                ),
+                                "vid": pa.array(vid[is_root]),
+                            }
+                        )
+                    )
+            return pa.concat_tables(tbls)
+
+    membership = percomp.map_batches(
+        Remap,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return membership, cohesion, parent
+
+
 def cohesive_blocks(
     edges: ray.data.Dataset,
     gather_max_arcs: int = GATHER_MAX_ARCS_CB,
+    auto_coarsen: bool = True,
 ) -> tuple[ray.data.Dataset, list[int], list[int]]:
     """Cohesive block structure of the undirected simple view of
-    ``edges`` (igraph ``cohesive_blocks``).  Returns
+    ``edges`` (igraph ``cohesive_blocks``).  Returns a
+    :class:`~igraph_ray.kernels.coarsen.CommunityResult` unpacking as
     ``(membership, cohesion, parent)``: membership rows
     ``(block, vid)``; ``cohesion[i]`` = vertex connectivity of block
     i; ``parent[i]`` = index of the smallest enclosing block (-1 for
-    the root).  Blocks are sorted root-first (descending size)."""
+    the root).  Blocks are sorted root-first (descending size).
+
+    Past ``gather_max_arcs`` with ``auto_coarsen=True`` (default):
+
+    1. route per CONNECTED COMPONENT — if every component fits the
+       bound, each component's block tree is computed EXACTLY in a
+       distributed ``groupby(comp).map_groups`` and the trees merge
+       under a global root (cohesion 0); ``approximated`` stays
+       ``False``;
+    2. otherwise contract to the distributed-Louvain quotient, run on
+       the quotient, and project block membership back through the
+       assignment (``approximated=True`` — the same recipe as
+       fastgreedy/GN/walktrap/spinglass).
+
+    ``auto_coarsen=False`` restores the loud raise."""
+    from igraph_ray.kernels.coarsen import CommunityResult
+
     arcs = symmetrize_dedup(edges, keep_self_loops=False).materialize()
     n_arcs = arcs.count()
-    if n_arcs > gather_max_arcs:
+    if n_arcs <= gather_max_arcs:
+        refs = arcs.select_columns(["src", "dst"]).to_arrow_refs()
+        out, cohesion, parent = ray.get(_cb_task.remote(refs))
+        return CommunityResult(
+            (ray.data.from_arrow(out), cohesion, parent),
+            approximated=False,
+        )
+    if not auto_coarsen:
         raise NotImplementedError(
             f"cohesive_blocks bounded-gather limit: {n_arcs} arcs > "
-            f"{gather_max_arcs}; run on a quotient/component subgraph"
+            f"{gather_max_arcs}; run on a quotient/component subgraph "
+            "or raise gather_max_arcs"
         )
-    refs = arcs.select_columns(["src", "dst"]).to_arrow_refs()
-    out, cohesion, parent = ray.get(_cb_task.remote(refs))
-    return ray.data.from_arrow(out), cohesion, parent
+
+    # tier 1: per-connected-component routing (exact)
+    comp = _component_assignment(arcs)
+    tagged = _attach_comp(arcs, comp).materialize()
+    from ray.data.aggregate import Count
+
+    over = (
+        tagged.groupby("comp")
+        .aggregate(Count())
+        .filter(lambda r: r["count()"] > gather_max_arcs)
+        .count()
+    )
+    if over == 0:
+        n_components = comp.groupby("comp").count().count()
+        percomp = (
+            tagged.groupby("comp")
+            .map_groups(_cb_group, batch_format="pyarrow")
+            .materialize()
+        )
+        membership, cohesion, parent = _merge_component_trees(
+            percomp, n_components
+        )
+        return CommunityResult(
+            (membership, cohesion, parent), approximated=False
+        )
+
+    # tier 2: Louvain-quotient approximation
+    from igraph_ray.kernels.coarsen import louvain_quotient
+
+    coarse_edges, assignment = louvain_quotient(arcs)
+    qres = cohesive_blocks(
+        coarse_edges, gather_max_arcs, auto_coarsen=False
+    )
+    qmem, cohesion, parent = qres
+    qtbl = pa.concat_tables(
+        [
+            t
+            for t in qmem.iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if t.num_rows
+        ]
+        or [
+            pa.table(
+                {
+                    "block": pa.array([], pa.int64()),
+                    "vid": pa.array([], pa.int64()),
+                }
+            )
+        ]
+    )
+    order = np.argsort(
+        qtbl.column("vid").to_numpy(zero_copy_only=False), kind="stable"
+    )
+    q_vid = qtbl.column("vid").to_numpy(zero_copy_only=False)[order]
+    q_blk = qtbl.column("block").to_numpy(zero_copy_only=False)[order]
+    pref = ray.put((q_vid, q_blk))
+
+    class Project:
+        """(vid, community) -> one (block, vid) row per quotient
+        block containing the vertex's community (ragged gather)."""
+
+        def __init__(self):
+            self.q_vid, self.q_blk = ray.get(pref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vid = batch.column("vid").to_numpy(zero_copy_only=False)
+            com = batch.column("community").to_numpy(
+                zero_copy_only=False
+            )
+            lo = np.searchsorted(self.q_vid, com, "left")
+            hi = np.searchsorted(self.q_vid, com, "right")
+            lens = hi - lo
+            total = int(lens.sum())
+            if total == 0:
+                return pa.table(
+                    {
+                        "block": pa.array([], pa.int64()),
+                        "vid": pa.array([], pa.int64()),
+                    }
+                )
+            out_vid = np.repeat(vid, lens)
+            cum = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            idx = (
+                np.repeat(lo, lens)
+                + np.arange(total)
+                - np.repeat(cum, lens)
+            )
+            return pa.table(
+                {
+                    "block": pa.array(self.q_blk[idx]),
+                    "vid": pa.array(out_vid),
+                }
+            )
+
+    membership = assignment.map_batches(
+        Project,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+    return CommunityResult(
+        (membership, cohesion, parent), approximated=True
+    )

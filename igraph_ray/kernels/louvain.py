@@ -46,7 +46,7 @@ import ray
 import ray.data
 
 from igraph_ray.stages.symmetrize import symmetrize_dedup
-from igraph_ray.utils import hash_int64
+from igraph_ray.utils import drop_empty_blocks, hash_int64
 
 BROADCAST_MAX_VERTICES = 20_000_000
 
@@ -328,6 +328,29 @@ def _proj(ds: ray.data.Dataset, cols: dict[str, str]) -> ray.data.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _dsjoin(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    jp: int,
+    on: tuple[str, ...],
+) -> ray.data.Dataset:
+    """Inner hash join with SCHEMA-LESS empty blocks stripped from
+    both sides first.  Ray Data's groupby emits zero-column blocks
+    for empty partitions, and map_batches skips empty blocks (so any
+    projection after a join degrades its schema-bearing empties back
+    to zero-column); a join partition that receives only such blocks
+    fails inside pyarrow with "No match ... for key field".  This
+    bites exactly when distinct keys < jp — i.e. the COARSE levels of
+    the join path at real cluster widths (jp=16 at 32 CPUs), which is
+    why the bug never surfaced at the 4-CPU test fixture's jp=2.
+    Both sides are materialized (the hash shuffle is a barrier
+    anyway) and filtered by block metadata (utils.drop_empty_blocks,
+    zero data movement)."""
+    left = drop_empty_blocks(left.materialize())
+    right = drop_empty_blocks(right.materialize())
+    return left.join(right, "inner", jp, on=on)
+
+
 def _one_level_joined(
     arcs: ray.data.Dataset,
     m: float,
@@ -350,7 +373,12 @@ def _one_level_joined(
     from ray.data.aggregate import Count, Sum
 
     jp = _join_parts()
-    num_parts = jp  # decide/merge hash-partition count
+    # decide/merge hash-partition KEY-SPACE is rows-sized (same
+    # n_arcs // 250_000 sizing as the broadcast path's node table at
+    # _one_level) so per-group rows stay ~bounded at any graph size;
+    # jp remains the JOIN partition count only (aggregator
+    # schedulability cap, a cluster property not a data property)
+    num_parts = int(max(2, min(4096, arcs.count() // 250_000 + 2)))
 
     def no_self(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -358,23 +386,39 @@ def _one_level_joined(
         keep = src != dst  # nbr weights exclude self (louvain.py:266)
         return batch.filter(pa.array(keep))
 
-    arcs_nsl = arcs.map_batches(
-        no_self, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    arcs_nsl = drop_empty_blocks(
+        arcs.map_batches(
+            no_self, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    )
 
-    # comm starts as identity
-    node = _node_table_ds(arcs, num_parts).map_batches(
-        lambda b: pa.table(
-            {"vid": b.column("vid"), "comm": b.column("vid"), "k": b.column("k")}
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    ).materialize()
+    # comm starts as identity.  NOTE every groupby/map_groups output
+    # that later feeds a .join() passes through drop_empty_blocks
+    # first: Ray Data's groupby emits SCHEMA-LESS empty blocks for
+    # empty partitions (the group fn is never called on them), and a
+    # hash-join partition that receives only such a block fails with
+    # "No match for key field ..." — which is exactly what happens on
+    # coarse levels where distinct keys < jp (utils.drop_empty_blocks).
+    node = drop_empty_blocks(
+        _node_table_ds(arcs, num_parts)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "vid": b.column("vid"),
+                    "comm": b.column("vid"),
+                    "k": b.column("k"),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
 
     improved = False
     zero_streak = 0
     for it in range(max_rounds):
-        ctot = (
+        ctot = drop_empty_blocks(
             node.groupby("comm")
             .aggregate(
                 Sum("k", alias_name="stot"),
@@ -384,32 +428,34 @@ def _one_level_joined(
         )
 
         # (src, cdst, w2c): attach dst's community, combine per pair
-        arcs_cd = arcs_nsl.join(
+        arcs_cd = _dsjoin(
+            arcs_nsl,
             _proj(node, {"dst": "vid", "cdst": "comm"}),
-            "inner",
             jp,
             on=("dst",),
         )
-        cand = (
+        cand = drop_empty_blocks(
             _proj(arcs_cd, {"src": "src", "cdst": "cdst", "weight": "weight"})
             .groupby(["src", "cdst"])
             .aggregate(Sum("weight", alias_name="w2c"))
+            .materialize()
         )
         # attach candidate-community totals
-        cand = cand.join(
+        cand = _dsjoin(
+            cand,
             _proj(ctot, {"cdst": "comm", "s_cand": "stot", "cand_size": "csize"}),
-            "inner",
             jp,
             on=("cdst",),
         )
         # attach u's state + its community totals
-        ustat = node.join(
+        ustat = _dsjoin(
+            node,
             _proj(ctot, {"comm": "comm", "s_cur": "stot", "cur_size": "csize"}),
-            "inner",
             jp,
             on=("comm",),
         )
-        cand = cand.join(
+        cand = _dsjoin(
+            cand,
             _proj(
                 ustat,
                 {
@@ -420,7 +466,6 @@ def _one_level_joined(
                     "cur_size": "cur_size",
                 },
             ),
-            "inner",
             jp,
             on=("src",),
         )
@@ -554,6 +599,7 @@ def _one_level_joined(
                 .map_groups(merge_group, batch_format="pyarrow")
                 .materialize()
             )
+            node = drop_empty_blocks(node)
         else:
             zero_streak += 1
             if zero_streak >= 2:  # a full even+odd round without moves
@@ -700,6 +746,10 @@ def _louvain_joined(
     from ray.data.aggregate import Sum
 
     jp = _join_parts()
+    # level-0 arcs come from symmetrize_dedup's groupby — strip its
+    # schema-less empty blocks before any join sees them (see the
+    # empty-partition note in _one_level_joined)
+    arcs = drop_empty_blocks(arcs.materialize())
     assignment: ray.data.Dataset | None = None
     mods: list[float] = []
     prev_q = -np.inf
@@ -711,21 +761,17 @@ def _louvain_joined(
 
         # arcs with both endpoint communities (reused for modularity
         # internal weight AND the coarsen step)
-        arcs_cc = (
-            arcs.join(
+        arcs_cc = _dsjoin(
+            _dsjoin(
+                arcs,
                 _proj(node, {"src": "vid", "cs": "comm"}),
-                "inner",
                 jp,
                 on=("src",),
-            )
-            .join(
-                _proj(node, {"dst": "vid", "cd": "comm"}),
-                "inner",
-                jp,
-                on=("dst",),
-            )
-            .materialize()
-        )
+            ),
+            _proj(node, {"dst": "vid", "cd": "comm"}),
+            jp,
+            on=("dst",),
+        ).materialize()
 
         def one_arc_internal(batch: pa.Table) -> pa.Table:
             src = batch.column("src").to_numpy(zero_copy_only=False)
@@ -766,9 +812,9 @@ def _louvain_joined(
             ).materialize()
         else:
             assignment = (
-                assignment.join(
+                _dsjoin(
+                    assignment,
                     _proj(node, {"community": "vid", "comm_new": "comm"}),
-                    "inner",
                     jp,
                     on=("community",),
                 )
@@ -805,12 +851,14 @@ def _louvain_joined(
                 }
             )
 
-        arcs = symmetrize_dedup(
-            arcs_cc.map_batches(
-                coarse, batch_format="pyarrow", zero_copy_batch=True
-            ),
-            keep_self_loops=True,
-        ).materialize()
+        arcs = drop_empty_blocks(
+            symmetrize_dedup(
+                arcs_cc.map_batches(
+                    coarse, batch_format="pyarrow", zero_copy_batch=True
+                ),
+                keep_self_loops=True,
+            ).materialize()
+        )
 
     assert assignment is not None
     return assignment, mods

@@ -161,19 +161,52 @@ def spinglass(
     t_stop: float = 0.005,
     cool: float = 0.995,
     gather_max_arcs: int = GATHER_MAX_ARCS_SG,
+    auto_coarsen: bool = True,
 ) -> ray.data.Dataset:
     """Spinglass communities over the undirected weighted view of
     ``edges``; rows ``(vid, community)`` with community = min member
-    vid.  Self-loops are dropped (they contribute a constant to H)."""
+    vid.  Self-loops are dropped (they contribute a constant to H).
+
+    Past ``gather_max_arcs`` with ``auto_coarsen=True`` (default) the
+    graph is first contracted to its distributed-Louvain quotient and
+    the annealer runs on the quotient (the same recipe as
+    fastgreedy/GN/walktrap, ``kernels/coarsen.py``); the returned
+    dataset then carries ``approximated=True`` as an attribute.
+    ``auto_coarsen=False`` restores the loud raise."""
+    from igraph_ray.kernels.coarsen import (
+        gather_labels,
+        louvain_quotient,
+        project_assignment,
+    )
+
     arcs = symmetrize_dedup(edges, keep_self_loops=False).materialize()
     n_arcs = arcs.count()
     if n_arcs > gather_max_arcs:
-        raise NotImplementedError(
-            f"spinglass bounded-gather limit: {n_arcs} arcs > "
-            f"{gather_max_arcs}; run on a quotient/component subgraph"
+        if not auto_coarsen:
+            raise NotImplementedError(
+                f"spinglass bounded-gather limit: {n_arcs} arcs > "
+                f"{gather_max_arcs}; run on a quotient/component "
+                "subgraph or raise gather_max_arcs"
+            )
+        coarse_edges, assignment = louvain_quotient(arcs)
+        qassign = spinglass(
+            coarse_edges,
+            spins=spins,
+            gamma=gamma,
+            seed=seed,
+            t_start=t_start,
+            t_stop=t_stop,
+            cool=cool,
+            gather_max_arcs=gather_max_arcs,
+            auto_coarsen=False,
         )
+        out = project_assignment(assignment, gather_labels(qassign))
+        out.approximated = True
+        return out
     refs = arcs.to_arrow_refs()
     out = ray.get(
         _sg_task.remote(refs, spins, gamma, seed, t_start, t_stop, cool)
     )
-    return ray.data.from_arrow(out)
+    ds = ray.data.from_arrow(out)
+    ds.approximated = False
+    return ds

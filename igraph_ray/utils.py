@@ -69,3 +69,35 @@ def drop_empty_blocks(ds):
     if not refs:
         return None
     return ray.data.from_arrow_refs(refs)
+
+
+def drop_empty_blocks(ds):
+    """Strip SCHEMA-LESS empty blocks from a materialized Dataset.
+
+    Ray Data's groupby ``aggregate``/``map_groups`` never call the
+    group fn on an empty partition and emit a zero-column empty block
+    for it; a native hash-join partition that receives only such a
+    block then fails with ``No match ... for key field reference ...``
+    (pyarrow can't find the key column).  Filtering the block refs by
+    metadata row-count removes them without touching any data.
+    ``repartition`` is NOT a fix: repartitioning to more blocks than
+    rows re-creates schema-less empties.
+
+    The input must be materialized; the returned dataset pins the
+    input as an attribute so the underlying blocks cannot be freed
+    while the filtered view is alive.
+    """
+    import ray.data
+
+    refs = []
+    total = 0
+    for bundle in ds.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            total += 1
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs or len(refs) == total:
+        return ds  # fully empty, or nothing to strip
+    out = ray.data.from_arrow_refs(refs)
+    out._igr_pinned_parent = ds
+    return out

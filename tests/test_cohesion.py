@@ -143,3 +143,68 @@ def test_distributed_surface(ray_session):
     assert frozenset(range(4)) in sets  # first K4, cohesion 3
     assert cohesion[0] == 1
     assert parent[0] == -1
+
+
+# ---------------------------------------------------------------------------
+# auto-coarsen tiers (round 5)
+# ---------------------------------------------------------------------------
+def _block_sets(out_ds, cohesion):
+    import pyarrow as pa
+    import ray as _ray
+
+    t = pa.concat_tables(
+        [x for x in _ray.get(out_ds.to_arrow_refs()) if x.num_rows]
+    )
+    got = {}
+    for b, v in zip(
+        t.column("block").to_pylist(), t.column("vid").to_pylist()
+    ):
+        got.setdefault(b, set()).add(v)
+    return {(frozenset(vs), cohesion[b]) for b, vs in got.items()}
+
+
+def test_per_component_routing_exact(ray_session):
+    """Total arcs over the bound but every component under it: the
+    per-component tier computes each tree EXACTLY and merges under a
+    cohesion-0 global root — identical block/cohesion sets to the
+    direct path."""
+    G = nx.disjoint_union(nx.barbell_graph(4, 1), nx.barbell_graph(4, 1))
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    direct = cohesive_blocks(edges_dataset(src, dst))
+    routed = cohesive_blocks(edges_dataset(src, dst), gather_max_arcs=30)
+    assert direct.approximated is False
+    assert routed.approximated is False
+    d_out, d_coh, d_par = direct
+    r_out, r_coh, r_par = routed
+    assert _block_sets(d_out, d_coh) == _block_sets(r_out, r_coh)
+    # both roots: whole graph at cohesion 0, parent -1
+    assert d_coh[0] == r_coh[0] == 0
+    assert d_par[0] == r_par[0] == -1
+
+
+def test_quotient_tier_approximated(ray_session):
+    """A single over-bound component falls through to the Louvain
+    quotient: approximated=True, the root block spans every vertex,
+    every clique stays inside one immediate block."""
+    G = nx.ring_of_cliques(8, 6)
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    res = cohesive_blocks(edges_dataset(src, dst), gather_max_arcs=50)
+    assert res.approximated is True
+    out, cohesion, parent = res
+    sets = _block_sets(out, cohesion)
+    assert (frozenset(G.nodes()), cohesion[0]) in sets
+    assert parent[0] == -1
+
+
+def test_bound_raises_when_disabled(ray_session):
+    G = nx.ring_of_cliques(4, 4)
+    src = [u for u, v in G.edges()]
+    dst = [v for u, v in G.edges()]
+    with pytest.raises(NotImplementedError):
+        cohesive_blocks(
+            edges_dataset(src, dst),
+            gather_max_arcs=2,
+            auto_coarsen=False,
+        )

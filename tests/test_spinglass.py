@@ -64,7 +64,28 @@ def test_gamma_controls_resolution(ray_session):
     assert len(set(hi.values())) >= len(set(lo.values()))
 
 
-def test_bound_raises(ray_session):
+def test_bound_raises_when_disabled(ray_session):
     src, dst = [0, 1, 2], [1, 2, 0]
     with pytest.raises(NotImplementedError):
-        spinglass(edges_dataset(src, dst), gather_max_arcs=2)
+        spinglass(
+            edges_dataset(src, dst),
+            gather_max_arcs=2,
+            auto_coarsen=False,
+        )
+
+
+def test_auto_coarsens_past_bound(ray_session):
+    """Past the gather bound spinglass anneals the Louvain quotient
+    and projects back (approximated=True) — planted cliques stay
+    uniform, every vertex keeps a label."""
+    G = nx.ring_of_cliques(8, 6)
+    src, dst = _edges(G)
+    ds = spinglass(edges_dataset(src, dst), seed=1, gather_max_arcs=50)
+    assert ds.approximated is True
+    lab = _labels(ds)
+    assert len(lab) == 48
+    for c in range(8):
+        members = range(c * 6, (c + 1) * 6)
+        assert len({lab[v] for v in members}) == 1, c
+    direct = spinglass(edges_dataset(src, dst), seed=1)
+    assert direct.approximated is False
