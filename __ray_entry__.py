@@ -896,6 +896,63 @@ LEFT JOIN piv p ON p.key = kv.key
 """
 
 
+def _wl_colors_sql(rounds: int = 3) -> str:
+    """Bitwise twin of q_wl_colors: the WL recurrence is pure wrapping
+    uint64 integer arithmetic — ``c_r(v) = splitmix64(splitmix64(
+    c_{r-1}(v)) + Σ_{u→v} splitmix64(c_{r-1}(u))·w + γ  (mod 2^64))``
+    with c_0 = 1 (kernels/wl.py scatter/apply) — and the multiset sum
+    is order-independent, so ``rounds`` unrolled CTE rounds over the
+    weighted symmetric arc table replay every color exactly.  The
+    signed output view maps the canonical residue back to int64."""
+    M = "18446744073709551616"
+    body = [
+        """wlarcs AS MATERIALIZED (
+  SELECT src_key AS s, dst_key AS d, CAST(weight AS HUGEINT) AS w
+  FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key, CAST(weight AS HUGEINT) FROM link_pairs
+)""",
+        "wlc0 AS (SELECT key, CAST(1 AS HUGEINT) AS c FROM keys)",
+    ]
+    prev = "wlc0"
+    for r in range(1, rounds + 1):
+        body.append(f"w{r}h0 AS (SELECT key, c AS z0 FROM {prev})")
+        body.append(_splitmix_chain_sql(f"w{r}h0", f"w{r}h").lstrip(",\n "))
+        body.append(
+            f"""w{r}hh AS MATERIALIZED (SELECT key, CAST(z AS HUGEINT) AS z FROM w{r}h4),
+w{r}msum AS (
+  SELECT k.key,
+         CAST(COALESCE(SUM(h.z * a.w), 0) % {M} AS HUGEINT) AS ms
+  FROM keys k
+  LEFT JOIN wlarcs a ON a.d = k.key
+  LEFT JOIN w{r}hh h ON h.key = a.s
+  GROUP BY k.key
+),
+w{r}m0 AS (
+  SELECT k.key,
+         (h.z + m.ms + 11400714819323198485) % {M} AS z0
+  FROM keys k
+  JOIN w{r}hh h ON h.key = k.key
+  JOIN w{r}msum m ON m.key = k.key
+)"""
+        )
+        body.append(_splitmix_chain_sql(f"w{r}m0", f"w{r}m").lstrip(",\n "))
+        body.append(
+            f"wlc{r} AS (SELECT key, CAST(z AS HUGEINT) AS c FROM w{r}m4)"
+        )
+        prev = f"wlc{r}"
+    ctes = ",\n".join(body)
+    return f"""
+{_LINK_PAIRS},
+{ctes}
+SELECT key,
+  CASE WHEN c >= 9223372036854775808
+       THEN CAST(c - {M} AS BIGINT)
+       ELSE CAST(c AS BIGINT) END AS wl_color
+FROM {prev}
+"""
+
+
 def _random_walks_sql(length: int = 8, seed: int = 42) -> str:
     """Bitwise twin of q_random_walks: the engine's walk is a pure
     function of (walk_id, step, seed) — splitmix64 of
@@ -1863,6 +1920,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "closeness": _closeness_sql(False),
         "closeness_weighted": _closeness_sql(True),
         "harmonic": _harmonic_sql(),
+        "wl_colors": _wl_colors_sql(),
         "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
         "adamic_adar": _wedge_chain_sql(
             "1.0 / ln(CAST(r.dw AS DOUBLE))", "adamic_adar"

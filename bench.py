@@ -313,6 +313,15 @@ def run_suite(headline_only: bool = False) -> dict:
     total = round(time.perf_counter() - t_total, 3)
     shutil.rmtree(graph_dir, ignore_errors=True)
     ray.shutdown()
+    # host-state evidence embedded in every artifact (round-4 verdict
+    # task: the r3→r4 e2e swing cost an adjudication cycle because the
+    # artifact carried no same-run ceiling sample).  ~35 s of
+    # measurement; GRAFT_BENCH_CEILINGS=0 skips it.
+    if os.environ.get("GRAFT_BENCH_CEILINGS", "1") != "0":
+        detail["host_compute_ceiling_8_to_32"] = _host_compute_ceiling(8, 32)
+        detail["host_memory_bw_ceiling_8_to_32"] = _host_memory_bw_ceiling(
+            8, 32, repeats=1
+        )
     return {
         "metric": "e2e_seconds",
         "value": total,
@@ -386,6 +395,56 @@ def _host_compute_ceiling(n_lo: int, n_hi: int) -> float:
     return round((totals[n_hi] / totals[n_lo]) / (n_hi / n_lo), 3)
 
 
+def _host_plasma_ceiling(n_lo: int, n_hi: int, mb_per_task: int = 256) -> dict:
+    """Aggregate OBJECT-STORE WRITE bandwidth ratio at n_hi-way vs
+    n_lo-way concurrency (normalized) — the resource every
+    scatter/shuffle/apply materialization spends.  The round-5 phase
+    adjudication found PageRank's 8→32 phases at 99-108% of THIS
+    ceiling while the read-shaped _stream ceiling said 0.6-1.1: plasma
+    writes (heap stream + memcpy into the store), not reads, are the
+    binding single-host resource for shuffle-bound kernels.  Fresh Ray
+    session per config."""
+    out = {}
+    for cpus in (n_lo, n_hi):
+        proc = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                f"""
+import time, numpy as np, ray, logging, json
+ray.init(address="local", num_cpus={cpus}, include_dashboard=False,
+         logging_level=logging.ERROR)
+
+@ray.remote
+def burn(i):
+    n = {mb_per_task} * 1024 * 1024 // 8
+    for r in range(4):
+        a = np.full(n, float(i + r))
+        ref = ray.put(a)
+        del ref, a
+    return 0
+
+t0 = time.perf_counter()
+ray.get([burn.remote(i) for i in range({cpus})])
+wall = time.perf_counter() - t0
+print(json.dumps({{"agg_gb_s": {cpus} * 4 * {mb_per_task} / 1024 / wall}}))
+ray.shutdown()
+""",
+            ],
+            capture_output=True,
+            text=True,
+            timeout=600,
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        out[cpus] = json.loads(line)["agg_gb_s"]
+    return {
+        "host_plasma_agg_gb_s": {c: round(v, 2) for c, v in out.items()},
+        "host_plasma_ceiling": round(
+            (out[n_hi] / out[n_lo]) / (n_hi / n_lo), 3
+        ),
+    }
+
+
 def run_scaling() -> dict:
     """Fresh-process runs of the headline PageRank at N and 4N CPUs on
     the same input (sandbox proxy for N vs 4N cluster nodes) for two
@@ -442,6 +501,7 @@ def run_scaling() -> dict:
         **effs,
         "host_compute_ceiling_8_to_32": _host_compute_ceiling(8, 32),
         "host_memory_bw_ceiling_8_to_32": _host_memory_bw_ceiling(8, 32),
+        **_host_plasma_ceiling(8, 32),
         "sec_per_iter": {
             c: results[c]["pagerank_sec_per_iter"] for c in results
         },

@@ -202,6 +202,12 @@ class KernelRun:
     converged: bool
     metrics_history: list[dict[str, float]] = field(default_factory=list)
     seconds_per_iteration: list[float] = field(default_factory=list)
+    # per-iteration wall time of the three loop phases (scatter+map
+    # materialize; groupby-shuffle+apply materialize; driver metric
+    # reduction) — the scaling-adjudication instrument
+    phase_seconds: dict[str, list[float]] = field(
+        default_factory=lambda: {"scatter": [], "apply": [], "metrics": []}
+    )
 
 
 def init_state_dataset(
@@ -313,6 +319,7 @@ def run_kernel(
             batch_size=None,
             concurrency=scatter_concurrency,
         ).materialize()
+        t1 = time.perf_counter()
         # materializing the message table before the groupby measures
         # ~2x faster than a fused scatter→sort execution (the sort's
         # map stage then reads right-sized materialized blocks)
@@ -321,6 +328,7 @@ def run_kernel(
             .map_groups(_apply_group, batch_format="pyarrow")
             .materialize()
         )
+        t2 = time.perf_counter()
         # Cut plan lineage PERIODICALLY: a MaterializedDataset still
         # carries its originating logical plan, so kernels that run
         # hundreds of iterations (slow spectral gaps, long chains)
@@ -335,10 +343,14 @@ def run_kernel(
         if (it - start_iter) % 64 == 63:
             new_state = ray.data.from_arrow_refs(new_state.to_arrow_refs())
         metrics = _metric_sums(new_state, kernel.metric_cols)
+        t3 = time.perf_counter()
         state = new_state
         run.iterations = it + 1
         run.metrics_history.append(metrics)
-        run.seconds_per_iteration.append(time.perf_counter() - t0)
+        run.seconds_per_iteration.append(t3 - t0)
+        run.phase_seconds["scatter"].append(t1 - t0)
+        run.phase_seconds["apply"].append(t2 - t1)
+        run.phase_seconds["metrics"].append(t3 - t2)
         if ckpt and (it % checkpoint_every == 0):
             ckpt.save_state(state, it, metrics)
         if kernel.converged(metrics, it):
