@@ -80,12 +80,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic": q.q_harmonic,  # SQL oracle (pivot lane-chain IEEE replay, bitwise)
         "eigenvector": q.q_eigenvector,  # rows-only (power iteration)
         "spectral_bisection": q.q_spectral_bisection,  # rows-only (dense-eigh pytest oracle)
-        "voterank": q.q_voterank,  # rows-only (nx.voterank pytest oracle)
+        "voterank": q.q_voterank,  # SQL oracle (exact integer-numerator rounds, bitwise)
         "quotient_graph": q.q_quotient_graph,  # SQL oracle (join + mod contraction)
         "neighborhood2": q.q_neighborhood2,  # SQL oracle (self-join distinct)
         "shortest_path_route": q.q_shortest_path_route,  # SQL oracle (BFS route replay)
-        "hyperball_nf": q.q_hyperball_nf,  # rows-only (bitwise local-replay pytest oracle)
-        "wl_colors": q.q_wl_colors,  # rows-only (local replay + nx subtree-class pytest oracles)
+        "hyperball_nf": q.q_hyperball_nf,  # SQL oracle (converged registers via reach-closure, bitwise)
+        "wl_colors": q.q_wl_colors,  # SQL oracle (unrolled wrapping-uint64 WL rounds, bitwise)
         "four_cycles": q.q_four_cycles,  # SQL oracle (codegree identity, exact ints)
         "hits": q.q_hits,  # rows-only (hub/authority fixed point)
         "ktruss": q.q_ktruss,  # SQL oracle (unrolled support fixed point)
@@ -950,6 +950,219 @@ SELECT key,
        THEN CAST(c - {M} AS BIGINT)
        ELSE CAST(c AS BIGINT) END AS wl_color
 FROM {prev}
+"""
+
+
+def _voterank_sql(rounds: int = 10) -> str:
+    """Bitwise twin of q_voterank: the kernel runs VoteRank in EXACT
+    integer-numerator arithmetic (ability starts at the symmetrized
+    arc count, one weaken subtracts V — kernels/voterank.py), so
+    every vote sum is an exact integer and order-independent.  The
+    SQL unrolls the ``rounds`` sequential selections: per round,
+    ability(u) = 0 if selected else max(arcs − V·#weakens(u), 0)
+    with #weakens(u) = |selected ∩ N(u)|; score(v) = Σ_{u∈N(v)}
+    ability(u); pick max score > 0 with smallest-key tie-break
+    (vid = dense sorted-key rank, so smallest vid ⇔ smallest key)."""
+    body = [
+        """vr_c AS (
+  SELECT CAST((SELECT COUNT(*) FROM arcs) AS BIGINT) AS arcs_n,
+         CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS v_n
+)""",
+        """vr_sel0 AS MATERIALIZED (
+  SELECT CAST(NULL AS BIGINT) AS rank, CAST(NULL AS VARCHAR) AS key,
+         CAST(NULL AS BIGINT) AS sc
+  WHERE FALSE
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        body.append(
+            f"""vr_ab{r} AS MATERIALIZED (
+  SELECT k.key,
+    CASE WHEN k.key IN (SELECT key FROM vr_sel{p}) THEN CAST(0 AS BIGINT)
+         ELSE GREATEST(
+           c.arcs_n - c.v_n * (
+             SELECT COUNT(*) FROM vr_sel{p} s
+             JOIN arcs a ON a.s = s.key AND a.d = k.key
+           ),
+           0)
+    END AS ab
+  FROM keys k CROSS JOIN vr_c c
+),
+vr_sc{r} AS (
+  SELECT k.key, COALESCE(SUM(ab.ab), 0) AS sc
+  FROM keys k
+  LEFT JOIN arcs a ON a.d = k.key
+  LEFT JOIN vr_ab{r} ab ON ab.key = a.s
+  WHERE k.key NOT IN (SELECT key FROM vr_sel{p})
+  GROUP BY k.key
+),
+vr_pk{r} AS (
+  SELECT key, sc FROM vr_sc{r} ORDER BY sc DESC, key ASC LIMIT 1
+),
+vr_sel{r} AS MATERIALIZED (
+  SELECT * FROM vr_sel{p}
+  UNION ALL
+  SELECT {r} AS rank, key, sc FROM vr_pk{r} WHERE sc > 0
+)"""
+        )
+    ctes = ",\n".join(body)
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+{ctes}
+SELECT rank, key FROM vr_sel{rounds}
+"""
+
+
+def _hyperball_sql() -> str:
+    """Bitwise twin of q_hyperball_nf: at convergence each vertex's
+    64 HLL registers equal the byte-wise MAX of the per-vertex init
+    contributions over its connected component — max is
+    order-independent and the inits are pure splitmix64 integer
+    functions of the dense vid (kernels/hyperball.py init_registers:
+    j = h & 63, rank = 58 − msb(h >> 6) else 59).  A recursive
+    reachability CTE + GROUP BY MAX + little-endian byte packing
+    replays the packed int64 register columns exactly."""
+    # msb via the same 6-step binary scan the kernel uses
+    msb_steps = ""
+    prev = "hbi0"
+    for i, shift in enumerate((32, 16, 8, 4, 2, 1)):
+        cur = f"hbm{i}"
+        msb_steps += f""",
+{cur} AS (
+  SELECT key, j, rest,
+         hi + CASE WHEN b >= {1 << shift} THEN {shift} ELSE 0 END AS hi,
+         CASE WHEN b >= {1 << shift} THEN b // {1 << shift} ELSE b END AS b
+  FROM {prev}
+)"""
+        prev = cur
+    # exact integer byte weights (POWER() is a double and loses
+    # precision past 2^53; the top byte sits at 256^7 ≈ 7.2e16·val)
+    pack_cols = ",\n  ".join(
+        "CAST(SUM(CASE WHEN j // 8 = {i} "
+        "THEN CAST(val AS HUGEINT) * pw.m ELSE 0 END) AS BIGINT) "
+        "AS r{i}".format(i=i)
+        for i in range(8)
+    )
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+v AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys),
+hz AS (SELECT key, CAST(vid AS HUGEINT) AS z0 FROM v),
+{_splitmix_chain_sql('hz', 'hbsm')},
+hbi0 AS (
+  SELECT key,
+         CAST(z % 64 AS BIGINT) AS j,
+         CAST(z // 64 AS HUGEINT) AS rest,
+         0 AS hi,
+         CAST(z // 64 AS HUGEINT) AS b
+  FROM hbsm4
+){msb_steps},
+hbinit AS MATERIALIZED (
+  SELECT key, j,
+         CASE WHEN rest != 0 THEN 58 - hi ELSE 59 END AS val
+  FROM {prev}
+),
+hbreach AS MATERIALIZED (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT key, key FROM keys
+    UNION
+    SELECT r.s, a.d FROM r JOIN arcs a ON r.k = a.s
+  )
+  SELECT s, k FROM r
+),
+hbregs AS (
+  SELECT r.s AS key, i.j, MAX(i.val) AS val
+  FROM hbreach r JOIN hbinit i ON i.key = r.k
+  GROUP BY r.s, i.j
+),
+hbpw(b, m) AS (VALUES
+  (0, CAST(1 AS HUGEINT)), (1, CAST(256 AS HUGEINT)),
+  (2, CAST(65536 AS HUGEINT)), (3, CAST(16777216 AS HUGEINT)),
+  (4, CAST(4294967296 AS HUGEINT)),
+  (5, CAST(1099511627776 AS HUGEINT)),
+  (6, CAST(281474976710656 AS HUGEINT)),
+  (7, CAST(72057594037927936 AS HUGEINT)))
+SELECT hbregs.key,
+  {pack_cols}
+FROM hbregs JOIN hbpw pw ON pw.b = hbregs.j % 8
+GROUP BY hbregs.key
+"""
+
+
+def _lpa_sql(rounds: int = 60) -> str:
+    """Bitwise twin of q_lpa: the semi-synchronous LPA schedule is
+    fully deterministic integer arithmetic — parity class =
+    splitmix64(vid) % 2, histogram weights are exact integer
+    co-occurrence counts, tie-break = smallest label, keep-old when
+    its weight ties the max, and the 2-cycle break adopts the smaller
+    label (kernels/lpa.py apply).  ``rounds`` unrolled CTE rounds
+    replay the engine's 60-iteration run exactly: converged rounds
+    are no-ops, so an unrolled fixed count matches the engine state
+    whether or not the fixpoint arrived earlier."""
+    body = [
+        """lpw AS MATERIALIZED (
+  SELECT src_key AS s, dst_key AS d, CAST(weight AS BIGINT) AS w
+  FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key, CAST(weight AS BIGINT) FROM link_pairs
+)""",
+        "lpv AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid"
+        " FROM keys)",
+        "lppz AS (SELECT key, vid, CAST(vid AS HUGEINT) AS z0 FROM lpv)",
+        _splitmix_chain_sql("lppz", "lpp").lstrip(",\n "),
+        """lp_par AS MATERIALIZED (
+  SELECT key, vid, CAST(z % 2 AS BIGINT) AS par FROM lpp4
+)""",
+        """lp0 AS MATERIALIZED (
+  SELECT key, vid AS lab, CAST(-1 AS BIGINT) AS prev FROM lp_par
+)""",
+    ]
+    for r in range(1, rounds + 1):
+        p, act = r - 1, (r - 1) % 2  # kernel iteration r-1
+        body.append(
+            f"""lp_h{r} AS MATERIALIZED (
+  SELECT a.d AS key, l.lab AS lbl, SUM(a.w) AS w
+  FROM lpw a
+  JOIN lp{p} l ON l.key = a.s
+  JOIN lp_par pp ON pp.key = a.d AND pp.par = {act}
+  GROUP BY a.d, l.lab
+),
+lp_m{r} AS (SELECT key, MAX(w) AS maxw FROM lp_h{r} GROUP BY key),
+lp_b{r} AS (
+  SELECT h.key, MIN(h.lbl) AS best
+  FROM lp_h{r} h JOIN lp_m{r} m ON m.key = h.key AND h.w = m.maxw
+  GROUP BY h.key
+),
+lp{r} AS MATERIALIZED (
+  SELECT key,
+    CASE WHEN raw = prev0 AND raw != lab0
+         THEN LEAST(lab0, raw) ELSE raw END AS lab,
+    CASE WHEN raw = prev0 AND raw != lab0 THEN CAST(-1 AS BIGINT)
+         WHEN (CASE WHEN raw = prev0 AND raw != lab0
+                    THEN LEAST(lab0, raw) ELSE raw END) != lab0
+         THEN lab0
+         ELSE prev0 END AS prev
+  FROM (
+    SELECT l.key AS key, l.lab AS lab0, l.prev AS prev0,
+      CASE WHEN pp.par != {act} OR m.maxw IS NULL THEN l.lab
+           WHEN COALESCE(ho.w, -1) >= m.maxw THEN l.lab
+           ELSE b.best END AS raw
+    FROM lp{p} l
+    JOIN lp_par pp ON pp.key = l.key
+    LEFT JOIN lp_m{r} m ON m.key = l.key
+    LEFT JOIN lp_b{r} b ON b.key = l.key
+    LEFT JOIN lp_h{r} ho ON ho.key = l.key AND ho.lbl = l.lab
+  )
+)"""
+        )
+    ctes = ",\n".join(body)
+    return f"""
+{_LINK_PAIRS},
+{ctes}
+SELECT f.key, lk.key AS label_key
+FROM lp{rounds} f JOIN lp_par lk ON lk.vid = f.lab
 """
 
 
@@ -1921,6 +2134,9 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "closeness_weighted": _closeness_sql(True),
         "harmonic": _harmonic_sql(),
         "wl_colors": _wl_colors_sql(),
+        "voterank": _voterank_sql(),
+        "hyperball_nf": _hyperball_sql(),
+        "label_propagation": _lpa_sql(),
         "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
         "adamic_adar": _wedge_chain_sql(
             "1.0 / ln(CAST(r.dw AS DOUBLE))", "adamic_adar"

@@ -49,7 +49,8 @@ MSG_SCHEMA = pa.schema(
 @dataclass
 class VoteRankKernel:
     num_parts: int
-    delta: float  # 1/average-degree ability decrement
+    delta: float  # ability decrement per weaken (see voterank())
+    init_ability: float = 1.0  # starting ability (arcs in exact mode)
     phase: str = "vote"  # driver-toggled: "vote" | "weaken"
     last_selected: int = -1
     excluded: tuple = ()  # vids selected so far
@@ -66,7 +67,7 @@ class VoteRankKernel:
     def init_state(self, csr, part: int) -> dict[str, np.ndarray]:
         vids = csr.get("vids", np.empty(0, np.int64))
         return {
-            "ability": np.ones(len(vids)),
+            "ability": np.full(len(vids), self.init_ability, np.float64),
             "score": np.zeros(len(vids)),
         }
 
@@ -220,15 +221,33 @@ def voterank(
     number_of_nodes: int | None = None,
     avg_degree: float | None = None,
 ) -> list[int]:
-    """The selected spreaders in selection order (nx.voterank twin)."""
+    """The selected spreaders in selection order (nx.voterank twin).
+
+    Default mode runs EXACT integer-numerator arithmetic: abilities
+    and scores are scaled by the symmetrized arc count (ability starts
+    at ``arcs``, one weaken subtracts ``num_vertices`` — i.e. the
+    rational 1/⟨degree⟩ = V/arcs with the common denominator cleared),
+    so every vote sum is an exact integer in float64 (< 2^53 up to
+    ~10^9-arc graphs) and the argmax is ORDER-INDEPENDENT — no IEEE
+    summation-order wobble, which both removes a layout sensitivity
+    nx itself has and makes the selection SQL-replayable bitwise
+    (the driver's voterank oracle).  The ordering is identical to the
+    float formulation computed exactly.  Passing ``avg_degree``
+    explicitly restores the legacy float decrement path."""
     if number_of_nodes is None:
         number_of_nodes = num_vertices
     if avg_degree is None:
-        # symmetrized arc count = sum of undirected degrees
-        avg_degree = graph.num_edges / max(1, num_vertices)
-    delta = 1.0 / avg_degree if avg_degree > 0 else 0.0
+        # exact mode: numerators over the common denominator `arcs`
+        # (arcs = symmetrized arc count = sum of undirected degrees)
+        delta = float(num_vertices)
+        init_ability = float(max(1, graph.num_edges))
+    else:
+        delta = 1.0 / avg_degree if avg_degree > 0 else 0.0
+        init_ability = 1.0
 
-    kernel = VoteRankKernel(num_parts=graph.num_parts, delta=delta)
+    kernel = VoteRankKernel(
+        num_parts=graph.num_parts, delta=delta, init_ability=init_ability
+    )
     state = None
     influential: list[int] = []
     for _ in range(min(number_of_nodes, num_vertices)):

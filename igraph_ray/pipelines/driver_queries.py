@@ -5180,7 +5180,10 @@ def q_voterank(sf_dir: str, graph_dir: str | None = None):
             "rank": pa.array(range(1, len(sel) + 1), pa.int64()),
         }
     )
-    return _vid_to_key(state, vtbl, {"vid": "key", "rank": "rank"})
+    # only vid maps to a key; rank is ordinal data (the round-5 SQL
+    # twin caught the old {"rank": "rank"} entry routing ranks through
+    # the key table — a bug rows-only checks could never see)
+    return _vid_to_key(state, vtbl, {"vid": "key"})
 
 
 def q_paragraph_dedup(sf_dir: str):
@@ -5463,24 +5466,27 @@ def q_events_jsonl_agg(sf_dir: str):
 
 
 def q_hyperball_nf(sf_dir: str, graph_dir: str | None = None):
-    """(t, nf) — HyperBall approximate neighborhood function N(t) of
-    the E1∪E2 link graph (kernels/hyperball.py: per-vertex 64-register
-    HLL counters, byte-wise max pre-combine, N(t) read from the
-    per-iteration metrics).  Rows-only; bitwise local-replay oracle in
-    tests/test_hyperball.py."""
+    """(key, r0..r7) — the CONVERGED HyperBall registers per vertex
+    (kernels/hyperball.py: 64 HLL registers packed into eight int64
+    columns; at convergence each vertex's counter has absorbed its
+    whole component's hashes).  Registers are exact splitmix64-derived
+    integers, so a DuckDB reachability-closure twin replays them
+    bitwise (round-5 promotion); the derived nf curve / effective
+    diameter stay pytest-gated (tests/test_hyperball.py — float sums
+    over vertices have no defined order)."""
     import tempfile
 
-    from igraph_ray.kernels.hyperball import hyperball
+    from igraph_ray.kernels.hyperball import _COLS, hyperball
 
     graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_hb_")
-    graph, _vtbl = _build_key_graph(sf_dir, graph_dir)
-    _run, nf, eff = hyperball(graph)
-    return pa.table(
-        {
-            "t": pa.array(range(len(nf)), pa.int64()),
-            "nf": pa.array(nf, pa.float64()),
-        }
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    run, _nf, _eff = hyperball(graph)
+    state = pa.concat_tables(
+        run.state.select_columns(["vid", *_COLS]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
     )
+    return _vid_to_key(state, vtbl, {"vid": "key"})
 
 
 def q_wl_colors(sf_dir: str, graph_dir: str | None = None):
