@@ -61,7 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "components": q.q_components,  # SQL oracle: recursive CTE
         "triangles": q.q_triangles,  # SQL oracle: 3-way self-join
         "four_cliques": q.q_four_cliques,  # SQL oracle: 6-way self-join
-        "label_propagation": q.q_lpa,  # rows-only (§2.3(1))
+        "label_propagation": q.q_lpa,  # SQL oracle (semi-sync integer rounds, bitwise)
         "louvain": q.q_louvain,  # rows-only (§2.3(1); quality-tested)
         "leiden": q.q_leiden,  # rows-only (quality+connectivity tested)
         "fastgreedy": q.q_fastgreedy,  # rows-only (nx CNM parity pytest)
@@ -78,7 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness_weighted": q.q_closeness_weighted,  # SQL oracle (int-exact min-plus pivots)
         "betweenness_weighted": q.q_betweenness_weighted,  # rows-only (sampled weighted Brandes)
         "harmonic": q.q_harmonic,  # SQL oracle (pivot lane-chain IEEE replay, bitwise)
-        "eigenvector": q.q_eigenvector,  # rows-only (power iteration)
+        "eigenvector": q.q_eigenvector,  # SQL oracle (integer-exact fixed power, bitwise)
         "spectral_bisection": q.q_spectral_bisection,  # rows-only (dense-eigh pytest oracle)
         "voterank": q.q_voterank,  # SQL oracle (exact integer-numerator rounds, bitwise)
         "quotient_graph": q.q_quotient_graph,  # SQL oracle (join + mod contraction)
@@ -87,7 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperball_nf": q.q_hyperball_nf,  # SQL oracle (converged registers via reach-closure, bitwise)
         "wl_colors": q.q_wl_colors,  # SQL oracle (unrolled wrapping-uint64 WL rounds, bitwise)
         "four_cycles": q.q_four_cycles,  # SQL oracle (codegree identity, exact ints)
-        "hits": q.q_hits,  # rows-only (hub/authority fixed point)
+        "hits": q.q_hits,  # SQL oracle (integer-exact alternating power, bitwise)
         "ktruss": q.q_ktruss,  # SQL oracle (unrolled support fixed point)
         "mst": q.q_mst,  # SQL oracle (Kruskal-membership recursion)
         "adamic_adar": q.q_adamic_adar,  # SQL oracle (degree-histogram IEEE chain, bitwise)
@@ -1166,6 +1166,155 @@ FROM lp{rounds} f JOIN lp_par lk ON lk.vid = f.lab
 """
 
 
+def _eigenvector_sql(cap_bits: int = 49, max_pow_iters: int = 40) -> str:
+    """Bitwise twin of q_eigenvector: the integer-exact fixed power
+    iteration (x ← x + A'x from x0 = 1; T = max(1, largest t ≤
+    max_pow_iters with (1+W)^t ≤ 2^cap_bits), W = max weighted
+    degree) is pure integer arithmetic until ONE final
+    int→double→sqrt→divide chain — every step replays exactly in
+    HUGEINT + IEEE doubles.  Rounds are unrolled with a guard (rounds
+    past T freeze x), so the data-dependent T needs no recursion."""
+    rounds = []
+    for t in range(1, max_pow_iters + 1):
+        p = t - 1
+        rounds.append(
+            f"""ev{t} AS MATERIALIZED (
+  SELECT e.key,
+    CASE WHEN {t} <= (SELECT tmax FROM evt)
+         THEN e.x + COALESCE(s.sx, 0) ELSE e.x END AS x
+  FROM ev{p} e
+  LEFT JOIN (
+    SELECT a.d AS key, SUM(ee.x * a.w) AS sx
+    FROM evw a JOIN ev{p} ee ON ee.key = a.s
+    GROUP BY a.d
+  ) s ON s.key = e.key
+)"""
+        )
+    ctes = ",\n".join(rounds)
+    cap = 1 << cap_bits
+    return f"""
+{_LINK_PAIRS},
+evw AS MATERIALIZED (
+  SELECT src_key AS s, dst_key AS d, CAST(weight AS HUGEINT) AS w
+  FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key, CAST(weight AS HUGEINT) FROM link_pairs
+),
+evwdeg AS (
+  SELECT COALESCE(MAX(sw), 0) AS w FROM (
+    SELECT d, SUM(w) AS sw FROM evw GROUP BY d
+  )
+),
+evpow AS (
+  WITH RECURSIVE p(t, val) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL
+    SELECT p.t + 1, p.val * (1 + (SELECT w FROM evwdeg))
+    FROM p
+    WHERE p.t < {max_pow_iters}
+      AND p.val * (1 + (SELECT w FROM evwdeg)) <= {cap}
+  )
+  SELECT t, val FROM p
+),
+evt AS (SELECT GREATEST(1, MAX(t)) AS tmax FROM evpow),
+ev0 AS (SELECT key, CAST(1 AS HUGEINT) AS x FROM keys),
+{ctes},
+evs AS (SELECT SUM(x * x) AS s FROM ev{max_pow_iters})
+SELECT e.key,
+  CAST(e.x AS DOUBLE) / sqrt(CAST((SELECT s FROM evs) AS DOUBLE))
+    AS centrality
+FROM ev{max_pow_iters} e
+"""
+
+
+def _hits_sql(cap_bits: int = 49, max_pow_iters: int = 40) -> str:
+    """Bitwise twin of q_hits: integer-exact alternating power
+    iteration on the doc-derived directed graph (h0 = 1, norms pinned
+    at 1; S = max(2, largest even s ≤ max_pow_iters with W^s ≤
+    2^cap_bits), W = max weighted in/out degree).  All supersteps are
+    pure HUGEINT arithmetic; the final per-half sum normalization is
+    one int→double rounding + IEEE division per value, exactly as
+    kernels/hits.py::hits_fixed_integer computes it."""
+    cap = 1 << cap_bits
+    steps = []
+    for t in range(1, max_pow_iters + 1):
+        p = t - 1
+        if t % 2 == 1:  # kernel superstep t-1 is even: auth update
+            steps.append(
+                f"""ha{t} AS MATERIALIZED (
+  SELECT a.vid,
+    CASE WHEN {t} <= (SELECT s FROM hS)
+         THEN COALESCE(su.x, 0) ELSE a.x END AS x
+  FROM ha{p} a
+  LEFT JOIN (
+    SELECT ar.d AS vid, SUM(hh.x * ar.w) AS x
+    FROM harcs ar JOIN hh{p} hh ON hh.vid = ar.s
+    GROUP BY ar.d
+  ) su ON su.vid = a.vid
+),
+hh{t} AS (SELECT vid, x FROM hh{p})"""
+            )
+        else:  # hub update from the just-updated auth half
+            steps.append(
+                f"""hh{t} AS MATERIALIZED (
+  SELECT h.vid,
+    CASE WHEN {t} <= (SELECT s FROM hS)
+         THEN COALESCE(su.x, 0) ELSE h.x END AS x
+  FROM hh{p} h
+  LEFT JOIN (
+    SELECT ar.s AS vid, SUM(aa.x * ar.w) AS x
+    FROM harcs ar JOIN ha{p} aa ON aa.vid = ar.d
+    GROUP BY ar.s
+  ) su ON su.vid = h.vid
+),
+ha{t} AS (SELECT vid, x FROM ha{p})"""
+            )
+    ctes = ",\n".join(steps)
+    T = max_pow_iters
+    return f"""
+WITH hdocs AS (
+  SELECT doc_id % 101 AS s, (doc_id * 37 + 11) % 101 AS d FROM documents
+),
+harcs AS MATERIALIZED (
+  SELECT s, d, CAST(COUNT(*) AS HUGEINT) AS w
+  FROM hdocs WHERE s != d GROUP BY s, d
+),
+hW AS (SELECT GREATEST(
+  COALESCE((SELECT MAX(x) FROM (SELECT SUM(w) AS x FROM harcs GROUP BY d)), 0),
+  COALESCE((SELECT MAX(x) FROM (SELECT SUM(w) AS x FROM harcs GROUP BY s)), 0)
+) AS w),
+hpow AS (
+  WITH RECURSIVE p(t, val) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL
+    SELECT p.t + 1, p.val * (SELECT w FROM hW)
+    FROM p
+    WHERE p.t < {max_pow_iters}
+      AND (SELECT w FROM hW) >= 1
+      AND p.val * (SELECT w FROM hW) <= {cap}
+  )
+  SELECT t FROM p
+),
+hS AS (
+  SELECT CASE WHEN (SELECT w FROM hW) = 0 THEN 2
+              ELSE GREATEST(2, (SELECT MAX(t) FROM hpow WHERE t % 2 = 0))
+         END AS s
+),
+hv AS (SELECT CAST(range AS BIGINT) AS vid FROM range(0, 101)),
+ha0 AS (SELECT vid, CAST(0 AS HUGEINT) AS x FROM hv),
+hh0 AS (SELECT vid, CAST(1 AS HUGEINT) AS x FROM hv),
+{ctes},
+hsa AS (SELECT SUM(x) AS s FROM ha{T}),
+hsh AS (SELECT SUM(x) AS s FROM hh{T})
+SELECT a.vid,
+  CAST(a.x AS DOUBLE) / (CASE WHEN COALESCE((SELECT s FROM hsa), 0) = 0
+    THEN 1.0 ELSE CAST((SELECT s FROM hsa) AS DOUBLE) END) AS authority,
+  CAST(h.x AS DOUBLE) / (CASE WHEN COALESCE((SELECT s FROM hsh), 0) = 0
+    THEN 1.0 ELSE CAST((SELECT s FROM hsh) AS DOUBLE) END) AS hub
+FROM ha{T} a JOIN hh{T} h ON h.vid = a.vid
+"""
+
+
 def _random_walks_sql(length: int = 8, seed: int = 42) -> str:
     """Bitwise twin of q_random_walks: the engine's walk is a pure
     function of (walk_id, step, seed) — splitmix64 of
@@ -2137,6 +2286,8 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "voterank": _voterank_sql(),
         "hyperball_nf": _hyperball_sql(),
         "label_propagation": _lpa_sql(),
+        "eigenvector": _eigenvector_sql(),
+        "hits": _hits_sql(),
         "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
         "adamic_adar": _wedge_chain_sql(
             "1.0 / ln(CAST(r.dw AS DOUBLE))", "adamic_adar"

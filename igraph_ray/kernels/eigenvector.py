@@ -57,6 +57,10 @@ class EigenvectorKernel:
     #: L2 norm of the current (unnormalized) state — updated by the
     #: driver in ``converged`` after every iteration's sumsq metric
     norm: float = 1.0
+    #: integer-exact mode (eigenvector_fixed_integer): x0 = ones, the
+    #: norm stays pinned at 1 so every intermediate is an
+    #: integer-valued float64 — sums become order-independent exact
+    integer_mode: bool = False
 
     state_value_cols: dict = field(
         default_factory=lambda: {
@@ -71,7 +75,9 @@ class EigenvectorKernel:
 
     def init_state(self, csr, part: int) -> dict[str, np.ndarray]:
         vids = csr.get("vids", np.empty(0, np.int64))
-        if self.nstart is None:
+        if self.integer_mode:
+            x0 = np.ones(len(vids))
+        elif self.nstart is None:
             x0 = np.full(len(vids), 1.0 / max(1, self.num_vertices))
         else:
             s = float(sum(self.nstart.values()))
@@ -158,6 +164,8 @@ class EigenvectorKernel:
         )
 
     def converged(self, metrics: dict[str, float], iteration: int) -> bool:
+        if self.integer_mode:
+            return False  # fixed iteration count, norm pinned at 1
         # driver-side norm feedback for the next iteration's scatter
         self.norm = float(np.sqrt(metrics["sumsq"])) or 1.0
         if iteration == 0:
@@ -198,4 +206,73 @@ def eigenvector_centrality(
 
     return run.state.map_batches(
         project, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def eigenvector_fixed_integer(
+    graph: GraphMeta,
+    num_vertices: int,
+    cap_bits: int = 49,
+    max_pow_iters: int = 40,
+) -> pa.Table:
+    """(vid, centrality) — INTEGER-EXACT fixed power iteration.
+
+    The same ``x ← x + A'x`` chassis loop, but from ``x0 = 1`` with
+    the norm pinned at 1: with integer edge weights every
+    intermediate value is an integer-valued float64, so all message
+    sums are ORDER-INDEPENDENT exact (no IEEE summation-order wobble
+    across partitionings) and the whole run — including the single
+    final L2 normalization, done once on the driver in exact integer
+    arithmetic — is bitwise reproducible and replayable by the
+    driver's DuckDB twin.
+
+    The iteration count is the shared deterministic rule
+    ``T = max(1, largest t ≤ max_pow_iters with (1+W)^t ≤ 2^cap_bits)``
+    (W = max weighted degree, an exact integer both sides compute),
+    which keeps every product/sum below 2^53 (float64's exact-integer
+    range).  Direction quality is (λ2/λ1)^T — a fixed-iteration
+    estimate, not the tol-converged nx iterate; nx parity of the
+    standard mode stays pytest-gated.  The final gather is bounded
+    (replay-scale surface; use ``eigenvector_centrality`` at scale).
+    """
+    import math
+
+    kernel = EigenvectorKernel(
+        num_vertices=num_vertices,
+        num_parts=graph.num_parts,
+        tol=0.0,
+        integer_mode=True,
+    )
+    # probe iteration: x1 = 1 + weighted_degree — yields W for free
+    run = run_kernel(kernel, graph, max_iter=1)
+
+    def gather(state) -> pa.Table:
+        return pa.concat_tables(
+            state.select_columns(["vid", "x"]).iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+        ).sort_by("vid")
+
+    t1 = gather(run.state)
+    x1 = t1.column("x").to_numpy(zero_copy_only=False)
+    W = int(x1.max()) - 1 if len(x1) else 0
+    cap = 1 << cap_bits
+    T = 1
+    while T < max_pow_iters and (1 + W) ** (T + 1) <= cap:
+        T += 1
+    if T > 1:
+        run = run_kernel(
+            kernel, graph, max_iter=T - 1, initial_state=run.state
+        )
+    tbl = gather(run.state)
+    x = tbl.column("x").to_numpy(zero_copy_only=False)
+    # exact integer sum of squares, then ONE deterministic rounding
+    # (int → float64, round-nearest — the same as SQL's HUGEINT cast)
+    S = sum(int(v) ** 2 for v in x)
+    norm = math.sqrt(float(S)) or 1.0
+    return pa.table(
+        {
+            "vid": tbl.column("vid"),
+            "centrality": pa.array(x / norm),
+        }
     )

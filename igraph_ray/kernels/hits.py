@@ -61,6 +61,9 @@ class HITSKernel:
     iteration: int = 0  # set by the chassis every superstep
     norm_auth: float = 1.0
     norm_hub: float = 1.0
+    #: integer-exact mode (hits_fixed_integer): h0 = 1, norms pinned
+    #: at 1 so every intermediate is an integer-valued float64
+    integer_mode: bool = False
 
     state_value_cols: dict = field(
         default_factory=lambda: {
@@ -81,9 +84,8 @@ class HITSKernel:
     def init_state(self, csr, part: int) -> dict[str, np.ndarray]:
         vids = csr.get("vids", np.empty(0, np.int64))
         # h0 uniform on hub copies; a0 = 0 (first superstep fills it)
-        x0 = np.where(
-            vids >= self.num_vertices, 1.0 / max(1, self.num_vertices), 0.0
-        )
+        h0 = 1.0 if self.integer_mode else 1.0 / max(1, self.num_vertices)
+        x0 = np.where(vids >= self.num_vertices, h0, 0.0)
         return {
             "x": x0,
             "xn_prev": np.zeros(len(vids)),
@@ -182,6 +184,8 @@ class HITSKernel:
         )
 
     def converged(self, metrics: dict[str, float], iteration: int) -> bool:
+        if self.integer_mode:
+            return False  # fixed supersteps, norms pinned at 1
         # the inactive half was rewritten as x/norm in apply → its norm
         # is now 1; the active half's fresh norm comes from sumsq
         norm_new = float(np.sqrt(metrics["sumsq"])) or 1.0
@@ -303,4 +307,89 @@ def hits(
 
     return merged.map_batches(
         normalize, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def hits_fixed_integer(
+    arcs: ray.data.Dataset,
+    graph_dir: str,
+    num_vertices: int,
+    cap_bits: int = 49,
+    max_pow_iters: int = 40,
+    num_parts: int | None = None,
+) -> pa.Table:
+    """(vid, authority, hub) — INTEGER-EXACT fixed alternating power
+    iteration (the SQL-twin surface, same recipe as
+    ``eigenvector_fixed_integer``): h0 = 1, norms pinned at 1 for S
+    supersteps, then ONE exact per-half sum normalization on the
+    driver.  With integer arc multiplicities every message sum is an
+    exact integer-valued float64 (< 2^53), so the run is
+    order-independent and bitwise SQL-replayable.
+
+    ``S = max(2, largest even s ≤ max_pow_iters with W^s ≤ 2^cap_bits)``
+    where ``W = max(max weighted in-degree, max weighted out-degree)``
+    (exact integers both sides compute); even S ends on a hub update
+    so both halves are fresh.  Bounded final gather — replay-scale
+    surface; use ``hits()`` at scale."""
+    from ray.data.aggregate import Count
+
+    from igraph_ray.api import build_graph
+
+    # W from the raw arc rows (weight-1 multiplicities: COUNT per
+    # endpoint == summed collapsed weights)
+    win = max(
+        (r["count()"] for r in arcs.groupby("dst").count().take_all()),
+        default=0,
+    )
+    wout = max(
+        (r["count()"] for r in arcs.groupby("src").count().take_all()),
+        default=0,
+    )
+    W = max(int(win), int(wout))
+    cap = 1 << cap_bits
+    S = 2
+    while S + 2 <= max_pow_iters and W >= 1 and W ** (S + 2) <= cap:
+        S += 2
+
+    doubled = doubled_hits_edges(arcs, num_vertices)
+    vertices = ray.data.range(2 * num_vertices).map_batches(
+        lambda b: pa.table({"vid": b.column("id")}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    graph = build_graph(
+        doubled, graph_dir, num_parts=num_parts, vertices=vertices
+    )
+    kernel = HITSKernel(
+        num_vertices=num_vertices,
+        num_parts=graph.num_parts,
+        tol=0.0,
+        integer_mode=True,
+    )
+    run = run_kernel(kernel, graph, max_iter=S)
+
+    tbl = pa.concat_tables(
+        run.state.select_columns(["vid", "x"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    vid = tbl.column("vid").to_numpy(zero_copy_only=False)
+    x = tbl.column("x").to_numpy(zero_copy_only=False)
+    is_hub = vid >= num_vertices
+    a = x[~is_hub]
+    a_vid = vid[~is_hub]
+    h = x[is_hub]
+    h_vid = vid[is_hub] - num_vertices
+    # exact integer sums, one deterministic int→double rounding each
+    sa = float(sum(int(v) for v in a)) or 1.0
+    sh = float(sum(int(v) for v in h)) or 1.0
+    auth = dict(zip(a_vid.tolist(), (a / sa).tolist()))
+    hub = dict(zip(h_vid.tolist(), (h / sh).tolist()))
+    vids = sorted(set(auth) | set(hub))
+    return pa.table(
+        {
+            "vid": pa.array(vids, pa.int64()),
+            "authority": pa.array([auth.get(v, 0.0) for v in vids]),
+            "hub": pa.array([hub.get(v, 0.0) for v in vids]),
+        }
     )

@@ -2027,29 +2027,34 @@ def q_betweenness_weighted(sf_dir: str, graph_dir: str | None = None):
 
 def q_eigenvector(sf_dir: str, graph_dir: str | None = None):
     """(key, centrality) — eigenvector centrality over the E1∪E2
-    graph; rows-only (float fixed point), nx parity via pytest."""
+    graph via the INTEGER-EXACT fixed power iteration
+    (kernels/eigenvector.py::eigenvector_fixed_integer: x0 = 1, norm
+    pinned to 1 for T = f(max weighted degree) iterations, one exact
+    final normalization) — every sum is an exact integer, so the run
+    is order-independent and the DuckDB twin replays it bitwise.
+    nx-tol parity of the standard mode stays pytest-gated
+    (tests/test_eigen_hits.py)."""
     import tempfile
 
-    from igraph_ray.kernels.eigenvector import eigenvector_centrality
+    from igraph_ray.kernels.eigenvector import eigenvector_fixed_integer
 
     graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_ev_")
     graph, vtbl = _build_key_graph(sf_dir, graph_dir)
-    out = eigenvector_centrality(
-        graph, vtbl.num_rows, tol=1e-7, max_iter=500
-    )
-    tbl = pa.concat_tables(
-        out.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
+    tbl = eigenvector_fixed_integer(graph, vtbl.num_rows)
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
 
 
 def q_hits(sf_dir: str):
     """(vid, authority, hub) — HITS over the directed doc-derived
-    graph (vid = doc_id % 101 numeric keys); rows-only (float fixed
-    point), dense-eig parity via pytest."""
+    graph (vid = doc_id % 101 numeric keys) via the INTEGER-EXACT
+    fixed alternating power iteration
+    (kernels/hits.py::hits_fixed_integer: h0 = 1, norms pinned at 1,
+    exact final sum normalization) — order-independent, bitwise
+    DuckDB-replayable.  Tol-mode dense-eig parity stays pytest-gated
+    (tests/test_eigen_hits.py)."""
     import tempfile
 
-    from igraph_ray.kernels.hits import hits
+    from igraph_ray.kernels.hits import hits_fixed_integer
 
     def derive(batch: pa.Table) -> pa.Table:
         doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -2061,7 +2066,7 @@ def q_hits(sf_dir: str):
     arcs = documents(sf_dir).map_batches(
         derive, batch_format="pyarrow", zero_copy_batch=True
     )
-    return hits(arcs, tempfile.mkdtemp(prefix="igr_hits_"), 101, tol=1e-8)
+    return hits_fixed_integer(arcs, tempfile.mkdtemp(prefix="igr_hits_"), 101)
 
 
 def q_ktruss(sf_dir: str):

@@ -99,3 +99,58 @@ def test_hits_star_graph(tmp_graph_dir):
         assert auth[v] == pytest.approx(0.0)
         assert hub[v] == pytest.approx(1 / 3)
     assert hub[0] == pytest.approx(0.0)
+
+
+def test_eigenvector_fixed_integer_direction(tmp_graph_dir):
+    """The integer-exact fixed-power variant (the SQL-twin surface)
+    points in the nx eigenvector direction and is bitwise stable
+    across partitionings."""
+    from igraph_ray.kernels.eigenvector import eigenvector_fixed_integer
+
+    G = nx.gnm_random_graph(80, 240, seed=19)
+    g = graph_from_nx(G, tmp_graph_dir, num_parts=3)
+    tbl = eigenvector_fixed_integer(g, G.number_of_nodes())
+    got = dict(
+        zip(tbl.column("vid").to_pylist(), tbl.column("centrality").to_pylist())
+    )
+    ref = nx.eigenvector_centrality(G, tol=1e-10, max_iter=1000)
+    a = np.array([got[v] for v in sorted(G.nodes())])
+    b = np.array([ref[v] for v in sorted(G.nodes())])
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos > 0.995, cos
+    assert abs(float(a @ a) - 1.0) < 1e-12  # L2-normalized output
+
+    g2 = graph_from_nx(G, f"{tmp_graph_dir}/alt", num_parts=5)
+    tbl2 = eigenvector_fixed_integer(g2, G.number_of_nodes())
+    got2 = dict(
+        zip(tbl2.column("vid").to_pylist(), tbl2.column("centrality").to_pylist())
+    )
+    assert got == got2  # bitwise partition-independence
+
+
+def test_hits_fixed_integer_direction(tmp_graph_dir):
+    """Integer-exact fixed-power HITS (the SQL-twin surface): both
+    halves point in the dense-eig direction; sum-normalized."""
+    from igraph_ray.kernels.hits import hits_fixed_integer
+
+    G = nx.gnp_random_graph(40, 0.12, seed=7, directed=True)
+    n = G.number_of_nodes()
+    src, dst = nx_edge_arrays(G)
+    arcs = ray.data.from_arrow(
+        pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+    )
+    out = hits_fixed_integer(arcs, tmp_graph_dir, n)
+    auth = np.array(out.column("authority").to_pylist())
+    hub = np.array(out.column("hub").to_pylist())
+    ref_a, ref_h = _dense_hits_reference(G, n)
+    vids = out.column("vid").to_pylist()
+    a = np.array([ref_a[v] for v in vids])
+    h = np.array([ref_h[v] for v in vids])
+
+    def cos(x, y):
+        return float(x @ y / (np.linalg.norm(x) * np.linalg.norm(y) + 1e-30))
+
+    assert cos(auth, a) > 0.99, cos(auth, a)
+    assert cos(hub, h) > 0.99, cos(hub, h)
+    assert abs(auth.sum() - 1.0) < 1e-9
+    assert abs(hub.sum() - 1.0) < 1e-9
