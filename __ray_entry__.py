@@ -105,7 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": q.q_random_walks,  # SQL oracle (splitmix walk replay, bitwise)
         "maximal_independent_set": q.q_mis,  # SQL oracle (unrolled Luby splitmix replay, bitwise)
         "maximal_matching": q.q_maximal_matching,  # SQL oracle (unrolled local-max splitmix replay, bitwise)
-        "generated_rmat": q.q_generated_rmat,  # rows-only (generator source; pytest oracles)
+        "generated_rmat": q.q_generated_rmat,  # SQL oracle (per-edge splitmix quadrant replay, bitwise)
         "generated_ba": q.q_generated_ba,  # rows-only (generator source; pytest oracles)
         "generated_config_model": q.q_generated_config_model,  # SQL oracle (degree hist invariant)
         "generated_grg": q.q_generated_grg,  # SQL oracle (splitmix position replay, bitwise)
@@ -115,7 +115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "power_law_fit": q.q_power_law_fit,  # rows-only (CSN float MLE; brute pytest oracle)
         "degree_realization": q.q_degree_realization,  # SQL oracle (realized histogram == original)
         "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
-        "coloring": q.q_coloring,  # rows-only (iterated Luby; property oracle)
+        "coloring": q.q_coloring,  # SQL oracle (unrolled Luby epoch state machine, bitwise)
         "coloring_validity": q.q_coloring_validity,  # SQL oracle (property constants)
         "mis_validity": q.q_mis_validity,  # SQL oracle (property constants)
         "matching_validity": q.q_matching_validity,  # SQL oracle (property constants)
@@ -1435,6 +1435,154 @@ FROM v ORDER BY key
 """
 
 
+def _coloring_sql(pairs: int = 48) -> str:
+    """Bitwise twin of q_coloring: iterated-Luby greedy coloring is a
+    pure integer state machine — per round-pair k (the kernel's
+    GLOBAL rnd counter, which advances every even/odd pair regardless
+    of epoch rollovers), ACTIVE strict-local-minima of
+    splitmix64(vid ^ k·φ64) >> 2 join the epoch's MIS, their ACTIVE
+    neighbours become EXCLUDED, and when no ACTIVE remain a rollover
+    colors the members with the current epoch and reactivates the
+    EXCLUDED.  ``pairs`` unrolled pairs with a conditional-rollover
+    epoch counter replay it exactly; converged state makes later
+    pairs no-ops."""
+    m = 1 << 64
+    gold = 0x9E3779B97F4A7C15
+    kmix = " UNION ALL ".join(
+        f"SELECT vid, {k} AS k, CAST(xor(CAST(vid AS UBIGINT), "
+        f"CAST({(k * gold) % m} AS UBIGINT)) AS HUGEINT) AS z0 FROM v"
+        for k in range(pairs)
+    )
+    steps = []
+    for k in range(pairs):
+        steps.append(
+            f"""cjn{k} AS MATERIALIZED (
+  SELECT s.vid FROM cst{k} s JOIN cpri p ON p.vid = s.vid AND p.k = {k}
+  WHERE s.status = 0
+    AND NOT EXISTS (
+      SELECT 1 FROM varcs a
+      JOIN cst{k} t ON t.vid = a.s AND t.status = 0
+      JOIN cpri q ON q.vid = a.s AND q.k = {k}
+      WHERE a.d = s.vid AND q.p <= p.p
+    )
+),
+cex{k} AS MATERIALIZED (
+  SELECT s.vid FROM cst{k} s
+  WHERE s.status = 0 AND s.vid NOT IN (SELECT vid FROM cjn{k})
+    AND EXISTS (
+      SELECT 1 FROM varcs a
+      WHERE a.d = s.vid AND (
+        EXISTS (SELECT 1 FROM cst{k} t
+                WHERE t.vid = a.s AND t.status = 1)
+        OR a.s IN (SELECT vid FROM cjn{k}))
+    )
+),
+croll{k} AS (
+  SELECT (SELECT COUNT(*) FROM cst{k} s
+          WHERE s.status = 0
+            AND s.vid NOT IN (SELECT vid FROM cjn{k})
+            AND s.vid NOT IN (SELECT vid FROM cex{k})) = 0 AS f
+),
+cep{k + 1} AS (
+  SELECT e + CASE WHEN (SELECT f FROM croll{k}) THEN 1 ELSE 0 END AS e
+  FROM cep{k}
+),
+cst{k + 1} AS MATERIALIZED (
+  SELECT vid,
+    CASE WHEN s2 = 1 AND (SELECT f FROM croll{k}) THEN 3
+         WHEN s2 = 2 AND (SELECT f FROM croll{k}) THEN 0
+         ELSE s2 END AS status,
+    CASE WHEN s2 = 1 AND (SELECT f FROM croll{k})
+         THEN (SELECT e FROM cep{k}) ELSE color END AS color
+  FROM (
+    SELECT s.vid, s.color,
+      CASE WHEN s.status = 0 AND s.vid IN (SELECT vid FROM cjn{k})
+           THEN 1
+           WHEN s.status = 0 AND s.vid IN (SELECT vid FROM cex{k})
+           THEN 2
+           ELSE s.status END AS s2
+    FROM cst{k} s)
+)"""
+        )
+    ctes = ",\n".join(steps)
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+v AS MATERIALIZED (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+),
+varcs AS MATERIALIZED (
+  SELECT x.vid AS s, y.vid AS d
+  FROM arcs a JOIN v x ON a.s = x.key JOIN v y ON a.d = y.key
+),
+cpz AS ({kmix}),
+{_splitmix_chain_sql('cpz', 'cpm')},
+cpri AS MATERIALIZED (
+  SELECT vid, k, CAST(z >> 2 AS BIGINT) AS p FROM cpm4
+),
+cst0 AS MATERIALIZED (
+  SELECT vid, 0 AS status, CAST(-1 AS BIGINT) AS color FROM v
+),
+cep0 AS (SELECT CAST(0 AS BIGINT) AS e),
+{ctes}
+SELECT v.key, s.color
+FROM cst{pairs} s JOIN v ON v.vid = s.vid
+"""
+
+
+def _rmat_sql(scale: int = 12, seed: int = 42) -> str:
+    """Bitwise twin of q_generated_rmat: each R-MAT edge is a pure
+    function of its id — per level l, u = splitmix64(id ^ xorconst
+    (7919+l, seed)) / 2^64 picks the quadrant (right ⇔ u ≥ a+b,
+    down ⇔ u ∈ [a, a+b) ∪ [a+b+c, 1)) — so SQL rebuilds the exact
+    edge list (uint64→double cast + /2^64 round identically), then
+    the log2 degree histogram."""
+    a, b, c = 0.57, 0.19, 0.19
+    A, AB, ABC = repr(a), repr(a + b), repr(a + b + c)
+    consts = ", ".join(
+        f"({l}, {_grg_xor_const(7919 + l, seed)})" for l in range(scale)
+    )
+    return f"""
+WITH ids AS (
+  SELECT CAST(d.rn * 16 + t.j AS BIGINT) AS i
+  FROM (SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+        FROM documents) d
+  CROSS JOIN (SELECT CAST(range AS BIGINT) AS j FROM range(0, 16)) t
+),
+rlev(l, c) AS (VALUES {consts}),
+rmx0 AS (
+  SELECT i, l,
+         CAST(xor(CAST(i AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+           AS z0
+  FROM ids CROSS JOIN rlev
+),
+{_splitmix_chain_sql('rmx0', 'rmm')},
+rbits AS (
+  SELECT i, l,
+         CAST(z AS DOUBLE) / 18446744073709551616.0 AS u
+  FROM rmm4
+),
+redges AS MATERIALIZED (
+  SELECT i,
+    SUM(CASE WHEN u >= {AB} THEN 1 << ({scale} - 1 - l)
+             ELSE 0 END) AS src,
+    SUM(CASE WHEN (u >= {A} AND u < {AB}) OR u >= {ABC}
+             THEN 1 << ({scale} - 1 - l) ELSE 0 END) AS dst
+  FROM rbits GROUP BY i
+),
+rdegs AS (
+  SELECT vid, COUNT(*) AS degree FROM (
+    SELECT src AS vid FROM redges
+    UNION ALL
+    SELECT dst FROM redges
+  ) GROUP BY vid
+)
+SELECT CAST(FLOOR(LOG2(GREATEST(degree, 1))) AS BIGINT) AS degree_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_vertices
+FROM rdegs GROUP BY 1
+"""
+
+
 def _matching_sql(rounds: int = 6) -> str:
     """Bitwise twin of q_maximal_matching: the parallel greedy
     local-max schedule is a pure function of (a, b, round) — edge
@@ -2288,6 +2436,8 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "label_propagation": _lpa_sql(),
         "eigenvector": _eigenvector_sql(),
         "hits": _hits_sql(),
+        "coloring": _coloring_sql(),
+        "generated_rmat": _rmat_sql(),
         "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
         "adamic_adar": _wedge_chain_sql(
             "1.0 / ln(CAST(r.dw AS DOUBLE))", "adamic_adar"
