@@ -196,7 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_pairs_band": q.q_event_pairs_band,  # SQL oracle (band join)
         "purchase_attribution": q.q_purchase_attribution,  # SQL oracle (interval join)
         "props_k_stats": q.q_props_k_stats,  # SQL oracle (json_extract)
-        "approx_distinct_users": q.q_approx_distinct_users,  # rows-only (HLL; pytest accuracy oracle)
+        "approx_distinct_users": q.q_approx_distinct_users,  # SQL oracle (merged HLL registers, bitwise)
         "lineitem_rollup": q.q_lineitem_rollup,  # SQL oracle (GROUP BY ROLLUP)
         "lineitem_cube": q.q_lineitem_cube,  # SQL oracle (GROUP BY CUBE)
         "segment_status_pivot": q.q_segment_status_pivot,  # SQL oracle (cond. agg)
@@ -1583,6 +1583,48 @@ FROM rdegs GROUP BY 1
 """
 
 
+def _hll_registers_sql(p: int = 14) -> str:
+    """Bitwise twin of q_approx_distinct_users: per distinct
+    (event_type, user) the register index is the hash's top p bits
+    and the value is leading-zeros(+1) of the remaining left-aligned
+    bits (stages/sketch.py::_fold) — all integers, merged by MAX, so
+    a splitmix chain + 6-step msb scan + GROUP BY MAX replays the
+    nonzero register rows exactly."""
+    m64 = "18446744073709551616"
+    shift_idx = 1 << (64 - p)
+    steps = ""
+    prev = "hr0"
+    for i, sh in enumerate((32, 16, 8, 4, 2, 1)):
+        cur = f"hrm{i}"
+        steps += f""",
+{cur} AS (
+  SELECT key, idx, rest,
+         hi + CASE WHEN b >= {1 << sh} THEN {sh} ELSE 0 END AS hi,
+         CASE WHEN b >= {1 << sh} THEN b // {1 << sh} ELSE b END AS b
+  FROM {prev}
+)"""
+        prev = cur
+    return f"""
+WITH hu AS (SELECT DISTINCT event_type, user_id FROM events),
+hz AS (SELECT event_type, CAST(user_id AS HUGEINT) AS z0 FROM hu),
+{_splitmix_chain_sql('hz', 'hlm')},
+hr0 AS (
+  SELECT event_type AS key,
+         CAST(z // {shift_idx} AS BIGINT) AS idx,
+         CAST((CAST(z AS HUGEINT) * {1 << p}) % {m64} AS HUGEINT) AS rest,
+         0 AS hi,
+         CAST((CAST(z AS HUGEINT) * {1 << p}) % {m64} AS HUGEINT) AS b
+  FROM hlm4
+){steps}
+SELECT key,
+       idx AS reg_index,
+       MAX(CASE WHEN rest != 0 THEN LEAST(64 - hi, {64 - p + 1})
+                ELSE {64 - p + 1} END) AS reg_value
+FROM {prev}
+GROUP BY key, idx
+"""
+
+
 def _matching_sql(rounds: int = 6) -> str:
     """Bitwise twin of q_maximal_matching: the parallel greedy
     local-max schedule is a pure function of (a, b, round) — edge
@@ -2438,6 +2480,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),
+        "approx_distinct_users": _hll_registers_sql(),
         "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
         "adamic_adar": _wedge_chain_sql(
             "1.0 / ln(CAST(r.dw AS DOUBLE))", "adamic_adar"

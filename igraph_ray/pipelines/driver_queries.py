@@ -4353,17 +4353,18 @@ def q_lineitem_rollup(sf_dir: str):
 
 
 def q_approx_distinct_users(sf_dir: str):
-    """(key=event_type, approx_distinct) — one-pass HyperLogLog
-    per-group distinct users (p=14, ~0.8% rse; deterministic splitmix
-    hash so the estimate is stable across runs/partitionings).
-    Rows-only in the gate; accuracy property-tested in
-    tests/test_sketch.py against exact distinct counts."""
-    from igraph_ray.stages.sketch import hll_distinct_by
+    """(key=event_type, reg_index, reg_value) — the merged per-group
+    HyperLogLog REGISTERS (p=14, nonzero rows): exact
+    splitmix64-derived integers combined by max, bitwise
+    SQL-replayable (round-5 promotion — the float estimate has no
+    defined summation order; it derives from these rows and stays
+    pytest-gated in tests/test_sketch.py with the accuracy oracle)."""
+    from igraph_ray.stages.sketch import hll_registers_by
 
     ev = ray.data.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
-    return hll_distinct_by(ev, "event_type", "user_id", p=14)
+    return hll_registers_by(ev, "event_type", "user_id", p=14)
 
 
 def q_props_k_stats(sf_dir: str):

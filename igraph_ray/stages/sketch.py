@@ -415,3 +415,56 @@ def hll_set_ops(
         "union": union,
         "intersection": max(0.0, n_a + n_b - union),
     }
+
+
+def hll_registers_by(
+    ds: ray.data.Dataset, key_col: str, col: str, p: int = 12
+) -> pa.Table:
+    """(key, reg_index, reg_value) — the merged per-group HLL
+    REGISTERS (nonzero rows only).  Registers are exact
+    splitmix64-derived integers combined by max (order-independent),
+    so unlike the float estimate this surface is bitwise
+    SQL-replayable; ``_estimate`` over these rows reproduces
+    ``hll_distinct_by`` exactly (pytest-gated)."""
+
+    def fold(batch: pa.Table) -> pa.Table:
+        g = batch.column(key_col)
+        k = batch.column(col).to_numpy(zero_copy_only=False)
+        import pyarrow.compute as pc
+
+        uniq = pc.unique(g)
+        garr = g.to_numpy(zero_copy_only=False)
+        out_g, out_r = [], []
+        for gv in uniq.to_pylist():
+            out_g.append(gv)
+            out_r.append(_fold(k[garr == gv], p).tobytes())
+        return pa.table(
+            {
+                "g": pa.array(out_g, g.type),
+                "regs": pa.array(out_r, pa.binary()),
+            }
+        )
+
+    acc: dict = {}
+    for b in (
+        ds.map_batches(fold, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ):
+        for gv, blob in zip(
+            b.column("g").to_pylist(), b.column("regs").to_pylist()
+        ):
+            r = np.frombuffer(blob, np.uint8)
+            acc[gv] = np.maximum(acc[gv], r) if gv in acc else r
+    keys, idxs, vals = [], [], []
+    for gv in sorted(acc):
+        nz = np.flatnonzero(acc[gv])
+        keys.extend([gv] * len(nz))
+        idxs.extend(nz.tolist())
+        vals.extend(acc[gv][nz].tolist())
+    return pa.table(
+        {
+            "key": pa.array(keys),
+            "reg_index": pa.array(idxs, pa.int64()),
+            "reg_value": pa.array(vals, pa.int64()),
+        }
+    )

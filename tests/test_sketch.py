@@ -215,3 +215,45 @@ def test_hll_set_ops_accuracy_and_union_merge():
     # determinism across layouts
     out2 = hll_set_ops(ds.repartition(2), "g", "v", 0, 1)
     assert out == out2
+
+
+def test_hll_registers_reproduce_estimate(ray_session):
+    """hll_registers_by (the SQL-twin surface) carries exactly the
+    state hll_distinct_by estimates from: rebuilding the dense
+    register array from the nonzero rows and running _estimate
+    reproduces the per-group estimates bitwise."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from igraph_ray.stages.sketch import (
+        _estimate,
+        hll_distinct_by,
+        hll_registers_by,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    tbl = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 3, n).astype("str")),
+            "u": pa.array(rng.integers(0, 800, n)),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    est = hll_distinct_by(ds, "g", "u", p=10)
+    regs = hll_registers_by(ds, "g", "u", p=10)
+    want = dict(
+        zip(est.column("key").to_pylist(),
+            est.column("approx_distinct").to_pylist())
+    )
+    by_key: dict = {}
+    for k, i, v in zip(
+        regs.column("key").to_pylist(),
+        regs.column("reg_index").to_pylist(),
+        regs.column("reg_value").to_pylist(),
+    ):
+        by_key.setdefault(k, np.zeros(1 << 10, np.uint8))[i] = v
+    assert set(by_key) == set(want)
+    for k, arr in by_key.items():
+        assert float(_estimate(arr)) == want[k], k
