@@ -64,7 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": q.q_lpa,  # SQL oracle (semi-sync integer rounds, bitwise)
         "louvain": q.q_louvain,  # rows-only (§2.3(1); quality-tested)
         "leiden": q.q_leiden,  # rows-only (quality+connectivity tested)
-        "fastgreedy": q.q_fastgreedy,  # rows-only (nx CNM parity pytest)
+        "fastgreedy": q.q_fastgreedy,  # SQL oracle (exact scaled-int CNM merge replay, bitwise)
         "girvan_newman": q.q_girvan_newman,  # rows-only (nx GN parity pytest)
         "walktrap": q.q_walktrap,  # rows-only (brute-force merge parity pytest)
         "infomap": q.q_infomap,  # rows-only (codelength local-optimum pytest)
@@ -1625,6 +1625,114 @@ GROUP BY key, idx
 """
 
 
+def _fastgreedy_sql(rounds: int = 100) -> str:
+    """Bitwise twin of q_fastgreedy: at resolution 1 the engine runs
+    CNM in exact scaled-integer arithmetic (dq̂ = 4m·w_ij − 2·K_i·K_j,
+    q̂ = 4m·L − K², both ×4m² — kernels/community_extra.py::_cnm_py),
+    so the greedy agglomeration is a deterministic integer process:
+    per round, merge the argmax-(d, then smallest i, j) adjacent pair,
+    fold weights/degrees, and finally cut at the FIRST maximum of the
+    q̂ prefix series.  ``rounds`` unrolled merge rounds (no-ops once
+    the pair table is empty) + a parent-chain closure replay it
+    exactly."""
+    steps = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(
+            f"""fx{r} AS MATERIALIZED (
+  SELECT e.i, e.j,
+         4 * (SELECT m FROM fgm) * e.w - 2 * ki.k * kj.k AS d
+  FROM fe{p} e
+  JOIN fk{p} ki ON ki.c = e.i
+  JOIN fk{p} kj ON kj.c = e.j
+  ORDER BY d DESC, e.i, e.j LIMIT 1
+),
+fm{r} AS MATERIALIZED (
+  SELECT * FROM fm{p}
+  UNION ALL
+  SELECT {r} AS t, i, j, d FROM fx{r}
+),
+fe{r} AS MATERIALIZED (
+  SELECT LEAST(a2, b2) AS i, GREATEST(a2, b2) AS j, SUM(w) AS w
+  FROM (
+    SELECT CASE WHEN e.i = (SELECT j FROM fx{r})
+                THEN (SELECT i FROM fx{r}) ELSE e.i END AS a2,
+           CASE WHEN e.j = (SELECT j FROM fx{r})
+                THEN (SELECT i FROM fx{r}) ELSE e.j END AS b2,
+           e.w
+    FROM fe{p} e
+    WHERE NOT (e.i = COALESCE((SELECT i FROM fx{r}), -1)
+               AND e.j = COALESCE((SELECT j FROM fx{r}), -1))
+  )
+  WHERE a2 != b2
+  GROUP BY 1, 2
+),
+fk{r} AS MATERIALIZED (
+  SELECT c,
+         k + CASE WHEN c = (SELECT i FROM fx{r})
+                  THEN (SELECT k FROM fk{p}
+                        WHERE c = (SELECT j FROM fx{r}))
+                  ELSE 0 END AS k
+  FROM fk{p}
+  WHERE c != COALESCE((SELECT j FROM fx{r}), -1)
+)"""
+        )
+    ctes = ",\n".join(steps)
+    return f"""
+{_LINK_PAIRS},
+fverts AS MATERIALIZED (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+),
+fpairs AS MATERIALIZED (
+  SELECT LEAST(x.vid, y.vid) AS i, GREATEST(x.vid, y.vid) AS j,
+         CAST(SUM(p.weight) AS BIGINT) AS w
+  FROM link_pairs p
+  JOIN fverts x ON x.key = p.src_key
+  JOIN fverts y ON y.key = p.dst_key
+  GROUP BY 1, 2
+),
+fgm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM fpairs),
+fe0 AS (SELECT i, j, w FROM fpairs),
+fk0 AS MATERIALIZED (
+  SELECT c, CAST(SUM(w) AS BIGINT) AS k FROM (
+    SELECT i AS c, w FROM fpairs
+    UNION ALL
+    SELECT j, w FROM fpairs
+  ) GROUP BY c
+),
+fm0 AS (SELECT CAST(NULL AS BIGINT) AS t, CAST(NULL AS BIGINT) AS i,
+               CAST(NULL AS BIGINT) AS j, CAST(NULL AS BIGINT) AS d
+        WHERE FALSE),
+{ctes},
+fq0 AS (SELECT -(SELECT SUM(k * k) FROM fk0) AS q),
+fqs AS (
+  SELECT t, (SELECT q FROM fq0) + SUM(d) OVER (ORDER BY t) AS q
+  FROM fm{rounds}
+  UNION ALL
+  SELECT 0, (SELECT q FROM fq0)
+),
+fbest AS (SELECT t FROM fqs ORDER BY q DESC, t ASC LIMIT 1),
+fmb AS MATERIALIZED (
+  SELECT i, j FROM fm{rounds} WHERE t <= (SELECT t FROM fbest)
+),
+fvg AS (SELECT DISTINCT vid FROM (
+  SELECT i AS vid FROM fpairs UNION ALL SELECT j FROM fpairs
+)),
+fch AS (
+  WITH RECURSIVE c(v, r) AS (
+    SELECT vid, vid FROM fvg
+    UNION ALL
+    SELECT c.v, mg.i FROM c JOIN fmb mg ON mg.j = c.r
+  )
+  SELECT v, r FROM c WHERE r NOT IN (SELECT j FROM fmb)
+)
+SELECT kv.key, lk.key AS community_key
+FROM fch
+JOIN fverts kv ON kv.vid = fch.v
+JOIN fverts lk ON lk.vid = fch.r
+"""
+
+
 def _matching_sql(rounds: int = 6) -> str:
     """Bitwise twin of q_maximal_matching: the parallel greedy
     local-max schedule is a pure function of (a, b, round) — edge
@@ -2481,6 +2589,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),
         "approx_distinct_users": _hll_registers_sql(),
+        "fastgreedy": _fastgreedy_sql(),
         "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
         "adamic_adar": _wedge_chain_sql(
             "1.0 / ln(CAST(r.dw AS DOUBLE))", "adamic_adar"

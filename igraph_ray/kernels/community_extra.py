@@ -84,8 +84,20 @@ def _cnm_py(
 
     gamma = float(resolution)
     two_m = 2.0 * m
+    # resolution-1 EXACT-INTEGER mode (integer weights): ΔQ and Q are
+    # tracked scaled by 4m² — dq̂ = 4m·w_ij − 2·K_i·K_j, q̂ = 4m·L −
+    # K² — all integer-valued float64 (< 2^53 far past this gather
+    # bound), so merge decisions, tie-breaks and the best-prefix cut
+    # are order-independent exact and the driver's DuckDB twin can
+    # replay the whole agglomeration bitwise.  A positive scale is
+    # order-isomorphic, so the partition equals the float
+    # formulation's up to exact ties (which floats broke arbitrarily).
+    exact = gamma == 1.0 and float(w.astype(np.int64).sum()) == m
+    scale = 4.0 * m * m if exact else 1.0
 
     def dq_of(i: int, j: int) -> float:
+        if exact:
+            return 4.0 * m * nbr[i][j] - 2.0 * K[i] * K[j]
         return nbr[i][j] / m - gamma * K[i] * K[j] / (2.0 * m * m)
 
     # lazy max-heap keyed (-dq, a, b): stale entries are skipped when
@@ -102,7 +114,10 @@ def _cnm_py(
 
     alive = np.ones(n, dtype=bool)
     parent = np.arange(n, dtype=np.int64)
-    q0 = float((L / m - gamma * (K / two_m) ** 2).sum())
+    if exact:
+        q0 = float((4.0 * m * L - K * K).sum())
+    else:
+        q0 = float((L / m - gamma * (K / two_m) ** 2).sum())
     qs = [q0]
     merges: list[tuple[int, int]] = []
 
@@ -140,6 +155,8 @@ def _cnm_py(
             heapq.heappush(heap, (-d, lo, hi))
 
     best = int(np.argmax(np.array(qs)))
+    if exact:
+        qs = [q / scale for q in qs]  # report in modularity units
     # replay the first `best` merges through a union-find
     uf = np.arange(n, dtype=np.int64)
 

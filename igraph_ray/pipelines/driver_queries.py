@@ -591,9 +591,11 @@ def q_leiden(sf_dir: str):
 def q_fastgreedy(sf_dir: str):
     """(key, community_key) — CNM greedy-modularity communities over
     the E1∪E2 graph cut at the max-Q dendrogram prefix (igraph
-    community_fastgreedy + as_clustering); rows-only (heap-ordered
-    greedy merges are not SQL-expressible); exact
-    nx.greedy_modularity_communities parity asserted in
+    community_fastgreedy + as_clustering).  At resolution 1 the
+    engine agglomerates in exact scaled-integer arithmetic
+    (dq̂ = 4m·w − 2·K_i·K_j), so the DuckDB twin replays the merge
+    sequence bitwise (round-5 promotion); exact
+    nx.greedy_modularity_communities parity stays asserted in
     tests/test_community_extra.py."""
     from igraph_ray.kernels.community_extra import fastgreedy
 
