@@ -132,6 +132,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_shortest_paths": q.q_k_shortest_paths,  # rows-only (Yen recursion)
         "fr_layout": q.q_fr_layout,  # rows-only (force simulation)
         "kk_layout": q.q_kk_layout,  # rows-only (stress-majorization layout; stress/structure pytest oracles)
+        "circle_layout": q.q_circle_layout,  # rows-only (libm trig; geometry pytest oracle)
+        "star_layout": q.q_star_layout,  # rows-only (libm trig; geometry pytest oracle)
+        "grid_layout": q.q_grid_layout,  # SQL oracle (exact integer grid, bitwise)
+        "tree_layout": q.q_tree_layout,  # rows-only (RT mean-of-children; structure pytest oracle)
         "spinglass": q.q_spinglass,  # rows-only (seeded Potts annealing; quality pytest oracles)
         "cohesive_blocks": q.q_cohesive_blocks,  # rows-only (min-separator recursion; brute-parity pytest oracle)
         "assortativity": q.q_assortativity,  # SQL oracle
@@ -1733,6 +1737,24 @@ JOIN fverts lk ON lk.vid = fch.r
 """
 
 
+def _grid_layout_sql() -> str:
+    """Bitwise twin of q_grid_layout: x = vid % w, y = vid // w with
+    w = ceil(sqrt(n)) — exact integers (sqrt of the integer n rounds
+    identically on both sides; ties only at perfect squares, where
+    sqrt is exact)."""
+    return f"""
+{_LINK_PAIRS},
+glv AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid
+        FROM keys),
+gw AS (SELECT CAST(CEIL(SQRT(CAST((SELECT COUNT(*) FROM keys)
+                               AS DOUBLE))) AS BIGINT) AS w)
+SELECT key,
+       vid % (SELECT w FROM gw) AS x,
+       vid // (SELECT w FROM gw) AS y
+FROM glv
+"""
+
+
 def _matching_sql(rounds: int = 6) -> str:
     """Bitwise twin of q_maximal_matching: the parallel greedy
     local-max schedule is a pure function of (a, b, round) — edge
@@ -2590,6 +2612,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "generated_rmat": _rmat_sql(),
         "approx_distinct_users": _hll_registers_sql(),
         "fastgreedy": _fastgreedy_sql(),
+        "grid_layout": _grid_layout_sql(),
         "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
         "adamic_adar": _wedge_chain_sql(
             "1.0 / ln(CAST(r.dw AS DOUBLE))", "adamic_adar"

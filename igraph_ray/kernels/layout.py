@@ -376,3 +376,177 @@ def kamada_kawai(
 
     out = state.select_columns(["vid", "x", "y"])
     return out, stress_trace
+
+
+# ---------------------------------------------------------------------------
+# Closed-form / tree layouts (igraph layout_circle / layout_star /
+# layout_grid / layout_reingold_tilford)
+# ---------------------------------------------------------------------------
+#
+# circle/star/grid are per-vertex closed forms — pure distributed
+# map_batches over the vertex table, no bound.  The Reingold–Tilford
+# tree layout needs the whole parent forest (the classic algorithm is
+# a sequential post-order sweep), so like FR/KK it is a
+# BROADCAST-bounded visualization surface: the BFS parent forest
+# comes from the distributed SSSP kernel, the sweep runs once on the
+# gathered (bounded) forest.
+
+
+def circle_layout(
+    vertices: ray.data.Dataset, n: int
+) -> ray.data.Dataset:
+    """Rows ``(vid, x, y)`` — vertex vid at angle 2π·vid/n on the
+    unit circle (igraph ``layout_circle``: vertices in id order)."""
+
+    def place(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False)
+        ang = 2.0 * np.pi * vid.astype(np.float64) / max(1, n)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "x": pa.array(np.cos(ang)),
+                "y": pa.array(np.sin(ang)),
+            }
+        )
+
+    return vertices.map_batches(
+        place, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def star_layout(
+    vertices: ray.data.Dataset, n: int, center: int = 0
+) -> ray.data.Dataset:
+    """Rows ``(vid, x, y)`` — ``center`` at the origin, every other
+    vertex on the unit circle in id order (igraph ``layout_star``)."""
+
+    def place(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False)
+        # rank among non-center vertices in id order
+        rank = vid.astype(np.int64).copy()
+        rank[vid > center] -= 1
+        ang = 2.0 * np.pi * rank.astype(np.float64) / max(1, n - 1)
+        x = np.where(vid == center, 0.0, np.cos(ang))
+        y = np.where(vid == center, 0.0, np.sin(ang))
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "x": pa.array(x),
+                "y": pa.array(y),
+            }
+        )
+
+    return vertices.map_batches(
+        place, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def grid_layout(
+    vertices: ray.data.Dataset, n: int, width: int | None = None
+) -> ray.data.Dataset:
+    """Rows ``(vid, x, y)`` — row-major integer grid, default width
+    ``ceil(sqrt(n))`` (igraph ``layout_grid``).  Exact integers —
+    the driver's DuckDB twin replays it bitwise."""
+    w = width or int(np.ceil(np.sqrt(max(1, n))))
+
+    def place(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "x": pa.array((vid % w).astype(np.int64)),
+                "y": pa.array((vid // w).astype(np.int64)),
+            }
+        )
+
+    return vertices.map_batches(
+        place, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def reingold_tilford(
+    graph: GraphMeta,
+    root: int = 0,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+) -> pa.Table:
+    """(vid, x, y) — simplified Reingold–Tilford tree layout over the
+    BFS forest of the graph (igraph ``layout_reingold_tilford``
+    semantics: y = BFS depth from the root, children ordered by vid,
+    leaves at consecutive integer x in post-order, internal vertices
+    centered over their children).  Vertices OUTSIDE the root's
+    component have no parent in the BFS forest and are placed as
+    depth-0 singleton roots to the right of the tree, in vid order
+    (igraph lays out such vertices via additional roots; pass their
+    vids as extra ``shortest_path_tree`` sources for full multi-root
+    parity — future surface).  The parent forest comes from the
+    distributed BFS-tree kernel; the post-order sweep runs on the
+    gathered (BROADCAST-bounded) forest — a visualization surface,
+    like FR/KK."""
+    from igraph_ray.kernels.sssp import shortest_path_tree
+
+    if graph.num_vertices > broadcast_max_vertices:
+        raise NotImplementedError(
+            f"reingold_tilford layout bound: {graph.num_vertices} "
+            f"vertices > {broadcast_max_vertices}; lay out a quotient"
+        )
+    run = shortest_path_tree(graph, source=root, weighted=False)
+    tbl = pa.concat_tables(
+        run.state.select_columns(["vid", "dist", "parent"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    ).sort_by("vid")
+    vids = tbl.column("vid").to_numpy(zero_copy_only=False)
+    parent = tbl.column("parent").to_numpy(zero_copy_only=False).copy()
+    dist = tbl.column("dist").to_numpy(zero_copy_only=False)
+
+    pos = {int(v): i for i, v in enumerate(vids)}
+    unreachable = ~np.isfinite(dist)
+    # vertices outside the root's component carry no parent in the
+    # BFS forest → depth-0 singleton roots (see docstring)
+    depth = np.where(unreachable, 0.0, dist).astype(np.float64)
+    parent[unreachable] = -1
+
+    children: dict[int, list[int]] = {}
+    roots: list[int] = []
+    for i, v in enumerate(vids):
+        p = int(parent[i])
+        if p < 0:
+            roots.append(int(v))
+        else:
+            children.setdefault(p, []).append(int(v))
+    for c in children.values():
+        c.sort()
+    roots.sort()
+    # make the SSSP root first (igraph convention)
+    if root in roots:
+        roots.remove(root)
+        roots.insert(0, root)
+
+    x = np.zeros(len(vids), np.float64)
+    next_leaf = 0
+    for r in roots:
+        # iterative post-order
+        stack: list[tuple[int, bool]] = [(r, False)]
+        while stack:
+            v, done = stack.pop()
+            if done:
+                ch = children.get(v, [])
+                if ch:
+                    x[pos[v]] = float(
+                        np.mean([x[pos[c]] for c in ch])
+                    )
+                else:
+                    x[pos[v]] = float(next_leaf)
+                    next_leaf += 1
+                continue
+            stack.append((v, True))
+            for c in reversed(children.get(v, [])):
+                stack.append((c, False))
+
+    return pa.table(
+        {
+            "vid": pa.array(vids),
+            "x": pa.array(x),
+            "y": pa.array(depth),
+        }
+    )

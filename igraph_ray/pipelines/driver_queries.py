@@ -8431,6 +8431,82 @@ def q_kk_layout(sf_dir: str, graph_dir: str | None = None):
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
 
 
+def q_circle_layout(sf_dir: str, graph_dir: str | None = None):
+    """(key, x, y) — circular layout of the E1∪E2 key graph (igraph
+    layout_circle: vertex i at angle 2πi/n in id order;
+    kernels/layout.py::circle_layout).  Rows-only (libm trig — numpy
+    vector cos/sin vs DuckDB scalar libm differ in the last ulp);
+    exact-geometry pytest oracle in tests/test_layout_simple.py."""
+    import tempfile
+
+    from igraph_ray.kernels.layout import circle_layout
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_lc_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vertices = ray.data.from_arrow(vtbl.select(["vid"]))
+    out = circle_layout(vertices, vtbl.num_rows)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_star_layout(sf_dir: str, graph_dir: str | None = None):
+    """(key, x, y) — star layout of the E1∪E2 key graph (igraph
+    layout_star: vertex 0 at the origin, the rest on the unit circle
+    in id order; kernels/layout.py::star_layout).  Rows-only (trig);
+    pytest oracle in tests/test_layout_simple.py."""
+    import tempfile
+
+    from igraph_ray.kernels.layout import star_layout
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_ls_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vertices = ray.data.from_arrow(vtbl.select(["vid"]))
+    out = star_layout(vertices, vtbl.num_rows, center=0)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_grid_layout(sf_dir: str, graph_dir: str | None = None):
+    """(key, x, y) — row-major integer grid layout, width =
+    ceil(sqrt(n)) (igraph layout_grid;
+    kernels/layout.py::grid_layout).  Exact integers — bitwise SQL
+    twin."""
+    import tempfile
+
+    from igraph_ray.kernels.layout import grid_layout
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_lg_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    vertices = ray.data.from_arrow(vtbl.select(["vid"]))
+    out = grid_layout(vertices, vtbl.num_rows)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_tree_layout(sf_dir: str, graph_dir: str | None = None):
+    """(key, x, y) — simplified Reingold–Tilford layout over the BFS
+    forest of the E1∪E2 key graph rooted at vid 0 (igraph
+    layout_reingold_tilford; kernels/layout.py::reingold_tilford:
+    y = BFS depth, leaves at consecutive post-order x, internal
+    vertices centered over their children).  Rows-only (mean-of-
+    children floats); structure pytest oracle in
+    tests/test_layout_simple.py."""
+    import tempfile
+
+    from igraph_ray.kernels.layout import reingold_tilford
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_lt_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    tbl = reingold_tilford(graph, root=0)
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
 def q_spinglass(sf_dir: str):
     """(key, community_key) — spinglass communities of the E1∪E2
     graph (igraph community_spinglass, Reichardt-Bornholdt Potts
