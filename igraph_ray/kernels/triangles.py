@@ -48,6 +48,11 @@ from igraph_ray.kernels.degree import undirected_degrees
 # a second hash join (SURVEY.md §4: broadcast small sides).
 BROADCAST_MAX_VERTICES = 5_000_000
 
+# Per-step cap on expanded candidate-wedge rows inside a close task —
+# bounds transient heap (~5 arrays × 8 B × chunk ≈ 160 MB) no matter
+# how large one u-partition's wedge volume gets.
+_WEDGE_CHUNK = 4_000_000
+
 
 def canonical_edges(
     edges: ray.data.Dataset, num_parts: int | None = None
@@ -291,7 +296,11 @@ def triangle_counts(
         _orient, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     n_edges = oriented.count()
-    num_partitions = int(max(2, min(64, n_edges // 250_000 + 2)))
+    # rows-sized key-space (repo convention, cf. kernels/louvain.py):
+    # ~250k oriented edges per close group keeps per-task wedge volume
+    # bounded regardless of graph size — a CPU-sized cap would make it
+    # O(E·d̄ / cap) at scale.
+    num_partitions = int(max(2, min(65536, n_edges // 250_000 + 2)))
 
     def add_upart(batch: pa.Table) -> pa.Table:
         from igraph_ray.utils import part_of
@@ -301,7 +310,12 @@ def triangle_counts(
             "upart", pa.array(part_of(u, num_partitions))
         )
 
-    by_u = oriented.map_batches(
+    # map_groups parallelism follows the sorted BLOCK count, which for
+    # a ~32 B/row oriented table is one task per ~4M edges — far too
+    # coarse for the wedge-heavy close (CPU per byte is ~100× a normal
+    # map).  Split to ~one block per close partition so task count
+    # tracks num_partitions, not bytes.
+    by_u = oriented.repartition(num_blocks=num_partitions).map_batches(
         add_upart, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -355,19 +369,24 @@ def triangle_counts(
             hits: list[np.ndarray] = []
             for k in np.unique(sizes):
                 iu, ju = np.triu_indices(int(k), 1)
-                seg = starts[sizes == k]
-                xi = (seg[:, None] + iu[None, :]).reshape(-1)
-                yi = (seg[:, None] + ju[None, :]).reshape(-1)
-                x, y = v[xi], v[yi]
-                key = (x << 32) | y
-                pos = np.searchsorted(pairs, key)
-                pos[pos >= len(pairs)] = len(pairs) - 1
-                hit = pairs[pos] == key
-                if hit.any():
-                    c = np.repeat(u[seg], len(iu))[hit]
-                    hits.append(
-                        np.concatenate([c, x[hit], y[hit]])
-                    )
+                seg_all = starts[sizes == k]
+                # chunk the expansion so transient wedge arrays stay
+                # ~_WEDGE_CHUNK rows per step regardless of group size
+                step = max(1, _WEDGE_CHUNK // len(iu))
+                for s0 in range(0, len(seg_all), step):
+                    seg = seg_all[s0 : s0 + step]
+                    xi = (seg[:, None] + iu[None, :]).reshape(-1)
+                    yi = (seg[:, None] + ju[None, :]).reshape(-1)
+                    x, y = v[xi], v[yi]
+                    key = (x << 32) | y
+                    pos = np.searchsorted(pairs, key)
+                    pos[pos >= len(pairs)] = len(pairs) - 1
+                    hit = pairs[pos] == key
+                    if hit.any():
+                        c = np.repeat(u[seg], len(iu))[hit]
+                        hits.append(
+                            np.concatenate([c, x[hit], y[hit]])
+                        )
             if not hits:
                 return empty
             uv, counts = np.unique(np.concatenate(hits), return_counts=True)
@@ -439,10 +458,79 @@ def triangle_counts(
                 zero_rows, batch_format="pyarrow", zero_copy_batch=True
             )
         )
-    counts = corners.union(zeros).groupby("vid").aggregate(
-        Sum("tri", alias_name="triangles")
+    return _sum_tri_by_vid(corners.union(zeros))
+
+
+def _sum_tri_by_vid(partials: ray.data.Dataset) -> ray.data.Dataset:
+    """Grouped sum of (vid, tri) partials → (vid, triangles).
+
+    The close tasks pre-aggregate, so partials hold only a few rows
+    per vertex; the generic sort-based ``groupby(vid).aggregate(Sum)``
+    still cost ~35 s at 12M edges (64-bit key sort + python combine).
+    Same partial/hpart/reduceat pattern as ``undirected_degrees``:
+    per-block np.unique pre-combine, one int32-key shuffle, vectorized
+    reduceat — measured ~20× faster on the same input.
+    """
+    from igraph_ray.utils import part_of
+
+    num_parts = 32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("vid").to_numpy(zero_copy_only=False)
+        t = batch.column("tri").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, t = v[order], t[order]
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "vid": pa.array([], pa.int64()),
+                    "tri": pa.array([], pa.int64()),
+                    "hpart": pa.array([], pa.int32()),
+                }
+            )
+        first = np.empty(len(v), dtype=bool)
+        first[0] = True
+        first[1:] = v[1:] != v[:-1]
+        seg = np.flatnonzero(first)
+        uv = v[seg]
+        return pa.table(
+            {
+                "vid": pa.array(uv),
+                "tri": pa.array(np.add.reduceat(t, seg)),
+                "hpart": pa.array(part_of(uv, num_parts)),
+            }
+        )
+
+    def combine(group: pa.Table) -> pa.Table:
+        v = group.column("vid").to_numpy(zero_copy_only=False)
+        t = group.column("tri").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v, t = v[order], t[order]
+        if len(v) == 0:
+            return pa.table(
+                {
+                    "vid": pa.array([], pa.int64()),
+                    "triangles": pa.array([], pa.int64()),
+                }
+            )
+        first = np.empty(len(v), dtype=bool)
+        first[0] = True
+        first[1:] = v[1:] != v[:-1]
+        seg = np.flatnonzero(first)
+        return pa.table(
+            {
+                "vid": pa.array(v[seg]),
+                "triangles": pa.array(np.add.reduceat(t, seg)),
+            }
+        )
+
+    return (
+        partials.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .groupby("hpart")
+        .map_groups(combine, batch_format="pyarrow")
     )
-    return counts
 
 
 def triangle_list(
@@ -482,7 +570,11 @@ def triangle_list(
             "triangle_list requires vertex ids < 2^31 (fused-key close)"
         )
     n_edges = oriented.count()
-    num_partitions = int(max(2, min(64, n_edges // 250_000 + 2)))
+    # rows-sized key-space (repo convention, cf. kernels/louvain.py):
+    # ~250k oriented edges per close group keeps per-task wedge volume
+    # bounded regardless of graph size — a CPU-sized cap would make it
+    # O(E·d̄ / cap) at scale.
+    num_partitions = int(max(2, min(65536, n_edges // 250_000 + 2)))
 
     pair_tbl = pa.concat_tables(
         oriented.select_columns(["u", "v"]).iter_batches(
