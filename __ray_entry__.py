@@ -136,6 +136,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "star_layout": q.q_star_layout,  # rows-only (libm trig; geometry pytest oracle)
         "grid_layout": q.q_grid_layout,  # SQL oracle (exact integer grid, bitwise)
         "tree_layout": q.q_tree_layout,  # rows-only (RT mean-of-children; structure pytest oracle)
+        "drl_layout": q.q_drl_layout,  # rows-only (OpenOrd phase schedule; determinism pytest oracle)
+        "sugiyama_layout": q.q_sugiyama_layout,  # rows-only (ELS cycle removal + barycenter; layering pytest oracle)
         "spinglass": q.q_spinglass,  # rows-only (seeded Potts annealing; quality pytest oracles)
         "cohesive_blocks": q.q_cohesive_blocks,  # rows-only (min-separator recursion; brute-parity pytest oracle)
         "assortativity": q.q_assortativity,  # SQL oracle

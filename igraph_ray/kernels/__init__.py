@@ -27,5 +27,10 @@ from igraph_ray.kernels.community_extra import fastgreedy, girvan_newman  # noqa
 from igraph_ray.kernels.spinglass import spinglass  # noqa: F401
 from igraph_ray.kernels.cohesion import cohesive_blocks  # noqa: F401
 from igraph_ray.kernels.embeddings import skipgram_embeddings  # noqa: F401
-from igraph_ray.kernels.layout import fruchterman_reingold, kamada_kawai  # noqa: F401
+from igraph_ray.kernels.layout import (  # noqa: F401
+    drl_layout,
+    fruchterman_reingold,
+    kamada_kawai,
+    sugiyama_layout,
+)
 from igraph_ray.kernels.coarsen import CommunityResult  # noqa: F401

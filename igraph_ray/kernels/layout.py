@@ -46,14 +46,12 @@ def _init_positions(vids: np.ndarray) -> np.ndarray:
     return np.stack([h1, h2], axis=1)
 
 
-def fruchterman_reingold(
-    graph: GraphMeta,
-    iterations: int = 50,
-    grid: int = 16,
-    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
-) -> ray.data.Dataset:
-    """Rows ``(vid, x, y)`` — final layout in the unit square."""
-    # gather the vid universe once from the CSR blocks (bounded)
+def _layout_universe(
+    graph: GraphMeta, kernel_name: str, broadcast_max_vertices: int
+):
+    """(parts_ds, all_vids) — the partition driver Dataset plus the
+    sorted vid universe gathered once from the CSR blocks (bounded by
+    the layout broadcast limit, loud raise beyond)."""
     parts_ds = ray.data.from_arrow(
         pa.table({"part": pa.array(graph.parts, pa.int32())})
     ).repartition(num_blocks=max(1, len(graph.parts)))
@@ -81,31 +79,80 @@ def fruchterman_reingold(
         ).iter_batches(batch_format="pyarrow", batch_size=None)
     ).sort_by("vid")
     all_vids = vid_tbl.column("vid").to_numpy(zero_copy_only=False)
-    n = len(all_vids)
-    if n > broadcast_max_vertices:
+    if len(all_vids) > broadcast_max_vertices:
         raise NotImplementedError(
-            f"fruchterman_reingold broadcasts the position table; "
-            f"{n} vertices exceeds {broadcast_max_vertices} — lay out "
-            f"the community quotient graph instead"
+            f"{kernel_name} broadcasts the position table; "
+            f"{len(all_vids)} vertices exceeds {broadcast_max_vertices}"
+            f" — lay out the community quotient graph instead"
         )
+    return parts_ds, all_vids
+
+
+def _empty_layout() -> ray.data.Dataset:
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array([], pa.int64()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
+def fruchterman_reingold(
+    graph: GraphMeta,
+    iterations: int = 50,
+    grid: int = 16,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+) -> ray.data.Dataset:
+    """Rows ``(vid, x, y)`` — final layout in the unit square."""
+    parts_ds, all_vids = _layout_universe(
+        graph, "fruchterman_reingold", broadcast_max_vertices
+    )
+    n = len(all_vids)
     if n == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "vid": pa.array([], pa.int64()),
-                    "x": pa.array([], pa.float64()),
-                    "y": pa.array([], pa.float64()),
-                }
-            )
-        )
+        return _empty_layout()
     pos = _init_positions(all_vids)
     k = np.sqrt(1.0 / n)  # ideal edge length in the unit square
+    schedule = [
+        (0.1 * (1.0 - it / iterations) + 1e-4, 1.0)
+        for it in range(iterations)
+    ]
+    pos = _force_schedule_loop(
+        graph, parts_ds, all_vids, pos, k, grid, schedule
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vid": pa.array(all_vids),
+                "x": pa.array(pos[:, 0]),
+                "y": pa.array(pos[:, 1]),
+            }
+        )
+    )
 
-    for it in range(iterations):
-        temp = 0.1 * (1.0 - it / iterations) + 1e-4
+
+def _force_schedule_loop(
+    graph: GraphMeta,
+    parts_ds: ray.data.Dataset,
+    all_vids: np.ndarray,
+    pos: np.ndarray,
+    k: float,
+    grid: int,
+    schedule: list[tuple[float, float]],
+) -> np.ndarray:
+    """Run one grid-approximated force iteration per ``(temperature,
+    attraction)`` entry of ``schedule`` (the FR machinery of the module
+    docstring); returns the final (n, 2) position array.  Attraction
+    1.0 reproduces classic FR bitwise; other multipliers realize DRL's
+    phase schedule."""
+    for temp, attract in schedule:
         pref = ray.put((all_vids, pos))
 
-        def step(batch: pa.Table, _pref=pref, _temp=temp) -> pa.Table:
+        def step(
+            batch: pa.Table, _pref=pref, _temp=temp, _attract=attract
+        ) -> pa.Table:
             vids_sorted, p = ray.get(_pref)
             outs = []
             for part in batch.column("part").to_pylist():
@@ -171,7 +218,7 @@ def fruchterman_reingold(
                     dist = np.sqrt((d * d).sum(axis=1)) + 1e-9
                     f = dist / k  # attraction magnitude d/k (×d later)
                     pull = d * (f / 1.0)[:, None]
-                    np.subtract.at(disp, src_pos, pull * 1.0)
+                    np.subtract.at(disp, src_pos, pull * _attract)
                 # --- apply with temperature cap ---
                 dlen = np.sqrt((disp * disp).sum(axis=1)) + 1e-12
                 scale = np.minimum(dlen, _temp) / dlen
@@ -208,6 +255,60 @@ def fruchterman_reingold(
             axis=1,
         )
 
+    return pos
+
+
+def drl_layout(
+    graph: GraphMeta,
+    iterations: int = 60,
+    grid: int = 16,
+    broadcast_max_vertices: int = BROADCAST_MAX_VERTICES,
+) -> ray.data.Dataset:
+    """Rows ``(vid, x, y)`` — DRL / OpenOrd force-directed layout
+    (igraph ``layout_drl`` surface; Martin, Brown, Boyack & Klavans,
+    "OpenOrd: an open-source toolbox for large graph layout", 2011).
+
+    DRL is the FR force model driven through a five-phase annealing
+    schedule — liquid → expansion → cooldown → crunch → simmer — where
+    each phase sets (temperature, attraction multiplier); strong
+    attraction in the expansion phase pulls cluster structure together
+    before the low-temperature phases freeze it.  The published phase
+    proportions and attraction multipliers are used with temperatures
+    rescaled to this module's unit-square coordinate system (the
+    original operates on a ±2000 canvas); exact igraph parameter
+    parity is not verifiable in this sandbox (no reference on disk —
+    SURVEY.md §0).  Shares ``_force_schedule_loop`` with FR, so the
+    distributed shape (grid-approximated repulsion, CSR-partition
+    attraction, broadcast positions) and the ``broadcast_max_vertices``
+    bound are identical.  Deterministic: splitmix64 init, no RNG.
+    """
+    parts_ds, all_vids = _layout_universe(
+        graph, "drl_layout", broadcast_max_vertices
+    )
+    n = len(all_vids)
+    if n == 0:
+        return _empty_layout()
+    pos = _init_positions(all_vids)
+    k = np.sqrt(1.0 / n)
+    # (fraction of iterations, start temp, end temp, attraction) —
+    # OpenOrd's (200, 200, 200, 50, 100)-iteration phases normalized,
+    # temperatures 2000/250 mapped to FR's 0.1 unit-square base.
+    phases = [
+        (0.27, 0.10, 0.10, 2.0),  # liquid
+        (0.27, 0.10, 0.05, 10.0),  # expansion
+        (0.27, 0.05, 0.01, 1.0),  # cooldown
+        (0.06, 0.0125, 0.0125, 1.0),  # crunch
+        (0.13, 0.0125, 0.001, 0.5),  # simmer
+    ]
+    schedule: list[tuple[float, float]] = []
+    for frac, t0, t1, attract in phases:
+        steps = max(1, int(round(frac * iterations)))
+        for i in range(steps):
+            t = t0 + (t1 - t0) * (i / max(1, steps - 1))
+            schedule.append((t + 1e-4, attract))
+    pos = _force_schedule_loop(
+        graph, parts_ds, all_vids, pos, k, grid, schedule
+    )
     return ray.data.from_arrow(
         pa.table(
             {
@@ -548,5 +649,170 @@ def reingold_tilford(
             "vid": pa.array(vids),
             "x": pa.array(x),
             "y": pa.array(depth),
+        }
+    )
+
+
+def sugiyama_layout(
+    arcs: ray.data.Dataset,
+    sweeps: int = 4,
+    max_edges: int = 2_000_000,
+) -> pa.Table:
+    """(vid, x, y) — Sugiyama-style layered DAG drawing (igraph
+    ``layout_sugiyama`` surface; Sugiyama, Tagawa & Toda, "Methods for
+    visual understanding of hierarchical system structures", 1981).
+
+    Pipeline: (1) cycle removal via the Eades–Lin–Smyth ordering
+    (``kernels/fas.py``) — back arcs are traversed reversed; (2)
+    longest-path layering along the resulting topological order (y =
+    layer); (3) dummy vertices subdivide arcs spanning more than one
+    layer so crossing reduction sees unit-span arcs only; (4)
+    ``sweeps`` alternating down/up barycenter passes order each layer
+    (stable sort, vid tie-break — fully deterministic); (5) x =
+    within-layer index centered on 0; dummies dropped from the output.
+
+    Driver-gathered like FAS / Reingold–Tilford (a visualization
+    surface): bounded by ``max_edges`` with a loud raise beyond —
+    lay out the community quotient graph for larger inputs.
+    """
+    from igraph_ray.kernels.fas import _eades_order
+
+    n_arcs = arcs.count()
+    if n_arcs > max_edges:
+        raise NotImplementedError(
+            f"sugiyama_layout gathers the arc list on the driver; "
+            f"{n_arcs} arcs exceeds the documented bound {max_edges}"
+        )
+    tbl = pa.concat_tables(
+        arcs.select_columns(["src", "dst"]).iter_batches(
+            batch_format="pyarrow", batch_size=None
+        )
+    )
+    src = tbl.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+    dst = tbl.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+    keep = src != dst  # self-loops carry no layering information
+    src, dst = src[keep], dst[keep]
+    vids = np.unique(np.concatenate([src, dst]))
+    n = len(vids)
+    if n == 0:
+        return pa.table(
+            {
+                "vid": pa.array([], pa.int64()),
+                "x": pa.array([], pa.float64()),
+                "y": pa.array([], pa.float64()),
+            }
+        )
+    seq = _eades_order(src, dst, vids)
+    topo_pos = np.empty(n, np.int64)
+    topo_pos[np.searchsorted(vids, seq)] = np.arange(n)
+    s = np.searchsorted(vids, src)
+    d = np.searchsorted(vids, dst)
+    # reverse back arcs so every arc goes forward in the ELS order
+    back = topo_pos[s] > topo_pos[d]
+    s2 = np.where(back, d, s)
+    d2 = np.where(back, s, d)
+    # dedup (multigraph collapse)
+    key = s2 * n + d2
+    key, uidx = np.unique(key, return_index=True)
+    s2, d2 = s2[uidx], d2[uidx]
+
+    # longest-path layering: process arcs by the head's topo position;
+    # tails are final before any head that follows them
+    layer = np.zeros(n, np.int64)
+    for i in np.argsort(topo_pos[d2], kind="stable"):
+        a, b = int(s2[i]), int(d2[i])
+        if layer[b] < layer[a] + 1:
+            layer[b] = layer[a] + 1
+
+    # dummy chain nodes for long arcs: node ids 0..n-1 are real,
+    # n.. are dummies
+    unit_src: list[int] = []
+    unit_dst: list[int] = []
+    node_layer = list(layer)
+    node_vid = list(vids)  # parallel; dummies get vid -1
+    next_id = n
+    for i in range(len(s2)):
+        a, b = int(s2[i]), int(d2[i])
+        la, lb = int(layer[a]), int(layer[b])
+        prev = a
+        for mid_layer in range(la + 1, lb):
+            node_layer.append(mid_layer)
+            node_vid.append(-1)
+            unit_src.append(prev)
+            unit_dst.append(next_id)
+            prev = next_id
+            next_id += 1
+        unit_src.append(prev)
+        unit_dst.append(b)
+
+    node_layer_arr = np.asarray(node_layer, np.int64)
+    node_vid_arr = np.asarray(node_vid, np.int64)
+    us = np.asarray(unit_src, np.int64)
+    ud = np.asarray(unit_dst, np.int64)
+    n_layers = int(node_layer_arr.max()) + 1
+
+    # per-layer ordered node lists; initial order: real vids first by
+    # vid, dummies by creation order (deterministic)
+    orders: list[np.ndarray] = []
+    for L in range(n_layers):
+        members = np.flatnonzero(node_layer_arr == L)
+        mk = np.stack(
+            [
+                np.where(node_vid_arr[members] >= 0, 0, 1),
+                np.where(
+                    node_vid_arr[members] >= 0,
+                    node_vid_arr[members],
+                    members,
+                ),
+            ],
+            axis=1,
+        )
+        orders.append(members[np.lexsort((mk[:, 1], mk[:, 0]))])
+
+    # neighbor lists on the unit-span DAG
+    down_of: dict[int, list[int]] = {}
+    up_of: dict[int, list[int]] = {}
+    for a, b in zip(us.tolist(), ud.tolist()):
+        up_of.setdefault(b, []).append(a)
+        down_of.setdefault(a, []).append(b)
+
+    posn = np.zeros(len(node_layer_arr), np.float64)
+
+    def reindex() -> None:
+        for mem in orders:
+            posn[mem] = np.arange(len(mem), dtype=np.float64)
+
+    reindex()
+    for sweep in range(sweeps):
+        rng = (
+            range(1, n_layers)
+            if sweep % 2 == 0
+            else range(n_layers - 2, -1, -1)
+        )
+        nbrs = up_of if sweep % 2 == 0 else down_of
+        for L in rng:
+            mem = orders[L]
+            bary = np.array(
+                [
+                    (
+                        float(np.mean(posn[nbrs[m]]))
+                        if m in nbrs and nbrs[m]
+                        else float(posn[m])
+                    )
+                    for m in mem
+                ]
+            )
+            orders[L] = mem[np.argsort(bary, kind="stable")]
+            reindex()
+
+    real = node_vid_arr >= 0
+    x = posn[real] - (np.array(
+        [len(orders[L]) for L in node_layer_arr[real]]
+    ) - 1) / 2.0
+    return pa.table(
+        {
+            "vid": pa.array(node_vid_arr[real]),
+            "x": pa.array(x),
+            "y": pa.array(node_layer_arr[real].astype(np.float64)),
         }
     )

@@ -8572,3 +8572,54 @@ def q_cohesive_blocks(sf_dir: str):
     return _vid_to_key(tbl, vtbl, {"vid": "key"}).sort_by(
         [("block", "ascending"), ("key", "ascending")]
     )
+
+
+def q_drl_layout(sf_dir: str, graph_dir: str | None = None):
+    """(key, x, y) — DRL/OpenOrd five-phase force-directed layout of
+    the E1∪E2 key graph (igraph layout_drl surface;
+    kernels/layout.py::drl_layout — liquid/expansion/cooldown/crunch/
+    simmer schedule over the FR force machinery).  Rows-only (float
+    force simulation); determinism + structure pytest oracles in
+    tests/test_layout_simple.py."""
+    import tempfile
+
+    from igraph_ray.kernels.layout import drl_layout
+
+    graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_drl_")
+    graph, vtbl = _build_key_graph(sf_dir, graph_dir)
+    out = drl_layout(graph, iterations=30)
+    tbl = pa.concat_tables(
+        out.iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    return _vid_to_key(tbl, vtbl, {"vid": "key"})
+
+
+def q_sugiyama_layout(sf_dir: str):
+    """(vid, x, y) — Sugiyama layered layout of the deterministic
+    directed doc graph (same derivation as feedback_arc_set: vids
+    doc_id % 101 → (doc_id*37+11) % 101, distinct arcs, loops
+    dropped).  y is the longest-path layer after ELS cycle removal,
+    x the within-layer barycenter-ordered index centered on 0
+    (kernels/layout.py::sugiyama_layout).  Rows-only — the sequential
+    ELS ordering has no SQL twin; layering-respects-arcs pytest
+    oracle in tests/test_layout_simple.py."""
+    from igraph_ray.kernels.layout import sugiyama_layout
+
+    def derive(batch: pa.Table) -> pa.Table:
+        doc_id = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "src": pa.array((doc_id % 101).astype(np.int64)),
+                "dst": pa.array(((doc_id * 37 + 11) % 101).astype(np.int64)),
+            }
+        )
+
+    arcs = (
+        documents(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["src", "dst"])
+    )
+    return sugiyama_layout(arcs).sort_by("vid")
