@@ -114,7 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graphicality": q.q_graphicality,  # SQL oracle (Erdős–Gallai slack, exact ints)
         "power_law_fit": q.q_power_law_fit,  # rows-only (CSN float MLE; brute pytest oracle)
         "degree_realization": q.q_degree_realization,  # SQL oracle (realized histogram == original)
-        "katz": q.q_katz,  # rows-only (float fixed point; nx pytest oracle)
+        "katz": q.q_katz,  # SQL oracle (integer-exact truncated Katz, bitwise)
         "coloring": q.q_coloring,  # SQL oracle (unrolled Luby epoch state machine, bitwise)
         "coloring_validity": q.q_coloring_validity,  # SQL oracle (property constants)
         "mis_validity": q.q_mis_validity,  # SQL oracle (property constants)
@@ -1230,6 +1230,69 @@ SELECT e.key,
   CAST(e.x AS DOUBLE) / sqrt(CAST((SELECT s FROM evs) AS DOUBLE))
     AS centrality
 FROM ev{max_pow_iters} e
+"""
+
+
+def _katz_sql(cap_bits: int = 49, max_pow_iters: int = 12) -> str:
+    """Bitwise twin of q_katz: the integer-exact truncated Katz at
+    alpha = 1/16 (y_t = A'y_{t-1} + 16^t from y0 = 0; T = max(1,
+    largest t ≤ 12 with (W+16)^t ≤ 2^cap_bits), W = max weighted
+    degree — y_t ≤ (W+16)^t by induction, t ≤ 12 keeps 16^t exact)
+    is pure integer arithmetic until ONE final
+    int→double→sqrt→divide chain; the 16^T scale cancels in the L2
+    normalization.  Rounds are unrolled with a freeze guard past the
+    data-dependent T (kernels/katz.py::katz_fixed_integer)."""
+    rounds = []
+    for t in range(1, max_pow_iters + 1):
+        p = t - 1
+        rounds.append(
+            f"""kz{t} AS MATERIALIZED (
+  SELECT e.key,
+    CASE WHEN {t} <= (SELECT tmax FROM kzt)
+         THEN COALESCE(s.sy, 0) + CAST({16 ** t} AS HUGEINT)
+         ELSE e.y END AS y
+  FROM kz{p} e
+  LEFT JOIN (
+    SELECT a.d AS key, SUM(ee.y * a.w) AS sy
+    FROM kzw a JOIN kz{p} ee ON ee.key = a.s
+    GROUP BY a.d
+  ) s ON s.key = e.key
+)"""
+        )
+    ctes = ",\n".join(rounds)
+    cap = 1 << cap_bits
+    return f"""
+{_LINK_PAIRS},
+kzw AS MATERIALIZED (
+  SELECT src_key AS s, dst_key AS d, CAST(weight AS HUGEINT) AS w
+  FROM link_pairs
+  UNION ALL
+  SELECT dst_key, src_key, CAST(weight AS HUGEINT) FROM link_pairs
+),
+kzwdeg AS (
+  SELECT COALESCE(MAX(sw), 0) AS w FROM (
+    SELECT d, SUM(w) AS sw FROM kzw GROUP BY d
+  )
+),
+kzpow AS (
+  WITH RECURSIVE p(t, val) AS (
+    SELECT 0, CAST(1 AS HUGEINT)
+    UNION ALL
+    SELECT p.t + 1, p.val * (16 + (SELECT w FROM kzwdeg))
+    FROM p
+    WHERE p.t < {max_pow_iters}
+      AND p.val * (16 + (SELECT w FROM kzwdeg)) <= {cap}
+  )
+  SELECT t, val FROM p
+),
+kzt AS (SELECT GREATEST(1, MAX(t)) AS tmax FROM kzpow),
+kz0 AS (SELECT key, CAST(0 AS HUGEINT) AS y FROM keys),
+{ctes},
+kzs AS (SELECT SUM(y * y) AS s FROM kz{max_pow_iters})
+SELECT e.key,
+  CAST(e.y AS DOUBLE) / sqrt(CAST((SELECT s FROM kzs) AS DOUBLE))
+    AS centrality
+FROM kz{max_pow_iters} e
 """
 
 
@@ -2609,6 +2672,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "hyperball_nf": _hyperball_sql(),
         "label_propagation": _lpa_sql(),
         "eigenvector": _eigenvector_sql(),
+        "katz": _katz_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

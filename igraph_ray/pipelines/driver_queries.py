@@ -2482,27 +2482,21 @@ def q_graphicality(sf_dir: str):
 
 
 def q_katz(sf_dir: str, graph_dir: str | None = None):
-    """(key, centrality) — Katz centrality of the E1∪E2 graph with
-    ``alpha = 0.85 / max_weighted_degree`` (guarantees
-    ``alpha < 1/λ_max`` since ``λ_max ≤ max weighted degree``);
-    rows-only (float fixed point), nx parity in tests/test_katz.py."""
+    """(key, centrality) — truncated Katz walk-count centrality of
+    the E1∪E2 graph at ``alpha = 1/16`` via the INTEGER-EXACT scaled
+    recurrence (kernels/katz.py::katz_fixed_integer: y ← A'y + 16·z,
+    z ← 16z from y0 = 0, T = f(max weighted degree) iterations, one
+    exact final L2 normalization — the 16^T scale cancels) — every
+    sum is an exact integer, order-independent, and the DuckDB twin
+    replays it bitwise.  Convergent nx-parity mode
+    (``katz_centrality``) stays pytest-gated (tests/test_katz.py)."""
     import tempfile
 
-    from igraph_ray.kernels.katz import katz_centrality
+    from igraph_ray.kernels.katz import katz_fixed_integer
 
     graph_dir = graph_dir or tempfile.mkdtemp(prefix="igr_katz_")
     graph, vtbl = _build_key_graph(sf_dir, graph_dir)
-    wd = q_degrees(sf_dir).max("weighted_degree") or 1.0
-    out = katz_centrality(
-        graph,
-        num_vertices=graph.num_vertices,
-        alpha=0.85 / float(wd),
-        tol=1e-9,
-        max_iter=500,
-    )
-    tbl = pa.concat_tables(
-        out.iter_batches(batch_format="pyarrow", batch_size=None)
-    )
+    tbl = katz_fixed_integer(graph, graph.num_vertices)
     return _vid_to_key(tbl, vtbl, {"vid": "key"})
 
 

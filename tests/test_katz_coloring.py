@@ -118,3 +118,38 @@ def test_coloring_deterministic(tmp_graph_dir, tmp_path):
     g2 = graph_from_nx(G, str(tmp_path / "g2"), num_parts=3)
     c2 = _col_dict(greedy_coloring(g2), "color")
     assert c1 == c2
+
+
+def test_katz_fixed_integer_exact_and_partition_invariant(tmp_path):
+    # the integer-exact truncated variant must be bitwise identical
+    # across partition counts (order-independent integer sums), unit
+    # L2 norm, and rank-agree with convergent Katz on a simple graph
+    from igraph_ray.kernels.katz import katz_fixed_integer
+
+    G = nx.gnm_random_graph(40, 120, seed=7)
+    g2 = graph_from_nx(G, str(tmp_path / "g2"), num_parts=2)
+    g5 = graph_from_nx(G, str(tmp_path / "g5"), num_parts=5)
+    t2 = katz_fixed_integer(g2, g2.num_vertices)
+    t5 = katz_fixed_integer(g5, g5.num_vertices)
+    assert t2.equals(t5)
+    c = t2.column("centrality").to_numpy(zero_copy_only=False)
+    assert abs(float((c * c).sum()) - 1.0) < 1e-12
+    # rank agreement with the convergent reference mode (top vertex)
+    conv = ds_to_table(
+        katz_centrality(g2, num_vertices=g2.num_vertices, alpha=0.05)
+    )
+    cv = dict(
+        zip(
+            conv.column("vid").to_pylist(),
+            conv.column("centrality").to_pylist(),
+        )
+    )
+    fv = dict(
+        zip(
+            t2.column("vid").to_pylist(),
+            t2.column("centrality").to_pylist(),
+        )
+    )
+    top_fixed = max(fv, key=fv.get)
+    # the truncated walk count favors the same high-centrality region
+    assert cv[top_fixed] >= np.percentile(list(cv.values()), 80)
