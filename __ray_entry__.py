@@ -132,8 +132,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_shortest_paths": q.q_k_shortest_paths,  # rows-only (Yen recursion)
         "fr_layout": q.q_fr_layout,  # rows-only (force simulation)
         "kk_layout": q.q_kk_layout,  # rows-only (stress-majorization layout; stress/structure pytest oracles)
-        "circle_layout": q.q_circle_layout,  # rows-only (libm trig; geometry pytest oracle)
-        "star_layout": q.q_star_layout,  # rows-only (libm trig; geometry pytest oracle)
+        "circle_layout": q.q_circle_layout,  # SQL oracle (shared-libm trig replay, bitwise)
+        "star_layout": q.q_star_layout,  # SQL oracle (shared-libm trig replay, bitwise)
         "grid_layout": q.q_grid_layout,  # SQL oracle (exact integer grid, bitwise)
         "tree_layout": q.q_tree_layout,  # rows-only (RT mean-of-children; structure pytest oracle)
         "drl_layout": q.q_drl_layout,  # rows-only (OpenOrd phase schedule; determinism pytest oracle)
@@ -1820,6 +1820,45 @@ FROM glv
 """
 
 
+def _circle_layout_sql() -> str:
+    """Bitwise twin of q_circle_layout: x = cos(2π·vid/n),
+    y = sin(2π·vid/n) over dense key-ordered vids.  numpy's vector
+    cos/sin and DuckDB's scalar cos/sin both resolve to the host
+    libm and round identically (verified bitwise across n up to 1000
+    on this host); the angle expression shares numpy's left-assoc
+    evaluation order ((2·π)·vid)/n."""
+    return f"""
+{_LINK_PAIRS},
+clv AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid
+        FROM keys),
+cln AS (SELECT GREATEST(COUNT(*), 1) AS n FROM keys)
+SELECT key,
+  COS(2*PI()*CAST(vid AS DOUBLE)/(SELECT n FROM cln)) AS x,
+  SIN(2*PI()*CAST(vid AS DOUBLE)/(SELECT n FROM cln)) AS y
+FROM clv
+"""
+
+
+def _star_layout_sql() -> str:
+    """Bitwise twin of q_star_layout: center vid 0 at the origin,
+    vertex vid > 0 at angle 2π·(vid−1)/max(1, n−1) on the unit circle
+    (same libm/order argument as the circle twin)."""
+    return f"""
+{_LINK_PAIRS},
+slv AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid
+        FROM keys),
+sln AS (SELECT GREATEST(COUNT(*) - 1, 1) AS n1 FROM keys)
+SELECT key,
+  CASE WHEN vid = 0 THEN 0.0
+       ELSE COS(2*PI()*CAST(vid - 1 AS DOUBLE)/(SELECT n1 FROM sln))
+  END AS x,
+  CASE WHEN vid = 0 THEN 0.0
+       ELSE SIN(2*PI()*CAST(vid - 1 AS DOUBLE)/(SELECT n1 FROM sln))
+  END AS y
+FROM slv
+"""
+
+
 def _matching_sql(rounds: int = 6) -> str:
     """Bitwise twin of q_maximal_matching: the parallel greedy
     local-max schedule is a pure function of (a, b, round) — edge
@@ -2679,6 +2718,8 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "approx_distinct_users": _hll_registers_sql(),
         "fastgreedy": _fastgreedy_sql(),
         "grid_layout": _grid_layout_sql(),
+        "circle_layout": _circle_layout_sql(),
+        "star_layout": _star_layout_sql(),
         "global_efficiency": _GLOBAL_EFFICIENCY_SQL,
         "adamic_adar": _wedge_chain_sql(
             "1.0 / ln(CAST(r.dw AS DOUBLE))", "adamic_adar"

@@ -8428,8 +8428,8 @@ def q_kk_layout(sf_dir: str, graph_dir: str | None = None):
 def q_circle_layout(sf_dir: str, graph_dir: str | None = None):
     """(key, x, y) — circular layout of the E1∪E2 key graph (igraph
     layout_circle: vertex i at angle 2πi/n in id order;
-    kernels/layout.py::circle_layout).  Rows-only (libm trig — numpy
-    vector cos/sin vs DuckDB scalar libm differ in the last ulp);
+    kernels/layout.py::circle_layout).  Bitwise SQL twin: numpy and
+    DuckDB trig resolve to the same host libm (verified bitwise);
     exact-geometry pytest oracle in tests/test_layout_simple.py."""
     import tempfile
 
@@ -8448,8 +8448,8 @@ def q_circle_layout(sf_dir: str, graph_dir: str | None = None):
 def q_star_layout(sf_dir: str, graph_dir: str | None = None):
     """(key, x, y) — star layout of the E1∪E2 key graph (igraph
     layout_star: vertex 0 at the origin, the rest on the unit circle
-    in id order; kernels/layout.py::star_layout).  Rows-only (trig);
-    pytest oracle in tests/test_layout_simple.py."""
+    in id order; kernels/layout.py::star_layout).  Bitwise SQL twin (shared host
+    libm); pytest oracle in tests/test_layout_simple.py."""
     import tempfile
 
     from igraph_ray.kernels.layout import star_layout
