@@ -171,7 +171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "motif_significance": q.q_motif_significance,  # rows-only (null-model rewiring trajectory)
         "bipartite_matching": q.q_bipartite_matching,  # SQL oracle (sizes + König certificate constants)
         "graph_isomorphic": q.q_isomorphic,  # SQL oracle (VF2 witness property constants)
-        "dominator_tree": q.q_dominator_tree,  # rows-only (CHK fixed point; nx pytest oracle)
+        "dominator_tree": q.q_dominator_tree,  # SQL oracle (definitional dominance via avoid-vertex CTE, exact)
         # A1/A2/V2/T1 — relational shapes on TPC-H-ish tables
         "asof_join": q.q_asof_join,  # SQL oracle (window-ranked twin)
         "lineitem_agg": q.q_lineitem_agg,
@@ -297,7 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gml_roundtrip": q.q_gml_roundtrip,  # SQL oracle (lossless interchange == link_pairs)
         "pajek_roundtrip": q.q_pajek_roundtrip,  # SQL oracle (lossless interchange == link_pairs)
         "local_efficiency": q.q_local_efficiency,  # rows-only (neighbourhood BFS mean; nx pytest oracle)
-        "user_overlap_sketch": q.q_user_overlap_sketch,  # rows-only (HLL union/intersection; accuracy pytest oracle)
+        "user_overlap_sketch": q.q_user_overlap_sketch,  # SQL oracle (integer-exact HLL register estimate replay, bitwise)
         "zipf_term_fit": q.q_zipf_term_fit,  # rows-only (CSN MLE over term dfs; bitwise brute pytest oracle)
         "current_flow_closeness": q.q_current_flow_closeness,  # rows-only (chassis CG Laplacian solves; dense-pinv pytest oracle)
         "effective_resistance": q.q_effective_resistance,  # rows-only (spanning-edge centrality + commute times; dense-pinv + Foster oracles)
@@ -1820,6 +1820,128 @@ FROM glv
 """
 
 
+def _hll_overlap_sql(p: int = 14) -> str:
+    """Bitwise twin of q_user_overlap_sketch: the register rows come
+    from the same replay as the approx_distinct_users twin
+    (``_hll_registers_sql``); union registers are the elementwise MAX
+    (FULL JOIN on reg_index); each estimate is the integer-exact
+    harmonic form of ``stages/sketch.py::_estimate`` — S = Σ 2^(64−M)
+    as HUGEINT (absent registers contribute 2^64), one
+    int→double rounding, then the identical IEEE chain
+    ``α·m·m·2^64 / S`` with the linear-counting branch (libm LN,
+    shared host)."""
+    m = 1 << p
+    two64i = "18446744073709551616"
+    two64f = "18446744073709551616.0"
+
+    def est_cte(name: str, src: str) -> str:
+        # S and zeros of one register set; absent registers are 0s
+        return f"""{name}_s AS (
+  SELECT CAST({m} - COUNT(*) AS HUGEINT) * {two64i}
+         + COALESCE(SUM(CAST((CAST(1 AS BIGINT) << (63 - reg_value))
+                             AS HUGEINT) * 2), 0) AS s,
+         {m} - COUNT(*) AS zeros
+  FROM {src}
+),
+{name}_v AS (
+  SELECT CASE
+    WHEN est0 <= 2.5 * {m} AND zeros > 0
+      THEN {m} * LN({float(m)} / CAST(zeros AS DOUBLE))
+    WHEN est0 > {two64f} / 30.0
+      THEN -{two64f} * LN(1.0 - est0 / {two64f})
+    ELSE est0 END AS v
+  FROM (SELECT (0.7213 / (1.0 + 1.079 / {float(m)})) * {m} * {m}
+               * {two64f} / CAST(s AS DOUBLE) AS est0,
+               zeros
+        FROM {name}_s)
+)"""
+
+    return f"""
+WITH hll AS (SELECT * FROM ({_hll_registers_sql(p)})),
+ovra AS (SELECT reg_index, reg_value FROM hll WHERE key = 'click'),
+ovrb AS (SELECT reg_index, reg_value FROM hll
+         WHERE key = 'purchase'),
+ovru AS (
+  SELECT COALESCE(a.reg_index, b.reg_index) AS reg_index,
+         GREATEST(COALESCE(a.reg_value, 0),
+                  COALESCE(b.reg_value, 0)) AS reg_value
+  FROM ovra a FULL JOIN ovrb b ON a.reg_index = b.reg_index
+),
+{est_cte("ova", "ovra")},
+{est_cte("ovb", "ovrb")},
+{est_cte("ovu", "ovru")}
+SELECT (SELECT v FROM ova_v) AS n_click,
+       (SELECT v FROM ovb_v) AS n_purchase,
+       (SELECT v FROM ovu_v) AS union_est,
+       GREATEST(0.0, ((SELECT v FROM ova_v) + (SELECT v FROM ovb_v))
+                     - (SELECT v FROM ovu_v)) AS intersection_est
+"""
+
+
+def _dominator_sql() -> str:
+    """Bitwise twin of q_dominator_tree, via the DEFINITION of
+    dominance rather than an algorithm replay: v dominates w iff w is
+    unreachable from the root once v is removed (computed by one
+    recursive CTE over (avoid, node) states — avoid = −1 gives plain
+    reachability), and idom(w) is the strict dominator with the
+    largest strict-dominator count (dominators of w form a chain, so
+    the deepest one is immediate).  All integers/keys — exact; the
+    CHK fixed point in kernels/dominators.py computes the same unique
+    tree.  State space (V+1)·V — replay-scale, like the twin-side
+    BFS CTEs."""
+    return f"""
+{_LINK_PAIRS},
+dtv AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid
+        FROM keys),
+dte AS (
+  SELECT DISTINCT LEAST(s.vid, d.vid) AS src,
+                  GREATEST(s.vid, d.vid) AS dst
+  FROM link_pairs lp
+  JOIN dtv s ON s.key = lp.src_key
+  JOIN dtv d ON d.key = lp.dst_key
+  WHERE s.vid <> d.vid
+),
+dtr AS (
+  WITH RECURSIVE r(avoid, node) AS (
+    SELECT v.vid AS avoid, 0 AS node
+    FROM (SELECT vid FROM dtv UNION ALL SELECT -1) v
+    WHERE v.vid <> 0
+    UNION
+    SELECT r.avoid, e.dst
+    FROM r JOIN dte e ON e.src = r.node
+    WHERE e.dst <> r.avoid
+  )
+  SELECT avoid, node FROM r
+),
+dtreach AS (SELECT node FROM dtr WHERE avoid = -1),
+dtdom AS (
+  SELECT a.vid AS v, w.node AS w
+  FROM dtv a, dtreach w
+  WHERE a.vid <> 0 AND a.vid <> w.node
+    AND a.vid IN (SELECT node FROM dtreach)
+    AND NOT EXISTS (SELECT 1 FROM dtr r
+                    WHERE r.avoid = a.vid AND r.node = w.node)
+  UNION ALL
+  SELECT 0 AS v, w.node AS w FROM dtreach w WHERE w.node <> 0
+),
+dtcnt AS (SELECT w, COUNT(*) AS nd FROM dtdom GROUP BY w),
+dtidom AS (
+  SELECT d.w AS vid,
+         (SELECT dd.v FROM dtdom dd
+          LEFT JOIN dtcnt c ON c.w = dd.v
+          WHERE dd.w = d.w
+          ORDER BY COALESCE(c.nd, 0) DESC LIMIT 1) AS idom
+  FROM (SELECT DISTINCT w FROM dtdom) d
+)
+SELECT kv.key, ki.key AS idom_key
+FROM dtidom t
+JOIN dtv kv ON kv.vid = t.vid
+JOIN dtv ki ON ki.vid = t.idom
+UNION ALL
+SELECT kv.key, kv.key AS idom_key FROM dtv kv WHERE kv.vid = 0
+"""
+
+
 def _circle_layout_sql() -> str:
     """Bitwise twin of q_circle_layout: x = cos(2π·vid/n),
     y = sin(2π·vid/n) over dense key-ordered vids.  numpy's vector
@@ -2712,6 +2834,8 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "label_propagation": _lpa_sql(),
         "eigenvector": _eigenvector_sql(),
         "katz": _katz_sql(),
+        "dominator_tree": _dominator_sql(),
+        "user_overlap_sketch": _hll_overlap_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

@@ -3400,7 +3400,8 @@ def q_isomorphic(sf_dir: str):
 def q_dominator_tree(sf_dir: str):
     """(key, idom_key) — immediate dominators (igraph_dominator_tree
     surface, Cooper-Harvey-Kennedy) of the E1∪E2 graph oriented low→
-    high vid, rooted at vid 0; rows-only (global RPO fixed point);
+    high vid, rooted at vid 0.  Exact SQL twin via the DEFINITION of
+    dominance (avoid-vertex reachability CTE + chain argmax);
     exact nx.immediate_dominators parity in tests/test_dominators.py."""
     from igraph_ray.kernels.dominators import dominator_tree
 
@@ -7198,8 +7199,9 @@ def q_user_overlap_sketch(sf_dir: str):
     """One row (n_click, n_purchase, union, intersection) — HLL
     set-operation estimates of the click vs purchase user sets
     (register max = lossless union; inclusion–exclusion overlap).
-    Rows-only: sketch estimates; accuracy + determinism pinned in
-    tests/test_sketch.py."""
+    Bitwise SQL twin: integer-exact harmonic numerator + one IEEE
+    chain (stages/sketch.py::_estimate); accuracy + determinism
+    pinned in tests/test_sketch.py."""
     from igraph_ray.stages.sketch import hll_set_ops
 
     ev = ray.data.read_parquet(

@@ -69,13 +69,18 @@ def _fold(keys: np.ndarray, p: int) -> np.ndarray:
 
 def _estimate(regs: np.ndarray) -> float:
     m = len(regs)
-    r = regs.astype(np.float64)
-    est = _alpha(m) * m * m / np.sum(np.exp2(-r))
+    # exact integer harmonic numerator S = Σ_j 2^(64 − M_j): the
+    # float Σ2^{-M} is then ONE deterministic rounding float(S)/2^64,
+    # so the whole estimate is an order-independent IEEE chain the
+    # driver's DuckDB twin replays bitwise (register values ≤ 64)
+    vals, counts = np.unique(regs, return_counts=True)
+    S = sum(int(c) << (64 - int(v)) for v, c in zip(vals, counts))
+    two64 = float(2**64)
+    est = _alpha(m) * m * m * two64 / float(S)
     if est <= 2.5 * m:
         zeros = int(np.count_nonzero(regs == 0))
         if zeros:
             return m * np.log(m / zeros)
-    two64 = float(2**64)
     if est > two64 / 30.0:
         return -two64 * np.log1p(-est / two64)
     return float(est)
