@@ -266,7 +266,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_wealth_full_outer": q.q_nation_wealth_full_outer,  # SQL oracle (FULL OUTER, exact ints)
         "pref_attachment": q.q_pref_attachment,  # SQL oracle (exact int degree products)
         "resource_allocation": q.q_resource_allocation,  # SQL oracle (degree-histogram IEEE chain, bitwise)
-        "approx_price_quantiles": q.q_approx_price_quantiles,  # rows-only (DDSketch; accuracy pytest oracle)
+        "approx_price_quantiles": q.q_approx_price_quantiles,  # SQL oracle (DDSketch bucket+estimate replay, bitwise)
         "rewired_degree_hist": q.q_rewired_degree_hist,  # SQL oracle (degree-sequence invariance, bitwise)
         "edit_distance_pairs": q.q_edit_distance_pairs,  # SQL oracle (levenshtein twin, exact ints)
         "voronoi_cells": q.q_voronoi_cells,  # SQL oracle (recursive-CTE argmin twin, exact ints)
@@ -1820,6 +1820,62 @@ FROM glv
 """
 
 
+def _dd_quantiles_sql(alpha: float = 0.005) -> str:
+    """Bitwise twin of q_approx_price_quantiles: the DDSketch bucket
+    map ``ceil(ln(c)/ln γ)`` is deterministic per value (shared host
+    libm; γ and ln γ inlined as round-trip double literals), bucket
+    counts are exact integers, and the estimate
+    ``2·γ^i/(γ+1)`` is one IEEE chain from the integer bucket index
+    (CPython ``float**int`` and DuckDB POWER both call libm pow).
+    Lower-rank semantics: rank = floor(q·(n−1)), first bucket with
+    cumulative count ≥ rank − n_zero + 1
+    (stages/sketch.py::ddsketch_build/ddsketch_quantiles)."""
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+    return f"""
+WITH ddp AS (
+  SELECT CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+ddb AS (
+  SELECT CAST(CEIL(LN(CAST(c AS DOUBLE)) / CAST({lg!r} AS DOUBLE))
+              AS BIGINT) AS idx
+  FROM ddp WHERE c > 0
+),
+ddcnt AS (SELECT idx, COUNT(*) AS cnt FROM ddb GROUP BY idx),
+ddcum AS (
+  SELECT idx, SUM(cnt) OVER (ORDER BY idx
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM ddcnt
+),
+ddtot AS (
+  SELECT COUNT(*) AS total,
+         COUNT(*) FILTER (WHERE c <= 0) AS n_zero
+  FROM ddp
+),
+ddq AS (SELECT CAST(q AS DOUBLE) AS q
+        FROM (VALUES (0.25), (0.5), (0.75), (0.95)) t(q)),
+ddr AS (
+  SELECT q,
+         CAST(FLOOR(q * ((SELECT total FROM ddtot) - 1)) AS BIGINT)
+           AS rank
+  FROM ddq
+)
+SELECT q,
+  CASE WHEN rank < (SELECT n_zero FROM ddtot) THEN 0.0
+       ELSE 2.0 * POWER(CAST({gamma!r} AS DOUBLE),
+              (SELECT c.idx FROM ddcum c
+               WHERE c.cum >= ddr.rank
+                     - (SELECT n_zero FROM ddtot) + 1
+               ORDER BY c.idx LIMIT 1))
+            / (CAST({gamma!r} AS DOUBLE) + 1.0)
+  END AS est
+FROM ddr
+"""
+
+
 def _hll_overlap_sql(p: int = 14) -> str:
     """Bitwise twin of q_user_overlap_sketch: the register rows come
     from the same replay as the approx_distinct_users twin
@@ -2836,6 +2892,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "katz": _katz_sql(),
         "dominator_tree": _dominator_sql(),
         "user_overlap_sketch": _hll_overlap_sql(),
+        "approx_price_quantiles": _dd_quantiles_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

@@ -6282,9 +6282,10 @@ def q_approx_price_quantiles(sf_dir: str):
     """(q, est) — DDSketch approximate quantiles of l_extendedprice
     cents (alpha=0.005 relative-error guarantee, one streaming pass,
     bucket-additive partials; stages/sketch.py::ddsketch_build).
-    Rows-only: estimates are within 0.5% of the exact quantiles the
-    `price_quantiles` query computes (accuracy property-tested in
-    tests/test_sketch.py)."""
+    Bitwise SQL twin (deterministic libm bucket map, integer counts,
+    one IEEE estimate chain); estimates are within 0.5% of the exact
+    quantiles the `price_quantiles` query computes (accuracy
+    property-tested in tests/test_sketch.py)."""
     from igraph_ray.stages.sketch import ddsketch_build, ddsketch_quantiles
 
     li = ray.data.read_parquet(
