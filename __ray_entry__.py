@@ -150,7 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bridges": q.q_bridges,  # SQL oracle (per-edge closure test)
         "two_edge_components": q.q_two_edge_components,  # SQL oracle
         "articulation_points": q.q_articulation_points,  # SQL oracle (per-vertex closure)
-        "biconnected": q.q_biconnected,  # rows-only (nx partition oracle in pytest)
+        "biconnected": q.q_biconnected,  # SQL oracle (definitional biconnectivity closure, exact)
         "dyad_census": q.q_dyad_census,  # SQL oracle (exact ints)
         "triad_census": q.q_triad_census,  # SQL oracle (tricode brute force)
         "cocitation": q.q_cocitation,  # SQL oracle (int pair counts)
@@ -1820,6 +1820,63 @@ FROM glv
 """
 
 
+def _biconnected_sql() -> str:
+    """Exact twin of q_biconnected, from the DEFINITION of
+    biconnectivity rather than a Tarjan–Vishkin replay: two edges
+    sharing vertex v belong to one component iff their other
+    endpoints stay connected in G − v (one recursive CTE over
+    (avoid, source, node) seeded per incident arc); the transitive
+    closure of that relation over edges IS the biconnected edge
+    partition (walk any common cycle edge-by-edge).  Labels are the
+    canonical min ``a|b`` edge string per closure class — matching
+    the query's representation-free relabel.  All strings/integers —
+    exact."""
+    return f"""
+WITH {_UND_PAIRS}
+und2 AS (SELECT a, b, ROW_NUMBER() OVER (ORDER BY a, b) AS eid
+         FROM und),
+uarcs AS (SELECT a AS u, b AS v FROM und
+          UNION ALL SELECT b, a FROM und),
+bcr AS (
+  WITH RECURSIVE br(av, s, k) AS (
+    SELECT u AS av, v AS s, v AS k FROM uarcs
+    UNION
+    SELECT br.av, br.s, nx.v
+    FROM br JOIN uarcs nx ON nx.u = br.k
+    WHERE nx.v <> br.av
+  )
+  SELECT av, s, k FROM br
+),
+binc AS (SELECT eid, a AS v, b AS o FROM und2
+         UNION ALL SELECT eid, b, a FROM und2),
+brel AS (
+  SELECT i1.eid AS e, i2.eid AS f
+  FROM binc i1
+  JOIN binc i2 ON i2.v = i1.v AND i1.eid < i2.eid
+  WHERE EXISTS (SELECT 1 FROM bcr r
+                WHERE r.av = i1.v AND r.s = i1.o AND r.k = i2.o)
+),
+bclo AS (
+  WITH RECURSIVE bc(s, k) AS (
+    SELECT eid, eid FROM und2
+    UNION
+    SELECT bc.s, er.f
+    FROM bc JOIN (SELECT e, f FROM brel
+                  UNION ALL SELECT f, e FROM brel) er
+      ON er.e = bc.k
+  )
+  SELECT s, k FROM bc
+),
+blab AS (
+  SELECT c.s AS eid, MIN(u.a || '|' || u.b) AS bicomp_key
+  FROM bclo c JOIN und2 u ON u.eid = c.k
+  GROUP BY c.s
+)
+SELECT u.a AS src_key, u.b AS dst_key, l.bicomp_key
+FROM und2 u JOIN blab l ON l.eid = u.eid
+"""
+
+
 def _dd_quantiles_sql(alpha: float = 0.005) -> str:
     """Bitwise twin of q_approx_price_quantiles: the DDSketch bucket
     map ``ceil(ln(c)/ln γ)`` is deterministic per value (shared host
@@ -2893,6 +2950,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "dominator_tree": _dominator_sql(),
         "user_overlap_sketch": _hll_overlap_sql(),
         "approx_price_quantiles": _dd_quantiles_sql(),
+        "biconnected": _biconnected_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

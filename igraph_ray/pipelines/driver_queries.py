@@ -4702,9 +4702,14 @@ def q_articulation_points(sf_dir: str):
 def q_biconnected(sf_dir: str):
     """(src_key, dst_key, bicomp_key) — biconnected-component edge
     labels of the collapsed doc graph (igraph_biconnected_components
-    edge partition; label = the component's min tree-child key, a
-    deterministic representative); rows-only driver check, partition
-    oracle vs nx in tests/test_biconnected.py."""
+    edge partition).  The component label is CANONICAL — the
+    lexicographically smallest ``src_key|dst_key`` edge string of the
+    component (spanning-forest-independent, unlike the kernel's raw
+    min-tree-child representative) — so the driver's SQL twin can
+    compute the identical partition from the DEFINITION of
+    biconnectivity (edges sharing v whose other endpoints stay
+    connected in G − v, transitively closed).  Partition oracle vs nx
+    in tests/test_biconnected.py."""
     import tempfile
 
     from igraph_ray.kernels.biconnected import biconnected_edge_labels
@@ -4721,10 +4726,31 @@ def q_biconnected(sf_dir: str):
             batch_format="pyarrow", batch_size=None
         )
     ).sort_by("vid")
-    return _vid_to_key(
+    keyed = _vid_to_key(
         tbl,
         vtbl,
         {"src": "src_key", "dst": "dst_key", "bicomp": "bicomp_key"},
+    )
+    # canonical relabel: min (src_key|dst_key) edge string per
+    # component — partition-preserving, representation-free
+    src = np.asarray(keyed.column("src_key").to_pylist(), object)
+    dst = np.asarray(keyed.column("dst_key").to_pylist(), object)
+    lab = np.asarray(keyed.column("bicomp_key").to_pylist(), object)
+    edge_str = np.array(
+        [f"{a}|{b}" for a, b in zip(src, dst)], object
+    )
+    canon: dict = {}
+    for l, es in zip(lab, edge_str):
+        if l not in canon or es < canon[l]:
+            canon[l] = es
+    return pa.table(
+        {
+            "src_key": pa.array(src, pa.string()),
+            "dst_key": pa.array(dst, pa.string()),
+            "bicomp_key": pa.array(
+                [canon[l] for l in lab], pa.string()
+            ),
+        }
     )
 
 
