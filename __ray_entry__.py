@@ -242,10 +242,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bipartite": q.q_bipartite,  # SQL oracle (root-parity coloring + odd-cycle sentinel)
         "feedback_arc_set": q.q_feedback_arc_set,  # rows-only (sequential ELS order)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
-        "minhash_pairs": q.q_minhash_pairs,  # rows-only
+        "minhash_pairs": q.q_minhash_pairs,  # SQL oracle (full MinHash+LSH+verify integer replay, bitwise)
         "ngram_jaccard": q.q_ngram_jaccard,  # SQL oracle (inverted-index twin)
         "simhash_pairs": q.q_simhash_pairs,  # rows-only
-        "near_dedup_clusters": q.q_near_dedup_clusters,  # rows-only
+        "near_dedup_clusters": q.q_near_dedup_clusters,  # SQL oracle (MinHash replay + min-id closure, bitwise)
         "ann_brute_topk": q.q_ann_brute,  # SQL oracle: list_cosine_similarity
         "ann_ivf_topk": q.q_ann_ivf,
         "ann_pq_topk": q.q_ann_pq,  # rows-only (approximate ADC scores)  # full-probe IVF == brute force; same SQL oracle
@@ -1820,6 +1820,158 @@ FROM glv
 """
 
 
+def _minhash_pairs_sql(
+    k: int = 5,
+    num_perm: int = 64,
+    bands: int = 16,
+    cap: int = 64,
+    threshold: float = 0.6,
+) -> str:
+    """Bitwise twin of q_minhash_pairs — the full MinHash+LSH+verify
+    pipeline is integer-exact end to end
+    (functions/dedup.py::minhash_near_dup_pairs):
+
+    - shingles: the rolling polynomial k-gram hash over utf-8 bytes
+      (FNV-prime base, mod 2^64 wraparound) — the fixture corpus is
+      pure ASCII with every text > k chars, so ``ascii(substr(...))``
+      is the byte and the short-text crc32 branch never fires
+      (documented boundary);
+    - permutations: the 64 (a, b) PCG64(seed 7) parameters inlined as
+      literals; m = ((a·h mod 2^64) + b mod 2^64) mod (2^61−1),
+      signature = per-perm MIN;
+    - banding: the engine's splitmix64 left fold over each band's 4
+      signature values, bucket = (band << 32) | low32(h);
+    - candidates: clique ≤ cap / star beyond (min id), distinct;
+    - verify: exact distinct-shingle Jaccard ≥ threshold (one double
+      division, IEEE both sides)."""
+    from igraph_ray.functions.dedup import _perm_params
+
+    a, b = _perm_params(num_perm)
+    perm_vals = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(num_perm)
+    )
+    base = 1099511628211
+    m64 = 18446744073709551616
+    m61 = (1 << 61) - 1
+    rpb = num_perm // bands
+    coef = [pow(base, k - 1 - j, m64) for j in range(k)]
+    byte_terms = " + ".join(
+        f"CAST(ascii(substr(text, pos + {j}, 1)) AS HUGEINT) * {coef[j]}"
+        for j in range(k)
+    )
+    sig_cols = ",\n    ".join(
+        f"MAX(CASE WHEN perm % {rpb} = {j} THEN s END) AS s{j}"
+        for j in range(rpb)
+    )
+    mul = _mul64_sql("CAST(pm.pa AS HUGEINT)", "CAST(sh.h AS HUGEINT)")
+    fold = ""
+    prev = None
+    for j in range(1, rpb):
+        src = "mhf0" if j == 1 else f"mhc{j-1}4"
+        carries = ", ".join(f"s{i}" for i in range(j + 1, rpb))
+        carries = (carries + ", ") if carries else ""
+        if j == 1:
+            fold += f"""mhf0 AS (
+  SELECT doc_id, band, {", ".join(f"s{i}" for i in range(1, rpb))},
+         CAST(s0 AS HUGEINT) AS z0
+  FROM mhband
+),
+{_splitmix_chain_sql('mhf0', 'mhc1').lstrip()},
+"""
+        fold += f"""mhf{j} AS (
+  SELECT doc_id, band, {carries}CAST(xor(z, s{j}) AS HUGEINT) AS z0
+  FROM mhc{j}4
+),
+{_splitmix_chain_sql(f'mhf{j}', f'mhc{j+1}').lstrip()},
+"""
+        prev = f"mhc{j+1}4"
+    return f"""
+WITH mhdoc AS (
+  SELECT doc_id, text FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+),
+mhsh AS (
+  SELECT DISTINCT doc_id,
+    CAST(({byte_terms}) % {m64} AS UBIGINT) AS h
+  FROM mhdoc,
+       generate_series(1, 4096) t(pos)
+  WHERE pos <= length(text) - {k - 1}
+),
+mhperm(perm, pa, pb) AS (SELECT * FROM (VALUES {perm_vals})),
+mhsig AS (
+  SELECT sh.doc_id, pm.perm,
+         MIN(CAST((({mul} + pm.pb) % {m64}) % {m61} AS UBIGINT)) AS s
+  FROM mhsh sh CROSS JOIN mhperm pm
+  GROUP BY sh.doc_id, pm.perm
+),
+mhband AS (
+  SELECT doc_id, perm // {rpb} AS band,
+    {sig_cols}
+  FROM mhsig GROUP BY doc_id, perm // {rpb}
+),
+{fold}mhbuck AS (
+  SELECT doc_id AS id,
+         band * 4294967296 + CAST(z % 4294967296 AS BIGINT) AS bucket
+  FROM {prev}
+),
+mhmem AS (SELECT DISTINCT bucket, id FROM mhbuck),
+mhsz AS (SELECT bucket, COUNT(*) AS kk, MIN(id) AS mn
+         FROM mhmem GROUP BY bucket),
+mhcand AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT m1.id AS a, m2.id AS b
+    FROM mhmem m1
+    JOIN mhmem m2 ON m2.bucket = m1.bucket AND m1.id < m2.id
+    JOIN mhsz s ON s.bucket = m1.bucket
+    WHERE s.kk <= {cap}
+    UNION ALL
+    SELECT s.mn, m.id
+    FROM mhmem m JOIN mhsz s ON s.bucket = m.bucket
+    WHERE s.kk > {cap} AND m.id <> s.mn
+  )
+),
+mhcnt AS (SELECT doc_id, COUNT(*) AS c FROM mhsh GROUP BY doc_id),
+mhint AS (
+  SELECT p.a, p.b, COUNT(*) AS inter
+  FROM mhcand p
+  JOIN mhsh x ON x.doc_id = p.a
+  JOIN mhsh y ON y.doc_id = p.b AND y.h = x.h
+  GROUP BY p.a, p.b
+)
+SELECT p.a, p.b
+FROM mhcand p
+JOIN mhcnt ca ON ca.doc_id = p.a
+JOIN mhcnt cb ON cb.doc_id = p.b
+LEFT JOIN mhint i ON i.a = p.a AND i.b = p.b
+WHERE CASE WHEN ca.c + cb.c - COALESCE(i.inter, 0) = 0 THEN 1.0
+      ELSE CAST(COALESCE(i.inter, 0) AS DOUBLE)
+           / (ca.c + cb.c - COALESCE(i.inter, 0))
+      END >= {threshold}
+"""
+
+
+def _near_dedup_clusters_sql() -> str:
+    """Bitwise twin of q_near_dedup_clusters: the verified MinHash
+    pair replay (``_minhash_pairs_sql``) followed by min-id connected
+    components (recursive min-key closure — the K2 kernel's
+    semantics) over every doc id.  All integers — exact."""
+    return f"""
+WITH ndp AS (SELECT * FROM ({_minhash_pairs_sql()})),
+ndk AS (SELECT doc_id AS vid FROM documents),
+ndarcs AS (SELECT a AS u, b AS v FROM ndp
+           UNION ALL SELECT b, a FROM ndp),
+ndclo AS (
+  WITH RECURSIVE rc(s, k) AS (
+    SELECT vid, vid FROM ndk
+    UNION
+    SELECT rc.s, a2.v FROM rc JOIN ndarcs a2 ON a2.u = rc.k
+  )
+  SELECT s, k FROM rc
+)
+SELECT s AS vid, MIN(k) AS keep_id FROM ndclo GROUP BY s
+"""
+
+
 def _biconnected_sql() -> str:
     """Exact twin of q_biconnected, from the DEFINITION of
     biconnectivity rather than a Tarjan–Vishkin replay: two edges
@@ -2951,6 +3103,8 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "user_overlap_sketch": _hll_overlap_sql(),
         "approx_price_quantiles": _dd_quantiles_sql(),
         "biconnected": _biconnected_sql(),
+        "minhash_pairs": _minhash_pairs_sql(),
+        "near_dedup_clusters": _near_dedup_clusters_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

@@ -87,21 +87,30 @@ class _MinHashStage:
         self.a, self.b = _perm_params(num_perm)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from igraph_ray.utils import hash_int64
+
         ids = batch.column(self.id_col).to_pylist()
         texts = batch.column(self.text_col).to_pylist()
         out_id, out_bucket = [], []
+        band_hi = np.arange(self.bands, dtype=np.int64) << 32
         for i, t in zip(ids, texts):
             if not t:
                 continue
             sig = _minhash_sig(_shingle_hashes(t, self.k), self.a, self.b)
-            for band in range(self.bands):
-                chunk = sig[
-                    band * self.rows_per_band : (band + 1) * self.rows_per_band
-                ]
-                # fused (band, bucket) key → single-int64 shuffle key
-                bucket = (band << 32) | zlib.crc32(chunk.tobytes())
-                out_id.append(i)
-                out_bucket.append(bucket)
+            # fused (band, bucket) key → single-int64 shuffle key; the
+            # band hash is a splitmix64 left fold over the band's
+            # signature values (h ← splitmix64(h ⊕ s_j)), so the
+            # driver's DuckDB twin replays buckets bit-for-bit —
+            # crc32 had no SQL twin
+            s2 = sig.reshape(self.bands, self.rows_per_band)
+            h = hash_int64(s2[:, 0])
+            for j in range(1, self.rows_per_band):
+                h = hash_int64(h ^ s2[:, j])
+            buckets = band_hi | (
+                h & np.uint64(0xFFFFFFFF)
+            ).astype(np.int64)
+            out_id.extend([i] * self.bands)
+            out_bucket.extend(buckets.tolist())
         return pa.table(
             {
                 "id": pa.array(out_id, pa.int64()),
