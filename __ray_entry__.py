@@ -244,7 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
         "minhash_pairs": q.q_minhash_pairs,  # SQL oracle (full MinHash+LSH+verify integer replay, bitwise)
         "ngram_jaccard": q.q_ngram_jaccard,  # SQL oracle (inverted-index twin)
-        "simhash_pairs": q.q_simhash_pairs,  # rows-only
+        "simhash_pairs": q.q_simhash_pairs,  # SQL oracle (CRC32-table SimHash replay, bitwise)
         "near_dedup_clusters": q.q_near_dedup_clusters,  # SQL oracle (MinHash replay + min-id closure, bitwise)
         "ann_brute_topk": q.q_ann_brute,  # SQL oracle: list_cosine_similarity
         "ann_ivf_topk": q.q_ann_ivf,
@@ -1950,6 +1950,107 @@ WHERE CASE WHEN ca.c + cb.c - COALESCE(i.inter, 0) = 0 THEN 1.0
 """
 
 
+def _simhash_pairs_sql(max_hamming: int = 3, cap: int = 512) -> str:
+    """Bitwise twin of q_simhash_pairs — integer-exact end to end
+    (functions/dedup.py::simhash_near_dup_pairs):
+
+    - tokens: RE2 ``\\s+`` split with empty tokens dropped (both
+      engines use RE2);
+    - token hash64 = (crc32(t) << 32) | crc32(t || 'x'): CRC32 is
+      replayed with the standard reflected-poly table (inlined 256
+      VALUES) via ONE recursive CTE over (token, position, state) —
+      the state at len(t) finalizes crc32(t), at len(t)+1
+      crc32(t||'x');
+    - simhash: per (doc, bit) v = Σ(2·bit−1) over the token stream
+      WITH multiplicity, bit set iff v > 0 (powers-of-two inlined —
+      no 64-bit shifts needed);
+    - LSH: 4 × 16-bit bands, fused (band << 16 | chunk) buckets,
+      all-pairs inside buckets of 2..cap members, exact
+      ``bit_count(xor())`` hamming ≤ max_hamming, min-reduced dedup."""
+    T = []
+    for n in range(256):
+        c = n
+        for _ in range(8):
+            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
+        T.append(c)
+    tvals = ", ".join(f"({i}, {v})" for i, v in enumerate(T))
+    pw = ", ".join(f"({b}, {1 << b})" for b in range(64))
+    bandpw = ", ".join(f"({b}, {1 << (16 * b)})" for b in range(4))
+    return f"""
+WITH shdoc AS (
+  SELECT doc_id, COALESCE(text, '') AS text FROM documents
+),
+shtokocc AS (
+  SELECT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(text, '\\s+')) AS tok
+    FROM shdoc
+  ) WHERE tok <> ''
+),
+shtok AS (SELECT DISTINCT tok FROM shtokocc),
+shcrct(ti, tv) AS (SELECT * FROM (VALUES {tvals})),
+shcrc AS (
+  WITH RECURSIVE c(tok, i, st) AS (
+    SELECT tok, 0, CAST(4294967295 AS BIGINT) FROM shtok
+    UNION ALL
+    SELECT c.tok, c.i + 1, xor(c.st // 256, t.tv)
+    FROM c
+    JOIN shcrct t
+      ON t.ti = xor(c.st % 256,
+                    ascii(substr(c.tok || 'x', c.i + 1, 1)))
+    WHERE c.i < length(c.tok) + 1
+  )
+  SELECT tok, i, st FROM c
+),
+shh AS (
+  SELECT t.tok,
+    CAST(CAST(xor(c1.st, 4294967295) AS HUGEINT) * 4294967296
+         + xor(c2.st, 4294967295) AS HUGEINT) AS h
+  FROM shtok t
+  JOIN shcrc c1 ON c1.tok = t.tok AND c1.i = length(t.tok)
+  JOIN shcrc c2 ON c2.tok = t.tok AND c2.i = length(t.tok) + 1
+),
+shpw(pb, pp) AS (SELECT * FROM (VALUES {pw})),
+shbits AS (
+  SELECT o.doc_id, p.pb,
+         SUM(2 * CAST((t.h // p.pp) % 2 AS BIGINT) - 1) AS v
+  FROM shtokocc o
+  JOIN shh t ON t.tok = o.tok
+  CROSS JOIN shpw p
+  GROUP BY o.doc_id, p.pb
+),
+shsim AS (
+  SELECT d.doc_id,
+    COALESCE(SUM(CASE WHEN s.v > 0
+                 THEN CAST(s2.pp AS HUGEINT) ELSE 0 END), 0) AS sim
+  FROM shdoc d
+  LEFT JOIN shbits s ON s.doc_id = d.doc_id
+  LEFT JOIN shpw s2 ON s2.pb = s.pb
+  GROUP BY d.doc_id
+),
+shbpw(bb, bp) AS (SELECT * FROM (VALUES {bandpw})),
+shbuck AS (
+  SELECT doc_id AS id, sim,
+         b.bb * 65536 + CAST((sim // b.bp) % 65536 AS BIGINT) AS bucket
+  FROM shsim CROSS JOIN shbpw b
+),
+shsz AS (SELECT bucket, COUNT(*) AS kk FROM shbuck GROUP BY bucket),
+shp AS (
+  SELECT m1.id AS a, m2.id AS b,
+         CAST(bit_count(xor(CAST(m1.sim AS UBIGINT),
+                            CAST(m2.sim AS UBIGINT))) AS BIGINT)
+           AS hamming
+  FROM shbuck m1
+  JOIN shbuck m2 ON m2.bucket = m1.bucket AND m1.id < m2.id
+  JOIN shsz s ON s.bucket = m1.bucket
+  WHERE s.kk <= {cap}
+)
+SELECT a, b, MIN(hamming) AS hamming
+FROM shp WHERE hamming <= {max_hamming}
+GROUP BY a, b
+"""
+
+
 def _near_dedup_clusters_sql() -> str:
     """Bitwise twin of q_near_dedup_clusters: the verified MinHash
     pair replay (``_minhash_pairs_sql``) followed by min-id connected
@@ -3105,6 +3206,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "biconnected": _biconnected_sql(),
         "minhash_pairs": _minhash_pairs_sql(),
         "near_dedup_clusters": _near_dedup_clusters_sql(),
+        "simhash_pairs": _simhash_pairs_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),
