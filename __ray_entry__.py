@@ -129,7 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graphlet_census": q.q_graphlet_census,  # SQL oracle (PGD transform, ints)
         "maximal_cliques": q.q_maximal_cliques,  # rows-only (BK enumeration)
         "line_graph": q.q_line_graph,  # SQL oracle (incidence self-join twin)
-        "k_shortest_paths": q.q_k_shortest_paths,  # rows-only (Yen recursion)
+        "k_shortest_paths": q.q_k_shortest_paths,  # SQL oracle (definitional top-k simple-path enumeration, exact)
         "fr_layout": q.q_fr_layout,  # rows-only (force simulation)
         "kk_layout": q.q_kk_layout,  # rows-only (stress-majorization layout; stress/structure pytest oracles)
         "circle_layout": q.q_circle_layout,  # SQL oracle (shared-libm trig replay, bitwise)
@@ -1950,6 +1950,72 @@ WHERE CASE WHEN ca.c + cb.c - COALESCE(i.inter, 0) = 0 THEN 1.0
 """
 
 
+def _k_shortest_paths_sql(k: int = 5) -> str:
+    """Exact twin of q_k_shortest_paths, via the DEFINITION rather
+    than a Yen replay: the kernel emits the k cheapest simple s→t
+    paths in (cost, lexicographic-vid-path) order — an
+    algorithm-independent top-k — so the twin enumerates ALL simple
+    paths from s (= vid 0, the lexicographically smallest key) to t
+    (= max vid of s's component) with one recursive list-building CTE
+    (the fixture's link components are small and sparse, so the
+    enumeration is tiny) and takes the first k under the same
+    (cost, path-list) order.  All integers/strings — exact."""
+    return f"""
+{_LINK_PAIRS},
+kspv AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid
+         FROM keys),
+kspe AS (
+  SELECT DISTINCT u, v FROM (
+    SELECT s.vid AS u, d.vid AS v
+    FROM link_pairs lp
+    JOIN kspv s ON s.key = lp.src_key
+    JOIN kspv d ON d.key = lp.dst_key
+    WHERE s.vid <> d.vid
+    UNION ALL
+    SELECT d.vid, s.vid
+    FROM link_pairs lp
+    JOIN kspv s ON s.key = lp.src_key
+    JOIN kspv d ON d.key = lp.dst_key
+    WHERE s.vid <> d.vid
+  )
+),
+kspc AS (
+  WITH RECURSIVE r(n) AS (
+    SELECT 0
+    UNION
+    SELECT a.v FROM r JOIN kspe a ON a.u = r.n
+  )
+  SELECT n FROM r
+),
+kspt AS (SELECT MAX(n) AS t FROM kspc),
+ksppaths AS (
+  WITH RECURSIVE p(node, path, cost) AS (
+    SELECT 0, [CAST(0 AS BIGINT)], 0
+    UNION ALL
+    SELECT a.v, list_append(p.path, a.v), p.cost + 1
+    FROM p JOIN kspe a ON a.u = p.node
+    WHERE NOT list_contains(p.path, a.v)
+      AND p.node <> (SELECT t FROM kspt)
+  )
+  SELECT path, cost FROM p WHERE node = (SELECT t FROM kspt)
+),
+kspsel AS (
+  SELECT path, cost,
+         ROW_NUMBER() OVER (ORDER BY cost, path) - 1 AS rank
+  FROM ksppaths
+),
+kspun AS (
+  SELECT rank, cost, unnest(path) AS vid,
+         unnest(range(len(path))) AS i
+  FROM kspsel WHERE rank < {k}
+)
+SELECT u.rank, CAST(u.cost AS BIGINT) AS cost,
+       string_agg(v.key, '|' ORDER BY u.i) AS route
+FROM kspun u JOIN kspv v ON v.vid = u.vid
+GROUP BY u.rank, u.cost
+"""
+
+
 def _simhash_pairs_sql(max_hamming: int = 3, cap: int = 512) -> str:
     """Bitwise twin of q_simhash_pairs — integer-exact end to end
     (functions/dedup.py::simhash_near_dup_pairs):
@@ -3207,6 +3273,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "minhash_pairs": _minhash_pairs_sql(),
         "near_dedup_clusters": _near_dedup_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
+        "k_shortest_paths": _k_shortest_paths_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),
