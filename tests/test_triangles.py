@@ -107,3 +107,16 @@ def test_join_fallback_path_exact():
         zip(tc.column("vid").to_pylist(), tc.column("triangles").to_pylist())
     )
     assert got == nx.triangles(G)
+
+
+def test_chunked_close_exact(monkeypatch):
+    # force the close task's wedge expansion into many tiny chunks —
+    # counts must be bit-identical to the unchunked result
+    import igraph_ray.kernels.triangles as T
+
+    G = nx.gnm_random_graph(80, 600, seed=11)
+    src, dst = nx_edge_arrays(G)
+    want = nx.triangles(G)
+    monkeypatch.setattr(T, "_WEDGE_CHUNK", 7)
+    got = _counts(triangle_counts(edges_dataset(src, dst)))
+    assert all(got.get(v, 0) == c for v, c in want.items())
