@@ -257,7 +257,9 @@ def triangle_counts(
             fn_constructor_args=(ref,),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 8),
+            # pool sized to the cluster: an 8-actor cap throttled the
+            # 500M-row degree attach to 1/4 of the host
+            concurrency=(1, max(8, int(ray.cluster_resources().get("CPU", 8)))),
         )
     else:
         # join partition count must not exceed what the cluster can
@@ -557,7 +559,7 @@ def triangle_list(
         fn_constructor_args=(ref,),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
+        concurrency=(1, max(8, int(ray.cluster_resources().get("CPU", 8)))),
     )
     oriented = with_deg.map_batches(
         _orient, batch_format="pyarrow", zero_copy_batch=True
