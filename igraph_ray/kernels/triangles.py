@@ -332,17 +332,35 @@ def triangle_counts(
         oriented
     )
     if can_broadcast:
-        pair_tbl = pa.concat_tables(
-            oriented.select_columns(["u", "v"]).iter_batches(
-                batch_format="pyarrow", batch_size=None
+        # build the fused key array with a CONSTANT driver footprint:
+        # fuse per block in tasks, stream block columns into one
+        # preallocated array, sort in place (introsort, O(1) extra) —
+        # the previous concat_tables gather held the full (u, v)
+        # table plus fuse temporaries (~6x the array) on the driver,
+        # which at 500M edges starved a 128 GB host beside a 64 GiB
+        # object store.
+        def fuse(batch: pa.Table) -> pa.Table:
+            fk = (
+                batch.column("u").to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                << 32
+            ) | batch.column("v").to_numpy(zero_copy_only=False).astype(
+                np.int64
             )
-        )
-        fused = (
-            pair_tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
-            << 32
-        ) | pair_tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"fk": pa.array(fk)})
+
+        fused = np.empty(n_edges, np.int64)
+        off = 0
+        for blk in oriented.select_columns(["u", "v"]).map_batches(
+            fuse, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            arr = blk.column("fk").to_numpy(zero_copy_only=False)
+            fused[off : off + len(arr)] = arr
+            off += len(arr)
+        fused = fused[:off]
         fused.sort()
         pairs_ref = ray.put(fused)
+        del fused
 
         def close_block(group: pa.Table) -> pa.Table:
             empty = pa.table(
@@ -578,17 +596,26 @@ def triangle_list(
     # O(E·d̄ / cap) at scale.
     num_partitions = int(max(2, min(65536, n_edges // 250_000 + 2)))
 
-    pair_tbl = pa.concat_tables(
-        oriented.select_columns(["u", "v"]).iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-    )
-    fused = (
-        pair_tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
-        << 32
-    ) | pair_tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+    # constant-footprint fused-key build (see triangle_counts)
+    def _fuse(batch: pa.Table) -> pa.Table:
+        fk = (
+            batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            << 32
+        ) | batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"fk": pa.array(fk)})
+
+    fused = np.empty(n_edges, np.int64)
+    off = 0
+    for blk in oriented.select_columns(["u", "v"]).map_batches(
+        _fuse, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        arr = blk.column("fk").to_numpy(zero_copy_only=False)
+        fused[off : off + len(arr)] = arr
+        off += len(arr)
+    fused = fused[:off]
     fused.sort()
     pairs_ref = ray.put(fused)
+    del fused
 
     def add_upart(batch: pa.Table) -> pa.Table:
         from igraph_ray.utils import part_of

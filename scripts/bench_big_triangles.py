@@ -8,6 +8,12 @@ Unlike PageRank/components/LPA this needs no CSR store at all —
 table (canonicalize → degrees → orient → wedge+close), so the run
 exercises the no-prebuilt-graph path end to end.
 
+Memory budget (128 GB host): 48 GiB plasma (the pipeline's peak
+plasma residency is ~45 GB with spill headroom on disk) leaves ~75 GB
+for worker heaps plus the driver's single 4 GB fused array — the
+first attempt with 64 GiB plasma and a concat_tables driver gather
+OOMed the host at the close stage.
+
 Scale strategy, recorded for the judge:
 - the close step takes the BROADCAST path (``broadcast_max_vertices``
   raised to cover the 500M oriented edges): one fused-key int64 array
@@ -52,7 +58,7 @@ def main() -> None:
         num_cpus=num_cpus,
         include_dashboard=False,
         logging_level=logging.ERROR,
-        object_store_memory=64 * 1024**3,
+        object_store_memory=48 * 1024**3,
     )
     logging.getLogger("ray.data").setLevel(logging.CRITICAL)
 
