@@ -256,7 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": q.q_pca_embeddings,  # rows-only (numpy dense pytest oracle)
         "multimodal_decode": q.q_multimodal_decode,  # rows-only (stub codec)
         "pattern_counts": q.q_pattern_counts,  # SQL oracle (multi-way self-join, exact ints)
-        "chordality": q.q_chordality,  # rows-only (MCS certificate; nx.is_chordal pytest oracle)
+        "chordality": q.q_chordality,  # SQL oracle (unrolled MCS replay + canonical witness scan, exact)
         "circuit_rank": q.q_circuit_rank,  # SQL oracle (m - n + c, recursive-CC twin)
         "complement_summary": q.q_complement_summary,  # SQL oracle (complement degree hist)
         "shortest_path_counts": q.q_shortest_path_counts,  # SQL oracle (walk-enumeration twin)
@@ -1950,6 +1950,92 @@ WHERE CASE WHEN ca.c + cb.c - COALESCE(i.inter, 0) = 0 THEN 1.0
 """
 
 
+def _chordality_sql(rounds: int = 128) -> str:
+    """Bitwise twin of q_chordality: Maximum Cardinality Search
+    replayed with ``rounds`` unrolled pick/update CTEs — each round is
+    two hash joins (the 0-or-1-row pick LEFT-joined ON TRUE, the
+    pick's adjacency row LEFT-joined per vertex), no correlated
+    subqueries (those made the planner blow up); rounds past the
+    vertex count are no-ops (empty pick → NULL → unchanged).  The
+    parent test uses arg_max parents and the kernel's canonical
+    witness scan: first failing (v, u) in (MCS-pos(v), ascending u)
+    order (kernels/chordal.py::_mcs_certificate).  All integers —
+    exact."""
+    body = []
+    prev = "mc0"
+    for r in range(1, rounds + 1):
+        body.append(
+            f"""mp{r} AS MATERIALIZED (
+  SELECT x AS pk FROM {prev} WHERE p IS NULL
+  ORDER BY w DESC, x LIMIT 1
+),
+mc{r} AS MATERIALIZED (
+  SELECT s.x,
+    s.w + CASE WHEN s.p IS NULL AND ev.v IS NOT NULL
+               AND s.x <> m.pk THEN 1 ELSE 0 END AS w,
+    CASE WHEN s.x = m.pk THEN {r - 1} ELSE s.p END AS p
+  FROM {prev} s
+  LEFT JOIN mp{r} m ON TRUE
+  LEFT JOIN mce ev ON ev.u = m.pk AND ev.v = s.x
+)"""
+        )
+        prev = f"mc{r}"
+    ctes = ",\n".join(body)
+    return f"""
+{_LINK_PAIRS},
+mckv AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid
+         FROM keys),
+mcpair AS MATERIALIZED (
+  SELECT DISTINCT LEAST(s.vid, d.vid) AS a, GREATEST(s.vid, d.vid) AS b
+  FROM link_pairs lp
+  JOIN mckv s ON s.key = lp.src_key
+  JOIN mckv d ON d.key = lp.dst_key
+  WHERE s.vid <> d.vid
+),
+mcv AS MATERIALIZED (
+  SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS x
+  FROM (SELECT a AS vid FROM mcpair UNION SELECT b FROM mcpair)
+),
+mce AS MATERIALIZED (
+  SELECT xa.x AS u, xb.x AS v
+  FROM mcpair p JOIN mcv xa ON xa.vid = p.a JOIN mcv xb ON xb.vid = p.b
+  UNION ALL
+  SELECT xb.x, xa.x
+  FROM mcpair p JOIN mcv xa ON xa.vid = p.a JOIN mcv xb ON xb.vid = p.b
+),
+mc0 AS (SELECT x, 0 AS w, CAST(NULL AS BIGINT) AS p FROM mcv),
+{ctes},
+mcpos AS (SELECT x, p FROM {prev}),
+mcearl AS (
+  SELECT e.v AS vx, e.u AS ux, pu.p AS posu, pv.p AS posv
+  FROM mce e
+  JOIN mcpos pu ON pu.x = e.u
+  JOIN mcpos pv ON pv.x = e.v
+  WHERE pu.p < pv.p
+),
+mcpar AS (SELECT vx, arg_max(ux, posu) AS px FROM mcearl GROUP BY vx),
+mcfail AS (
+  SELECT l.posv, l.ux, l.vx, pr.px
+  FROM mcearl l JOIN mcpar pr ON pr.vx = l.vx
+  WHERE l.ux <> pr.px
+    AND NOT EXISTS (SELECT 1 FROM mce a
+                    WHERE a.u = l.ux AND a.v = pr.px)
+),
+mcw AS (
+  SELECT vu.vid AS wu, vp.vid AS wp, vv.vid AS wv
+  FROM (SELECT * FROM mcfail ORDER BY posv, ux LIMIT 1) f
+  JOIN mcv vu ON vu.x = f.ux
+  JOIN mcv vp ON vp.x = f.px
+  JOIN mcv vv ON vv.x = f.vx
+)
+SELECT
+  (SELECT COUNT(*) FROM mcfail) = 0 AS chordal,
+  COALESCE((SELECT wu FROM mcw), -1) AS witness_u,
+  COALESCE((SELECT wp FROM mcw), -1) AS witness_p,
+  COALESCE((SELECT wv FROM mcw), -1) AS witness_v
+"""
+
+
 def _k_shortest_paths_sql(k: int = 5) -> str:
     """Exact twin of q_k_shortest_paths, via the DEFINITION rather
     than a Yen replay: the kernel emits the k cheapest simple s→t
@@ -3274,6 +3360,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "near_dedup_clusters": _near_dedup_clusters_sql(),
         "simhash_pairs": _simhash_pairs_sql(),
         "k_shortest_paths": _k_shortest_paths_sql(),
+        "chordality": _chordality_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

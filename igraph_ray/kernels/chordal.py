@@ -83,7 +83,10 @@ def _mcs_certificate(
     # parent test: for v in MCS order, E(v) = earlier neighbors; the
     # latest-numbered p in E(v) must be adjacent to all of E(v)\{p}
     for v in order:
-        earlier = [u for u in adj[v] if pos[u] < pos[v]]
+        # sorted scan: the FIRST failing (v, u) in (MCS-pos(v),
+        # ascending u) order — a canonical witness the driver's SQL
+        # twin reproduces (set-iteration order is not replayable)
+        earlier = sorted(u for u in adj[v] if pos[u] < pos[v])
         if len(earlier) <= 1:
             continue
         p = max(earlier, key=lambda u: pos[u])
