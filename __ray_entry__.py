@@ -127,7 +127,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_similarity": q.q_jaccard_similarity,  # SQL oracle
         "jaccard_pairs": q.q_jaccard_pairs,  # SQL oracle (all-pairs variant)
         "graphlet_census": q.q_graphlet_census,  # SQL oracle (PGD transform, ints)
-        "maximal_cliques": q.q_maximal_cliques,  # rows-only (BK enumeration)
+        "maximal_cliques": q.q_maximal_cliques,  # SQL oracle (definitional clique-growth enumeration, exact)
         "line_graph": q.q_line_graph,  # SQL oracle (incidence self-join twin)
         "k_shortest_paths": q.q_k_shortest_paths,  # SQL oracle (definitional top-k simple-path enumeration, exact)
         "fr_layout": q.q_fr_layout,  # rows-only (force simulation)
@@ -1950,6 +1950,64 @@ WHERE CASE WHEN ca.c + cb.c - COALESCE(i.inter, 0) = 0 THEN 1.0
 """
 
 
+def _maximal_cliques_sql() -> str:
+    """Exact twin of q_maximal_cliques via the DEFINITION: grow every
+    clique as a sorted vid list with one recursive CTE (extend by a
+    strictly-larger vertex adjacent to all members — terminates, each
+    clique built exactly once), keep the ones no outside vertex
+    extends, join back to '|'-joined ascending key strings (vid order
+    = key order).  The kernel's ELS/BK enumeration finds the same
+    unique set.  Replay-scale: all-clique count is tiny on the sparse
+    fixture graph."""
+    return f"""
+{_LINK_PAIRS},
+mqv AS MATERIALIZED (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+),
+mqe AS MATERIALIZED (
+  SELECT u, v FROM (
+    SELECT s.vid AS u, d.vid AS v
+    FROM link_pairs lp
+    JOIN mqv s ON s.key = lp.src_key
+    JOIN mqv d ON d.key = lp.dst_key
+    WHERE s.vid <> d.vid
+    UNION
+    SELECT d.vid, s.vid
+    FROM link_pairs lp
+    JOIN mqv s ON s.key = lp.src_key
+    JOIN mqv d ON d.key = lp.dst_key
+    WHERE s.vid <> d.vid
+  )
+),
+mqn AS MATERIALIZED (
+  SELECT v AS vid, list(u ORDER BY u) AS nbrs FROM mqe GROUP BY v
+),
+mqc AS (
+  WITH RECURSIVE c(m, last, sz) AS (
+    SELECT [vid], vid, 1 FROM mqv
+    UNION ALL
+    SELECT list_append(c.m, n.vid), n.vid, c.sz + 1
+    FROM c JOIN mqn n
+      ON n.vid > c.last AND list_has_all(n.nbrs, c.m)
+  )
+  SELECT m, sz FROM c
+),
+mqmax AS (
+  SELECT ROW_NUMBER() OVER () AS rid, m, sz FROM mqc c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM mqn y
+    WHERE NOT list_contains(c.m, y.vid)
+      AND list_has_all(y.nbrs, c.m)
+  )
+),
+mqun AS (SELECT rid, sz, unnest(m) AS vid FROM mqmax)
+SELECT string_agg(kv.key, '|' ORDER BY s.vid) AS clique,
+       CAST(ANY_VALUE(s.sz) AS BIGINT) AS size
+FROM mqun s JOIN mqv kv ON kv.vid = s.vid
+GROUP BY s.rid
+"""
+
+
 def _chordality_sql(rounds: int = 128) -> str:
     """Bitwise twin of q_chordality: Maximum Cardinality Search
     replayed with ``rounds`` unrolled pick/update CTEs — each round is
@@ -3361,6 +3419,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "simhash_pairs": _simhash_pairs_sql(),
         "k_shortest_paths": _k_shortest_paths_sql(),
         "chordality": _chordality_sql(),
+        "maximal_cliques": _maximal_cliques_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

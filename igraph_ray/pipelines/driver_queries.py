@@ -1594,7 +1594,8 @@ def q_maximal_cliques(sf_dir: str):
     maximal clique of the E1∪E2 key graph exactly once (igraph
     maximal_cliques / nx.find_cliques; ELS per-vertex BK subproblems,
     kernels/maxcliques.py; NX-exact in tests/test_cliques.py).
-    Rows-only (backtracking enumeration has no SQL twin)."""
+    Exact SQL twin via the DEFINITION (recursive sorted clique growth
+    + no-extension maximality filter) — algorithm-independent set."""
     from igraph_ray.kernels.maxcliques import maximal_cliques
 
     pairs = _link_graph_edges_cached(sf_dir)
