@@ -291,7 +291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_corr": q.q_qty_price_corr,  # SQL oracle (HUGEINT sufficient stats + one IEEE chain, bitwise)
         "square_clustering": q.q_square_clustering,  # SQL oracle (exact-int num/den + one IEEE division, bitwise)
         "trophic_levels": q.q_trophic_levels,  # rows-only (Jacobi fixed point; dense (I-P)s=1 pytest oracle)
-        "node2vec_walks": q.q_node2vec_walks,  # rows-only (second-order biased walks; sequential-replay pytest oracle)
+        "node2vec_walks": q.q_node2vec_walks,  # SQL oracle (ES weighted-pick replay, bitwise)
         "node_embeddings": q.q_node_embeddings,  # rows-only (SGNS trainer over the walk corpus; loss/recovery pytest oracles)
         "graphml_roundtrip": q.q_graphml_roundtrip,  # SQL oracle (lossless interchange == link_pairs)
         "gml_roundtrip": q.q_gml_roundtrip,  # SQL oracle (lossless interchange == link_pairs)
@@ -1950,6 +1950,108 @@ WHERE CASE WHEN ca.c + cb.c - COALESCE(i.inter, 0) = 0 THEN 1.0
 """
 
 
+def _node2vec_sql(
+    length: int = 8, p: float = 0.5, q: float = 2.0, seed: int = 42
+) -> str:
+    """Bitwise twin of q_node2vec_walks: step 1 is the walk_choice
+    uniform rank pick (same replay as the random_walks twin); every
+    later hop replays the Efraimidis-Spirakis weighted pick exactly —
+    per candidate u = ((splitmix64(walk·φ64 ⊕ cand·K2 ⊕ step·C ⊕
+    seed) >> 11) + 1) / 2^53, key = ln(u)/bias with bias 1/p if cand
+    is the previous vertex, 1 if cand neighbours it, else 1/q (p=0.5,
+    q=2.0 → exact binary 2.0 / 0.5 literals), argmax key with
+    smallest-cand ties (kernels/walks.py::node2vec_walks).  ln is the
+    shared host libm; everything else is integer.  Retired walks stay
+    at -1 via LEFT JOINs."""
+    m64 = 1 << 64
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    c_step = 0xBF58476D1CE4E5B9
+    phi = "11400714819323198485"
+    k2 = "14029467366897019727"
+    u_expr = (
+        "LN(CAST((z // 2048) + 1 AS DOUBLE) / 9007199254740992.0)"
+    )
+    steps = []
+    for i in range(2, length + 1):
+        sc = (i * c_step) % m64
+        steps.append(
+            f"""n2c{i}0 AS (
+  SELECT w.walk_id, w.prev, w.cur, a.d AS cand,
+    CASE WHEN a.d = w.prev THEN {inv_p!r}
+         WHEN e.s IS NOT NULL THEN 1.0
+         ELSE {inv_q!r} END AS bias,
+    CAST(xor(xor(xor(
+        CAST({_mul64_sql("CAST(w.walk_id AS HUGEINT)", phi)} AS UBIGINT),
+        CAST({_mul64_sql("CAST(a.d AS HUGEINT)", k2)} AS UBIGINT)),
+        CAST({sc} AS UBIGINT)),
+        CAST({seed} AS UBIGINT)) AS HUGEINT) AS z0
+  FROM n2w{i - 1} w
+  JOIN n2adj a ON a.s = w.cur
+  LEFT JOIN n2edg e ON e.s = w.prev AND e.d = a.d
+),
+{_splitmix_chain_sql(f"n2c{i}0", f"n2c{i}m").lstrip()},
+n2w{i} AS MATERIALIZED (
+  SELECT w.walk_id, w.cur AS prev, COALESCE(pk.cand, -1) AS cur
+  FROM n2w{i - 1} w
+  LEFT JOIN (
+    SELECT walk_id, cand,
+           ROW_NUMBER() OVER (PARTITION BY walk_id
+                              ORDER BY {u_expr} / bias DESC,
+                                       cand ASC) AS rn
+    FROM n2c{i}m4
+  ) pk ON pk.walk_id = w.walk_id AND pk.rn = 1
+)"""
+        )
+    step_ctes = ",\n".join(steps)
+    pcols = ", ".join(
+        [
+            "w1.walk_id AS p0",
+            *[f"n2w{i}.cur AS p{i}" for i in range(1, length + 1)],
+        ]
+    ).replace("n2w1.cur AS p1", "w1.cur AS p1")
+    joins = "\n".join(
+        f"JOIN n2w{i} ON n2w{i}.walk_id = w1.walk_id"
+        for i in range(2, length + 1)
+    )
+    sc1 = c_step % m64
+    return f"""
+{_LINK_PAIRS},
+{_ARCS_SQL},
+n2v AS MATERIALIZED (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+),
+n2adj AS MATERIALIZED (
+  SELECT x.vid AS s, y.vid AS d,
+         ROW_NUMBER() OVER (PARTITION BY x.vid ORDER BY y.vid) - 1
+           AS rnk,
+         COUNT(*) OVER (PARTITION BY x.vid) AS dg
+  FROM arcs a JOIN n2v x ON a.s = x.key JOIN n2v y ON a.d = y.key
+),
+n2edg AS MATERIALIZED (SELECT s, d FROM n2adj),
+n2m0 AS (
+  SELECT w.vid AS walk_id,
+    CAST(xor(xor(
+        CAST({_mul64_sql("CAST(w.vid AS HUGEINT)", phi)} AS UBIGINT),
+        CAST({sc1} AS UBIGINT)),
+        CAST({seed} AS UBIGINT)) AS HUGEINT) AS z0
+  FROM n2v w
+),
+{_splitmix_chain_sql("n2m0", "n2m").lstrip()},
+n2w1 AS MATERIALIZED (
+  SELECT w.vid AS walk_id, w.vid AS prev, COALESCE(a.d, -1) AS cur
+  FROM n2v w
+  JOIN n2m4 m ON m.walk_id = w.vid
+  LEFT JOIN n2adj a ON a.s = w.vid
+    AND a.rnk = CAST(m.z % CAST(a.dg AS UBIGINT) AS BIGINT)
+),
+{step_ctes}
+SELECT w1.walk_id, {pcols}
+FROM n2w1 w1
+{joins}
+ORDER BY w1.walk_id
+"""
+
+
 def _maximal_cliques_sql() -> str:
     """Exact twin of q_maximal_cliques via the DEFINITION: grow every
     clique as a sorted vid list with one recursive CTE (extend by a
@@ -3420,6 +3522,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "k_shortest_paths": _k_shortest_paths_sql(),
         "chordality": _chordality_sql(),
         "maximal_cliques": _maximal_cliques_sql(),
+        "node2vec_walks": _node2vec_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

@@ -7185,9 +7185,10 @@ def q_trophic_levels(sf_dir: str, graph_dir: str | None = None):
 
 def q_node2vec_walks(sf_dir: str, graph_dir: str | None = None):
     """(walk_id, p0..p8) — deterministic node2vec (p=0.5, q=2.0)
-    second-order walk corpus from every key of the E1∪E2 graph;
-    rows-only (bitwise-reproducible by construction; pytest oracle
-    replays the Efraimidis–Spirakis picks sequentially)."""
+    second-order walk corpus from every key of the E1∪E2 graph.
+    Bitwise SQL twin: uniform step-1 rank pick + unrolled
+    Efraimidis–Spirakis weighted picks (shared-libm ln, exact binary
+    bias literals); pytest oracle replays the picks sequentially."""
     import tempfile
 
     from igraph_ray.kernels.walks import node2vec_walks
