@@ -240,7 +240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversity": q.q_diversity,  # rows-only (float entropy)
         "girth": q.q_girth,  # SQL oracle (all-pivots CTE + int cycle probe, exact)
         "bipartite": q.q_bipartite,  # SQL oracle (root-parity coloring + odd-cycle sentinel)
-        "feedback_arc_set": q.q_feedback_arc_set,  # rows-only (sequential ELS order)
+        "feedback_arc_set": q.q_feedback_arc_set,  # SQL oracle (batch-ELS round replay, exact)
         "fingerprints": q.q_fingerprints,  # SQL oracle (rolling-hash twin)
         "minhash_pairs": q.q_minhash_pairs,  # SQL oracle (full MinHash+LSH+verify integer replay, bitwise)
         "ngram_jaccard": q.q_ngram_jaccard,  # SQL oracle (inverted-index twin)
@@ -1950,6 +1950,95 @@ WHERE CASE WHEN ca.c + cb.c - COALESCE(i.inter, 0) = 0 THEN 1.0
 """
 
 
+def _fas_sql(rounds: int = 110) -> str:
+    """Bitwise twin of q_feedback_arc_set: the batch-synchronous
+    Eades–Lin–Smyth order (kernels/fas.py::_eades_order — each round
+    removes ALL sinks to the right, else ALL sources to the left,
+    else the single max-(outdeg−indeg) vertex, smallest index on
+    ties) replayed with ``rounds`` unrolled join-only rounds (empty
+    rounds are no-ops), final sequence = left (round asc, index asc)
+    ++ right (round desc, index desc), back arcs = pos(src) ≥
+    pos(dst) plus self-loops.  All integers — exact."""
+    body = []
+    prev = "faa0"
+    for r in range(1, rounds + 1):
+        body.append(
+            f"""fad{r} AS MATERIALIZED (
+  SELECT a.x,
+    COALESCE(o.c, 0) AS od, COALESCE(i.c, 0) AS idg
+  FROM {prev} a
+  LEFT JOIN (SELECT e.sx AS x, COUNT(*) AS c FROM fae e
+             JOIN {prev} p ON p.x = e.sx
+             JOIN {prev} q2 ON q2.x = e.dx
+             GROUP BY e.sx) o ON o.x = a.x
+  LEFT JOIN (SELECT e.dx AS x, COUNT(*) AS c FROM fae e
+             JOIN {prev} p ON p.x = e.sx
+             JOIN {prev} q2 ON q2.x = e.dx
+             GROUP BY e.dx) i ON i.x = a.x
+),
+faf{r} AS MATERIALIZED (
+  SELECT (SELECT COUNT(*) FROM fad{r} WHERE od = 0) AS nsink,
+         (SELECT COUNT(*) FROM fad{r}
+          WHERE idg = 0 AND od > 0) AS nsrc
+),
+farm{r} AS MATERIALIZED (
+  SELECT x, 2 AS side, {r} AS rnd FROM fad{r}
+  WHERE (SELECT nsink FROM faf{r}) > 0 AND od = 0
+  UNION ALL
+  SELECT x, 1, {r} FROM fad{r}
+  WHERE (SELECT nsink FROM faf{r}) = 0
+    AND (SELECT nsrc FROM faf{r}) > 0 AND idg = 0 AND od > 0
+  UNION ALL
+  SELECT x, 1, {r} FROM (SELECT x FROM fad{r}
+                         ORDER BY od - idg DESC, x ASC LIMIT 1)
+  WHERE (SELECT nsink FROM faf{r}) = 0
+    AND (SELECT nsrc FROM faf{r}) = 0
+),
+faa{r} AS MATERIALIZED (
+  SELECT a.x FROM {prev} a
+  WHERE NOT EXISTS (SELECT 1 FROM farm{r} m WHERE m.x = a.x)
+)"""
+        )
+        prev = f"faa{r}"
+    ctes = ",\n".join(body)
+    rm_union = "\n  UNION ALL\n  ".join(
+        f"SELECT x, side, rnd FROM farm{r}" for r in range(1, rounds + 1)
+    )
+    return f"""
+WITH far AS MATERIALIZED (
+  SELECT DISTINCT CAST(doc_id % 101 AS BIGINT) AS s,
+                  CAST((doc_id * 37 + 11) % 101 AS BIGINT) AS d
+  FROM documents
+),
+fav AS MATERIALIZED (
+  SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) - 1 AS x
+  FROM (SELECT s AS vid FROM far UNION SELECT d FROM far)
+),
+fae AS MATERIALIZED (
+  SELECT xs.x AS sx, xd.x AS dx
+  FROM far r JOIN fav xs ON xs.vid = r.s JOIN fav xd ON xd.vid = r.d
+  WHERE r.s <> r.d
+),
+faa0 AS MATERIALIZED (SELECT x FROM fav),
+{ctes},
+fapos AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY
+    CASE WHEN side = 1 THEN 0 ELSE 1 END,
+    CASE WHEN side = 1 THEN rnd ELSE -rnd END,
+    CASE WHEN side = 1 THEN x ELSE -x END) - 1 AS pos
+  FROM ({rm_union})
+)
+SELECT r.s AS src, r.d AS dst
+FROM far r
+JOIN fav xs ON xs.vid = r.s
+JOIN fav xd ON xd.vid = r.d
+JOIN fapos ps ON ps.x = xs.x
+JOIN fapos pd ON pd.x = xd.x
+WHERE ps.pos >= pd.pos
+ORDER BY src, dst
+"""
+
+
 def _node2vec_sql(
     length: int = 8, p: float = 0.5, q: float = 2.0, seed: int = 42
 ) -> str:
@@ -3523,6 +3612,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "chordality": _chordality_sql(),
         "maximal_cliques": _maximal_cliques_sql(),
         "node2vec_walks": _node2vec_sql(),
+        "feedback_arc_set": _fas_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

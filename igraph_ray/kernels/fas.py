@@ -17,8 +17,6 @@ array once (``ray.put``) and filters arcs inside ``map_batches``.
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pyarrow as pa
 import ray
@@ -32,7 +30,16 @@ def _eades_order(
 ) -> np.ndarray:
     """ELS greedy removal sequence; returns vids in left-to-right
     order.  Self-loops are ignored (they are unavoidable feedback arcs
-    and do not constrain the ordering)."""
+    and do not constrain the ordering).
+
+    BATCH-SYNCHRONOUS variant of Eades-Lin-Smyth: each round removes
+    ALL current sinks (to the right, ascending index), else ALL
+    current sources (to the left, ascending index), else the single
+    max-(outdeg-indeg) vertex (smallest index on ties, to the left).
+    Equally valid ELS semantics (greedy sink/source exhaustion +
+    max-delta fallback) with a round structure the driver's DuckDB
+    twin replays exactly — the prior stack-LIFO discipline was not
+    SQL-replayable."""
     n = len(vids)
     pos_of = {int(v): i for i, v in enumerate(vids)}
     s = np.fromiter((pos_of[int(v)] for v in src), np.int64, len(src))
@@ -40,77 +47,31 @@ def _eades_order(
     keep = s != t
     s, t = s[keep], t[keep]
 
-    order_out = np.argsort(s, kind="stable")
-    out_sorted = t[order_out]
-    out_start = np.searchsorted(s[order_out], np.arange(n + 1))
-    order_in = np.argsort(t, kind="stable")
-    in_sorted = s[order_in]
-    in_start = np.searchsorted(t[order_in], np.arange(n + 1))
-
-    outdeg = np.diff(out_start).astype(np.int64)
-    indeg = np.diff(in_start).astype(np.int64)
-
     alive = np.ones(n, dtype=bool)
     left: list[int] = []
     right: list[int] = []
-    sinks = [int(v) for v in np.flatnonzero((outdeg == 0))]
-    sources = [int(v) for v in np.flatnonzero((indeg == 0) & (outdeg > 0))]
-    # max-delta heap with lazy invalidation; vid tiebreak for determinism
-    heap = [(-(int(outdeg[v]) - int(indeg[v])), int(v)) for v in range(n)]
-    heapq.heapify(heap)
-
-    def remove(v: int, to_left: bool) -> None:
-        alive[v] = False
-        (left if to_left else right).append(v)
-        for u in out_sorted[out_start[v] : out_start[v + 1]]:
-            if alive[u]:
-                indeg[u] -= 1
-                if indeg[u] == 0 and outdeg[u] > 0:
-                    sources.append(int(u))
-                heapq.heappush(
-                    heap, (-(int(outdeg[u]) - int(indeg[u])), int(u))
-                )
-        for u in in_sorted[in_start[v] : in_start[v + 1]]:
-            if alive[u]:
-                outdeg[u] -= 1
-                if outdeg[u] == 0:
-                    sinks.append(int(u))
-                heapq.heappush(
-                    heap, (-(int(outdeg[u]) - int(indeg[u])), int(u))
-                )
-
     removed = 0
     while removed < n:
-        progressed = False
-        while sinks:
-            v = sinks.pop()
-            if alive[v] and outdeg[v] == 0:
-                remove(v, to_left=False)
-                removed += 1
-                progressed = True
-        while sources:
-            v = sources.pop()
-            if alive[v] and indeg[v] == 0 and outdeg[v] > 0:
-                remove(v, to_left=True)
-                removed += 1
-                progressed = True
-        if removed >= n:
-            break
-        if sinks or sources:
+        live_s = alive[s] & alive[t]
+        outdeg = np.bincount(s[live_s], minlength=n)
+        indeg = np.bincount(t[live_s], minlength=n)
+        sinks = np.flatnonzero(alive & (outdeg == 0))
+        if len(sinks):
+            right.extend(int(v) for v in sinks)  # ascending index
+            alive[sinks] = False
+            removed += len(sinks)
             continue
-        # no sources/sinks: remove the max (outdeg - indeg) vertex
-        while heap:
-            negd, v = heapq.heappop(heap)
-            if alive[v] and -negd == int(outdeg[v]) - int(indeg[v]):
-                remove(v, to_left=True)
-                removed += 1
-                progressed = True
-                break
-        if not progressed:  # pragma: no cover - safety
-            rest = np.flatnonzero(alive)
-            for v in rest:
-                remove(int(v), to_left=True)
-                removed += 1
+        sources = np.flatnonzero(alive & (indeg == 0) & (outdeg > 0))
+        if len(sources):
+            left.extend(int(v) for v in sources)
+            alive[sources] = False
+            removed += len(sources)
+            continue
+        delta = np.where(alive, outdeg - indeg, np.int64(-(2**62)))
+        v = int(np.argmax(delta))  # np.argmax ties -> smallest index
+        left.append(v)
+        alive[v] = False
+        removed += 1
     seq = left + right[::-1]
     return vids[np.asarray(seq, np.int64)]
 
