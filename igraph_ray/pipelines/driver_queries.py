@@ -1467,8 +1467,8 @@ def q_feedback_arc_set(sf_dir: str):
     integer vids, distinct arcs, loops kept: they are always feedback
     arcs).  Removing these rows provably leaves a DAG
     (kernels/fas.py; acyclicity + m/2 bound pinned in
-    tests/test_fas.py); rows-only — the sequential ELS ordering has
-    no SQL twin."""
+    tests/test_fas.py).  Exact SQL twin: the batch-synchronous ELS
+    rounds replay with unrolled join-only CTEs."""
     from igraph_ray.kernels.fas import feedback_arc_set
 
     def derive(batch: pa.Table) -> pa.Table:
