@@ -163,7 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_flow": q.q_max_flow,  # rows-only (augmenting paths; nx pytest oracle)
         "global_min_cut": q.q_global_min_cut,  # rows-only (Stoer-Wagner; nx pytest oracle)
         "gomory_hu": q.q_gomory_hu,  # rows-only (Gusfield; nx all-pairs pytest oracle)
-        "vertex_connectivity": q.q_vertex_connectivity,  # rows-only (Even/Whitney Dinic fan-out; nx pytest oracle)
+        "vertex_connectivity": q.q_vertex_connectivity,  # SQL oracle (kappa<=delta sandwich + avoid-set reachability, exact)
         "cycle_basis": q.q_cycle_basis,  # rows-only (Horton + GF(2) greedy; nx/brute pytest oracle)
         "eulerian_circuit": q.q_eulerian_circuit,  # SQL oracle (2*LCC edges + property constants)
         "spanning_tree": q.q_spanning_tree,  # SQL oracle (LCC-n via CC CTE + tree property constants)
@@ -1950,6 +1950,109 @@ WHERE CASE WHEN ca.c + cb.c - COALESCE(i.inter, 0) = 0 THEN 1.0
 """
 
 
+def _vertex_connectivity_sql() -> str:
+    """Exact twin of q_vertex_connectivity via definitional sandwich
+    arguments instead of a Dinic replay: κ(LCC) is the smallest k
+    with a disconnecting k-set, κ ≤ δ always, and for n > δ+1 a
+    δ-cut always exists (remove a min-degree vertex's neighbourhood),
+    so κ = 1 iff an articulation exists (one avoid-vertex reach CTE),
+    else 2 iff some pair disconnects (avoid-pair reach, guarded so it
+    only evaluates when needed), else δ when δ ≤ 3, else n−1 for the
+    complete graph.  Valid whenever δ(LCC) ≤ 3 or a ≤2-cut exists —
+    the documented replay bound (the fixture LCC has δ = 1).  LCC =
+    the largest min-label component, smallest label on size ties."""
+    return f"""
+{_LINK_PAIRS},
+vcv AS MATERIALIZED (
+  SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS vid FROM keys
+),
+vce AS MATERIALIZED (
+  SELECT DISTINCT u, v FROM (
+    SELECT s.vid AS u, d.vid AS v
+    FROM link_pairs lp
+    JOIN vcv s ON s.key = lp.src_key
+    JOIN vcv d ON d.key = lp.dst_key
+    WHERE s.vid <> d.vid
+    UNION ALL
+    SELECT d.vid, s.vid
+    FROM link_pairs lp
+    JOIN vcv s ON s.key = lp.src_key
+    JOIN vcv d ON d.key = lp.dst_key
+    WHERE s.vid <> d.vid
+  )
+),
+vccomp AS MATERIALIZED (
+  WITH RECURSIVE r(s, k) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM vce)
+    UNION
+    SELECT r.s, e.v FROM r JOIN vce e ON e.u = r.k
+  )
+  SELECT s AS vid, MIN(k) AS comp FROM r GROUP BY s
+),
+vclcc AS MATERIALIZED (
+  SELECT vid FROM vccomp
+  WHERE comp = (SELECT comp FROM vccomp GROUP BY comp
+                ORDER BY COUNT(*) DESC, comp ASC LIMIT 1)
+),
+vcn AS (SELECT COUNT(*) AS n FROM vclcc),
+vcdelta AS (
+  SELECT MIN(c) AS delta FROM (
+    SELECT e.u, COUNT(*) AS c FROM vce e
+    JOIN vclcc m ON m.vid = e.u GROUP BY e.u
+  )
+),
+vcart AS MATERIALIZED (
+  WITH RECURSIVE r(av, k) AS (
+    SELECT a.vid AS av,
+           (SELECT MIN(m.vid) FROM vclcc m WHERE m.vid <> a.vid) AS k
+    FROM vclcc a
+    UNION
+    SELECT r.av, e.v FROM r JOIN vce e ON e.u = r.k
+    JOIN vclcc m2 ON m2.vid = e.v
+    WHERE e.v <> r.av
+  )
+  SELECT av, COUNT(DISTINCT k) AS reached FROM r GROUP BY av
+),
+vchasart AS (
+  SELECT COUNT(*) > 0 AS yes FROM vcart
+  WHERE reached < (SELECT n FROM vcn) - 1
+),
+vcpair AS MATERIALIZED (
+  WITH RECURSIVE r(a1, a2, k) AS (
+    SELECT x.vid, y.vid,
+           (SELECT MIN(m.vid) FROM vclcc m
+            WHERE m.vid <> x.vid AND m.vid <> y.vid) AS k
+    FROM vclcc x JOIN vclcc y ON y.vid > x.vid
+    WHERE NOT (SELECT yes FROM vchasart)
+      AND (SELECT n FROM vcn) > 3
+    UNION
+    SELECT r.a1, r.a2, e.v FROM r JOIN vce e ON e.u = r.k
+    JOIN vclcc m2 ON m2.vid = e.v
+    WHERE e.v <> r.a1 AND e.v <> r.a2
+  )
+  SELECT a1, a2, COUNT(DISTINCT k) AS reached FROM r GROUP BY a1, a2
+),
+vchaspair AS (
+  SELECT COUNT(*) > 0 AS yes FROM vcpair
+  WHERE reached < (SELECT n FROM vcn) - 2
+)
+SELECT CAST((SELECT n FROM vcn) AS BIGINT) AS lcc_n,
+       CAST((SELECT delta FROM vcdelta) AS BIGINT) AS lcc_delta,
+       CAST(CASE
+         WHEN (SELECT n FROM vcn) <= 2
+           THEN (SELECT n FROM vcn) - 1
+         WHEN (SELECT yes FROM vchasart) THEN 1
+         WHEN (SELECT delta FROM vcdelta) = 1 THEN 1
+         WHEN (SELECT yes FROM vchaspair) THEN 2
+         WHEN (SELECT delta FROM vcdelta) = 2 THEN 2
+         WHEN (SELECT n FROM vcn)
+              = (SELECT delta FROM vcdelta) + 1
+           THEN (SELECT n FROM vcn) - 1
+         WHEN (SELECT delta FROM vcdelta) = 3 THEN 3
+         ELSE NULL END AS BIGINT) AS lcc_kappa
+"""
+
+
 def _fas_sql(rounds: int = 110) -> str:
     """Bitwise twin of q_feedback_arc_set: the batch-synchronous
     Eades–Lin–Smyth order (kernels/fas.py::_eades_order — each round
@@ -3613,6 +3716,7 @@ WHERE cs.core >= 2 AND cd.core >= 2
         "maximal_cliques": _maximal_cliques_sql(),
         "node2vec_walks": _node2vec_sql(),
         "feedback_arc_set": _fas_sql(),
+        "vertex_connectivity": _vertex_connectivity_sql(),
         "hits": _hits_sql(),
         "coloring": _coloring_sql(),
         "generated_rmat": _rmat_sql(),

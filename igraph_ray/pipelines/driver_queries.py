@@ -2735,9 +2735,9 @@ def q_vertex_connectivity(sf_dir: str, graph_dir: str | None = None):
     out in parallel over a once-shared arc table) of the largest
     connected component of the E1∪E2 graph, with the component size
     and its minimum degree (kappa <= delta is the reported sanity
-    invariant).  Rows-only (augmenting paths are not
-    SQL-expressible); exact nx.node_connectivity parity in
-    tests/test_maxflow.py."""
+    invariant).  Exact SQL twin via the kappa<=delta sandwich +
+    avoid-set reachability (valid for delta(LCC) <= 3, documented);
+    exact nx.node_connectivity parity in tests/test_maxflow.py."""
     import tempfile
 
     from ray.data.aggregate import Count, Min
